@@ -1,0 +1,52 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table catalog over the driver-generated parquet fixtures
+  * (`/root/testdata/sf*`, see TESTDATA.md / FIXTURES.md §B).
+  *
+  * Design notes for scale (north star: 100 TB on a multi-executor
+  * cluster, tested on local mode):
+  *  - every scan goes through `spark.read.parquet` so Catalyst's
+  *    vectorized reader, predicate pushdown and column pruning apply —
+  *    queries must `select`/`filter` the lazy plan, never materialize
+  *    early (the reference eagerly loads whole CSVs into pandas,
+  *    `services/analytics/app.py:22-36`);
+  *  - dimension tables (`region nation customer supplier part`) are
+  *    broadcast at join sites (see graft.ops.Joins) instead of relying
+  *    on `autoBroadcastJoinThreshold` alone, mirroring the reference's
+  *    preloaded in-memory dim (`services/silver_layer/process_silver.py:233-244`);
+  *  - AQE is enabled once per session for runtime coalescing and skew
+  *    handling; shuffle partition count is owned by the driver harness.
+  */
+object Tables {
+  val All: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    tune(spark)
+    if (name == "events") {
+      // events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
+      // vectorized reader rejects. Read nanos as long and truncate to
+      // microseconds — bit-identical to DuckDB's parquet ns->us read
+      // (verified truncating, not rounding), so oracle values match.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.selectExpr(
+        "event_id",
+        "timestamp_micros(ts div 1000) AS ts",
+        "user_id", "event_type", "value", "props")
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+  }
+
+  /** Idempotent runtime-conf tuning; safe to call per query. */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+}

@@ -1,0 +1,205 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** Aggregations (SURVEY.md §2.4).
+  *
+  * Reference behaviors:
+  *  - KPI count / conditional count / nunique / min-max
+  *    (`services/analytics/app.py:228-239,444-446`);
+  *  - "country intelligence" group-by multi-agg + top-10
+  *    (`services/analytics/app.py:341-362`) — the flagship query;
+  *  - value_counts top-k (`services/dashboard/dashboard.py:173-197`);
+  *  - two-key group count (`services/dashboard/dashboard.py:229-233`);
+  *  - exact percentile (`services/analytics/app.py:286-287`);
+  *  - mode with deterministic tie-break (`services/analytics/app.py:499-511`);
+  *  - rollup is the engine's natural extension (subtotals the dashboards
+  *    recompute client-side).
+  *
+  * Scale notes: every group-by here is a Spark hash aggregate with
+  * map-side partial aggregation, so the shuffle carries one row per
+  * (partition, key), not per input row. Top-k = orderBy+limit compiles to
+  * TakeOrderedAndProject (per-partition heaps, no global sort). Exact
+  * percentile is a single-pass ImperativeAggregate; at 100 TB swap in
+  * `approx_percentile` / `approx_count_distinct` (declared alongside) for
+  * the same shape without the exact-sort memory cost.
+  */
+object Aggs {
+
+  /** A1: global count. */
+  val aggCount: Q = (spark, dir) =>
+    Tables(spark, dir, "lineitem").agg(count(lit(1)).as("cnt"))
+
+  /** A2: conditional count (sum of predicate). */
+  val aggCountIf: Q = (spark, dir) =>
+    Tables(spark, dir, "lineitem").agg(
+      sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("returned_cnt"),
+      count(lit(1)).as("total_cnt"))
+
+  /** A3: count distinct (exact; HLL variant is q_agg_approx_distinct). */
+  val aggCountDistinct: Q = (spark, dir) =>
+    Tables(spark, dir, "orders").agg(
+      countDistinct(col("o_custkey")).as("n_cust"),
+      countDistinct(col("o_orderpriority")).as("n_prio"))
+
+  /** A4: min / max over doubles and timestamps. */
+  val aggMinmax: Q = (spark, dir) =>
+    Tables(spark, dir, "lineitem").agg(
+      min(col("l_shipdate")).as("min_ship"),
+      max(col("l_shipdate")).as("max_ship"),
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"))
+
+  /** A5+T1: flagship "country intelligence" — fact x facts x dims,
+    * filter, group per nation, top-10 by count. Dims broadcast. */
+  val aggGroupbyMulti: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+    val orders = Tables(spark, dir, "orders")
+      .filter(col("o_orderstatus") =!= "F")
+    val cust = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nation = Tables(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("flights"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"))
+      .orderBy(col("flights").desc, col("n_name"))
+      .limit(10)
+  }
+
+  /** A6: group-by mean over several columns. */
+  val aggGroupbyAvg: Q = (spark, dir) =>
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"))
+      .orderBy(col("l_returnflag"))
+
+  /** A7: value_counts top-k with deterministic tie-break. */
+  val aggTopkCounts: Q = (spark, dir) =>
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("l_suppkey"))
+      .limit(15)
+
+  /** A8: two-key group count (continent x hour analog). */
+  val aggGroupby2: Q = (spark, dir) =>
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("event_type"), col("hr"))
+
+  /** A9: exact percentile (DuckDB quantile_cont-compatible
+    * interpolation). */
+  val aggPercentile: Q = (spark, dir) =>
+    Tables(spark, dir, "lineitem").agg(
+      round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+      round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+
+  /** A3-scale: HLL approx distinct, the 100 TB variant of A3 (not
+    * oracle-checked: sketch estimates are engine-specific). */
+  val aggApproxDistinct: Q = (spark, dir) =>
+    Tables(spark, dir, "orders").agg(
+      approx_count_distinct(col("o_custkey")).as("n_cust_approx"))
+
+  /** A10: mode with imposed (count DESC, key ASC) tie-break. */
+  val aggMode: Q = (spark, dir) =>
+    Tables(spark, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("p_brand"))
+      .limit(1)
+      .select(col("p_brand").as("mode_brand"))
+
+  /** Rollup: nation x order-status counts with subtotals. */
+  val aggRollup: Q = (spark, dir) => {
+    val orders = Tables(spark, dir, "orders")
+    val cust = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nation = Tables(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    orders
+      .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .rollup(col("n_name"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(asc_nulls_first("n_name"), asc_nulls_first("o_orderstatus"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_agg_count" -> aggCount,
+    "q_agg_count_if" -> aggCountIf,
+    "q_agg_count_distinct" -> aggCountDistinct,
+    "q_agg_minmax" -> aggMinmax,
+    "q_agg_groupby_multi" -> aggGroupbyMulti,
+    "q_agg_groupby_avg" -> aggGroupbyAvg,
+    "q_agg_topk_counts" -> aggTopkCounts,
+    "q_agg_groupby2" -> aggGroupby2,
+    "q_agg_percentile" -> aggPercentile,
+    "q_agg_approx_distinct" -> aggApproxDistinct,
+    "q_agg_mode" -> aggMode,
+    "q_agg_rollup" -> aggRollup)
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_count" -> "SELECT count(*) AS cnt FROM lineitem",
+    "q_agg_count_if" ->
+      """SELECT CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS returned_cnt,
+                count(*) AS total_cnt
+         FROM lineitem""",
+    "q_agg_count_distinct" ->
+      """SELECT count(DISTINCT o_custkey) AS n_cust,
+                count(DISTINCT o_orderpriority) AS n_prio
+         FROM orders""",
+    "q_agg_minmax" ->
+      """SELECT min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+                min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+         FROM lineitem""",
+    "q_agg_groupby_multi" ->
+      """SELECT n_name, count(*) AS flights,
+                round(avg(l_extendedprice), 4) AS avg_price,
+                round(avg(l_quantity), 4) AS avg_qty
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderstatus <> 'F'
+         GROUP BY n_name
+         ORDER BY flights DESC, n_name LIMIT 10""",
+    "q_agg_groupby_avg" ->
+      """SELECT l_returnflag,
+                round(avg(l_quantity), 4) AS avg_qty,
+                round(avg(l_extendedprice), 4) AS avg_price,
+                round(avg(l_discount), 4) AS avg_disc
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_topk_counts" ->
+      """SELECT l_suppkey, count(*) AS cnt FROM lineitem
+         GROUP BY l_suppkey ORDER BY cnt DESC, l_suppkey LIMIT 15""",
+    "q_agg_groupby2" ->
+      """SELECT event_type, CAST(hour(ts) AS INT) AS hr, count(*) AS cnt
+         FROM events GROUP BY event_type, hour(ts)
+         ORDER BY event_type, hr""",
+    "q_agg_percentile" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+         FROM lineitem""",
+    "q_agg_mode" ->
+      """SELECT p_brand AS mode_brand FROM part
+         GROUP BY p_brand ORDER BY count(*) DESC, p_brand LIMIT 1""",
+    "q_agg_rollup" ->
+      """SELECT n_name, o_orderstatus, count(*) AS cnt
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY ROLLUP(n_name, o_orderstatus)
+         ORDER BY n_name ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""")
+}

@@ -1,0 +1,156 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Tables
+
+/** Sources & sinks (SURVEY.md §2.1).
+  *
+  * Reference behaviors re-expressed Spark-first:
+  *  - CSV sink/source with single-quote quoting and column projection
+  *    (`services/consumer/consumer.py:31-41,132-139`,
+  *    `services/silver_layer/process_silver.py:233-238`);
+  *  - positional JSON state-vector parsing — array index -> named column
+  *    (`services/silver_layer/process_silver.py:74-100`);
+  *  - snappy parquet sink (`services/silver_layer/process_silver.py:114-120`);
+  *  - latest-record-per-key selection, the engine-side generalization of
+  *    "read the newest file" (`services/analytics/app.py:26-31`);
+  *  - multi-file union scan (`services/dashboard/dashboard.py:42-65`).
+  *
+  * Scale notes: round-trips write through the distributed writer (one file
+  * per task, no `coalesce(1)` in the engine path); the read-back goes
+  * through the vectorized reader so downstream pruning/pushdown still
+  * applies. Latest-per-key is a hash aggregation (partial+final), not a
+  * driver-side file sort.
+  */
+object Scans {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** S9: plain parquet scan. */
+  val scanParquet: Q = (spark, dir) =>
+    Tables(spark, dir, "region").orderBy(col("r_regionkey"))
+
+  /** S6: CSV round-trip with quote option + projection (dim-table idiom). */
+  val scanCsvProjection: Q = (spark, dir) => {
+    val out = tmpDir("graft_csv_dim")
+    Tables(spark, dir, "customer")
+      .write.mode("overwrite")
+      .option("header", "true").option("quote", "'")
+      .csv(out)
+    spark.read
+      .option("header", "true").option("quote", "'")
+      .csv(out)
+      .select(
+        col("c_custkey").cast(LongType).as("c_custkey"),
+        col("c_name"),
+        col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** S7: positional JSON array -> named columns (state-vector parse). */
+  val scanPositionalJson: Q = (spark, dir) => {
+    val asJson = Tables(spark, dir, "events").select(
+      to_json(array(
+        col("event_id").cast(StringType),
+        col("event_type"),
+        col("user_id").cast(StringType))).as("j"))
+    asJson
+      .select(from_json(col("j"), ArrayType(StringType)).as("a"))
+      .select(
+        element_at(col("a"), 1).cast(LongType).as("event_id"),
+        element_at(col("a"), 2).as("event_type"),
+        element_at(col("a"), 3).cast(LongType).as("user_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** S8: snappy parquet sink round-trip (silver-zone write). */
+  val sinkParquetRoundtrip: Q = (spark, dir) => {
+    val out = tmpDir("graft_parquet_silver")
+    Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"))
+      .write.mode("overwrite")
+      .option("compression", "snappy")
+      .parquet(out)
+    spark.read.parquet(out)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** S5: header CSV sink round-trip (processed-zone write). */
+  val sinkCsvRoundtrip: Q = (spark, dir) => {
+    val out = tmpDir("graft_csv_processed")
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .write.mode("overwrite")
+      .option("header", "true")
+      .csv(out)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    spark.read
+      .option("header", "true").schema(schema)
+      .csv(out)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** S10: latest record per key (max-per-group; newest-file analog). */
+  val latestByKey: Q = (spark, dir) =>
+    Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"))
+      .orderBy(col("user_id"))
+
+  /** S12/U1: multi-file union scan — unionByName of two disjoint slices. */
+  val unionAll: Q = (spark, dir) => {
+    val ev = Tables(spark, dir, "events")
+    val hot = ev.filter(col("event_type").isin("click", "view"))
+    val cold = ev.filter(!col("event_type").isin("click", "view"))
+    hot.unionByName(cold)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("event_type"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_scan_parquet" -> scanParquet,
+    "q_scan_csv_projection" -> scanCsvProjection,
+    "q_scan_positional_json" -> scanPositionalJson,
+    "q_sink_parquet_roundtrip" -> sinkParquetRoundtrip,
+    "q_sink_csv_roundtrip" -> sinkCsvRoundtrip,
+    "q_latest_by_key" -> latestByKey,
+    "q_union_all" -> unionAll)
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_parquet" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q_scan_csv_projection" ->
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey",
+    "q_scan_positional_json" ->
+      "SELECT event_id, event_type, user_id FROM events ORDER BY event_id",
+    "q_sink_parquet_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 4) AS sum_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_sink_csv_roundtrip" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_latest_by_key" ->
+      "SELECT user_id, max(ts) AS last_ts FROM events GROUP BY user_id ORDER BY user_id",
+    "q_union_all" ->
+      """SELECT event_type, count(*) AS cnt FROM (
+           SELECT * FROM events WHERE event_type IN ('click', 'view')
+           UNION ALL
+           SELECT * FROM events WHERE event_type NOT IN ('click', 'view')
+         ) GROUP BY event_type ORDER BY event_type""")
+}

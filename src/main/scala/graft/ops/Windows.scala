@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.Tables
+
+/** Window functions (SURVEY.md §2.5).
+  *
+  * The reference has no explicit window functions; these are the
+  * window-shaped behaviors it computes imperatively:
+  *  - latest-N per key (producer dedup generalized,
+  *    `services/producer/producer.py:89-96`);
+  *  - rank within group ("fastest flights" per country,
+  *    `services/analytics/app.py:295-301`);
+  *  - sliding frame average (hourly traffic trend,
+  *    `services/dashboard/dashboard.py:246-252`).
+  *
+  * Scale notes: each window is one hash-partition shuffle on its
+  * partition key + per-partition sort; the rank query filters rnk<=5
+  * right after the window so only ~5 rows per group survive to the
+  * final sort. The frame query windows over an already-aggregated
+  * (hours-sized) input, not the raw events.
+  */
+object Windows {
+
+  /** W1: row_number — top-3 latest events per user. */
+  val windowRownum: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("user_id"), col("event_id"), col("rn"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** W2: rank within group (ties keep equal rank). */
+  val windowRank: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc)
+    Tables(spark, dir, "orders")
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 5)
+      .select(
+        col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice"), col("rnk"))
+      .orderBy(col("o_orderpriority"), col("rnk"), col("o_orderkey"))
+  }
+
+  /** W3: sliding frame — 3-row moving average over hourly counts. */
+  val windowFrame: Q = (spark, dir) => {
+    val hourly = Tables(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("h")).rowsBetween(-2, 0)
+    hourly
+      .withColumn("ma3", round(avg(col("cnt")).over(w), 4))
+      .select(col("h"), col("cnt"), col("ma3"))
+      .orderBy(col("h"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_window_rownum" -> windowRownum,
+    "q_window_rank" -> windowRank,
+    "q_window_frame" -> windowFrame)
+
+  val oracle: Map[String, String] = Map(
+    "q_window_rownum" ->
+      """SELECT user_id, event_id, CAST(rn AS INT) AS rn FROM (
+           SELECT user_id, event_id,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn <= 3 ORDER BY user_id, rn""",
+    "q_window_rank" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+                  CAST(rank() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC) AS INT) AS rnk
+           FROM orders) WHERE rnk <= 5
+         ORDER BY o_orderpriority, rnk, o_orderkey""",
+    "q_window_frame" ->
+      """WITH hourly AS (
+           SELECT date_trunc('hour', ts) AS h, count(*) AS cnt
+           FROM events GROUP BY date_trunc('hour', ts))
+         SELECT h, cnt,
+                round(avg(cnt) OVER (ORDER BY h
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
+         FROM hourly ORDER BY h""")
+}

@@ -1,0 +1,25 @@
+package graft
+
+/** Driver-contract invariants: every oracle key has a query, the
+  * flagship entry returns rows, and every registered query executes on
+  * the smoke-scale fixture. */
+class ContractSpec extends SparkTestBase {
+
+  test("every oracleSql key has a matching queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle keys without query impl: $missing")
+  }
+
+  test("entry (flagship) returns >0 rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs and yields a non-empty schema on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfSmoke)
+      assert(df.schema.nonEmpty, s"$name produced empty schema")
+      // force execution to surface runtime errors
+      df.count()
+    }
+  }
+}

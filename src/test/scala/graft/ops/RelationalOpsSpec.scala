@@ -1,0 +1,98 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.SparkTestBase
+
+/** Edge-case semantics for the relational core, on tiny inline fixtures
+  * (FIXTURES.md §A edge cases: duplicate keys with differing
+  * last-contact, missing dim keys, ties in top-k counts). */
+class RelationalOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("dedup-by-latest keeps newest row per key, deterministic on ties") {
+    val df = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:01")),
+      (1L, 11L, ts("2024-01-01 00:00:05")), // winner: newest
+      (2L, 20L, ts("2024-01-01 00:00:03")),
+      (2L, 21L, ts("2024-01-01 00:00:03")) // tie: higher event_id wins
+    ).toDF("user_id", "event_id", "ts")
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val got = df.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).select($"user_id", $"event_id")
+      .orderBy($"user_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 11L), (2L, 21L)))
+  }
+
+  test("dedup-by-latest is idempotent") {
+    val df = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:01")),
+      (1L, 11L, ts("2024-01-01 00:00:05"))
+    ).toDF("user_id", "event_id", "ts")
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    def dedup(d: org.apache.spark.sql.DataFrame) =
+      d.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+    val once = dedup(df)
+    val twice = dedup(once)
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
+
+  test("left-enrich fills Unknown for unmatched dim keys") {
+    val fact = Seq((1L, 100L), (2L, 999L)).toDF("o_orderkey", "o_custkey")
+    val dim = Seq((100L, "Alice")).toDF("c_custkey", "c_name")
+    val got = fact
+      .join(broadcast(dim), fact("o_custkey") === dim("c_custkey"), "left")
+      .select($"o_orderkey", coalesce($"c_name", lit("Unknown")).as("c_name"))
+      .orderBy($"o_orderkey").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "Alice"), (2L, "Unknown")))
+  }
+
+  test("semi/anti joins split matched vs unmatched exactly") {
+    val cust = Seq(1L, 2L, 3L).toDF("c_custkey")
+    val ord = Seq(1L, 1L, 3L).toDF("o_custkey")
+    val semi = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+    val anti = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+    assert(semi.as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(anti.as[Long].collect().toSeq == Seq(2L))
+    assert(semi.count() + anti.count() == cust.count())
+  }
+
+  test("top-k counts breaks count ties by ascending key") {
+    val df = Seq("b", "b", "a", "a", "c").toDF("k")
+    val got = df.groupBy($"k").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"k").limit(2)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 2L), ("b", 2L)))
+  }
+
+  test("quantile filter keeps only rows at or above the threshold") {
+    val df = (1 to 100).map(_.toDouble).toDF("x")
+    val th = df.agg(expr("percentile(x, 0.9)").as("p"))
+    val got = df.join(broadcast(th)).filter($"x" >= $"p")
+      .select($"x").as[Double].collect().sorted.toSeq
+    // percentile(0.9) over 1..100 = 90.1 (linear interpolation)
+    assert(got == (91 to 100).map(_.toDouble))
+  }
+
+  test("unionByName tolerates schema drift with missing columns") {
+    val a = Seq((1L, "x")).toDF("id", "extra")
+    val b = Seq(2L).toDF("id")
+    val u = a.unionByName(b.withColumn("extra", lit(null)), allowMissingColumns = true)
+    assert(u.count() == 2)
+    assert(u.schema.fieldNames.sorted.toSeq == Seq("extra", "id"))
+  }
+
+  test("rollup emits per-group rows plus subtotals plus grand total") {
+    val df = Seq(("a", "x"), ("a", "y"), ("b", "x")).toDF("k1", "k2")
+    val got = df.rollup($"k1", $"k2").agg(count(lit(1)).as("cnt"))
+    // 3 leaf + 2 k1-subtotals + 1 grand total
+    assert(got.count() == 6)
+    assert(
+      got.filter($"k1".isNull && $"k2".isNull)
+        .select($"cnt").as[Long].head() == 3L)
+  }
+}
