@@ -24,7 +24,8 @@ object SparkEntry {
     (Joins.queries, Joins.oracle),
     (Aggs.queries, Aggs.oracle),
     (Windows.queries, Windows.oracle),
-    (Sorts.queries, Sorts.oracle))
+    (Sorts.queries, Sorts.oracle),
+    (ScalarFns.queries, ScalarFns.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

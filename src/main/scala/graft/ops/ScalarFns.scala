@@ -1,0 +1,258 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** Scalar functions (SURVEY.md §2.8, F1–F15).
+  *
+  * Reference behaviors re-expressed as native Catalyst expressions (the
+  * reference computes all of these with row-wise pandas `apply` — here
+  * every one is codegen'd, no UDFs):
+  *  - F1/F2 string normalization `lower/trim/cast`
+  *    (`services/consumer/consumer.py:37,70,88`);
+  *  - F3/F4 unix-seconds -> timestamp, hour extraction
+  *    (`services/analytics/app.py:118`, `services/dashboard/dashboard.py:90`);
+  *  - F5/F6 timestamp parse/format (`services/dashboard/dashboard.py:54-83`);
+  *  - F8 coalesce-fill (`services/silver_layer/process_silver.py:247-248`);
+  *  - F9 clamp (`services/analytics/app.py:244,454`);
+  *  - F10 conditional (`services/analytics/app.py:451-455`);
+  *  - F11 arithmetic (`services/analytics/app.py:245,377`);
+  *  - F12 binning (`services/analytics/app.py:246-250`);
+  *  - F13 great-circle dead-reckoning (`services/analytics/app.py:369-402`);
+  *  - F14 lat/lon -> region CASE (`services/dashboard/dashboard.py:94-114`);
+  *  - F15 JSON path extraction (`services/silver_layer/process_silver.py:80-89`).
+  *
+  * Scale notes: every expression here stays inside whole-stage codegen
+  * (no Python/Scala closures on the hot path); the trig pipeline F13 is
+  * a pure column expression — the reference's per-row `apply` is the
+  * exact antipattern at 100 TB.
+  */
+object ScalarFns {
+
+  /** F1/F2: trim + lower + cast normalization, length. */
+  val fnString: Q = (spark, dir) =>
+    Tables(spark, dir, "customer").selectExpr(
+      "c_custkey",
+      "lower(trim(c_name)) AS name_norm",
+      "upper(c_mktsegment) AS seg_upper",
+      "length(c_name) AS name_len")
+      .orderBy(col("c_custkey"))
+
+  /** F3: seconds-since-epoch -> timestamp and back. */
+  val fnTsFromUnix: Q = (spark, dir) =>
+    Tables(spark, dir, "events").select(
+      col("event_id"),
+      unix_timestamp(col("ts")).as("unix_s"),
+      timestamp_seconds(unix_timestamp(col("ts"))).as("ts_rt"))
+      .orderBy(col("event_id"))
+
+  /** F4: calendar part extraction. */
+  val fnHour: Q = (spark, dir) =>
+    Tables(spark, dir, "events").select(
+      col("event_id"),
+      hour(col("ts")).as("hr"),
+      dayofmonth(col("ts")).as("dy"),
+      month(col("ts")).as("mon"))
+      .orderBy(col("event_id"))
+
+  /** F5: format to a filename-style string, parse back. */
+  val fnTsParse: Q = (spark, dir) =>
+    Tables(spark, dir, "events").select(
+      col("event_id"),
+      to_timestamp(
+        date_format(col("ts"), "yyyyMMdd_HHmmss"),
+        "yyyyMMdd_HHmmss").as("parsed"))
+      .orderBy(col("event_id"))
+
+  /** F6: human-readable date formatting. */
+  val fnDateFormat: Q = (spark, dir) =>
+    Tables(spark, dir, "events").select(
+      col("event_id"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm").as("fmt"))
+      .orderBy(col("event_id"))
+
+  /** F8: nullif + coalesce fill. */
+  val fnCoalesce: Q = (spark, dir) =>
+    Tables(spark, dir, "events").selectExpr(
+      "event_id",
+      "coalesce(nullif(event_type, 'click'), 'unknown') AS etype_filled")
+      .orderBy(col("event_id"))
+
+  /** F9: clamp into [10, 100]. */
+  val fnClamp: Q = (spark, dir) =>
+    Tables(spark, dir, "events").select(
+      col("event_id"),
+      least(greatest(col("value"), lit(10.0)), lit(100.0)).as("clamped"))
+      .orderBy(col("event_id"))
+
+  /** F10: multi-branch conditional. */
+  val fnWhen: Q = (spark, dir) =>
+    Tables(spark, dir, "events").select(
+      col("event_id"),
+      when(col("value") > 100.0, "high")
+        .when(col("value") > 10.0, "mid")
+        .otherwise("low").as("tier"))
+      .orderBy(col("event_id"))
+
+  /** F11: net-price arithmetic (marker-size / distance analog). */
+  val fnArith: Q = (spark, dir) =>
+    Tables(spark, dir, "lineitem").select(
+      col("l_orderkey"),
+      col("l_linenumber"),
+      // raw IEEE product — same operand order as the oracle SQL, so the
+      // result is bitwise identical; rounding scalars would *introduce*
+      // cross-engine half-boundary divergence
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+        (lit(1.0) + col("l_tax"))).as("net_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("net_price"))
+
+  /** F12: bucketize by value bands (altitude-bin analog). */
+  val fnBucketize: Q = (spark, dir) =>
+    Tables(spark, dir, "orders").select(
+      col("o_orderkey"),
+      when(col("o_totalprice") < 1000.0, "0-1k")
+        .when(col("o_totalprice") < 10000.0, "1k-10k")
+        .when(col("o_totalprice") < 50000.0, "10k-50k")
+        .when(col("o_totalprice") < 100000.0, "50k-100k")
+        .otherwise("100k+").as("bucket"))
+      .orderBy(col("o_orderkey"))
+
+  /** F13: physics dead-reckoning via great-circle step — pure column
+    * trig, no UDF. Position/heading/speed synthesized from numeric
+    * columns; identical SQL text runs on the DuckDB side. */
+  private val geoExprs = Seq(
+    "l_quantity * 2.0 - 50.0 AS lat",
+    "(l_extendedprice % 360.0) - 180.0 AS lon",
+    "CAST(l_suppkey % 360 AS DOUBLE) AS track",
+    "l_tax * 2000.0 AS speed_ms")
+  private val geoPredict = Seq(
+    "round(degrees(asin(sin(radians(lat)) * cos(speed_ms * 300.0 / 6371000.0)" +
+      " + cos(radians(lat)) * sin(speed_ms * 300.0 / 6371000.0)" +
+      " * cos(radians(track)))), 4) AS pred_lat",
+    "round(degrees(radians(lon) + atan2(" +
+      "sin(radians(track)) * sin(speed_ms * 300.0 / 6371000.0) * cos(radians(lat)), " +
+      "cos(speed_ms * 300.0 / 6371000.0) - sin(radians(lat)) * sin(asin(" +
+      "sin(radians(lat)) * cos(speed_ms * 300.0 / 6371000.0)" +
+      " + cos(radians(lat)) * sin(speed_ms * 300.0 / 6371000.0)" +
+      " * cos(radians(track)))))), 4) AS pred_lon")
+
+  val fnGeoPredict: Q = (spark, dir) =>
+    Tables(spark, dir, "lineitem")
+      .selectExpr(Seq("l_orderkey", "l_linenumber") ++ geoExprs: _*)
+      .selectExpr(
+        Seq("l_orderkey", "l_linenumber") ++ geoPredict: _*)
+      .orderBy(
+        col("l_orderkey"), col("l_linenumber"),
+        col("pred_lat"), col("pred_lon"))
+
+  /** F14: lat/lon box -> region CASE chain (infer_continent analog). */
+  private val regionCase =
+    """CASE
+         WHEN lat BETWEEN 35 AND 72 AND lon BETWEEN -25 AND 65 THEN 'Europe'
+         WHEN lat BETWEEN -10 AND 55 AND lon BETWEEN 65 AND 180 THEN 'Asia'
+         WHEN lat BETWEEN 7 AND 72 AND lon BETWEEN -168 AND -52 THEN 'North America'
+         WHEN lat BETWEEN -56 AND 13 AND lon BETWEEN -82 AND -34 THEN 'South America'
+         WHEN lat BETWEEN -35 AND 38 AND lon BETWEEN -18 AND 52 THEN 'Africa'
+         WHEN lat BETWEEN -48 AND -10 AND lon BETWEEN 110 AND 180 THEN 'Oceania'
+         ELSE 'Other'
+       END AS region"""
+
+  val fnCaseRegion: Q = (spark, dir) =>
+    Tables(spark, dir, "events")
+      .selectExpr(
+        "event_id",
+        "(value % 180.0) - 90.0 AS lat",
+        "CAST((user_id * 7) % 360 AS DOUBLE) - 180.0 AS lon")
+      .selectExpr("event_id", "lat", "lon", regionCase)
+      .orderBy(col("event_id"))
+
+  /** F15: JSON path extraction from the props column. */
+  val fnJson: Q = (spark, dir) =>
+    Tables(spark, dir, "events").select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy(col("event_id"))
+
+  val queries: Map[String, Q] = Map(
+    "q_fn_string" -> fnString,
+    "q_fn_ts_from_unix" -> fnTsFromUnix,
+    "q_fn_hour" -> fnHour,
+    "q_fn_ts_parse" -> fnTsParse,
+    "q_fn_date_format" -> fnDateFormat,
+    "q_fn_coalesce" -> fnCoalesce,
+    "q_fn_clamp" -> fnClamp,
+    "q_fn_when" -> fnWhen,
+    "q_fn_arith" -> fnArith,
+    "q_fn_bucketize" -> fnBucketize,
+    "q_fn_geo_predict" -> fnGeoPredict,
+    "q_fn_case_region" -> fnCaseRegion,
+    "q_fn_json" -> fnJson)
+
+  val oracle: Map[String, String] = Map(
+    "q_fn_string" ->
+      """SELECT c_custkey, lower(trim(c_name)) AS name_norm,
+                upper(c_mktsegment) AS seg_upper,
+                CAST(length(c_name) AS INT) AS name_len
+         FROM customer ORDER BY c_custkey""",
+    "q_fn_ts_from_unix" ->
+      """SELECT event_id,
+                CAST(floor(epoch(ts)) AS BIGINT) AS unix_s,
+                make_timestamp(CAST(floor(epoch(ts)) AS BIGINT) * 1000000) AS ts_rt
+         FROM events ORDER BY event_id""",
+    "q_fn_hour" ->
+      """SELECT event_id, CAST(hour(ts) AS INT) AS hr,
+                CAST(dayofmonth(ts) AS INT) AS dy,
+                CAST(month(ts) AS INT) AS mon
+         FROM events ORDER BY event_id""",
+    "q_fn_ts_parse" ->
+      """SELECT event_id,
+                strptime(strftime(ts, '%Y%m%d_%H%M%S'), '%Y%m%d_%H%M%S') AS parsed
+         FROM events ORDER BY event_id""",
+    "q_fn_date_format" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M') AS fmt
+         FROM events ORDER BY event_id""",
+    "q_fn_coalesce" ->
+      """SELECT event_id,
+                coalesce(nullif(event_type, 'click'), 'unknown') AS etype_filled
+         FROM events ORDER BY event_id""",
+    "q_fn_clamp" ->
+      """SELECT event_id, least(greatest(value, 10.0), 100.0) AS clamped
+         FROM events ORDER BY event_id""",
+    "q_fn_when" ->
+      """SELECT event_id,
+                CASE WHEN value > 100.0 THEN 'high'
+                     WHEN value > 10.0 THEN 'mid'
+                     ELSE 'low' END AS tier
+         FROM events ORDER BY event_id""",
+    "q_fn_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+                l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS net_price
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, net_price""",
+    "q_fn_bucketize" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_totalprice < 1000.0 THEN '0-1k'
+                     WHEN o_totalprice < 10000.0 THEN '1k-10k'
+                     WHEN o_totalprice < 50000.0 THEN '10k-50k'
+                     WHEN o_totalprice < 100000.0 THEN '50k-100k'
+                     ELSE '100k+' END AS bucket
+         FROM orders ORDER BY o_orderkey""",
+    "q_fn_geo_predict" ->
+      s"""WITH base AS (
+            SELECT l_orderkey, l_linenumber, ${geoExprs.mkString(", ")}
+            FROM lineitem)
+          SELECT l_orderkey, l_linenumber, ${geoPredict.mkString(", ")}
+          FROM base
+          ORDER BY l_orderkey, l_linenumber, pred_lat, pred_lon""",
+    "q_fn_case_region" ->
+      s"""WITH base AS (
+            SELECT event_id,
+                   (value % 180.0) - 90.0 AS lat,
+                   CAST((user_id * 7) % 360 AS DOUBLE) - 180.0 AS lon
+            FROM events)
+          SELECT event_id, lat, lon, $regionCase
+          FROM base ORDER BY event_id""",
+    "q_fn_json" ->
+      """SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS INT) AS k
+         FROM events ORDER BY event_id""")
+}
