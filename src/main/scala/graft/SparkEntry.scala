@@ -25,7 +25,8 @@ object SparkEntry {
     (Aggs.queries, Aggs.oracle),
     (Windows.queries, Windows.oracle),
     (Sorts.queries, Sorts.oracle),
-    (ScalarFns.queries, ScalarFns.oracle))
+    (ScalarFns.queries, ScalarFns.oracle),
+    (StreamingOps.queries, StreamingOps.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

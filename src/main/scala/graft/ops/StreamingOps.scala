@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.streaming.Pipelines
+
+/** Batch-checkable faces of the streaming semantics (SURVEY.md §2.9).
+  *
+  * DuckDB cannot run a stream, so the oracle checks the batch
+  * equivalence: a tumbling event-time window aggregation produces the
+  * same result as `date_trunc`-keyed grouping on the at-rest table
+  * (X5 — the reference computes hourly "windows" post-hoc the same way,
+  * `services/dashboard/dashboard.py:90,229-233`). The streaming form of
+  * the exact same plan (`Pipelines.tumblingCounts` over a file stream)
+  * is exercised in StreamingSpec.
+  */
+object StreamingOps {
+
+  /** X5: tumbling 1h window counts — batch form, same code path as the
+    * streaming query. */
+  val streamTumbling: Q = (spark, dir) =>
+    Pipelines.tumblingCounts(Tables(spark, dir, "events"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val queries: Map[String, Q] = Map(
+    "q_stream_tumbling" -> streamTumbling)
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+                count(*) AS cnt, round(sum(value), 4) AS sum_value
+         FROM events GROUP BY date_trunc('hour', ts), event_type
+         ORDER BY window_start, event_type""")
+}

@@ -1,0 +1,156 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming pipelines (SURVEY.md §2.9, §3.1, §3.2).
+  *
+  * The reference's ingest chain — Kafka consumer poll loop with a 60 s
+  * buffer flush (`services/consumer/consumer.py:156-179`), positional
+  * state-vector projection (`services/consumer/consumer.py:66-100`),
+  * producer-side latest-wins dedup with TTL
+  * (`services/producer/producer.py:26,84-96`), and the silver layer's
+  * checkpoint-file incremental batch
+  * (`services/silver_layer/process_silver.py:18-26,52-130`) — becomes
+  * two declarative streaming jobs:
+  *
+  *  - ingest: text/Kafka source -> positional JSON parse -> normalize ->
+  *    watermarked dedup -> parquet sink, micro-batched by trigger
+  *    (`Trigger.ProcessingTime` ≡ FLUSH_INTERVAL; tests use
+  *    `Trigger.AvailableNow`);
+  *  - silver: file-source stream over the bronze dir -> broadcast dim
+  *    join -> Unknown-fill -> parquet sink. Offsets live in the
+  *    checkpoint dir, replacing `last_processed_file.txt` (and fixing
+  *    its filename-sort-order assumption).
+  *
+  * Semantics note (SURVEY §7.4): the producer's TTL dedup is idle-time
+  * based; `dropDuplicatesWithinWatermark` is event-time based and keeps
+  * the first record seen per key within the watermark. The batch
+  * equivalence (latest per key) is oracle-checked as `q_dedup_latest`.
+  *
+  * Scale notes: state-store size is bounded by the watermark; the dim
+  * join is broadcast per micro-batch (no stream-side shuffle); the sink
+  * writes one file per task per batch — partition the output dir by
+  * ingest date at real scale.
+  */
+object Pipelines {
+
+  /** OpenSky state-vector positional layout (FIXTURES.md §A.1;
+    * consumer.py:66-86 index mapping). `sensors` (idx 12) is dropped,
+    * `category` (idx 17) is null when absent. */
+  val stateVectorFields: Seq[(Int, String, DataType)] = Seq(
+    (0, "icao24", StringType),
+    (1, "callsign", StringType),
+    (2, "origin_country", StringType),
+    (3, "time_position", LongType),
+    (4, "last_contact", LongType),
+    (5, "longitude", DoubleType),
+    (6, "latitude", DoubleType),
+    (7, "baro_altitude_m", DoubleType),
+    (8, "on_ground", BooleanType),
+    (9, "velocity_ms", DoubleType),
+    (10, "true_track", DoubleType),
+    (11, "vertical_rate_ms", DoubleType),
+    (13, "geo_altitude_m", DoubleType),
+    (14, "squawk", StringType),
+    (15, "spi", BooleanType),
+    (16, "position_source", IntegerType),
+    (17, "category", IntegerType))
+
+  /** Positional JSON array line -> typed columns. Works identically on
+    * batch and streaming frames; heterogeneous array elements are
+    * extracted as JSON scalars then cast (all codegen'd). */
+  def parseStates(raw: DataFrame, jsonCol: String = "value"): DataFrame = {
+    val cols = stateVectorFields.map { case (idx, name, dt) =>
+      // get_json_object yields the literal string "null" for JSON null
+      nullif(get_json_object(col(jsonCol), s"$$[$idx]"), lit("null"))
+        .cast(dt).as(name)
+    }
+    raw.select(cols: _*)
+  }
+
+  /** icao24 normalization + callsign trim (consumer.py:37,70,88). */
+  def normalize(states: DataFrame): DataFrame =
+    states
+      .withColumn("icao24", lower(trim(col("icao24").cast(StringType))))
+      .withColumn("callsign", trim(col("callsign")))
+
+  /** Broadcast left enrichment with Unknown fill
+    * (process_silver.py:107-112,247-248). */
+  def enrich(states: DataFrame, dim: DataFrame): DataFrame = {
+    val d = dim
+      .withColumn("icao24", lower(trim(col("icao24").cast(StringType))))
+      .dropDuplicates("icao24") // first-match semantics of consumer.py:88-98
+    val joined = states.join(broadcast(d), Seq("icao24"), "left")
+    d.columns.filterNot(_ == "icao24").foldLeft(joined) { (df, c) =>
+      df.withColumn(c, coalesce(col(c), lit("Unknown")))
+    }
+  }
+
+  /** Event-time dedup bounded by watermark (producer.py TTL analog). */
+  def dedupWithinWatermark(states: DataFrame, ttl: String = "10 minutes"): DataFrame =
+    states
+      .withColumn("event_ts", timestamp_seconds(col("last_contact")))
+      .withWatermark("event_ts", ttl)
+      .dropDuplicatesWithinWatermark("icao24")
+
+  /** Kafka-shaped source (S3). Not exercised in tests (no broker in the
+    * build env); the text-file source below is the test seam — both
+    * yield a `value: STRING` column feeding the same parse chain. */
+  def kafkaSource(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value")
+
+  /** Bronze JSONL dir as a streaming text source (S11/X4). */
+  def bronzeSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.text(dir).withColumnRenamed("value", "value")
+
+  /** §3.1 ingest: source -> parse -> normalize -> dedup -> parquet. */
+  def runIngest(
+      source: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val parsed = dedupWithinWatermark(normalize(parseStates(source)))
+    parsed.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** §3.2 silver: bronze stream -> enrich -> snappy parquet. */
+  def runSilver(
+      bronze: DataFrame,
+      dim: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val silver = enrich(normalize(parseStates(bronze)), dim)
+    silver.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** X5: tumbling event-time window aggregation with watermark —
+    * the streaming form of q_stream_tumbling. */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+}

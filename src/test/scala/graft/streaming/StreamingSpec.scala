@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** End-to-end streaming pipeline tests: real file sources, real
+  * checkpoints, Trigger.AvailableNow (the test-time face of the 60 s
+  * ProcessingTime micro-batch). Fixtures follow FIXTURES.md §A.1 edge
+  * cases: null callsign, 17- vs 18-element arrays, duplicate icao24,
+  * case/whitespace-variant join keys, keys missing from the dim. */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  /** Two aircraft; AB1 appears twice (dedup target), second array has
+    * only 17 elements (no category). Mixed-case icao24 tests key
+    * normalization. */
+  private val stateLines = Seq(
+    """["AB1", "CALL1  ", "France", 1700000000, 1700000100, 2.1, 48.8, 10000.0, false, 250.0, 90.0, 1.5, null, 10100.0, "7700", false, 0, 3]""",
+    """["ab1", "CALL1  ", "France", 1700000050, 1700000150, 2.2, 48.9, 10050.0, false, 251.0, 91.0, 1.4, null, 10150.0, "7700", false, 0, 3]""",
+    """["CD2", null, "Germany", 1700000000, 1700000100, 13.4, 52.5, 9000.0, true, 0.0, 0.0, 0.0, null, 9100.0, "1200", true, 1]""")
+
+  test("ingest pipeline: parse, normalize, dedup, parquet sink") {
+    val src = tmp("graft_bronze_src")
+    Files.writeString(Paths.get(src, "raw_1.jsonl"),
+      stateLines.mkString("\n"))
+    val out = tmp("graft_ingest_out")
+    val ckpt = tmp("graft_ingest_ckpt")
+
+    val q = Pipelines.runIngest(
+      Pipelines.bronzeSource(spark, src), out, ckpt)
+    q.awaitTermination()
+
+    val got = spark.read.parquet(out)
+    // dedup keeps one row per icao24 (first within watermark)
+    assert(got.count() == 2)
+    val byKey = got.select($"icao24", $"callsign", $"category")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(byKey.keySet == Set("ab1", "cd2"))
+    assert(byKey("ab1").getString(1) == "CALL1") // trimmed
+    assert(byKey("cd2").isNullAt(1)) // null callsign preserved
+    assert(byKey("cd2").isNullAt(2)) // 17-element array: category null
+  }
+
+  test("silver pipeline: broadcast enrichment with Unknown fill") {
+    val src = tmp("graft_bronze2_src")
+    Files.writeString(Paths.get(src, "raw_1.jsonl"),
+      stateLines.mkString("\n"))
+    val out = tmp("graft_silver_out")
+    val ckpt = tmp("graft_silver_ckpt")
+
+    // dim with case/whitespace-variant key; CD2 missing from dim
+    val dim = Seq((" AB1 ", "A320", "AirX"))
+      .toDF("icao24", "model", "operator")
+
+    val q = Pipelines.runSilver(
+      Pipelines.bronzeSource(spark, src), dim, out, ckpt)
+    q.awaitTermination()
+
+    val got = spark.read.parquet(out)
+    assert(got.count() == 3) // silver enriches all rows, no dedup
+    val models = got.select($"icao24", $"model").as[(String, String)]
+      .collect().toMap
+    assert(models("ab1") == "A320") // normalized key matched
+    assert(models("cd2") == "Unknown") // unmatched -> filled
+  }
+
+  test("streaming tumbling window matches batch date_trunc grouping") {
+    val src = tmp("graft_ev_src")
+    val batch = graft.engine.Tables(spark, sfSmoke, "events")
+    batch.write.mode("overwrite").parquet(src)
+
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .parquet(src)
+    val q = Pipelines.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("tumbling_out")
+      .orderBy($"window_start", $"event_type").collect()
+    val batched = graft.ops.StreamingOps.streamTumbling(spark, sfSmoke).collect()
+    // append mode only emits windows below the watermark; every emitted
+    // window must match the batch computation exactly
+    val batchMap = batched.map(r => (r.get(0), r.get(1)) -> r).toMap
+    assert(streamed.nonEmpty)
+    streamed.foreach { r =>
+      val key = (r.get(0), r.get(1))
+      assert(batchMap.contains(key), s"window $key missing from batch")
+      assert(batchMap(key).get(2) == r.get(2), s"cnt mismatch at $key")
+      assert(batchMap(key).get(3) == r.get(3), s"sum mismatch at $key")
+    }
+  }
+
+  test("checkpoint makes ingest incremental: new files only") {
+    val src = tmp("graft_incr_src")
+    Files.writeString(Paths.get(src, "raw_1.jsonl"), stateLines.head)
+    val out = tmp("graft_incr_out")
+    val ckpt = tmp("graft_incr_ckpt")
+
+    Pipelines.runIngest(Pipelines.bronzeSource(spark, src), out, ckpt)
+      .awaitTermination()
+    assert(spark.read.parquet(out).count() == 1)
+
+    // second batch: only the new file is processed (offsets in ckpt);
+    // the same icao24 reappears and is kept (state does not survive
+    // across AvailableNow restarts — watermark TTL analog)
+    Files.writeString(Paths.get(src, "raw_2.jsonl"), stateLines(2))
+    Pipelines.runIngest(Pipelines.bronzeSource(spark, src), out, ckpt)
+      .awaitTermination()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 2)
+    assert(got.select($"icao24").distinct().count() == 2)
+  }
+}
