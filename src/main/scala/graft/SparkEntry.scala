@@ -26,7 +26,8 @@ object SparkEntry {
     (Windows.queries, Windows.oracle),
     (Sorts.queries, Sorts.oracle),
     (ScalarFns.queries, ScalarFns.oracle),
-    (StreamingOps.queries, StreamingOps.oracle))
+    (StreamingOps.queries, StreamingOps.oracle),
+    (Ml.queries, Ml.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** ML / advanced analytics (SURVEY.md §2.10).
+  *
+  * Reference behaviors:
+  *  - M1 feature standardization (`services/analytics/app.py:61-63`);
+  *  - M2 KMeans flight-phase clustering k=3 seed=42
+  *    (`services/analytics/app.py:66-72`);
+  *  - M3 cluster -> label mapping by per-cluster mean vertical rate
+  *    (`services/analytics/app.py:77-95`): >1 climb, <-1 descent, else
+  *    cruise — here re-keyed to the fixture's discount column.
+  *
+  * KMeans assignments are not DuckDB-expressible, so `q_ml_kmeans` is a
+  * rows-only check (SURVEY §2.10 note); the deterministic rule-based
+  * labeling `q_ml_phase_label` carries the oracle.
+  *
+  * Scale notes: MLlib KMeans is the distributed Lloyd's iteration —
+  * features stay in executor memory as vectors; the scaler is a
+  * two-pass (fit summary + transform) pipeline. The cluster->label map
+  * is a 3-row broadcast join, not a collect-and-dictionary.
+  */
+object Ml {
+
+  private val featureCols = Array("l_quantity", "l_extendedprice", "l_discount")
+
+  /** M1+M2+M3: scale features, cluster k=3 seed=42, label clusters by
+    * mean discount, report per-cluster stats. */
+  val mlKmeans: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem").select(
+      col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    val assembled = new VectorAssembler()
+      .setInputCols(featureCols)
+      .setOutputCol("features_raw")
+      .transform(li)
+    val scaled = new StandardScaler()
+      .setInputCol("features_raw").setOutputCol("features")
+      .setWithMean(true).setWithStd(true)
+      .fit(assembled).transform(assembled)
+    val model = new KMeans()
+      .setK(3).setSeed(42)
+      .setFeaturesCol("features").setPredictionCol("phase_cluster")
+      .fit(scaled)
+    val clustered = model.transform(scaled)
+    // M3: per-cluster means drive labels (app.py:77-95 rule shape)
+    val stats = clustered
+      .groupBy(col("phase_cluster"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"))
+    stats
+      .withColumn(
+        "phase",
+        when(col("avg_disc") > 0.06, "high")
+          .when(col("avg_disc") < 0.03, "low")
+          .otherwise("mid"))
+      .orderBy(col("n").desc, col("phase_cluster"))
+  }
+
+  /** M3 deterministic face: rule-based phase thresholds (the same rule
+    * the reference applies to cluster means, app.py:87-92), fully
+    * SQL-expressible and oracle-checked. */
+  val mlPhaseLabel: Q = (spark, dir) =>
+    Tables(spark, dir, "lineitem")
+      .withColumn(
+        "phase",
+        when(col("l_discount") > 0.06, "high")
+          .when(col("l_discount") < 0.03, "low")
+          .otherwise("mid"))
+      .groupBy(col("phase"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"))
+      .orderBy(col("phase"))
+
+  val queries: Map[String, Q] = Map(
+    "q_ml_kmeans" -> mlKmeans,
+    "q_ml_phase_label" -> mlPhaseLabel)
+
+  val oracle: Map[String, String] = Map(
+    "q_ml_phase_label" ->
+      """SELECT CASE WHEN l_discount > 0.06 THEN 'high'
+                     WHEN l_discount < 0.03 THEN 'low'
+                     ELSE 'mid' END AS phase,
+                count(*) AS n,
+                round(avg(l_quantity), 4) AS avg_qty,
+                round(avg(l_extendedprice), 4) AS avg_price
+         FROM lineitem
+         GROUP BY 1 ORDER BY phase""")
+}
