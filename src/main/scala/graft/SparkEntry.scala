@@ -27,7 +27,8 @@ object SparkEntry {
     (Sorts.queries, Sorts.oracle),
     (ScalarFns.queries, ScalarFns.oracle),
     (StreamingOps.queries, StreamingOps.oracle),
-    (Ml.queries, Ml.oracle))
+    (Ml.queries, Ml.oracle),
+    (Llm.queries, Llm.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

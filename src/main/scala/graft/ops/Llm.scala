@@ -1,0 +1,402 @@
+package graft.ops
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** LLM-training-data pipeline operators (SURVEY.md §2.11; BASELINE
+  * north star). Not present in the reference — these are the ops a
+  * 100 TB corpus pipeline needs, built Spark-first:
+  *
+  *  - exact + normalized dedup: hash group-by (one shuffle on the
+  *    digest, map-side partial);
+  *  - n-gram Jaccard near-dup: shingle explode -> self-equi-join on the
+  *    shingle -> pair counting. Distributed shape: shuffle keys are
+  *    shingles then (d1,d2) pairs — no driver-side n^2;
+  *  - MinHashLSH near-dup (MLlib): the 100 TB path — banding turns the
+  *    O(n^2) pair space into per-bucket joins;
+  *  - SimHash: 64-bit signatures via pure higher-order expressions over
+  *    xxhash64 (codegen'd, no UDF), banded for candidate pairing;
+  *  - cosine similarity: brute-force top-k (oracle baseline) and
+  *    LSH-bucketed ANN (scale path);
+  *  - text stats / quality filter / language-ID heuristic /
+  *    min-hash document fingerprint.
+  *
+  * All thresholds compare RAW doubles built from integer counts or
+  * identical-order IEEE arithmetic, so Spark and DuckDB agree bitwise
+  * (rounding only where aggregation order varies).
+  */
+object Llm {
+
+  /** Word tokens (single-space split, mirrored by the oracle). */
+  private val toksE = "split(text, ' ')"
+
+  /** Distinct 3-gram word shingles as a column expression. */
+  private val shinglesE =
+    s"""array_distinct(transform(
+          sequence(1, size($toksE) - 2),
+          i -> concat_ws(' ', element_at($toksE, i),
+                         element_at($toksE, i + 1),
+                         element_at($toksE, i + 2))))"""
+
+  /** Shared DuckDB CTE producing (doc_id, s) distinct shingles. */
+  private val shingleCte =
+    """WITH toks AS (
+         SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       idx AS (
+         SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+         FROM toks WHERE len(t) >= 3),
+       sh AS (
+         SELECT DISTINCT doc_id,
+                t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS s
+         FROM idx)"""
+
+  // ---------------------------------------------------------------- dedup
+
+  /** L1: exact dedup on sha-256 of the content. */
+  val dedupExact: Q = (spark, dir) =>
+    Tables(spark, dir, "documents")
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("keep_id"), col("n_dups"))
+      .orderBy(col("keep_id"))
+
+  /** L2 (oracle face): dedup on normalized content. */
+  val dedupNorm: Q = (spark, dir) =>
+    Tables(spark, dir, "documents")
+      .groupBy(lower(trim(col("text"))).as("k"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("keep_id"), col("n_dups"))
+      .orderBy(col("keep_id"))
+
+  /** Distinct-shingle exploded view: (doc_id, s). */
+  private def shingleDf(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(expr(shinglesE)).as("s"))
+
+  /** L2 exact-pairwise: n-gram Jaccard near-dup pairs (threshold 0.5).
+    * Shuffle on shingle, then on the (d1, d2) pair — fully distributed;
+    * the 100 TB variant is the MinHashLSH query below. */
+  val dedupNgram: Q = (spark, dir) => {
+    val sh = shingleDf(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val inter = a
+      .join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("ic"))
+    inter
+      .join(broadcast(sizes).withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("n", "na"), Seq("d1"))
+      .join(broadcast(sizes).withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("n", "nb"), Seq("d2"))
+      .withColumn("jaccard",
+        col("ic") * lit(1.0) / (col("na") + col("nb") - col("ic")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("d1"), col("d2"), col("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** L2 at scale: MinHashLSH banding over hashed shingles (MLlib).
+    * Rows-only check — MLlib hash families are not SQL-expressible. */
+  val dedupMinhash: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), expr(shinglesE).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val tf = new HashingTF()
+      .setInputCol("shingles").setOutputCol("features")
+      .setNumFeatures(1 << 18)
+    val feat = tf.transform(docs)
+    val lsh = new MinHashLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(5).setSeed(42)
+    val model = lsh.fit(feat)
+    model
+      .approxSimilarityJoin(feat, feat, 0.5, "jaccard_dist")
+      .select(
+        col("datasetA.doc_id").as("d1"),
+        col("datasetB.doc_id").as("d2"),
+        round(col("jaccard_dist"), 4).as("jaccard_dist"))
+      .filter(col("d1") < col("d2"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** SimHash 64-bit signature — pure higher-order expressions over
+    * xxhash64, whole-stage-codegen friendly. Band key = top 16 bits
+    * (the LSH bucketing key for candidate pairing at scale).
+    * Rows-only check — xxhash64 differs from DuckDB's hash. */
+  private val simhashE =
+    s"""aggregate(
+          transform(sequence(0, 63),
+            i -> CASE WHEN element_at(bitsum, CAST(i + 1 AS INT)) > 0
+                      THEN shiftleft(1L, CAST(i AS INT)) ELSE 0L END),
+          0L, (acc, v) -> acc + v)"""
+
+  val dedupSimhash: Q = (spark, dir) =>
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), expr(toksE).as("toks"))
+      .withColumn("bitsum", expr(
+        """aggregate(toks, array_repeat(0, 64),
+             (acc, t) -> zip_with(acc,
+               transform(sequence(0, 63),
+                 i -> CASE WHEN (shiftright(xxhash64(t), CAST(i AS INT)) & 1) = 1
+                           THEN 1 ELSE -1 END),
+               (a, b) -> a + b))"""))
+      .withColumn("simhash", expr(simhashE))
+      .withColumn("band",
+        expr("CAST(shiftright(simhash, 48) & 65535 AS INT)"))
+      .select(col("doc_id"), col("simhash"), col("band"))
+      .orderBy(col("doc_id"))
+
+  /** SimHash near-dup pairs: band-bucketed candidate join + hamming
+    * distance filter (bit_count of xor). Used by the spec; exposed for
+    * completeness. */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int): DataFrame = {
+    val sigs = dedupSimhash(spark, dir)
+    val a = sigs.as("a")
+    val b = sigs.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        expr("bit_count(a.simhash ^ b.simhash)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(
+        col("a.doc_id").as("d1"), col("b.doc_id").as("d2"), col("hamming"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  // ----------------------------------------------------- similarity search
+
+  private val cosineE =
+    """aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
+       / (sqrt(aggregate(transform(e, x -> x * x), 0D, (acc, v) -> acc + v))
+          * sqrt(aggregate(transform(qe, x -> x * x), 0D, (acc, v) -> acc + v)))"""
+
+  /** L3 baseline: brute-force cosine top-k against the vec_id=0 query
+    * vector. The query row is broadcast; the scan stays distributed. */
+  val cosineTopk: Q = (spark, dir) => {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val q = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", round(expr(cosineE), 6))
+      .select(col("vec_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Embedding near-dup pairs above a cosine threshold. Raw doubles on
+    * both sides (identical accumulation order), no rounding in the
+    * predicate. */
+  val embedNeardup: Q = (spark, dir) => {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val a = emb.select(col("vec_id").as("d1"), col("e"))
+    val b = emb.select(col("vec_id").as("d2"), col("e").as("qe"))
+    a.join(b, col("d1") < col("d2"))
+      .withColumn("cos_raw", expr(cosineE))
+      .filter(col("cos_raw") >= 0.4)
+      .select(col("d1"), col("d2"), round(col("cos_raw"), 6).as("cosine"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** L3 at scale: LSH-bucketed ANN over L2-normalized vectors
+    * (BucketedRandomProjectionLSH; euclidean on the unit sphere tracks
+    * cosine). Rows-only check. */
+  val annLsh: Q = (spark, dir) => {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(aggregate(" +
+          "transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))," +
+          " 0D, (acc, v) -> acc + v)))").as("unit"))
+      .withColumn("features", array_to_vector(col("unit")))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(0.5).setNumHashTables(4).setSeed(42)
+    val model = lsh.fit(emb)
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("features")).head().getAs[org.apache.spark.ml.linalg.Vector](0)
+    model.approxNearestNeighbors(emb.filter(col("vec_id") =!= 0), query, 10)
+      .select(col("vec_id"), round(col("distCol"), 6).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
+  // ----------------------------------------------------------- text analysis
+
+  /** L4: per-language corpus stats. */
+  val textstats: Q = (spark, dir) =>
+    Tables(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        round(avg(size(expr(toksE))), 4).as("avg_tokens"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"))
+
+  /** L5: quality filter on length / token-count / mean word length. */
+  val qualityFilter: Q = (spark, dir) =>
+    Tables(spark, dir, "documents")
+      .withColumn("tok_cnt", size(expr(toksE)))
+      .withColumn("ratio", col("n_chars") * lit(1.0) / col("tok_cnt"))
+      .filter(
+        col("n_chars").between(100L, 2000L) &&
+          col("tok_cnt").between(20, 1000) &&
+          col("ratio").between(3.0, 20.0))
+      .select(col("doc_id"), col("tok_cnt"), col("n_chars"), col("ratio"))
+      .orderBy(col("doc_id"))
+
+  /** Language-ID heuristic: stopword-hit ratio (deterministic n-gram
+    * heuristic stand-in; integer-count division matches the oracle
+    * bitwise). */
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  val langid: Q = (spark, dir) => {
+    val stopArr = stopwords.map(w => s"'$w'").mkString(", ")
+    Tables(spark, dir, "documents")
+      .withColumn("score", expr(
+        // CAST, not "* 1.0": Spark SQL parses the 1.0 literal as
+        // DECIMAL and the quotient would come out DECIMAL(_, 12)
+        s"""CAST(size(filter($toksE, t -> array_contains(array($stopArr), t)))
+            AS DOUBLE) / size($toksE)"""))
+      .withColumn("pred",
+        when(col("score") >= 0.1, "en").otherwise("other"))
+      .select(col("doc_id"), col("score"), col("pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprint: lexicographic min of md5 over 3-gram
+    * shingles — a 1-permutation MinHash signature, cross-engine stable. */
+  val fingerprint: Q = (spark, dir) =>
+    Tables(spark, dir, "documents")
+      .filter(size(expr(toksE)) >= 3)
+      .select(
+        col("doc_id"),
+        expr(s"array_min(transform($shinglesE, s -> md5(s)))").as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------- multimodal
+
+  /** Multimodal plumbing: opaque binary content + typed metadata via a
+    * per-partition decode pass (`mapPartitions`, the Scala analog of
+    * mapInPandas batching). The decode itself is a clearly-marked
+    * deterministic STUB — image/audio codecs are not in this build
+    * env — but the schema, partitioning and batch shape are real. */
+  val mmBinaryMeta: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          // STUB decode: a real implementation would parse the codec
+          // header here; env has no media libs, so metadata is a
+          // deterministic function of the payload.
+          val n = bytes.length
+          (id, n, n % 640, (n * 7) % 480, "fake/raw")
+        }
+      }
+      .toDF("doc_id", "n_bytes", "width", "height", "format")
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_llm_dedup_exact" -> dedupExact,
+    "q_llm_dedup_norm" -> dedupNorm,
+    "q_llm_dedup_ngram" -> dedupNgram,
+    "q_llm_dedup_minhash" -> dedupMinhash,
+    "q_llm_dedup_simhash" -> dedupSimhash,
+    "q_llm_cosine_topk" -> cosineTopk,
+    "q_llm_embed_neardup" -> embedNeardup,
+    "q_llm_ann_lsh" -> annLsh,
+    "q_llm_textstats" -> textstats,
+    "q_llm_qualityfilter" -> qualityFilter,
+    "q_llm_langid" -> langid,
+    "q_llm_fingerprint" -> fingerprint,
+    "q_mm_binary_meta" -> mmBinaryMeta)
+
+  val oracle: Map[String, String] = Map(
+    "q_llm_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY sha256(text) ORDER BY keep_id""",
+    "q_llm_dedup_norm" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY lower(trim(text)) ORDER BY keep_id""",
+    "q_llm_dedup_ngram" ->
+      s"""$shingleCte,
+          inter AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ic
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+          SELECT d1, d2, ic * 1.0 / (sa.n + sb.n - ic) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = d1
+          JOIN sizes sb ON sb.doc_id = d2
+          WHERE ic * 1.0 / (sa.n + sb.n - ic) >= 0.5
+          ORDER BY d1, d2""",
+    "q_llm_cosine_topk" ->
+      """WITH q AS (
+           SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+           WHERE vec_id = 0)
+         SELECT vec_id,
+                round(list_dot_product(CAST(embedding AS DOUBLE[]), qe)
+                  / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))
+                     * sqrt(list_dot_product(qe, qe))), 6) AS cosine
+         FROM embeddings, q WHERE vec_id <> 0
+         ORDER BY cosine DESC, vec_id LIMIT 10""",
+    "q_llm_embed_neardup" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings),
+          p AS (
+            SELECT a.vec_id AS d1, b.vec_id AS d2,
+                   list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e))) AS cos_raw
+            FROM v a JOIN v b ON a.vec_id < b.vec_id)
+          SELECT d1, d2, round(cos_raw, 6) AS cosine FROM p
+          WHERE cos_raw >= 0.4 ORDER BY d1, d2""",
+    "q_llm_textstats" ->
+      """SELECT lang, count(*) AS n_docs,
+                round(avg(n_chars), 4) AS avg_chars,
+                round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+                min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q_llm_qualityfilter" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS INT) AS tok_cnt,
+                n_chars,
+                n_chars * 1.0 / len(string_split(text, ' ')) AS ratio
+         FROM documents
+         WHERE n_chars BETWEEN 100 AND 2000
+           AND len(string_split(text, ' ')) BETWEEN 20 AND 1000
+           AND n_chars * 1.0 / len(string_split(text, ' ')) BETWEEN 3.0 AND 20.0
+         ORDER BY doc_id""",
+    "q_llm_langid" ->
+      """SELECT doc_id,
+                len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['the','a','of','and','to','in','is','on'], t)))
+                  * 1.0 / len(string_split(text, ' ')) AS score,
+                CASE WHEN len(list_filter(string_split(text, ' '),
+                         t -> list_contains(['the','a','of','and','to','in','is','on'], t)))
+                       * 1.0 / len(string_split(text, ' ')) >= 0.1
+                     THEN 'en' ELSE 'other' END AS pred
+         FROM documents ORDER BY doc_id""",
+    "q_llm_fingerprint" ->
+      s"""$shingleCte
+          SELECT doc_id, min(md5(s)) AS fingerprint FROM sh
+          GROUP BY doc_id ORDER BY doc_id""",
+    "q_mm_binary_meta" ->
+      """SELECT doc_id,
+                CAST(strlen(text) AS INT) AS n_bytes,
+                CAST(strlen(text) % 640 AS INT) AS width,
+                CAST((strlen(text) * 7) % 480 AS INT) AS height,
+                'fake/raw' AS format
+         FROM documents ORDER BY doc_id""")
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class LlmSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("exact dedup groups byte-identical docs only") {
+    val df = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "alpha beta gamma"), // exact dup of 0
+      (2L, "Alpha Beta Gamma") // case-variant: NOT an exact dup
+    ).toDF("doc_id", "text")
+    val got = df.groupBy(sha2($"text", 256))
+      .agg(min($"doc_id").as("keep"), count(lit(1)).as("n"))
+      .select($"keep", $"n").as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 2L, 2L -> 1L))
+  }
+
+  test("ngram jaccard finds the planted near-dups symmetric and thresholded") {
+    val pairs = Llm.dedupNgram(spark, sfSmoke).collect()
+    assert(pairs.nonEmpty, "sf0.001 documents contain planted near-dups")
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs must be ordered d1<d2")
+      assert(r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("minhash LSH recalls most exact ngram near-dup pairs") {
+    val exact = Llm.dedupNgram(spark, sfSmoke)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    val approx = Llm.dedupMinhash(spark, sfSmoke)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall too low (found ${approx.size})")
+  }
+
+  test("simhash: identical docs get identical signatures, distinct docs differ") {
+    val sigs = Llm.dedupSimhash(spark, sfSmoke)
+      .select($"doc_id", $"simhash").as[(Long, Long)].collect().toMap
+    val texts = graft.engine.Tables(spark, sfSmoke, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    // any byte-identical pair must have equal signatures
+    val byText = texts.groupBy(_._2).values.filter(_.size > 1)
+    byText.foreach { grp =>
+      val ids = grp.keys.toSeq
+      assert(ids.map(sigs).distinct.size == 1)
+    }
+    // signatures are not all equal across the corpus
+    assert(sigs.values.toSet.size > 1)
+  }
+
+  test("simhash hamming pairs include the ngram near-dups' band collisions") {
+    val pairs = Llm.simhashPairs(spark, sfSmoke, maxHamming = 10)
+    // near-dup texts share almost all tokens -> tiny hamming distance
+    pairs.collect().foreach(r => assert(r.getInt(2) <= 10))
+  }
+
+  test("brute-force cosine top-k is ordered and k-bounded") {
+    val got = Llm.cosineTopk(spark, sfSmoke).collect()
+    assert(got.length == 10)
+    val sims = got.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+  }
+
+  test("ann lsh returns k neighbors with nonnegative distances") {
+    val got = Llm.annLsh(spark, sfSmoke).collect()
+    assert(got.length == 10)
+    assert(got.map(_.getDouble(1)).forall(_ >= 0.0))
+  }
+
+  test("quality filter bounds hold on every surviving row") {
+    Llm.qualityFilter(spark, sfSmoke).collect().foreach { r =>
+      assert(r.getLong(2) >= 100L && r.getLong(2) <= 2000L)
+      assert(r.getInt(1) >= 20 && r.getInt(1) <= 1000)
+      assert(r.getDouble(3) >= 3.0 && r.getDouble(3) <= 20.0)
+    }
+  }
+
+  test("multimodal stub yields byte-exact metadata for every doc") {
+    val n = graft.engine.Tables(spark, sfSmoke, "documents").count()
+    val got = Llm.mmBinaryMeta(spark, sfSmoke).collect()
+    assert(got.length == n)
+    got.foreach { r =>
+      assert(r.getInt(2) == r.getInt(1) % 640)
+      assert(r.getInt(3) == (r.getInt(1) * 7) % 480)
+    }
+  }
+}
