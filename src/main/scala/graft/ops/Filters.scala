@@ -46,10 +46,15 @@ object Filters {
       .select(col("event_id"), col("value"), col("is_big"))
       .orderBy(col("event_id"))
 
-  /** P5: coalesce + between range filter (altitude-band analog). */
+  /** P5: coalesce + between range filter (altitude-band analog).
+    * The reference's `fillna(0).between(10, 20)` is written in its
+    * sargable form — 0 is outside the band, so `coalesce(x, 0) BETWEEN`
+    * equals a plain BETWEEN (null -> false), and the plain predicate
+    * pushes to the parquet scan (row-group stats pruning at scale)
+    * while the coalesce-wrapped one cannot. */
   val filterBetween: Q = (spark, dir) =>
     Tables(spark, dir, "lineitem")
-      .filter(coalesce(col("l_quantity"), lit(0.0)).between(10.0, 20.0))
+      .filter(col("l_quantity").between(10.0, 20.0))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
 

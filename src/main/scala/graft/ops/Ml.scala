@@ -33,14 +33,19 @@ object Ml {
   val mlKmeans: Q = (spark, dir) => {
     val li = Tables(spark, dir, "lineitem").select(
       col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    // 3-dim vectors: per-iteration cost is task-launch overhead, not
+    // compute — keep partition count low so 20 Lloyd passes stay cheap
     val assembled = new VectorAssembler()
       .setInputCols(featureCols)
       .setOutputCol("features_raw")
-      .transform(li)
+      .transform(li.repartition(8))
+    // cache: KMeans re-evaluates its input once per Lloyd iteration —
+    // without this the whole scan+assemble+scale lineage reruns ~20x
     val scaled = new StandardScaler()
       .setInputCol("features_raw").setOutputCol("features")
       .setWithMean(true).setWithStd(true)
       .fit(assembled).transform(assembled)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = new KMeans()
       .setK(3).setSeed(42)
       .setFeaturesCol("features").setPredictionCol("phase_cluster")
