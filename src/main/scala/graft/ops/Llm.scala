@@ -183,14 +183,18 @@ object Llm {
           * sqrt(aggregate(transform(qe, x -> x * x), 0D, (acc, v) -> acc + v)))"""
 
   /** L3 baseline: brute-force cosine top-k against the vec_id=0 query
-    * vector. The query row is broadcast; the scan stays distributed. */
+    * vector. The query row is broadcast; the scan stays distributed.
+    * Scoring uses the native codegen'd `cosine_sim` Expression
+    * (graft.functions.CosineSimilarity) — same values as the
+    * higher-order `cosineE` form, but inside whole-stage codegen. */
   val cosineTopk: Q = (spark, dir) => {
+    graft.functions.CosineSimilarity.register(spark)
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val q = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
     emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
-      .withColumn("cosine", round(expr(cosineE), 6))
+      .withColumn("cosine", round(expr("cosine_sim(e, qe)"), 6))
       .select(col("vec_id"), col("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(10)
