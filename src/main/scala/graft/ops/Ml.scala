@@ -28,9 +28,10 @@ object Ml {
 
   private val featureCols = Array("l_quantity", "l_extendedprice", "l_discount")
 
-  /** M1+M2+M3: scale features, cluster k=3 seed=42, label clusters by
-    * mean discount, report per-cluster stats. */
-  val mlKmeans: Q = (spark, dir) => {
+  /** M1+M2 shared core: scaled features -> KMeans(k=3, seed=42) row
+    * assignments. */
+  private def clusteredRows(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     val li = Tables(spark, dir, "lineitem").select(
       col("l_quantity"), col("l_extendedprice"), col("l_discount"))
     // 3-dim vectors: per-iteration cost is task-launch overhead, not
@@ -50,22 +51,27 @@ object Ml {
       .setK(3).setSeed(42)
       .setFeaturesCol("features").setPredictionCol("phase_cluster")
       .fit(scaled)
-    val clustered = model.transform(scaled)
-    // M3: per-cluster means drive labels (app.py:77-95 rule shape)
-    val stats = clustered
+    model.transform(scaled)
+  }
+
+  /** M3: per-cluster means drive labels (app.py:77-95 rule shape). */
+  private def clusterStats(clustered: org.apache.spark.sql.DataFrame) =
+    clustered
       .groupBy(col("phase_cluster"))
       .agg(
         count(lit(1)).as("n"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
         round(avg(col("l_quantity")), 4).as("avg_qty"))
-    stats
       .withColumn(
         "phase",
         when(col("avg_disc") > 0.06, "high")
           .when(col("avg_disc") < 0.03, "low")
           .otherwise("mid"))
+
+  /** M1+M2+M3: cluster stats + labels, ordered by cluster size. */
+  val mlKmeans: Q = (spark, dir) =>
+    clusterStats(clusteredRows(spark, dir))
       .orderBy(col("n").desc, col("phase_cluster"))
-  }
 
   /** M3 deterministic face: rule-based phase thresholds (the same rule
     * the reference applies to cluster means, app.py:87-92), fully
@@ -84,9 +90,26 @@ object Ml {
         round(avg(col("l_extendedprice")), 4).as("avg_price"))
       .orderBy(col("phase"))
 
+  /** M3 row-level face: every row carries its cluster's phase label
+    * (the reference maps `phase_cluster` back onto each flight row,
+    * app.py:93-95). One shared fit; the 3-row label map joins back by
+    * broadcast. Rows-only check (cluster assignment not
+    * SQL-expressible). */
+  val mlPhaseRows: Q = (spark, dir) => {
+    val clustered = clusteredRows(spark, dir)
+    val labels = clusterStats(clustered)
+      .select(col("phase_cluster"), col("phase"))
+    clustered
+      .join(broadcast(labels), Seq("phase_cluster"))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("phase"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ml_kmeans" -> mlKmeans,
-    "q_ml_phase_label" -> mlPhaseLabel)
+    "q_ml_phase_label" -> mlPhaseLabel,
+    "q_ml_phase_rows" -> mlPhaseRows)
 
   val oracle: Map[String, String] = Map(
     "q_ml_phase_label" ->

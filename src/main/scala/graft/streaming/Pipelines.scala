@@ -108,6 +108,26 @@ object Pipelines {
       .load()
       .selectExpr("CAST(value AS STRING) AS value")
 
+  /** Kafka-shaped sink (S2): one JSON document per state vector,
+    * keyed by icao24 so per-aircraft ordering survives partitioning
+    * (the reference serializes the positional array and relies on a
+    * single topic-partition instead, producer.py:29-33,94-98). Not
+    * exercised in tests — no broker in the build env. */
+  def kafkaSink(
+      states: DataFrame,
+      bootstrap: String,
+      topic: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    states
+      .select(
+        col("icao24").cast(StringType).as("key"),
+        to_json(struct(states.columns.map(col): _*)).as("value"))
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+
   /** Bronze JSONL dir as a streaming text source (S11/X4). */
   def bronzeSource(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.text(dir).withColumnRenamed("value", "value")
