@@ -28,7 +28,8 @@ object SparkEntry {
     (ScalarFns.queries, ScalarFns.oracle),
     (StreamingOps.queries, StreamingOps.oracle),
     (Ml.queries, Ml.oracle),
-    (Llm.queries, Llm.oracle))
+    (Llm.queries, Llm.oracle),
+    (Advanced.queries, Advanced.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

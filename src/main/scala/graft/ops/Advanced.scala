@@ -1,0 +1,198 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.Tables
+
+/** Scale-pattern operators beyond the reference's surface (SURVEY.md
+  * §2.3 note, §2.9 X5, §4): the shapes a 100 TB deployment leans on.
+  *
+  *  - as-of join: composed from built-ins (tagged union + ignore-null
+  *    carry-forward window) per the custom-operator preference ladder —
+  *    no custom SparkPlan needed; one shuffle on the join key;
+  *  - salted two-phase aggregation: the skew-defeating form of groupBy
+  *    (events.user_id is deliberately skewed in the fixtures);
+  *  - sessionization: gap-based session ids from integer-microsecond
+  *    arithmetic (identical on both engines); streaming face =
+  *    `session_window` (Pipelines.sessionCounts);
+  *  - pivot: wide per-key counters (the dashboard's continent x hour
+  *    heat table shape, dashboard.py:229-243);
+  *  - explode/UDTF surface: token frequency via generator;
+  *  - bucketed co-located join: both facts pre-bucketed on the join key
+  *    -> SortMergeJoin with NO exchange on either side (at 100 TB this
+  *    is the difference between a join and a cluster-wide reshuffle).
+  */
+object Advanced {
+
+  /** As-of join: each purchase matched to the same user's latest
+    * click at-or-before its timestamp. Deterministic tie-break via
+    * (ts, kind, event_id) ordering; clicks sort before purchases at
+    * equal ts so ties match DuckDB's `p.ts >= c.ts` semantics. */
+  val joinAsof: Q = (spark, dir) => {
+    val ev = Tables(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click").select(
+      col("user_id"), col("ts"), col("event_id"),
+      lit(0).as("kind"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase").select(
+      col("user_id"), col("ts"), col("event_id"),
+      lit(1).as("kind"), lit(null).cast("long").as("click_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click", last(col("click_id"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("last_click").as("click_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Salted two-phase aggregation: partial aggregate on
+    * (key, salt) then final merge on key — identical results to a
+    * plain groupBy, but the first shuffle spreads a hot key over 16
+    * reducers. The oracle is the plain form. */
+  val aggSalted: Q = (spark, dir) =>
+    Tables(spark, dir, "events")
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("user_id"), col("salt"))
+      .agg(count(lit(1)).as("pc"), sum(col("value")).as("ps"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("pc")).as("cnt"),
+        round(sum(col("ps")), 4).as("sum_value"))
+      .orderBy(col("user_id"))
+
+  /** Gap-based sessionization (30 min): integer-microsecond gap ->
+    * cumulative session index -> per-user session/event counts. */
+  val streamSession: Q = (spark, dir) => {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ev = Tables(spark, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap_us",
+        coalesce(col("us") - lag(col("us"), 1).over(byUser), lit(0L)))
+      .withColumn("new_session",
+        when(col("gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("sid",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ev.groupBy(col("user_id"))
+      .agg(
+        countDistinct(col("sid")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Pivot: hour x event_type counts as wide columns. */
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val pivot: Q = (spark, dir) =>
+    Tables(spark, dir, "events")
+      .groupBy(hour(col("ts")).as("hr"))
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, eventTypes)
+      .orderBy(col("hr"))
+
+  /** Generator surface: explode tokens -> corpus token frequency. */
+  val explodeTokens: Q = (spark, dir) =>
+    Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(20)
+
+  /** Bucketed co-located join: both facts written bucketed+sorted on
+    * the join key, then joined shuffle-free (SortMergeJoin reads the
+    * bucket layout; zero Exchange). The write is the one-time cost a
+    * warehouse pays to make every later join cheap. */
+  val bucketedJoin: Q = (spark, dir) => {
+    val liPath = Files.createTempDirectory("graft_bucket_li").toString
+    val ordPath = Files.createTempDirectory("graft_bucket_ord").toString
+    Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", liPath)
+      .saveAsTable("graft_lineitem_b")
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", ordPath)
+      .saveAsTable("graft_orders_b")
+    val li = spark.table("graft_lineitem_b")
+    val ord = spark.table("graft_orders_b")
+    // DECIMAL sum: at ~1.8e10 magnitude the double-sum's order-dependent
+    // error (~1e-4) exceeds any rounding grain; exact decimal is the
+    // only order-independent cross-engine-stable aggregate here
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum((col("l_extendedprice") + col("o_totalprice"))
+          .cast("decimal(18,2)")).as("total"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_join_asof" -> joinAsof,
+    "q_agg_salted" -> aggSalted,
+    "q_stream_session" -> streamSession,
+    "q_pivot" -> pivot,
+    "q_explode_tokens" -> explodeTokens,
+    "q_bucketed_join" -> bucketedJoin)
+
+  val oracle: Map[String, String] = Map(
+    "q_join_asof" ->
+      """WITH u AS (
+           SELECT user_id, ts, event_id, 0 AS kind, event_id AS click_id
+           FROM events WHERE event_type = 'click'
+           UNION ALL
+           SELECT user_id, ts, event_id, 1 AS kind, CAST(NULL AS BIGINT) AS click_id
+           FROM events WHERE event_type = 'purchase'),
+         m AS (
+           SELECT *, last_value(click_id IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY ts, kind, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS last_click
+           FROM u)
+         SELECT event_id, user_id, ts, last_click AS click_id
+         FROM m WHERE kind = 1 ORDER BY event_id""",
+    "q_agg_salted" ->
+      """SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS sum_value
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_stream_session" ->
+      """WITH g AS (
+           SELECT user_id, ts, event_id,
+                  coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id), 0) AS gap_us
+           FROM events),
+         s AS (
+           SELECT user_id,
+                  sum(CASE WHEN gap_us > 1800 * 1000000 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS sid
+           FROM g)
+         SELECT user_id, count(DISTINCT sid) AS n_sessions,
+                count(*) AS n_events
+         FROM s GROUP BY user_id ORDER BY user_id""",
+    "q_pivot" ->
+      """SELECT CAST(hour(ts) AS INT) AS hr,
+                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+         FROM events GROUP BY hour(ts) ORDER BY hr""",
+    "q_explode_tokens" ->
+      """SELECT tok, count(*) AS cnt FROM (
+           SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""",
+    "q_bucketed_join" ->
+      """SELECT count(*) AS cnt,
+                sum(CAST(l_extendedprice + o_totalprice AS DECIMAL(18,2))) AS total
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey""")
+}

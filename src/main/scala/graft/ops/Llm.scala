@@ -62,10 +62,14 @@ object Llm {
       .select(col("keep_id"), col("n_dups"))
       .orderBy(col("keep_id"))
 
-  /** L2 (oracle face): dedup on normalized content. */
+  /** L2 (oracle face): dedup on normalized content. Grouping key is
+    * the md5 of the normalized text, not the text itself — the shuffle
+    * then carries 16-byte digests instead of multi-KB documents (the
+    * key is not part of the output, so results are identical modulo
+    * md5 collisions). */
   val dedupNorm: Q = (spark, dir) =>
     Tables(spark, dir, "documents")
-      .groupBy(lower(trim(col("text"))).as("k"))
+      .groupBy(md5(lower(trim(col("text")))).as("k"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(col("keep_id"), col("n_dups"))
       .orderBy(col("keep_id"))

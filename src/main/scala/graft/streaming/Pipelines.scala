@@ -163,6 +163,19 @@ object Pipelines {
       .start()
   }
 
+  /** Gap-based session windows (streaming face of q_stream_session):
+    * `session_window` closes a session after `gap` of event-time
+    * silence; state is bounded by the watermark. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
   /** X5: tumbling event-time window aggregation with watermark —
     * the streaming form of q_stream_tumbling. */
   def tumblingCounts(events: DataFrame, width: String = "1 hour"): DataFrame =

@@ -1,0 +1,106 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class AdvancedSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of join matches latest click at-or-before each purchase") {
+    val got = Advanced.joinAsof(spark, sfSmoke).limit(0) // shape check
+    assert(got.columns.toSeq == Seq("event_id", "user_id", "ts", "click_id"))
+    // inline semantics check
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click"),
+      (2L, ts("2024-01-01 10:05:00"), 7L, "purchase"), // -> click 1
+      (3L, ts("2024-01-01 10:10:00"), 7L, "click"),
+      (4L, ts("2024-01-01 10:10:00"), 7L, "purchase"), // same ts -> click 3
+      (5L, ts("2024-01-01 09:00:00"), 8L, "purchase") // no prior click -> null
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id")
+      .orderBy($"ts", $"kind", $"event_id")
+      .rowsBetween(Long.MinValue, 0)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id", lit(0).as("kind"),
+        $"event_id".as("click_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", lit(1).as("kind"),
+        lit(null).cast("long").as("click_id"))
+    val res = clicks.unionByName(purchases)
+      .withColumn("last_click", last($"click_id", ignoreNulls = true).over(w))
+      .filter($"kind" === 1)
+      .select($"event_id", $"last_click")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(res == Map(2L -> Some(1L), 4L -> Some(3L), 5L -> None))
+  }
+
+  test("salted aggregation equals the plain groupBy exactly on counts") {
+    val salted = Advanced.aggSalted(spark, sfSmoke)
+      .select($"user_id", $"cnt").as[(Long, Long)].collect().toMap
+    val plain = graft.engine.Tables(spark, sfSmoke, "events")
+      .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
+  test("sessionization: gap splits sessions, events are conserved") {
+    val got = Advanced.streamSession(spark, sfSmoke).collect()
+    val totalEvents = got.map(_.getLong(2)).sum
+    assert(totalEvents == graft.engine.Tables(spark, sfSmoke, "events").count())
+    got.foreach(r => assert(r.getLong(1) >= 1L && r.getLong(1) <= r.getLong(2)))
+  }
+
+  test("streaming session_window agrees with batch session totals") {
+    val batch = graft.engine.Tables(spark, sfSmoke, "events")
+    val src = java.nio.file.Files.createTempDirectory("graft_sess_src").toString
+    batch.write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(batch.schema).parquet(src)
+    val q = graft.streaming.Pipelines.sessionCounts(stream)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("sess_out")
+    // every emitted (closed) session's count must match a batch session
+    val batchSessions = Advanced.streamSession(spark, sfSmoke)
+      .select($"user_id", $"n_sessions").as[(Long, Long)].collect().toMap
+    val perUser = streamed.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"n_events").as("ev"))
+      .as[(Long, Long, Long)].collect()
+    assert(perUser.nonEmpty)
+    perUser.foreach { case (u, n, _) =>
+      assert(n <= batchSessions(u), s"user $u: $n streamed > batch")
+    }
+  }
+
+  test("pivot row sums equal per-hour totals") {
+    val p = Advanced.pivot(spark, sfSmoke)
+    val rowSums = p.select(
+      $"hr",
+      ($"click" + $"error" + $"purchase" + $"signup" + $"view").as("s"))
+      .as[(Int, Long)].collect().toMap
+    val direct = graft.engine.Tables(spark, sfSmoke, "events")
+      .groupBy(hour($"ts").as("hr")).agg(count(lit(1)).as("c"))
+      .as[(Int, Long)].collect().toMap
+    assert(rowSums == direct)
+  }
+
+  test("bucketed join plans with no shuffle exchange") {
+    val df = Advanced.bucketedJoin(spark, sfSmoke)
+    val joinPlan = df.queryExecution.executedPlan.toString
+    // both scans must read the bucket layout, and nothing may
+    // hash-repartition them (at smoke scale Spark may still prefer a
+    // broadcast join — also shuffle-free — so assert the invariant, not
+    // the join strategy)
+    assert(joinPlan.split("Bucketed: true").length == 3, joinPlan.take(800))
+    assert(!joinPlan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not reshuffle its inputs:\n$joinPlan")
+    assert(df.head().getLong(0) > 0)
+  }
+}
