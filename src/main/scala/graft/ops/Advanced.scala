@@ -136,7 +136,34 @@ object Advanced {
           .cast("decimal(18,2)")).as("total"))
   }
 
+  /** MERGE/upsert without a table format: updates win by key, new keys
+    * append, untouched base rows survive — expressed as
+    * updates ∪ (base ⟕-anti updates), one hash shuffle on the key.
+    * This is the batch face of the medallion "refresh" (X6); a real
+    * deployment writes the result partition-wise (dynamic partition
+    * overwrite) rather than full-table. Updates here are derived
+    * deterministically from the base so the oracle can rebuild them. */
+  val mergeUpsert: Q = (spark, dir) => {
+    val base = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val changed = base
+      .filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_mktsegment", lit("UPDATED"))
+    val inserted = base
+      .filter(col("c_custkey") % 100 === 0)
+      .select(
+        (col("c_custkey") + 1000000L).as("c_custkey"),
+        concat(lit("NEW-"), col("c_name")).as("c_name"),
+        lit("INSERTED").as("c_mktsegment"))
+    val updates = changed.unionByName(inserted)
+    val untouched = base.join(
+      updates.select(col("c_custkey")), Seq("c_custkey"), "left_anti")
+    updates.unionByName(untouched)
+      .orderBy(col("c_custkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_merge_upsert" -> mergeUpsert,
     "q_join_asof" -> joinAsof,
     "q_agg_salted" -> aggSalted,
     "q_stream_session" -> streamSession,
@@ -145,6 +172,22 @@ object Advanced {
     "q_bucketed_join" -> bucketedJoin)
 
   val oracle: Map[String, String] = Map(
+    "q_merge_upsert" ->
+      """WITH base AS (
+           SELECT c_custkey, c_name, c_mktsegment FROM customer),
+         updates AS (
+           SELECT c_custkey, c_name, 'UPDATED' AS c_mktsegment
+           FROM base WHERE c_custkey % 10 = 0
+           UNION ALL
+           SELECT c_custkey + 1000000 AS c_custkey,
+                  'NEW-' || c_name AS c_name,
+                  'INSERTED' AS c_mktsegment
+           FROM base WHERE c_custkey % 100 = 0)
+         SELECT * FROM updates
+         UNION ALL
+         SELECT * FROM base
+         WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+         ORDER BY c_custkey""",
     "q_join_asof" ->
       """WITH u AS (
            SELECT user_id, ts, event_id, 0 AS kind, event_id AS click_id

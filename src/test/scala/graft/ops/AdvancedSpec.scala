@@ -91,6 +91,20 @@ class AdvancedSpec extends SparkTestBase {
     assert(rowSums == direct)
   }
 
+  test("merge upsert: updates win, inserts append, base is conserved") {
+    val base = graft.engine.Tables(spark, sfSmoke, "customer")
+    val merged = Advanced.mergeUpsert(spark, sfSmoke)
+    val nBase = base.count()
+    val nIns = base.filter($"c_custkey" % 100 === 0).count()
+    assert(merged.count() == nBase + nIns)
+    // every updated key carries the new segment
+    val segs = merged.filter($"c_custkey" % 10 === 0 && $"c_custkey" < 1000000L)
+      .select($"c_mktsegment").distinct().as[String].collect().toSeq
+    assert(segs == Seq("UPDATED"))
+    // keys are still unique after the merge
+    assert(merged.select($"c_custkey").distinct().count() == merged.count())
+  }
+
   test("bucketed join plans with no shuffle exchange") {
     val df = Advanced.bucketedJoin(spark, sfSmoke)
     val joinPlan = df.queryExecution.executedPlan.toString
