@@ -28,9 +28,20 @@ object Ml {
 
   private val featureCols = Array("l_quantity", "l_extendedprice", "l_discount")
 
+  /** Seed-fixed fits are deterministic per (session, dir) — memoize so
+    * q_ml_kmeans and q_ml_phase_rows don't each pay a full fit. */
+  private val fitCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(Int, String), org.apache.spark.sql.DataFrame]
+
+  private def clusteredRows(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    fitCache.getOrElseUpdate(
+      (System.identityHashCode(spark), dir), fitClusteredRows(spark, dir))
+
   /** M1+M2 shared core: scaled features -> KMeans(k=3, seed=42) row
     * assignments. */
-  private def clusteredRows(spark: org.apache.spark.sql.SparkSession,
+  private def fitClusteredRows(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val li = Tables(spark, dir, "lineitem").select(
       col("l_quantity"), col("l_extendedprice"), col("l_discount"))
