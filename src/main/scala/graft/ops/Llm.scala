@@ -328,6 +328,76 @@ object Llm {
         expr(s"array_min(transform($shinglesE, s -> md5(s)))").as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** Per-label embedding centroids, relational form: posexplode ->
+    * groupBy (label, position) -> avg. One shuffle keyed by
+    * (label, pos); the typed single-pass form is
+    * graft.functions.VectorAvg (spec-checked equal). */
+  val centroids: Q = (spark, dir) =>
+    Tables(spark, dir, "embeddings")
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).as("i"))
+      .agg(round(avg(col("v")), 4).as("c"))
+      .orderBy(col("label"), col("i"))
+
+  /** IVF-style ANN: coarse-quantize with KMeans (k=8, seed 42) over
+    * unit vectors, then scan only the query's cell and its runner-up
+    * (2 probes) with the native cosine scorer. The 100 TB shape:
+    * centroid table broadcast, per-cell scans pruned by cluster id.
+    * Rows-only check (cell assignment is not SQL-expressible). */
+  val annIvf: Q = (spark, dir) => {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("unit", expr(
+        "transform(e, x -> x / sqrt(aggregate(transform(e, y -> y * y)," +
+          " 0D, (acc, v) -> acc + v)))"))
+      .withColumn("features", array_to_vector(col("unit")))
+    val model = new KMeans().setK(8).setSeed(42)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(emb)
+    val cells = model.transform(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val query = cells.filter(col("vec_id") === 0)
+      .select(col("e").as("qe"), col("cell").as("qcell"))
+    // probe the query's cell plus the nearest other centroid's cell
+    val qRow = query.head()
+    val qe = qRow.getAs[scala.collection.Seq[Double]](0)
+    val qcell = qRow.getInt(1)
+    val centersRanked = model.clusterCenters.zipWithIndex
+      .filter(_._2 != qcell)
+      .map { case (c, i) =>
+        val ca = c.toArray
+        var dot = 0.0; var n = 0.0
+        var k = 0
+        while (k < ca.length) { dot += ca(k) * qe(k); n += ca(k) * ca(k); k += 1 }
+        (i, dot / math.sqrt(n))
+      }
+      .sortBy(-_._2)
+    val probes = Seq(qcell, centersRanked.head._1)
+    cells
+      .filter(col("vec_id") =!= 0 && col("cell").isin(probes: _*))
+      .crossJoin(broadcast(query.select(col("qe"))))
+      .withColumn("cosine", round(expr("cosine_sim(e, qe)"), 6))
+      .select(col("vec_id"), col("cell"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Token counting, whitespace + BPE-ish regex: runs of letters, runs
+    * of digits, single other symbols (the classic pre-tokenizer
+    * shape). */
+  val tokenizeBpe: Q = (spark, dir) =>
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(expr("split(text, '\\\\s+')")).as("n_ws"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+          .as("n_bpe"))
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------------- multimodal
 
   /** Multimodal plumbing: opaque binary content + typed metadata via a
@@ -362,6 +432,9 @@ object Llm {
     "q_llm_cosine_topk" -> cosineTopk,
     "q_llm_embed_neardup" -> embedNeardup,
     "q_llm_ann_lsh" -> annLsh,
+    "q_llm_centroids" -> centroids,
+    "q_llm_ann_ivf" -> annIvf,
+    "q_llm_tokenize_bpe" -> tokenizeBpe,
     "q_llm_textstats" -> textstats,
     "q_llm_qualityfilter" -> qualityFilter,
     "q_llm_langid" -> langid,
@@ -410,6 +483,19 @@ object Llm {
             FROM v a JOIN v b ON a.vec_id < b.vec_id)
           SELECT d1, d2, round(cos_raw, 6) AS cosine FROM p
           WHERE cos_raw >= 0.4 ORDER BY d1, d2""",
+    "q_llm_centroids" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb
+                    FROM embeddings),
+          x AS (SELECT label, i, emb[i] AS v
+                FROM e, (SELECT unnest(generate_series(1, 64)) AS i) g)
+          SELECT label, CAST(i AS INT) AS i, round(avg(v), 4) AS c
+          FROM x GROUP BY label, i ORDER BY label, i""",
+    "q_llm_tokenize_bpe" ->
+      """SELECT doc_id,
+                CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_ws,
+                CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+                  AS INT) AS n_bpe
+         FROM documents ORDER BY doc_id""",
     "q_llm_textstats" ->
       """SELECT lang, count(*) AS n_docs,
                 round(avg(n_chars), 4) AS avg_chars,

@@ -72,6 +72,42 @@ class LlmSpec extends SparkTestBase {
     assert(got.map(_.getDouble(1)).forall(_ >= 0.0))
   }
 
+  test("typed VectorAvg aggregator equals the relational centroid") {
+    val emb = graft.engine.Tables(spark, sfSmoke, "embeddings")
+      .selectExpr("label", "CAST(embedding AS ARRAY<DOUBLE>) AS e")
+      .as[(Int, Seq[Double])]
+    val typed = emb.groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.functions.VectorAvg(64).toColumn.name("c"))
+      .collect().toMap
+    val relational = Llm.centroids(spark, sfSmoke)
+      .select($"label", $"i", $"c").as[(Int, Int, Double)].collect()
+      .groupBy(_._1)
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_._2).map(_._3).toSeq
+      }
+    assert(typed.keySet == relational.keySet)
+    typed.foreach { case (l, vec) =>
+      val rounded = vec.map(v => math.rint(v * 1e4) / 1e4)
+      assert(rounded == relational(l), s"label $l centroid mismatch")
+    }
+  }
+
+  test("ivf ann returns k rows from at most two probed cells") {
+    val got = Llm.annIvf(spark, sfSmoke).collect()
+    assert(got.length == 10)
+    assert(got.map(_.getInt(1)).distinct.length <= 2)
+    val sims = got.map(_.getDouble(2))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("bpe-ish token count >= whitespace token count") {
+    Llm.tokenizeBpe(spark, sfSmoke).collect().foreach { r =>
+      assert(r.getInt(2) >= r.getInt(1),
+        s"doc ${r.getLong(0)}: bpe ${r.getInt(2)} < ws ${r.getInt(1)}")
+    }
+  }
+
   test("quality filter bounds hold on every surviving row") {
     Llm.qualityFilter(spark, sfSmoke).collect().foreach { r =>
       assert(r.getLong(2) >= 100L && r.getLong(2) <= 2000L)
