@@ -1,0 +1,85 @@
+package graft.engine
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Minimal copy-on-write versioned table: each commit writes a full
+  * parquet snapshot under `dir/v<N>` and atomically advances the
+  * `_CURRENT` pointer (write-temp + rename, the classic HDFS commit
+  * idiom). Readers resolve the pointer at plan time; old snapshots stay
+  * readable (time travel).
+  *
+  * This is the table-format role the reference approximates with
+  * "overwrite parquet + checkpoint file"
+  * (`services/silver_layer/process_silver.py:114-122`): its checkpoint
+  * names the last *input* file, ours names the last committed
+  * *version*, so readers never observe a half-written snapshot. The
+  * build environment has no Delta/Iceberg jars (zero egress); at 100 TB
+  * the same interface maps onto a real table format — or onto
+  * partition-scoped commits rather than full snapshots.
+  */
+object VersionedTable {
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def currentPath(dir: String) = new Path(dir, "_CURRENT")
+
+  /** Latest committed version, if any. */
+  def currentVersion(spark: SparkSession, dir: String): Option[Long] = {
+    val f = fs(spark, dir)
+    val p = currentPath(dir)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val s = new String(
+          in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
+        Some(s.stripPrefix("v").toLong)
+      } finally in.close()
+    }
+  }
+
+  /** All committed versions (ascending). */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val f = fs(spark, dir)
+    val base = new Path(dir)
+    if (!f.exists(base)) Seq.empty
+    else f.listStatus(base).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("v\\d+"))
+      .map(_.stripPrefix("v").toLong)
+      .sorted
+  }
+
+  /** Write a new snapshot and advance the pointer atomically. */
+  def commit(df: DataFrame, dir: String): Long = {
+    val spark = df.sparkSession
+    val next = currentVersion(spark, dir).map(_ + 1).getOrElse(0L)
+    df.write.mode("overwrite").parquet(s"$dir/v$next")
+    val f = fs(spark, dir)
+    val tmp = new Path(dir, s"._CURRENT.tmp$next")
+    val out = f.create(tmp, true)
+    try out.write(s"v$next".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // rename is atomic on HDFS and local FS; replace the old pointer
+    f.delete(currentPath(dir), false)
+    f.rename(tmp, currentPath(dir))
+    next
+  }
+
+  /** Read the current snapshot, or a pinned `version` (time travel). */
+  def read(spark: SparkSession, dir: String, version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(currentVersion(spark, dir)).getOrElse(
+      throw new IllegalStateException(s"no committed version in $dir"))
+    spark.read.parquet(s"$dir/v$v")
+  }
+
+  /** MERGE semantics: rows in `updates` win by `key`; unmatched base
+    * rows survive. One hash shuffle on the key (left-anti + union). */
+  def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame =
+    updates.unionByName(
+      base.join(updates.select(col(key)), Seq(key), "left_anti"))
+}

@@ -163,6 +163,36 @@ object Pipelines {
       .start()
   }
 
+  /** X6 result refresh: continuous upsert of a keyed serving table.
+    * Each micro-batch merges into the current VersionedTable snapshot
+    * and commits a new version — readers always see a complete
+    * snapshot, and prior versions stay queryable (the reference's
+    * dashboards re-read mutable directories instead,
+    * `services/analytics/app.py:22-36`). */
+  def runRefresh(
+      updates: DataFrame,
+      key: String,
+      servingDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    updates.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val merged = graft.engine.VersionedTable
+          .currentVersion(spark, servingDir) match {
+          case Some(_) =>
+            graft.engine.VersionedTable.upsert(
+              graft.engine.VersionedTable.read(spark, servingDir),
+              batch.toDF(), key)
+          case None => batch.toDF()
+        }
+        graft.engine.VersionedTable.commit(merged, servingDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Gap-based session windows (streaming face of q_stream_session):
     * `session_window` closes a session after `gap` of event-time
     * silence; state is bounded by the watermark. */

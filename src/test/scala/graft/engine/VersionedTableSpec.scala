@@ -1,0 +1,63 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class VersionedTableSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  test("commit advances versions; read resolves the pointer; time travel works") {
+    val dir = tmp("graft_vt")
+    assert(VersionedTable.currentVersion(spark, dir).isEmpty)
+    val v0 = VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), dir)
+    val v1 = VersionedTable.commit(Seq((1L, "b"), (2L, "c")).toDF("k", "v"), dir)
+    assert((v0, v1) == (0L, 1L))
+    assert(VersionedTable.versions(spark, dir) == Seq(0L, 1L))
+    assert(VersionedTable.read(spark, dir).count() == 2)
+    // time travel to v0
+    val old = VersionedTable.read(spark, dir, Some(0L))
+      .as[(Long, String)].collect().toSeq
+    assert(old == Seq((1L, "a")))
+  }
+
+  test("upsert: updates win by key, unmatched base survives") {
+    val base = Seq((1L, "old"), (2L, "keep")).toDF("k", "v")
+    val updates = Seq((1L, "new"), (3L, "ins")).toDF("k", "v")
+    val got = VersionedTable.upsert(base, updates, "k")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "new", 2L -> "keep", 3L -> "ins"))
+  }
+
+  test("streaming refresh: per-batch upsert commits, serving table converges") {
+    val src = tmp("graft_refresh_src")
+    val serving = tmp("graft_refresh_serving")
+    val ckpt = tmp("graft_refresh_ckpt")
+    val schema = "k LONG, v STRING"
+
+    Files.writeString(Paths.get(src, "b1.json"),
+      """{"k": 1, "v": "a"}
+        |{"k": 2, "v": "b"}""".stripMargin)
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).json(src)
+      val q = graft.streaming.Pipelines.runRefresh(stream, "k", serving, ckpt)
+      q.awaitTermination()
+    }
+    run()
+    assert(VersionedTable.read(spark, serving).count() == 2)
+
+    // second batch updates k=2 and inserts k=3
+    Files.writeString(Paths.get(src, "b2.json"),
+      """{"k": 2, "v": "B2"}
+        |{"k": 3, "v": "c"}""".stripMargin)
+    run()
+    val got = VersionedTable.read(spark, serving)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+    // prior snapshot still readable
+    assert(VersionedTable.versions(spark, serving).size >= 2)
+  }
+}
