@@ -135,7 +135,16 @@ object Aggs {
       .orderBy(asc_nulls_first("n_name"), asc_nulls_first("o_orderstatus"))
   }
 
+  /** Cube: all grouping-set combinations of (status, priority). */
+  val aggCube: Q = (spark, dir) =>
+    Tables(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(
+        asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
   val queries: Map[String, Q] = Map(
+    "q_agg_cube" -> aggCube,
     "q_agg_count" -> aggCount,
     "q_agg_count_if" -> aggCountIf,
     "q_agg_count_distinct" -> aggCountDistinct,
@@ -150,6 +159,11 @@ object Aggs {
     "q_agg_rollup" -> aggRollup)
 
   val oracle: Map[String, String] = Map(
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus ASC NULLS FIRST,
+                  o_orderpriority ASC NULLS FIRST""",
     "q_agg_count" -> "SELECT count(*) AS cnt FROM lineitem",
     "q_agg_count_if" ->
       """SELECT CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)

@@ -398,6 +398,21 @@ object Llm {
           .as("n_bpe"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic train/val/test split: bucket by the first hex char
+    * of md5(doc_id) — 12/2/2 sixteenths. Hash-based splits survive
+    * reshuffles and appends (row-number splits don't), and the bucket
+    * function is cross-engine stable. */
+  val split: Q = (spark, dir) =>
+    Tables(spark, dir, "documents")
+      .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 1))
+      .withColumn("split",
+        when(col("h") < "c", "train")
+          .when(col("h") < "e", "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("split"))
+
   // ------------------------------------------------------------- multimodal
 
   /** Multimodal plumbing: opaque binary content + typed metadata via a
@@ -432,6 +447,7 @@ object Llm {
     "q_llm_cosine_topk" -> cosineTopk,
     "q_llm_embed_neardup" -> embedNeardup,
     "q_llm_ann_lsh" -> annLsh,
+    "q_llm_split" -> split,
     "q_llm_centroids" -> centroids,
     "q_llm_ann_ivf" -> annIvf,
     "q_llm_tokenize_bpe" -> tokenizeBpe,
@@ -483,6 +499,15 @@ object Llm {
             FROM v a JOIN v b ON a.vec_id < b.vec_id)
           SELECT d1, d2, round(cos_raw, 6) AS cosine FROM p
           WHERE cos_raw >= 0.4 ORDER BY d1, d2""",
+    "q_llm_split" ->
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                       THEN 'train'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+                       THEN 'val'
+                     ELSE 'test' END AS split,
+                count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS n_chars
+         FROM documents GROUP BY 1 ORDER BY split""",
     "q_llm_centroids" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb
                     FROM embeddings),

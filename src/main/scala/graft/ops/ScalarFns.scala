@@ -173,7 +173,19 @@ object ScalarFns {
       get_json_object(col("props"), "$.k").cast("int").as("k"))
       .orderBy(col("event_id"))
 
+  /** Regex + padding + substring surface (masking/extraction idioms a
+    * data pipeline needs even though the reference never regexes). */
+  val fnRegex: Q = (spark, dir) =>
+    Tables(spark, dir, "customer").select(
+      col("c_custkey"),
+      regexp_replace(col("c_name"), "[0-9]", "x").as("masked"),
+      regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+      lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+      substring(col("c_name"), 1, 8).as("prefix"))
+      .orderBy(col("c_custkey"))
+
   val queries: Map[String, Q] = Map(
+    "q_fn_regex" -> fnRegex,
     "q_fn_string" -> fnString,
     "q_fn_ts_from_unix" -> fnTsFromUnix,
     "q_fn_hour" -> fnHour,
@@ -189,6 +201,13 @@ object ScalarFns {
     "q_fn_json" -> fnJson)
 
   val oracle: Map[String, String] = Map(
+    "q_fn_regex" ->
+      """SELECT c_custkey,
+                regexp_replace(c_name, '[0-9]', 'x', 'g') AS masked,
+                regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+                lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+                substring(c_name, 1, 8) AS prefix
+         FROM customer ORDER BY c_custkey""",
     "q_fn_string" ->
       """SELECT c_custkey, lower(trim(c_name)) AS name_norm,
                 upper(c_mktsegment) AS seg_upper,

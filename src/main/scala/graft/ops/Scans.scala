@@ -123,7 +123,29 @@ object Scans {
       .orderBy(col("event_type"))
   }
 
+  /** Partitioned sink + pruned scan: the silver-zone layout SURVEY
+    * §7.4 prescribes (partition by ingest date). The read-back filter
+    * on the partition column prunes directories before any IO — at
+    * 100 TB this is the difference between scanning a day and scanning
+    * the lake. */
+  val sinkPartitioned: Q = (spark, dir) => {
+    val out = tmpDir("graft_partitioned")
+    Tables(spark, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite")
+      .partitionBy("event_date")
+      .parquet(out)
+    spark.read.parquet(out)
+      .filter(col("event_date") === lit("2024-01-15").cast("date"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sink_partitioned" -> sinkPartitioned,
     "q_scan_parquet" -> scanParquet,
     "q_scan_csv_projection" -> scanCsvProjection,
     "q_scan_positional_json" -> scanPositionalJson,
@@ -133,6 +155,10 @@ object Scans {
     "q_union_all" -> unionAll)
 
   val oracle: Map[String, String] = Map(
+    "q_sink_partitioned" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+         FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+         GROUP BY event_type ORDER BY event_type""",
     "q_scan_parquet" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q_scan_csv_projection" ->

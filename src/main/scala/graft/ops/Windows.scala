@@ -59,10 +59,36 @@ object Windows {
       .orderBy(col("h"))
   }
 
+  /** lag: per-user value delta to the previous event (raw IEEE
+    * subtraction matches the oracle bitwise; first row per user is
+    * null). */
+  val windowLag: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir, "events")
+      .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+      .select(col("event_id"), col("user_id"), col("delta"))
+      .orderBy(col("event_id"))
+  }
+
+  /** ntile: global quartiles by total price. A single-partition window
+    * at this size; at scale ntile over a global order is a sort —
+    * prefer percentile buckets (q_fn_bucketize) when the exact tile
+    * boundary doesn't matter. */
+  val windowNtile: Q = (spark, dir) => {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .withColumn("quartile", ntile(4).over(w))
+      .select(col("o_orderkey"), col("o_totalprice"), col("quartile"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_window_rownum" -> windowRownum,
     "q_window_rank" -> windowRank,
-    "q_window_frame" -> windowFrame)
+    "q_window_frame" -> windowFrame,
+    "q_window_lag" -> windowLag,
+    "q_window_ntile" -> windowNtile)
 
   val oracle: Map[String, String] = Map(
     "q_window_rownum" ->
@@ -78,6 +104,16 @@ object Windows {
                                ORDER BY o_totalprice DESC) AS INT) AS rnk
            FROM orders) WHERE rnk <= 5
          ORDER BY o_orderpriority, rnk, o_orderkey""",
+    "q_window_lag" ->
+      """SELECT event_id, user_id,
+                value - lag(value) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS delta
+         FROM events ORDER BY event_id""",
+    "q_window_ntile" ->
+      """SELECT o_orderkey, o_totalprice,
+                CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT)
+                  AS quartile
+         FROM orders ORDER BY o_orderkey""",
     "q_window_frame" ->
       """WITH hourly AS (
            SELECT date_trunc('hour', ts) AS h, count(*) AS cnt

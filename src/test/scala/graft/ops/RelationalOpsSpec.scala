@@ -86,6 +86,18 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(u.schema.fieldNames.sorted.toSeq == Seq("extra", "id"))
   }
 
+  test("partitioned sink scan prunes to the filtered partition") {
+    val df = Scans.sinkPartitioned(spark, sfSmoke)
+    // AQE wraps the plan, so assert on the rendered scan metadata: the
+    // date predicate must appear as a PartitionFilter, not a data filter
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(plan.contains("PartitionFilters: [isnotnull(event_date"),
+      plan.take(1200))
+    assert(!plan.contains("PushedFilters: [IsNotNull(event_date"),
+      "partition column must not be treated as a data filter")
+  }
+
   test("rollup emits per-group rows plus subtotals plus grand total") {
     val df = Seq(("a", "x"), ("a", "y"), ("b", "x")).toDF("k1", "k2")
     val got = df.rollup($"k1", $"k2").agg(count(lit(1)).as("cnt"))
