@@ -96,6 +96,55 @@ object Pipelines {
       .withWatermark("event_ts", ttl)
       .dropDuplicatesWithinWatermark("icao24")
 
+  /** X3 exact semantics: the producer's dedup emits a record whenever
+    * its `last_contact` is NEWER than the stored one, and evicts state
+    * entries idle for TTL_SECONDS (`services/producer/producer.py:26,
+    * 55,84-96`). `dropDuplicatesWithinWatermark` keeps the FIRST record
+    * per key instead, so the faithful form is custom state:
+    * per-key max-last-contact in a GroupState with a processing-time
+    * timeout (idle-based, exactly like the reference's TTL sweep).
+    * State size: one long per live key, bounded by the timeout. */
+  def dedupLatestStateful(
+      ds: org.apache.spark.sql.Dataset[(String, Long, Double)],
+      ttlMs: Long = 600000L)
+      : org.apache.spark.sql.Dataset[(String, Long, Double)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import ds.sparkSession.implicits._
+    // Event-time TTL, not processing-time: a processing-time timeout
+    // makes the engine schedule empty timeout batches forever (even
+    // Trigger.AvailableNow never drains), and it is not reproducible
+    // under replay. The watermark advances with last_contact, so state
+    // for keys idle past the TTL is evicted exactly like the
+    // reference's idle sweep — but deterministically.
+    ds.toDF("icao24", "last_contact", "value")
+      .withColumn("event_ts", timestamp_seconds(col("last_contact")))
+      .withWatermark("event_ts", "10 minutes")
+      .as[(String, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String,
+         rows: Iterator[(String, Long, Double, java.sql.Timestamp)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val stored = state.getOption.getOrElse(Long.MinValue)
+            // producer.py processes arrivals in order: emit each record
+            // strictly newer than everything seen before it
+            val emitted = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+            var hi = stored
+            rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+              if (r._2 > hi) { emitted += ((r._1, r._2, r._3)); hi = r._2 }
+            }
+            if (hi > stored) state.update(hi)
+            state.setTimeoutTimestamp(hi * 1000L + ttlMs)
+            emitted.iterator
+          }
+      }
+  }
+
   /** Kafka-shaped source (S3). Not exercised in tests (no broker in the
     * build env); the text-file source below is the test seam — both
     * yield a `value: STRING` column feeding the same parse chain. */

@@ -98,6 +98,49 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("stateful dedup emits only strictly-newer last_contact per key") {
+    val src = tmp("graft_state_src")
+    val out = tmp("graft_state_out")
+    val ckpt = tmp("graft_state_ckpt")
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema("k STRING, lc LONG, v DOUBLE")
+        .json(src)
+        .as[(String, Long, Double)]
+      // AvailableNow: drain pending files then stop (a ProcessingTime
+      // timeout would otherwise keep scheduling empty timeout batches)
+      val q = Pipelines.dedupLatestStateful(stream)
+        .toDF("k", "lc", "v")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    Files.writeString(Paths.get(src, "b1.json"),
+      """{"k":"a","lc":100,"v":1.0}
+        |{"k":"a","lc":90,"v":2.0}
+        |{"k":"b","lc":50,"v":3.0}""".stripMargin)
+    run()
+    // within one batch, in-order processing: 90 then 100 both emit
+    val batch1 = spark.read.parquet(out).collect()
+    assert(batch1.map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 90L), ("a", 100L), ("b", 50L)))
+
+    Files.writeString(Paths.get(src, "b2.json"),
+      """{"k":"a","lc":95,"v":4.0}
+        |{"k":"a","lc":110,"v":5.0}
+        |{"k":"b","lc":50,"v":6.0}""".stripMargin)
+    run()
+    val all = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // state survived the restart via the checkpoint: 95 < stored 100 ->
+    // suppressed; duplicate (b,50) -> suppressed; 110 -> emitted
+    assert(all == Set(("a", 90L), ("a", 100L), ("a", 110L), ("b", 50L)))
+  }
+
   test("checkpoint makes ingest incremental: new files only") {
     val src = tmp("graft_incr_src")
     Files.writeString(Paths.get(src, "raw_1.jsonl"), stateLines.head)
