@@ -132,8 +132,10 @@ object Advanced {
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .agg(
         count(lit(1)).as("cnt"),
+        // cast to DuckDB's sum(DECIMAL(18,2)) result precision so the
+        // declared schema matches, not just the value
         sum((col("l_extendedprice") + col("o_totalprice"))
-          .cast("decimal(18,2)")).as("total"))
+          .cast("decimal(18,2)")).cast("decimal(38,2)").as("total"))
   }
 
   /** MERGE/upsert without a table format: updates win by key, new keys

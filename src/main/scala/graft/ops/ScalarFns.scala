@@ -128,13 +128,13 @@ object ScalarFns {
   private val geoPredict = Seq(
     "round(degrees(asin(sin(radians(lat)) * cos(speed_ms * 300.0 / 6371000.0)" +
       " + cos(radians(lat)) * sin(speed_ms * 300.0 / 6371000.0)" +
-      " * cos(radians(track)))), 4) AS pred_lat",
+      " * cos(radians(track)))), 4) + 0.0 AS pred_lat",
     "round(degrees(radians(lon) + atan2(" +
       "sin(radians(track)) * sin(speed_ms * 300.0 / 6371000.0) * cos(radians(lat)), " +
       "cos(speed_ms * 300.0 / 6371000.0) - sin(radians(lat)) * sin(asin(" +
       "sin(radians(lat)) * cos(speed_ms * 300.0 / 6371000.0)" +
       " + cos(radians(lat)) * sin(speed_ms * 300.0 / 6371000.0)" +
-      " * cos(radians(track)))))), 4) AS pred_lon")
+      " * cos(radians(track)))))), 4) + 0.0 AS pred_lon")
 
   val fnGeoPredict: Q = (spark, dir) =>
     Tables(spark, dir, "lineitem")
