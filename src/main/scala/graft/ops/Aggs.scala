@@ -111,6 +111,13 @@ object Aggs {
     Tables(spark, dir, "orders").agg(
       approx_count_distinct(col("o_custkey")).as("n_cust_approx"))
 
+  /** A9-scale: t-digest approx percentile, the bounded-memory variant
+    * of A9 (not oracle-checked: sketch estimates are engine-specific). */
+  val aggApproxPercentile: Q = (spark, dir) =>
+    Tables(spark, dir, "lineitem").agg(
+      expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)")
+        .as("p_approx"))
+
   /** A10: mode with imposed (count DESC, key ASC) tie-break. */
   val aggMode: Q = (spark, dir) =>
     Tables(spark, dir, "part")
@@ -155,6 +162,7 @@ object Aggs {
     "q_agg_groupby2" -> aggGroupby2,
     "q_agg_percentile" -> aggPercentile,
     "q_agg_approx_distinct" -> aggApproxDistinct,
+    "q_agg_approx_percentile" -> aggApproxPercentile,
     "q_agg_mode" -> aggMode,
     "q_agg_rollup" -> aggRollup)
 

@@ -94,10 +94,13 @@ object Llm {
       .join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("ic"))
+    // no broadcast hint on sizes: it has one row per document, which
+    // does NOT stay broadcastable at corpus scale — AQE picks the
+    // strategy from runtime stats instead
     inter
-      .join(broadcast(sizes).withColumnRenamed("doc_id", "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d1")
         .withColumnRenamed("n", "na"), Seq("d1"))
-      .join(broadcast(sizes).withColumnRenamed("doc_id", "d2")
+      .join(sizes.withColumnRenamed("doc_id", "d2")
         .withColumnRenamed("n", "nb"), Seq("d2"))
       .withColumn("jaccard",
         col("ic") * lit(1.0) / (col("na") + col("nb") - col("ic")))

@@ -1,0 +1,91 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.engine.VersionedTable
+import graft.streaming.Pipelines
+
+/** Executable end-to-end medallion run — the reference's whole
+  * pipeline shape (`README.md:31-41` producer -> Kafka -> consumer ->
+  * bronze -> silver -> dashboards) on this engine, in one JVM:
+  *
+  *   bronze JSONL (positional state vectors, duplicates, schema edge
+  *   cases) -> streaming ingest (parse/normalize/dedup, checkpointed)
+  *   -> streaming silver (broadcast dim enrichment) -> VersionedTable
+  *   serving commit -> analytics aggregation over the serving snapshot.
+  *
+  * Usage: runMain graft.tools.MedallionDemo
+  */
+object MedallionDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-medallion-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val root = Files.createTempDirectory("graft_medallion").toString
+    val bronzeSrc = s"$root/bronze_src"
+    Files.createDirectories(Paths.get(bronzeSrc))
+
+    // -- bronze: two polls' worth of state vectors (AB1 twice -> dedup)
+    def state(icao: String, call: String, country: String, lc: Long,
+        lon: Double, lat: Double, vel: Double): String =
+      s"""["$icao", "$call", "$country", ${lc - 10}, $lc, $lon, $lat,""" +
+        s""" 10000.0, false, $vel, 90.0, 1.0, null, 10100.0, "7000",""" +
+        " false, 0, 3]"
+    Files.writeString(Paths.get(bronzeSrc, "raw_1.jsonl"), Seq(
+      state("AB1", "AFR101  ", "France", 1700000100, 2.1, 48.8, 250.0),
+      state("ab1", "AFR101  ", "France", 1700000150, 2.2, 48.9, 251.0),
+      state("CD2", "DLH202  ", "Germany", 1700000100, 13.4, 52.5, 230.0),
+      state("EF3", "UAL303  ", "United States", 1700000100, -73.9, 40.7, 260.0)
+    ).mkString("\n"))
+
+    println(s"== bronze source: $bronzeSrc")
+    Pipelines.runIngest(
+      Pipelines.bronzeSource(spark, bronzeSrc),
+      s"$root/bronze", s"$root/ckpt_ingest").awaitTermination()
+    println(s"== ingest: ${spark.read.parquet(s"$root/bronze").count()} rows (deduped)")
+
+    // -- silver: broadcast enrichment with a metadata dim
+    val dim = Seq(
+      ("AB1", "A320", "Air France"),
+      ("CD2", "A350", "Lufthansa"))
+      .toDF("icao24", "model", "operator")
+    Pipelines.runSilver(
+      Pipelines.bronzeSource(spark, bronzeSrc), dim,
+      s"$root/silver", s"$root/ckpt_silver").awaitTermination()
+    val silver = spark.read.parquet(s"$root/silver")
+    println(s"== silver: ${silver.count()} rows enriched")
+
+    // -- serving: versioned snapshot commits (copy-on-write + pointer)
+    val servingDir = s"$root/serving"
+    VersionedTable.commit(silver, servingDir)
+    val updated = silver.withColumn("velocity_ms", col("velocity_ms") + 1.0)
+    VersionedTable.commit(
+      VersionedTable.upsert(
+        VersionedTable.read(spark, servingDir), updated, "icao24"),
+      servingDir)
+    println(s"== serving versions: ${VersionedTable.versions(spark, servingDir)}")
+
+    // -- analytics: the flagship country-intelligence shape (§7.1)
+    val result = VersionedTable.read(spark, servingDir)
+      .filter(col("on_ground") === false)
+      .groupBy(col("origin_country"))
+      .agg(
+        count(lit(1)).as("flights"),
+        round(avg(col("velocity_ms")), 1).as("avg_speed"),
+        countDistinct(col("operator")).as("n_operators"))
+      .orderBy(col("flights").desc, col("origin_country"))
+    result.show(truncate = false)
+
+    spark.stop()
+  }
+}
