@@ -139,6 +139,55 @@ object Llm {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Native MinHash LSH, pure expressions end to end:
+    * 12 min-hashes (xxhash64 seeded by position prefix) -> 6 bands of
+    * 2 -> band-bucket candidate join -> EXACT jaccard verification via
+    * array_intersect. Because candidates are exactly verified, the
+    * output equals the exhaustive `dedupNgram` whenever LSH recall
+    * holds (planted dups sit at jaccard ~0.97: per-band match 0.94^1,
+    * miss across 6 bands ~2e-8) — so it shares the exact oracle.
+    * No MLlib UDF pair scoring; one shuffle on band keys, one on
+    * candidate pairs. */
+  val dedupMinhashNative: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), expr(shinglesE).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    // signatures as a hash AGGREGATE over exploded shingles, not a
+    // per-row higher-order loop: min(xxhash64(seed_i, s)) is fully
+    // codegen'd and shuffles one row per (doc, 12 longs) — the nested
+    // aggregate()-in-transform() form is CodegenFallback and was ~10x
+    // slower than the exhaustive join it was meant to beat
+    val sh = docs.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val sigs = sh.groupBy(col("doc_id")).agg(
+      min(xxhash64(lit(0), col("s"))).as("h0"),
+      (1 until 12).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i")): _*)
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array((0 until 6).map(j =>
+        concat_ws(",", col(s"h${2 * j}"), col(s"h${2 * j + 1}"))): _*))
+        .as(Seq("band_idx", "band_key")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val cands = a
+      .join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val sa = docs.select(col("doc_id").as("d1"), col("shingles").as("sa"))
+    val sb = docs.select(col("doc_id").as("d2"), col("shingles").as("sb"))
+    cands
+      .join(sa, Seq("d1"))
+      .join(sb, Seq("d2"))
+      .withColumn("ic", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        col("ic") * lit(1.0) /
+          (size(col("sa")) + size(col("sb")) - col("ic")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("d1"), col("d2"), col("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** SimHash 64-bit signature — pure higher-order expressions over
     * xxhash64, whole-stage-codegen friendly. Band key = top 16 bits
     * (the LSH bucketing key for candidate pairing at scale).
@@ -446,6 +495,7 @@ object Llm {
     "q_llm_dedup_norm" -> dedupNorm,
     "q_llm_dedup_ngram" -> dedupNgram,
     "q_llm_dedup_minhash" -> dedupMinhash,
+    "q_llm_dedup_minhash_native" -> dedupMinhashNative,
     "q_llm_dedup_simhash" -> dedupSimhash,
     "q_llm_cosine_topk" -> cosineTopk,
     "q_llm_embed_neardup" -> embedNeardup,
@@ -468,6 +518,21 @@ object Llm {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY lower(trim(text)) ORDER BY keep_id""",
     "q_llm_dedup_ngram" ->
+      s"""$shingleCte,
+          inter AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ic
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+          SELECT d1, d2, ic * 1.0 / (sa.n + sb.n - ic) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = d1
+          JOIN sizes sb ON sb.doc_id = d2
+          WHERE ic * 1.0 / (sa.n + sb.n - ic) >= 0.5
+          ORDER BY d1, d2""",
+    // exact-verified LSH: same result set as the exhaustive join, so
+    // the same oracle applies (see dedupMinhashNative scaladoc)
+    "q_llm_dedup_minhash_native" ->
       s"""$shingleCte,
           inter AS (
             SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ic

@@ -1,0 +1,45 @@
+package graft
+
+/** Physical-plan regression guards: the scale properties the engine is
+  * designed around must survive refactors — filters reach the parquet
+  * scan, projections prune the read schema, dims broadcast, top-k
+  * avoids global sorts, per-key latest uses the group-limit optimizer.
+  */
+class PlansSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+
+  test("flagship joins broadcast every dimension, no shuffle join") {
+    val p = plan("q_agg_groupby_multi")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("SortMergeJoin"), "dims must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not global-sort")
+  }
+
+  test("range and in-list filters push to the parquet scan") {
+    assert(plan("q_filter_between").contains(
+      "PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,10.0)"))
+    assert(plan("q_filter_isin").contains(
+      "PushedFilters: [In(o_orderpriority"))
+  }
+
+  test("projection prunes the read schema to selected columns") {
+    assert(plan("q_project").contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"))
+  }
+
+  test("dedup-latest plans the window group-limit optimization") {
+    assert(plan("q_dedup_latest").contains("WindowGroupLimit"))
+  }
+
+  test("ordered limit plans TakeOrderedAndProject") {
+    assert(plan("q_topk_sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("left enrichment stays a broadcast join on the dim side") {
+    val p = plan("q_join_left_enrich")
+    assert(p.contains("BroadcastHashJoin") && p.contains("BuildRight"), p.take(400))
+  }
+}

@@ -37,6 +37,17 @@ class LlmSpec extends SparkTestBase {
     assert(recall >= 0.8, s"LSH recall $recall too low (found ${approx.size})")
   }
 
+  test("native minhash LSH equals the exhaustive ngram join exactly") {
+    val exact = Llm.dedupNgram(spark, sfSmoke)
+      .select($"d1", $"d2", $"jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val lsh = Llm.dedupMinhashNative(spark, sfSmoke)
+      .select($"d1", $"d2", $"jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact, s"lsh=${lsh.size} exact=${exact.size}")
+  }
+
   test("simhash: identical docs get identical signatures, distinct docs differ") {
     val sigs = Llm.dedupSimhash(spark, sfSmoke)
       .select($"doc_id", $"simhash").as[(Long, Long)].collect().toMap
