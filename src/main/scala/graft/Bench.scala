@@ -21,6 +21,7 @@ object Bench {
       // earlier queries' cached blocks / GC pressure
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      System.gc() // take the collection between queries, not inside one
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

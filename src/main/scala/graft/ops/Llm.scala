@@ -149,9 +149,12 @@ object Llm {
     * No MLlib UDF pair scoring; one shuffle on band keys, one on
     * candidate pairs. */
   val dedupMinhashNative: Q = (spark, dir) => {
+    // three consumers (signature explode, both verify joins) — derive
+    // the shingle arrays once
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), expr(shinglesE).as("shingles"))
       .filter(size(col("shingles")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // signatures as a hash AGGREGATE over exploded shingles, not a
     // per-row higher-order loop: min(xxhash64(seed_i, s)) is fully
     // codegen'd and shuffles one row per (doc, 12 longs) — the nested

@@ -22,13 +22,38 @@ object StreamingOps {
     Pipelines.tumblingCounts(Tables(spark, dir, "events"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** X5 sliding: 1-hour windows every 30 minutes — each event lands in
+    * two windows. The oracle reconstructs the same assignment from
+    * integer epoch arithmetic (union of the two aligned starts). */
+  val streamSliding: Q = (spark, dir) =>
+    Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("cnt"))
+      .orderBy(col("window_start"), col("event_type"))
+
   val queries: Map[String, Q] = Map(
-    "q_stream_tumbling" -> streamTumbling)
+    "q_stream_tumbling" -> streamTumbling,
+    "q_stream_sliding" -> streamSliding)
 
   val oracle: Map[String, String] = Map(
     "q_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
                 count(*) AS cnt, round(sum(value), 4) AS sum_value
          FROM events GROUP BY date_trunc('hour', ts), event_type
+         ORDER BY window_start, event_type""",
+    "q_stream_sliding" ->
+      """WITH assigned AS (
+           SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000)
+                    AS window_start, event_type
+           FROM events
+           UNION ALL
+           SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000
+                                 - 1800000000) AS window_start, event_type
+           FROM events)
+         SELECT window_start, event_type, count(*) AS cnt
+         FROM assigned GROUP BY window_start, event_type
          ORDER BY window_start, event_type""")
 }
