@@ -191,6 +191,44 @@ object Llm {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Near-dup CLUSTERS: connected components over the near-dup pair
+    * graph, labeling every member with the minimum doc_id of its
+    * component — the step that turns pairwise similarity into an
+    * actual keep/drop decision. Iterative min-label propagation
+    * (Pregel-style, driver-coordinated rounds of small joins; the pair
+    * graph is orders of magnitude smaller than the corpus, and rounds
+    * ~ graph diameter). Oracle: transitive closure via recursive CTE. */
+  val dedupClusters: Q = (spark, dir) => {
+    val pairs = dedupNgram(spark, dir).select(col("d1"), col("d2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs
+      .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("d1").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val neighborMin = edges
+        .join(labels, edges("d2") === labels("doc_id"))
+        .groupBy(col("d1")).agg(min(col("lbl")).as("nmin"))
+      val updated = labels
+        .join(neighborMin, labels("doc_id") === neighborMin("d1"), "left")
+        .select(
+          col("doc_id"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
+          (col("nmin") < col("lbl")).as("chg"))
+      val materialized = updated
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = materialized.filter(col("chg") === true).count()
+      labels = materialized.select(col("doc_id"), col("lbl"))
+      rounds += 1
+    }
+    labels
+      .select(col("doc_id"), col("lbl").as("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash 64-bit signature — pure higher-order expressions over
     * xxhash64, whole-stage-codegen friendly. Band key = top 16 bits
     * (the LSH bucketing key for candidate pairing at scale).
@@ -499,6 +537,7 @@ object Llm {
     "q_llm_dedup_ngram" -> dedupNgram,
     "q_llm_dedup_minhash" -> dedupMinhash,
     "q_llm_dedup_minhash_native" -> dedupMinhashNative,
+    "q_llm_dedup_clusters" -> dedupClusters,
     "q_llm_dedup_simhash" -> dedupSimhash,
     "q_llm_cosine_topk" -> cosineTopk,
     "q_llm_embed_neardup" -> embedNeardup,
@@ -533,6 +572,26 @@ object Llm {
           JOIN sizes sb ON sb.doc_id = d2
           WHERE ic * 1.0 / (sa.n + sb.n - ic) >= 0.5
           ORDER BY d1, d2""",
+    "q_llm_dedup_clusters" ->
+      s"""${shingleCte.replaceFirst("WITH", "WITH RECURSIVE")},
+          inter AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ic
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          pairs AS (
+            SELECT d1, d2 FROM inter
+            JOIN sizes sa ON sa.doc_id = d1
+            JOIN sizes sb ON sb.doc_id = d2
+            WHERE ic * 1.0 / (sa.n + sb.n - ic) >= 0.5),
+          und AS (SELECT d1 AS a, d2 AS b FROM pairs
+                  UNION SELECT d2, d1 FROM pairs),
+          reach AS (
+            SELECT a, b FROM und
+            UNION
+            SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+          SELECT a AS doc_id, least(a, min(b)) AS cluster
+          FROM reach GROUP BY a ORDER BY doc_id""",
     // exact-verified LSH: same result set as the exhaustive join, so
     // the same oracle applies (see dedupMinhashNative scaladoc)
     "q_llm_dedup_minhash_native" ->

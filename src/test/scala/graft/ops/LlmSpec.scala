@@ -48,6 +48,22 @@ class LlmSpec extends SparkTestBase {
     assert(lsh == exact, s"lsh=${lsh.size} exact=${exact.size}")
   }
 
+  test("dedup clusters: components are transitive and labeled by min id") {
+    val clusters = Llm.dedupClusters(spark, sfSmoke)
+      .as[(Long, Long)].collect().toMap
+    val pairs = Llm.dedupNgram(spark, sfSmoke)
+      .select($"d1", $"d2").as[(Long, Long)].collect()
+    assert(clusters.nonEmpty)
+    // every edge's endpoints share a component label
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"edge ($a,$b) split across clusters")
+    }
+    // labels are the component minimum
+    clusters.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.keys.min == lbl)
+    }
+  }
+
   test("simhash: identical docs get identical signatures, distinct docs differ") {
     val sigs = Llm.dedupSimhash(spark, sfSmoke)
       .select($"doc_id", $"simhash").as[(Long, Long)].collect().toMap
