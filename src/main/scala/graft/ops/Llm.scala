@@ -199,7 +199,10 @@ object Llm {
     * graph is orders of magnitude smaller than the corpus, and rounds
     * ~ graph diameter). Oracle: transitive closure via recursive CTE. */
   val dedupClusters: Q = (spark, dir) => {
-    val pairs = dedupNgram(spark, dir).select(col("d1"), col("d2"))
+    // pair source is the LSH path (exact-verified, so identical pairs
+    // to the exhaustive join) — at corpus scale banding is the only
+    // affordable way to produce this edge list
+    val pairs = dedupMinhashNative(spark, dir).select(col("d1"), col("d2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = pairs
       .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
@@ -448,7 +451,9 @@ object Llm {
         "transform(e, x -> x / sqrt(aggregate(transform(e, y -> y * y)," +
           " 0D, (acc, v) -> acc + v)))"))
       .withColumn("features", array_to_vector(col("unit")))
-    val model = new KMeans().setK(8).setSeed(42)
+    // coarse quantizer: cell quality barely moves past a few Lloyd
+    // passes, and probing covers boundary error — cap the iterations
+    val model = new KMeans().setK(8).setSeed(42).setMaxIter(8)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(emb)
     val cells = model.transform(emb)
