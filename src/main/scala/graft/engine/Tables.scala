@@ -33,10 +33,17 @@ object Tables {
       // (verified truncating, not rounding), so oracle values match.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-      raw.selectExpr(
-        "event_id",
-        "timestamp_micros(ts div 1000) AS ts",
-        "user_id", "event_type", "value", "props")
+      // the conf only turns TIMESTAMP(NANOS) columns into longs; a
+      // micros-written events copy (e.g. engine-produced) reads as a
+      // proper timestamp and needs no conversion
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.selectExpr(
+            "event_id",
+            "timestamp_micros(ts div 1000) AS ts",
+            "user_id", "event_type", "value", "props")
+        case _ => raw
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
