@@ -13,21 +13,33 @@ object Bench {
     // warm up reader/codegen paths so the first timed query is not
     // charged for one-time session initialization
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // a failing query must be VISIBLE: it is excluded from the timing
+    // total and reported in an "errors" object, never recorded as a
+    // (fast-looking) duration
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"BENCH FAILURE $name: $e")
+            Some(e.getClass.getSimpleName)
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // release per-query caches so later queries aren't charged for
       // earlier queries' cached blocks / GC pressure
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.gc() // take the collection between queries, not inside one
-      name -> dt
+      (name, dt, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val ok = results.collect { case (k, v, None) => k -> v }
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

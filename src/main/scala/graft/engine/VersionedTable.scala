@@ -54,7 +54,17 @@ object VersionedTable {
       .sorted
   }
 
-  /** Write a new snapshot and advance the pointer atomically. */
+  /** Write a new snapshot and advance the pointer atomically.
+    *
+    * The pointer swap is write-temp + `FileContext.rename(OVERWRITE)`,
+    * which is a single atomic replace on HDFS and local FS — readers
+    * always observe either the old pointer or the new one, never a
+    * missing/half-written `_CURRENT`, and a failed rename throws
+    * instead of leaving the table pointerless. SINGLE-WRITER: like
+    * Delta/Iceberg without a lock service, concurrent committers can
+    * race `currentVersion` and clobber each other's snapshot — callers
+    * must serialize commits per table (the streaming refresh path does,
+    * via foreachBatch's per-sink ordering). */
   def commit(df: DataFrame, dir: String): Long = {
     val spark = df.sparkSession
     val next = currentVersion(spark, dir).map(_ + 1).getOrElse(0L)
@@ -64,10 +74,31 @@ object VersionedTable {
     val out = f.create(tmp, true)
     try out.write(s"v$next".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    // rename is atomic on HDFS and local FS; replace the old pointer
-    f.delete(currentPath(dir), false)
-    f.rename(tmp, currentPath(dir))
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename( // throws on failure — no silently-dropped boolean
+      f.makeQualified(tmp),
+      f.makeQualified(currentPath(dir)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     next
+  }
+
+  /** Retention: drop all but the newest `keepLast` snapshots. The
+    * current pointer's version is always retained regardless. Returns
+    * the versions expired. Failed deletes throw (a half-expired table
+    * is visible, not silent). */
+  def expireVersions(spark: SparkSession, dir: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val f = fs(spark, dir)
+    val cur = currentVersion(spark, dir)
+    val all = versions(spark, dir)
+    val expire = all.dropRight(keepLast).filterNot(cur.contains)
+    expire.foreach { v =>
+      val p = new Path(dir, s"v$v")
+      if (!f.delete(p, true))
+        throw new java.io.IOException(s"failed to delete expired snapshot $p")
+    }
+    expire
   }
 
   /** Read the current snapshot, or a pinned `version` (time travel). */

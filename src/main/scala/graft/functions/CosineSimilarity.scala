@@ -23,9 +23,17 @@ import org.apache.spark.sql.SparkSessionExtensions
   * results are bitwise-identical to DuckDB's
   * `list_dot_product(a,b)/(sqrt(list_dot_product(a,a))*sqrt(list_dot_product(b,b)))`
   * — the oracle gate stays exact.
+  *
+  * Degenerate inputs are NULL, never NaN/Infinity: mismatched vector
+  * lengths (DuckDB's list_dot_product errors on these; we surface null
+  * instead of silently truncating) and zero-norm vectors (0/0). Both
+  * the interpreted and codegen paths agree.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // may return null for non-null inputs (length mismatch / zero norm)
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -42,19 +50,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def prettyName: String = "cosine_sim"
 
-  private def compute(x: Array[Double], y: Array[Double]): Double = {
-    val n = math.min(x.length, y.length)
+  private def compute(x: Array[Double], y: Array[Double]): Any = {
+    if (x.length != y.length) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
-    while (i < n) {
+    while (i < x.length) {
       dot += x(i) * y(i)
       na += x(i) * x(i)
       nb += y(i) * y(i)
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -70,18 +79,24 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
       val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
       s"""
          |double[] $x = $a.toDoubleArray();
          |double[] $y = $b.toDoubleArray();
-         |int $n = java.lang.Math.min($x.length, $y.length);
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += $x[$i] * $y[$i];
-         |  $na += $x[$i] * $x[$i];
-         |  $nb += $y[$i] * $y[$i];
+         |if ($x.length != $y.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $x.length; $i++) {
+         |    $dot += $x[$i] * $y[$i];
+         |    $na += $x[$i] * $x[$i];
+         |    $nb += $y[$i] * $y[$i];
+         |  }
+         |  if ($na == 0.0 || $nb == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

@@ -194,14 +194,25 @@ object Llm {
   /** Near-dup CLUSTERS: connected components over the near-dup pair
     * graph, labeling every member with the minimum doc_id of its
     * component — the step that turns pairwise similarity into an
-    * actual keep/drop decision. Iterative min-label propagation
-    * (Pregel-style, driver-coordinated rounds of small joins; the pair
-    * graph is orders of magnitude smaller than the corpus, and rounds
-    * ~ graph diameter). Oracle: transitive closure via recursive CTE. */
+    * actual keep/drop decision.
+    *
+    * Iterative min-label propagation with a POINTER-DOUBLING shortcut
+    * each round (lbl := label-of-label), so convergence is
+    * O(log diameter) rounds instead of O(diameter) — a million-long
+    * dup chain converges in ~20 rounds, not a million. Iteration
+    * hygiene for corpus-scale edge lists: the superseded round's
+    * persisted frame is unpersisted as soon as the new one
+    * materializes, and `localCheckpoint()` every 5 rounds truncates
+    * the growing lineage (at cluster scale, substitute a reliable
+    * `checkpoint()` dir to survive executor loss). If the loop hits
+    * the round cap while labels are still moving it THROWS rather
+    * than silently emitting wrong clusters.
+    * Oracle: transitive closure via recursive CTE. */
   val dedupClusters: Q = (spark, dir) => {
     // pair source is the LSH path (exact-verified, so identical pairs
     // to the exhaustive join) — at corpus scale banding is the only
     // affordable way to produce this edge list
+    // both union branches read the (expensive) LSH pair list — cache it
     val pairs = dedupMinhashNative(spark, dir).select(col("d1"), col("d2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = pairs
@@ -209,24 +220,52 @@ object Llm {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("d1").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id"))
+    var prevRound: DataFrame = null
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 25) {
+    val maxRounds = 50 // ~2^50-diameter graphs; unreachable in practice
+    while (changed > 0 && rounds < maxRounds) {
+      // step 1: take the min label over graph neighbors
       val neighborMin = edges
         .join(labels, edges("d2") === labels("doc_id"))
         .groupBy(col("d1")).agg(min(col("lbl")).as("nmin"))
-      val updated = labels
+      val stepped = labels
         .join(neighborMin, labels("doc_id") === neighborMin("d1"), "left")
         .select(
           col("doc_id"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
-          (col("nmin") < col("lbl")).as("chg"))
-      val materialized = updated
+          (col("nmin") < col("lbl")).as("chg1"))
+      // step 2 (pointer doubling): shortcut lbl := lbl(lbl); labels
+      // are always doc_ids, so the lookup side is `stepped` itself
+      val ptr = stepped.select(col("doc_id").as("p"), col("lbl").as("plbl"))
+      val doubled = stepped
+        .join(ptr, stepped("lbl") === ptr("p"), "left")
+        .select(
+          col("doc_id"),
+          least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"),
+          (col("chg1") || col("plbl") < col("lbl")).as("chg"))
+      val materialized = doubled
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       changed = materialized.filter(col("chg") === true).count()
+      // the count() above materialized this round — the previous
+      // round's cache is now dead weight
+      if (prevRound != null) prevRound.unpersist()
+      prevRound = materialized
       labels = materialized.select(col("doc_id"), col("lbl"))
       rounds += 1
+      if (rounds % 5 == 0 && changed > 0) {
+        // truncate lineage: each round's plan nests the last one's
+        labels = labels.localCheckpoint()
+        prevRound.unpersist()
+        prevRound = null
+      }
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dedupClusters: labels still moving after $maxRounds rounds " +
+          s"($changed rows changed) — refusing to emit unconverged clusters")
+    edges.unpersist()
+    pairs.unpersist()
     labels
       .select(col("doc_id"), col("lbl").as("cluster"))
       .orderBy(col("doc_id"))
@@ -302,46 +341,31 @@ object Llm {
 
   /** Embedding near-dup pairs above a cosine threshold.
     *
-    * Shape: broadcast the full vector set (the same collect a
-    * `broadcast()` join performs), then each partition scans its rows
-    * against the broadcast side with a tight sequential loop — the
-    * classic distributed brute-force all-pairs. A per-pair higher-order
-    * `aggregate` expression is ~50x slower here: ArrayAggregate is
-    * CodegenFallback and recomputes both norms for every pair.
+    * Shape: a broadcast nested-loop join — the build side ships through
+    * Spark's broadcast machinery (BroadcastExchange over the block
+    * manager), with NO driver-side `collect()` in the operator body.
+    * Each stream-side partition scans the broadcast rows; scoring is
+    * the native codegen'd `cosine_sim` Expression, so the whole
+    * pair-scan stays inside whole-stage codegen. (A per-pair
+    * higher-order `aggregate` expression is ~50x slower here:
+    * ArrayAggregate is CodegenFallback.)
+    *
     * Exact all-pairs is inherently O(n^2); the 100 TB path is `annLsh`
     * (LSH buckets) — this operator is the exact scorer for corpus
-    * scales where n^2 pairs fit the cluster.
+    * scales where the vector set fits a broadcast (~a few GB).
     *
-    * Accumulation is sequential over the array exactly like DuckDB's
-    * list_dot_product, so raw doubles match the oracle bitwise. */
+    * `cosine_sim` accumulates sequentially over the array exactly like
+    * DuckDB's list_dot_product, so raw doubles match the oracle
+    * bitwise. */
   val embedNeardup: Q = (spark, dir) => {
-    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .as[(Long, Array[Double])]
-    def norm(v: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i) * v(i); i += 1 }
-      math.sqrt(s)
-    }
-    val all = emb.collect().sortBy(_._1)
-    val norms = all.map { case (_, v) => norm(v) }
-    val bc = spark.sparkContext.broadcast((all, norms))
-    emb
-      .mapPartitions { it =>
-        val (vecs, ns) = bc.value
-        it.flatMap { case (id, e) =>
-          val na = norm(e)
-          vecs.iterator.zip(ns.iterator).collect {
-            case ((id2, e2), n2) if id2 > id => {
-              var dot = 0.0; var i = 0
-              while (i < e.length) { dot += e(i) * e2(i); i += 1 }
-              (id, id2, dot / (na * n2))
-            }
-          }.filter(_._3 >= 0.4)
-        }
-      }
-      .toDF("d1", "d2", "cos_raw")
+    val a = emb.select(col("vec_id").as("d1"), col("e").as("ea"))
+    val b = emb.select(col("vec_id").as("d2"), col("e").as("eb"))
+    a.join(broadcast(b), col("d1") < col("d2"))
+      .withColumn("cos_raw", expr("cosine_sim(ea, eb)"))
+      .filter(col("cos_raw") >= 0.4)
       .select(col("d1"), col("d2"), round(col("cos_raw"), 6).as("cosine"))
       .orderBy(col("d1"), col("d2"))
   }
@@ -452,10 +476,19 @@ object Llm {
           " 0D, (acc, v) -> acc + v)))"))
       .withColumn("features", array_to_vector(col("unit")))
     // coarse quantizer: cell quality barely moves past a few Lloyd
-    // passes, and probing covers boundary error — cap the iterations
+    // passes, and probing covers boundary error — cap the iterations.
+    // Fit on a seeded sample capped at ~100k vectors (centroid
+    // placement converges long before that); transform ALL rows. The
+    // row count comes from parquet footer metadata, not a scan.
+    val fitCap = 100000L
+    val total = Tables(spark, dir, "embeddings").count()
+    val fitInput =
+      if (total > fitCap) emb.sample(withReplacement = false,
+        fraction = fitCap.toDouble / total, seed = 42L)
+      else emb
     val model = new KMeans().setK(8).setSeed(42).setMaxIter(8)
       .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(emb)
+      .fit(fitInput)
     val cells = model.transform(emb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val query = cells.filter(col("vec_id") === 0)

@@ -29,15 +29,24 @@ object Ml {
   private val featureCols = Array("l_quantity", "l_extendedprice", "l_discount")
 
   /** Seed-fixed fits are deterministic per (session, dir) — memoize so
-    * q_ml_kmeans and q_ml_phase_rows don't each pay a full fit. */
-  private val fitCache =
-    scala.collection.concurrent.TrieMap
-      .empty[(Int, String), org.apache.spark.sql.DataFrame]
+    * q_ml_kmeans and q_ml_phase_rows don't each pay a full fit.
+    * Keyed WEAKLY by the live session object (a WeakHashMap, so a
+    * stopped session's DataFrame/persisted lineage is collectable with
+    * the session rather than pinned forever, and distinct sessions can
+    * never collide the way a recycled identity hash can);
+    * `invalidateFitCache()` drops everything explicitly (e.g. when the
+    * data under `dir` changes). */
+  private val fitCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]])
+
+  def invalidateFitCache(): Unit = fitCache.clear()
 
   private def clusteredRows(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    fitCache.getOrElseUpdate(
-      (System.identityHashCode(spark), dir), fitClusteredRows(spark, dir))
+    fitCache
+      .computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate(dir, fitClusteredRows(spark, dir))
 
   /** M1+M2 shared core: scaled features -> KMeans(k=3, seed=42) row
     * assignments. */

@@ -24,6 +24,23 @@ class VersionedTableSpec extends SparkTestBase {
     assert(old == Seq((1L, "a")))
   }
 
+  test("expireVersions keeps the newest n and the current pointer; retained time travel still works") {
+    val dir = tmp("graft_vt_expire")
+    VersionedTable.commit(Seq((1L, "v0")).toDF("k", "v"), dir)
+    VersionedTable.commit(Seq((1L, "v1")).toDF("k", "v"), dir)
+    VersionedTable.commit(Seq((1L, "v2")).toDF("k", "v"), dir)
+    val expired = VersionedTable.expireVersions(spark, dir, keepLast = 2)
+    assert(expired == Seq(0L))
+    assert(VersionedTable.versions(spark, dir) == Seq(1L, 2L))
+    // current read unaffected; time travel to a RETAINED version works
+    assert(VersionedTable.read(spark, dir).as[(Long, String)].head() == ((1L, "v2")))
+    assert(VersionedTable.read(spark, dir, Some(1L))
+      .as[(Long, String)].head() == ((1L, "v1")))
+    // expiring everything but the current version is a no-op for reads
+    assert(VersionedTable.expireVersions(spark, dir, keepLast = 1) == Seq(1L))
+    assert(VersionedTable.read(spark, dir).count() == 1)
+  }
+
   test("upsert: updates win by key, unmatched base survives") {
     val base = Seq((1L, "old"), (2L, "keep")).toDF("k", "v")
     val updates = Seq((1L, "new"), (3L, "ins")).toDF("k", "v")

@@ -50,6 +50,25 @@ class CosineSimilaritySpec extends SparkTestBase {
     intercept[Exception](bad.selectExpr("cosine_sim(e, qe)").collect())
   }
 
+  test("degenerate inputs are null: length mismatch and zero norm") {
+    // codegen path
+    assert(df2(Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))
+      .selectExpr("cosine_sim(e, qe)").head().isNullAt(0))
+    assert(df2(Seq(0.0, 0.0), Seq(1.0, 2.0))
+      .selectExpr("cosine_sim(e, qe)").head().isNullAt(0))
+    assert(df2(Seq(1.0, 2.0), Seq(0.0, 0.0))
+      .selectExpr("cosine_sim(e, qe)").head().isNullAt(0))
+    // interpreted path (eval through the expression directly)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def lit(v: Array[Double]) =
+      Literal.create(ArrayData.toArrayData(v), ArrayType(DoubleType))
+    assert(CosineSimilarity(lit(Array(1.0)), lit(Array(1.0, 2.0))).eval() == null)
+    assert(CosineSimilarity(lit(Array(0.0)), lit(Array(1.0))).eval() == null)
+    assert(CosineSimilarity(lit(Array(3.0)), lit(Array(4.0))).eval() == 1.0)
+  }
+
   test("participates in whole-stage codegen (no fallback)") {
     CosineSimilarity.register(spark)
     val emb = graft.engine.Tables(spark, sfSmoke, "embeddings")
