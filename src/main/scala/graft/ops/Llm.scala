@@ -546,26 +546,30 @@ object Llm {
 
   // ------------------------------------------------------------- multimodal
 
-  /** Multimodal plumbing: opaque binary content + typed metadata via a
+  /** Multimodal columns: opaque binary content + typed metadata via a
     * per-partition decode pass (`mapPartitions`, the Scala analog of
-    * mapInPandas batching). The decode itself is a clearly-marked
-    * deterministic STUB — image/audio codecs are not in this build
-    * env — but the schema, partitioning and batch shape are real. */
+    * mapInPandas batching). The decode is a REAL pure-JVM header
+    * parser (graft.functions.MediaCodec): PNG signature + big-endian
+    * IHDR, BMP `BM` + little-endian BITMAPINFOHEADER, WAV RIFF/WAVE
+    * fmt chunk — the container-level metadata extraction a corpus
+    * pipeline runs before any pixel/sample codec. Binary fixtures are
+    * synthesized deterministically per document (the env ships no
+    * media files), and the oracle recomputes the header fields
+    * arithmetically — a decoder that misreads an offset or endianness
+    * fails the hash gate. */
   val mmBinaryMeta: Q = (spark, dir) => {
     import spark.implicits._
     Tables(spark, dir, "documents")
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
-      .as[(Long, Array[Byte])]
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
       .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          // STUB decode: a real implementation would parse the codec
-          // header here; env has no media libs, so metadata is a
-          // deterministic function of the payload.
-          val n = bytes.length
-          (id, n, n % 640, (n * 7) % 480, "fake/raw")
+        it.map { case (id, nChars) =>
+          val bytes = graft.functions.MediaCodec.synthesize(id, nChars)
+          val (fmt, w, h) = graft.functions.MediaCodec.decodeHeader(bytes)
+          (id, bytes.length, fmt, w, h)
         }
       }
-      .toDF("doc_id", "n_bytes", "width", "height", "format")
+      .toDF("doc_id", "n_bytes", "format", "width", "height")
       .orderBy(col("doc_id"))
   }
 
@@ -719,11 +723,26 @@ object Llm {
       s"""$shingleCte
           SELECT doc_id, min(md5(s)) AS fingerprint FROM sh
           GROUP BY doc_id ORDER BY doc_id""",
+    // recomputes MediaCodec.synthesize's header fields arithmetically:
+    // format rotates by doc_id % 3, dims derive from (doc_id, n_chars),
+    // n_bytes = fixed header size (PNG 33 / BMP 54 / WAV 44) + filler
     "q_mm_binary_meta" ->
       """SELECT doc_id,
-                CAST(strlen(text) AS INT) AS n_bytes,
-                CAST(strlen(text) % 640 AS INT) AS width,
-                CAST((strlen(text) * 7) % 480 AS INT) AS height,
-                'fake/raw' AS format
+                CAST(CASE CAST(doc_id % 3 AS INT)
+                       WHEN 0 THEN 33 + n_chars % 16
+                       WHEN 1 THEN 54 + n_chars % 16
+                       ELSE 44 + n_chars % 16 END AS INT) AS n_bytes,
+                CASE CAST(doc_id % 3 AS INT)
+                  WHEN 0 THEN 'image/png'
+                  WHEN 1 THEN 'image/bmp'
+                  ELSE 'audio/wav' END AS format,
+                CAST(CASE CAST(doc_id % 3 AS INT)
+                       WHEN 0 THEN (n_chars % 640) + 1
+                       WHEN 1 THEN (n_chars % 640) + 1
+                       ELSE 8000 * (1 + n_chars % 3) END AS INT) AS width,
+                CAST(CASE CAST(doc_id % 3 AS INT)
+                       WHEN 0 THEN (doc_id % 480) + 1
+                       WHEN 1 THEN (doc_id % 480) + 1
+                       ELSE 1 + doc_id % 2 END AS INT) AS height
          FROM documents ORDER BY doc_id""")
 }

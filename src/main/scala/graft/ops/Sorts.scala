@@ -42,6 +42,18 @@ object Sorts {
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
       .orderBy(col("n_name"))
 
+  /** T4: seeded Bernoulli sampling (dashboard.py:122,152 samples for
+    * viz). Deterministic given (seed, partitioning) but the draw
+    * differs from any SQL engine's sampler, so the check is rows-only
+    * by design — the count assertion (fraction±tolerance) lives in the
+    * spec. Sampling is a narrow transformation: no shuffle, each
+    * partition thins locally, so it scales with the scan. */
+  val sample: Q = (spark, dir) =>
+    Tables(spark, dir, "orders")
+      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
   /** EXCEPT: customer keys with no orders. */
   val exceptKeys: Q = (spark, dir) => {
     val cust = Tables(spark, dir, "customer").select(col("c_custkey"))
@@ -54,6 +66,7 @@ object Sorts {
     "q_topk_sort_limit" -> topkSortLimit,
     "q_limit" -> limitN,
     "q_sort_asc" -> sortAsc,
+    "q_sample" -> sample,
     "q_except" -> exceptKeys)
 
   val oracle: Map[String, String] = Map(

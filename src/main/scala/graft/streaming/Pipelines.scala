@@ -71,6 +71,71 @@ object Pipelines {
     raw.select(cols: _*)
   }
 
+  /** Corrupt-input classification (the engine's analog of the
+    * reference's tolerance: per-file try/except in
+    * `services/silver_layer/process_silver.py:126-130` and per-message
+    * format detection in `services/consumer/consumer.py:160-169`).
+    *
+    * Adds a `_reason` column to the raw frame: null for well-formed
+    * positional lines, else one of
+    *  - `not_json_array` — the line is not parseable as a JSON array
+    *    (garbage, truncated JSON, a JSON object, ...);
+    *  - `short_array` — fewer than 17 elements (the reference's
+    *    positional layout requires idx 0..16; idx 17 `category` is
+    *    optional);
+    *  - `type_mismatch` — a present element fails its positional cast
+    *    (e.g. a string where longitude belongs). Without this check the
+    *    bad value would silently become NULL inside an otherwise-good
+    *    row.
+    * All checks are pure codegen'd expressions (json_array_length +
+    * per-field try-cast shape) — no UDF, no driver involvement. */
+  def classifyStates(raw: DataFrame, jsonCol: String = "value"): DataFrame = {
+    val arrLen = json_array_length(col(jsonCol))
+    val typeBad = stateVectorFields
+      .filter { case (_, _, dt) => dt != StringType }
+      .map { case (idx, _, dt) =>
+        val rawV = nullif(get_json_object(col(jsonCol), s"$$[$idx]"), lit("null"))
+        // try_cast, not cast: under ANSI mode a malformed value must
+        // CLASSIFY the row, not abort the stream
+        rawV.isNotNull && rawV.try_cast(dt).isNull
+      }
+      .reduce(_ || _)
+    raw.withColumn(
+      "_reason",
+      when(col(jsonCol).isNull || arrLen.isNull, "not_json_array")
+        .when(arrLen < 17, "short_array")
+        .when(typeBad, "type_mismatch")
+        .otherwise(lit(null).cast(StringType)))
+  }
+
+  /** §3.1 ingest with a quarantine lane: good lines are parsed,
+    * normalized and appended to `outDir`; malformed lines land in
+    * `quarantineDir` as (raw, reason) parquet instead of failing the
+    * stream or silently nulling all 17 fields. One checkpoint governs
+    * both sinks (foreachBatch; a replayed batch re-appends both lanes,
+    * so downstream reads of the quarantine lane should dedup on raw —
+    * the good lane is idempotent at the parquet-file level). */
+  def runIngestQuarantine(
+      source: DataFrame,
+      outDir: String,
+      quarantineDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    classifyStates(source).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val cls = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        normalize(parseStates(cls.filter(col("_reason").isNull)))
+          .write.mode("append").parquet(outDir)
+        cls.filter(col("_reason").isNotNull)
+          .select(col("value").as("raw"), col("_reason").as("reason"))
+          .write.mode("append").parquet(quarantineDir)
+        cls.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** icao24 normalization + callsign trim (consumer.py:37,70,88). */
   def normalize(states: DataFrame): DataFrame =
     states
@@ -145,37 +210,64 @@ object Pipelines {
       }
   }
 
-  /** Kafka-shaped source (S3). Not exercised in tests (no broker in the
-    * build env); the text-file source below is the test seam — both
-    * yield a `value: STRING` column feeding the same parse chain. */
-  def kafkaSource(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
+  /** Kafka connector contract — format name and option keys pinned in
+    * ONE place and locked by KafkaSeamSpec, so a typo in any of these
+    * strings is caught offline instead of surviving to a real cluster
+    * (the build env has no broker and no spark-sql-kafka jar, so the
+    * source/sink can never be executed here; the spec asserts exactly
+    * what CAN be asserted — payload schema, option wiring, and the
+    * documented connector-missing failure mode). */
+  val KafkaFormat = "kafka"
+  val KafkaBootstrapOpt = "kafka.bootstrap.servers"
+  val KafkaSubscribeOpt = "subscribe"
+  val KafkaStartingOffsetsOpt = "startingOffsets"
+  val KafkaTopicOpt = "topic"
+  val CheckpointOpt = "checkpointLocation"
+
+  /** Source-side options for `kafkaSource` (exposed for the seam spec). */
+  def kafkaSourceOptions(bootstrap: String, topic: String): Map[String, String] =
+    Map(
+      KafkaBootstrapOpt -> bootstrap,
+      KafkaSubscribeOpt -> topic,
+      KafkaStartingOffsetsOpt -> "earliest")
+
+  /** Sink payload projection: one JSON document per state vector,
+    * keyed by icao24 so per-aircraft ordering survives topic
+    * partitioning (the reference serializes the positional array and
+    * relies on a single topic-partition instead,
+    * producer.py:29-33,94-98). Exposed for the seam spec: the Kafka
+    * sink contract is exactly (key STRING, value STRING). */
+  def kafkaPayload(states: DataFrame): DataFrame =
+    states.select(
+      col("icao24").cast(StringType).as("key"),
+      to_json(struct(states.columns.map(col): _*)).as("value"))
+
+  /** Kafka-shaped source (S3). Not executable in the build env (no
+    * broker, no connector jar); the text-file source below is the test
+    * seam — both yield a `value: STRING` column feeding the same parse
+    * chain. */
+  def kafkaSource(spark: SparkSession, bootstrap: String, topic: String): DataFrame = {
+    val reader = spark.readStream.format(KafkaFormat)
+    kafkaSourceOptions(bootstrap, topic)
+      .foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
       .load()
       .selectExpr("CAST(value AS STRING) AS value")
+  }
 
-  /** Kafka-shaped sink (S2): one JSON document per state vector,
-    * keyed by icao24 so per-aircraft ordering survives partitioning
-    * (the reference serializes the positional array and relies on a
-    * single topic-partition instead, producer.py:29-33,94-98). Not
-    * exercised in tests — no broker in the build env. */
+  /** Kafka-shaped sink (S2). Builds (but does not start) the writer so
+    * the wiring is spec-checkable offline; see `kafkaPayload` for the
+    * payload contract. */
   def kafkaSink(
       states: DataFrame,
       bootstrap: String,
       topic: String,
       checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    states
-      .select(
-        col("icao24").cast(StringType).as("key"),
-        to_json(struct(states.columns.map(col): _*)).as("value"))
+    kafkaPayload(states)
       .writeStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("topic", topic)
-      .option("checkpointLocation", checkpointDir)
+      .format(KafkaFormat)
+      .option(KafkaBootstrapOpt, bootstrap)
+      .option(KafkaTopicOpt, topic)
+      .option(CheckpointOpt, checkpointDir)
 
   /** Bronze JSONL dir as a streaming text source (S11/X4). */
   def bronzeSource(spark: SparkSession, dir: String): DataFrame =

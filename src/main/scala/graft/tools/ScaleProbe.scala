@@ -68,6 +68,11 @@ object ScaleProbe {
     time("dedup exact (sha)") { Llm.dedupExact(spark, dst) }
     time("minhash lsh native") { Llm.dedupMinhashNative(spark, dst) }
     time("embed neardup") { Llm.embedNeardup(spark, dst) }
+    // round-2 risk list: the iterative clusters loop (cache/lineage
+    // hygiene), the IVF quantizer (sampled fit), simhash banding
+    time("dedup clusters") { Llm.dedupClusters(spark, dst) }
+    time("ann ivf") { Llm.annIvf(spark, dst) }
+    time("simhash pairs") { Llm.simhashPairs(spark, dst, 8) }
 
     spark.stop()
   }

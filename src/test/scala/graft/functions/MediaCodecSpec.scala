@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure unit tests for the media header codec — no Spark needed. */
+class MediaCodecSpec extends AnyFunSuite {
+
+  test("png round-trip, multi-byte big-endian dims") {
+    // 317/209 exercise more than one byte per dimension, so an
+    // endianness mistake cannot round-trip
+    assert(MediaCodec.decodeHeader(MediaCodec.encodePng(317, 209)) ==
+      ("image/png", 317, 209))
+    assert(MediaCodec.decodeHeader(MediaCodec.encodePng(1, 1)) ==
+      ("image/png", 1, 1))
+  }
+
+  test("bmp round-trip, little-endian dims") {
+    assert(MediaCodec.decodeHeader(MediaCodec.encodeBmp(640, 480)) ==
+      ("image/bmp", 640, 480))
+  }
+
+  test("wav round-trip reports (sample_rate, channels)") {
+    assert(MediaCodec.decodeHeader(MediaCodec.encodeWav(16000, 2)) ==
+      ("audio/wav", 16000, 2))
+    assert(MediaCodec.decodeHeader(MediaCodec.encodeWav(8000, 1)) ==
+      ("audio/wav", 8000, 1))
+  }
+
+  test("payload tail does not confuse the decoder") {
+    val withTail = MediaCodec.encodePng(10, 20) ++ Array.fill(15)(0x42.toByte)
+    assert(MediaCodec.decodeHeader(withTail) == ("image/png", 10, 20))
+  }
+
+  test("garbage, short buffers and near-misses decode as unknown, never throw") {
+    assert(MediaCodec.decodeHeader(Array.empty[Byte]) == ("unknown", -1, -1))
+    assert(MediaCodec.decodeHeader("not a png".getBytes) == ("unknown", -1, -1))
+    // PNG magic but truncated before IHDR
+    assert(MediaCodec.decodeHeader(MediaCodec.encodePng(5, 5).take(12)) ==
+      ("unknown", -1, -1))
+    // RIFF without WAVE (e.g. AVI) is not claimed as wav
+    val avi = MediaCodec.encodeWav(8000, 1)
+    System.arraycopy("AVI ".getBytes("US-ASCII"), 0, avi, 8, 4)
+    assert(MediaCodec.decodeHeader(avi) == ("unknown", -1, -1))
+  }
+
+  test("synthesize is deterministic and decodable for every format branch") {
+    for (id <- 0L to 8L; nc <- Seq(37L, 640L, 1999L)) {
+      val b1 = MediaCodec.synthesize(id, nc)
+      val b2 = MediaCodec.synthesize(id, nc)
+      assert(b1.sameElements(b2))
+      val (fmt, w, h) = MediaCodec.decodeHeader(b1)
+      assert(fmt != "unknown", s"id=$id nc=$nc")
+      assert(w > 0 && h > 0)
+      // header size + filler tail
+      val headerLen = (id % 3) match { case 0 => 33; case 1 => 54; case _ => 44 }
+      assert(b1.length == headerLen + (nc % 16).toInt)
+    }
+  }
+}

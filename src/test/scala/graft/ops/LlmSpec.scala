@@ -143,13 +143,21 @@ class LlmSpec extends SparkTestBase {
     }
   }
 
-  test("multimodal stub yields byte-exact metadata for every doc") {
+  test("multimodal decode recovers header fields from real binary headers") {
     val n = graft.engine.Tables(spark, sfSmoke, "documents").count()
     val got = Llm.mmBinaryMeta(spark, sfSmoke).collect()
     assert(got.length == n)
+    // every doc decodes to a known container — a failed magic-number
+    // match would surface as 'unknown'
+    assert(got.forall(r => Set("image/png", "image/bmp", "audio/wav")
+      .contains(r.getString(2))))
     got.foreach { r =>
-      assert(r.getInt(2) == r.getInt(1) % 640)
-      assert(r.getInt(3) == (r.getInt(1) * 7) % 480)
+      val (id, fmt, w, h) = (r.getLong(0), r.getString(2), r.getInt(3), r.getInt(4))
+      (id % 3) match {
+        case 0 => assert(fmt == "image/png" && h == (id % 480) + 1)
+        case 1 => assert(fmt == "image/bmp" && h == (id % 480) + 1)
+        case _ => assert(fmt == "audio/wav" && w % 4000 == 0 && (h == 1 || h == 2))
+      }
     }
   }
 }

@@ -41,6 +41,21 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(once.collect().toSet == twice.collect().toSet)
   }
 
+  test("seeded sample is reproducible and lands near the fraction") {
+    val a = Sorts.sample(spark, sfSmoke).collect()
+    val b = Sorts.sample(spark, sfSmoke).collect()
+    // same seed + same partitioning => identical draw
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq)
+    val total = graft.engine.Tables(spark, sfSmoke, "orders").count()
+    // Bernoulli(0.1): allow generous slack on the smoke fixture
+    assert(a.length > total * 0.04 && a.length < total * 0.2,
+      s"sampled ${a.length} of $total")
+    // sampled rows are a subset of the source keys
+    val keys = graft.engine.Tables(spark, sfSmoke, "orders")
+      .select($"o_orderkey").as[Long].collect().toSet
+    assert(a.forall(r => keys.contains(r.getLong(0))))
+  }
+
   test("left-enrich fills Unknown for unmatched dim keys") {
     val fact = Seq((1L, 100L), (2L, 999L)).toDF("o_orderkey", "o_custkey")
     val dim = Seq((100L, "Alice")).toDF("c_custkey", "c_name")

@@ -45,6 +45,42 @@ class StreamingSpec extends SparkTestBase {
     assert(byKey("cd2").isNullAt(2)) // 17-element array: category null
   }
 
+  test("quarantine ingest: good rows survive, bad lines quarantined with a reason") {
+    val src = tmp("graft_quar_src")
+    val out = tmp("graft_quar_out")
+    val quar = tmp("graft_quar_bad")
+    val ckpt = tmp("graft_quar_ckpt")
+    // 2 good lines + garbage + truncated JSON + a JSON object +
+    // a short (16-element) array + a wrong-type longitude
+    Files.writeString(Paths.get(src, "raw_1.jsonl"), Seq(
+      stateLines.head,
+      stateLines(2),
+      "total garbage !!",
+      """["AB1", "CALL1", "France", 1700000000""",
+      """{"icao24": "AB1"}""",
+      """["EF3", "C3", "Spain", 1700000000, 1700000100, 2.0, 40.0, 100.0, false, 10.0, 5.0, 0.1, null, 110.0, "1000", false]""",
+      """["GH4", "C4", "Italy", 1700000000, 1700000100, "EAST", 41.0, 100.0, false, 10.0, 5.0, 0.1, null, 110.0, "1000", false, 0]""")
+      .mkString("\n"))
+
+    Pipelines.runIngestQuarantine(
+      Pipelines.bronzeSource(spark, src), out, quar, ckpt)
+      .awaitTermination()
+
+    val good = spark.read.parquet(out)
+    assert(good.count() == 2)
+    assert(good.select($"icao24").as[String].collect().toSet == Set("ab1", "cd2"))
+    // good rows parse fully typed (no silently-nulled numerics)
+    assert(good.filter($"longitude".isNull).count() == 0)
+
+    val bad = spark.read.parquet(quar)
+      .select($"raw", $"reason").as[(String, String)].collect()
+    assert(bad.length == 5)
+    val reasons = bad.map { case (raw, reason) => reason -> raw }.toMap
+    assert(bad.count(_._2 == "not_json_array") == 3) // garbage, truncated, object
+    assert(reasons("short_array").startsWith("""["EF3""""))
+    assert(reasons("type_mismatch").startsWith("""["GH4"""")) // "EAST" longitude
+  }
+
   test("silver pipeline: broadcast enrichment with Unknown fill") {
     val src = tmp("graft_bronze2_src")
     Files.writeString(Paths.get(src, "raw_1.jsonl"),
