@@ -271,38 +271,39 @@ object Llm {
       .orderBy(col("doc_id"))
   }
 
-  /** SimHash 64-bit signature — pure higher-order expressions over
-    * xxhash64, whole-stage-codegen friendly. Band key = top 16 bits
-    * (the LSH bucketing key for candidate pairing at scale).
+  /** SimHash 64-bit signature. The per-bit ±1 sums are a hash
+    * AGGREGATE over exploded tokens — 64 codegen'd conditional sums,
+    * one shuffle row of 64 longs per doc — not a nested
+    * aggregate()/zip_with() per-row loop (that HOF form is
+    * CodegenFallback and allocates two 64-element arrays per token;
+    * same lesson as the native MinHash signatures). Values are
+    * identical: integer ±1 sums are order-independent. Band key = top
+    * 16 bits (the LSH bucketing key for candidate pairing at scale).
     * Rows-only check — xxhash64 differs from DuckDB's hash. */
-  private val simhashE =
-    s"""aggregate(
-          transform(sequence(0, 63),
-            i -> CASE WHEN element_at(bitsum, CAST(i + 1 AS INT)) > 0
-                      THEN shiftleft(1L, CAST(i AS INT)) ELSE 0L END),
-          0L, (acc, v) -> acc + v)"""
-
-  val dedupSimhash: Q = (spark, dir) =>
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), expr(toksE).as("toks"))
-      .withColumn("bitsum", expr(
-        """aggregate(toks, array_repeat(0, 64),
-             (acc, t) -> zip_with(acc,
-               transform(sequence(0, 63),
-                 i -> CASE WHEN (shiftright(xxhash64(t), CAST(i AS INT)) & 1) = 1
-                           THEN 1 ELSE -1 END),
-               (a, b) -> a + b))"""))
-      .withColumn("simhash", expr(simhashE))
+  val dedupSimhash: Q = (spark, dir) => {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(expr(toksE)).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitAggs = (0 until 64).map(i =>
+      sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1).otherwise(-1)).as(s"b$i"))
+    toks.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i =>
+          when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
+          .as("simhash"))
       .withColumn("band",
         expr("CAST(shiftright(simhash, 48) & 65535 AS INT)"))
       .select(col("doc_id"), col("simhash"), col("band"))
       .orderBy(col("doc_id"))
+  }
 
   /** SimHash near-dup pairs: band-bucketed candidate join + hamming
-    * distance filter (bit_count of xor). Used by the spec; exposed for
-    * completeness. */
+    * distance filter (bit_count of xor). Both self-join sides read the
+    * signature frame — persist it so the signature aggregation runs
+    * once. Used by the spec; exposed for completeness. */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int): DataFrame = {
     val sigs = dedupSimhash(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sigs.as("a")
     val b = sigs.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
