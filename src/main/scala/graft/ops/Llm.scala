@@ -234,19 +234,38 @@ object Llm {
         .select(
           col("doc_id"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
-          (col("nmin") < col("lbl")).as("chg1"))
-      // step 2 (pointer doubling): shortcut lbl := lbl(lbl); labels
-      // are always doc_ids, so the lookup side is `stepped` itself
-      val ptr = stepped.select(col("doc_id").as("p"), col("lbl").as("plbl"))
-      val doubled = stepped
-        .join(ptr, stepped("lbl") === ptr("p"), "left")
-        .select(
-          col("doc_id"),
-          least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"),
-          (col("chg1") || col("plbl") < col("lbl")).as("chg"))
-      val materialized = doubled
+          // valid convergence test on its own: all-false means every
+          // edge already joins equal labels, i.e. components uniform
+          (col("nmin") < col("lbl")).as("chg"))
+      // step 2 (pointer doubling), engaged from round 3: shortcut
+      // lbl := lbl(lbl) — labels are always doc_ids, so the lookup
+      // side is `stepped` itself. Typical near-dup graphs (shallow
+      // star/clique components) converge in <= 3 plain rounds, and
+      // for them the extra self-join is pure overhead; long chains —
+      // where plain propagation needs O(diameter) rounds — hit round
+      // 3 still moving and from there close in O(log diameter).
+      var steppedCached: DataFrame = null
+      val roundOut =
+        if (rounds < 2) stepped
+        else {
+          // cache within the round: `stepped` feeds BOTH sides of the
+          // shortcut self-join — without this the neighbor-min
+          // aggregation runs twice per round
+          steppedCached = stepped.withColumnRenamed("chg", "chg1")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val ptr = steppedCached
+            .select(col("doc_id").as("p"), col("lbl").as("plbl"))
+          steppedCached
+            .join(ptr, steppedCached("lbl") === ptr("p"), "left")
+            .select(
+              col("doc_id"),
+              least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"),
+              (col("chg1") || col("plbl") < col("lbl")).as("chg"))
+        }
+      val materialized = roundOut
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       changed = materialized.filter(col("chg") === true).count()
+      if (steppedCached != null) steppedCached.unpersist()
       // the count() above materialized this round — the previous
       // round's cache is now dead weight
       if (prevRound != null) prevRound.unpersist()
