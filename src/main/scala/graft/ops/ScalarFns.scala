@@ -173,6 +173,30 @@ object ScalarFns {
       get_json_object(col("props"), "$.k").cast("int").as("k"))
       .orderBy(col("event_id"))
 
+  /** F7: freshness check. The reference compares `now() - max_date`
+    * against a threshold (`app.py:126-137`); wall-clock `now()` can't
+    * hash-match an oracle, so the engine face measures each source's
+    * lag against the dataset's own high-water mark (the streaming
+    * watermark analog): per-event-type max(ts) vs global max(ts),
+    * thresholded at 1 day. Deterministic, exact in MICROSECONDS
+    * (integer arithmetic — no epoch-seconds flooring drift), and the
+    * global max is a 1-row broadcast, not a collect. At a real
+    * deployment `asOf` is the batch boundary; substituting
+    * `current_timestamp()` recovers the reference's literal check. */
+  val fnFreshness: Q = (spark, dir) => {
+    val ev = Tables(spark, dir, "events")
+    val global = ev.agg(max(col("ts")).as("as_of"))
+    val lagUs = unix_micros(col("as_of")) - unix_micros(col("latest"))
+    ev.groupBy(col("event_type")).agg(max(col("ts")).as("latest"))
+      .crossJoin(broadcast(global))
+      .select(
+        col("event_type"),
+        col("latest"),
+        lagUs.as("lag_us"),
+        when(lagUs <= 86400000000L, "fresh").otherwise("stale").as("status"))
+      .orderBy(col("event_type"))
+  }
+
   /** Regex + padding + substring surface (masking/extraction idioms a
     * data pipeline needs even though the reference never regexes). */
   val fnRegex: Q = (spark, dir) =>
@@ -198,9 +222,19 @@ object ScalarFns {
     "q_fn_bucketize" -> fnBucketize,
     "q_fn_geo_predict" -> fnGeoPredict,
     "q_fn_case_region" -> fnCaseRegion,
-    "q_fn_json" -> fnJson)
+    "q_fn_json" -> fnJson,
+    "q_fn_freshness" -> fnFreshness)
 
   val oracle: Map[String, String] = Map(
+    "q_fn_freshness" ->
+      """WITH g AS (SELECT max(ts) AS as_of FROM events),
+              t AS (SELECT event_type, max(ts) AS latest
+                    FROM events GROUP BY event_type)
+         SELECT t.event_type, t.latest,
+                epoch_us(g.as_of) - epoch_us(t.latest) AS lag_us,
+                CASE WHEN epoch_us(g.as_of) - epoch_us(t.latest)
+                          <= 86400000000 THEN 'fresh' ELSE 'stale' END AS status
+         FROM t, g ORDER BY event_type""",
     "q_fn_regex" ->
       """SELECT c_custkey,
                 regexp_replace(c_name, '[0-9]', 'x', 'g') AS masked,
