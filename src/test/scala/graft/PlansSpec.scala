@@ -42,4 +42,35 @@ class PlansSpec extends SparkTestBase {
     val p = plan("q_join_left_enrich")
     assert(p.contains("BroadcastHashJoin") && p.contains("BuildRight"), p.take(400))
   }
+
+  test("embed near-dup pairs plan a broadcast nested-loop, never a cartesian shuffle") {
+    val p = plan("q_llm_embed_neardup")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(400))
+    assert(!p.contains("CartesianProduct"), "pair space must use the broadcast build side")
+  }
+
+  test("freshness compares against a broadcast 1-row high-water mark") {
+    val p = plan("q_fn_freshness")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(400))
+  }
+
+  test("sampling is a narrow plan: no exchange before the sample") {
+    val p = plan("q_sample")
+    assert(p.contains("Sample"), p.take(400))
+    // plan text prints top-down: the final orderBy's range exchange
+    // sits ABOVE the sample; below the sample (between it and the
+    // scan) there must be no exchange — the sample thins partitions
+    // locally on top of the scan
+    assert(p.indexOf("Sample") < p.indexOf("Scan parquet"), p.take(400))
+    assert(!p.substring(p.indexOf("Sample")).contains("Exchange"),
+      "sample must sit directly on the scan with no shuffle below it")
+  }
+
+  test("simhash signatures aggregate in a codegen'd hash aggregate") {
+    val p = plan("q_llm_dedup_simhash")
+    assert(p.contains("HashAggregate"), p.take(400))
+    assert(!p.contains("ArrayAggregate"),
+      "the nested-HOF (CodegenFallback) signature form must not come back")
+  }
 }
