@@ -79,6 +79,119 @@ object MediaCodec {
     b.array()
   }
 
+  // ------------------------------------------- pixel / sample payloads
+
+  /** 24-bpp grayscale BMP WITH pixel data: bottom-up row order and
+    * 4-byte row stride padding per the BMP spec; `pix(x, y)` supplies
+    * the gray value for the TOP-DOWN logical pixel grid. */
+  def encodeBmpGray(width: Int, height: Int, pix: (Int, Int) => Int): Array[Byte] = {
+    val stride = ((3 * width + 3) / 4) * 4
+    val dataLen = stride * height
+    val b = ByteBuffer.allocate(54 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+    b.putInt(54 + dataLen)
+    b.putShort(0).putShort(0)
+    b.putInt(54)
+    b.putInt(40)
+    b.putInt(width)
+    b.putInt(height)
+    b.putShort(1)
+    b.putShort(24)
+    b.putInt(0).putInt(dataLen).putInt(0).putInt(0).putInt(0).putInt(0)
+    var row = height - 1 // BMP stores rows bottom-up
+    while (row >= 0) {
+      var x = 0
+      while (x < width) {
+        val g = (pix(x, row) & 0xFF).toByte
+        b.put(g).put(g).put(g)
+        x += 1
+      }
+      var pad = stride - 3 * width
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+      row -= 1
+    }
+    b.array()
+  }
+
+  /** Decode a 24-bpp BMP into (width, height, top-down row-major gray
+    * values) — undoing the bottom-up row order and stride padding. */
+  def decodeBmpGray(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    require(bytes.length >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+      "not a BMP")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val off = bb.getInt(10)
+    val w = bb.getInt(18)
+    val h = bb.getInt(22)
+    val stride = ((3 * w + 3) / 4) * 4
+    val out = new Array[Int](w * h)
+    var row = 0
+    while (row < h) {
+      val srcRow = h - 1 - row // stored bottom-up
+      var x = 0
+      while (x < w) {
+        out(row * w + x) = bytes(off + srcRow * stride + 3 * x) & 0xFF
+        x += 1
+      }
+      row += 1
+    }
+    (w, h, out)
+  }
+
+  /** Nearest-neighbor 2:1 downsample (one pyramid level):
+    * out(x, y) = in(2x, 2y). */
+  def resizeHalf(w: Int, h: Int, pix: Array[Int]): (Int, Int, Array[Int]) = {
+    val ow = w / 2
+    val oh = h / 2
+    val out = new Array[Int](ow * oh)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        out(y * ow + x) = pix(2 * y * w + 2 * x)
+        x += 1
+      }
+      y += 1
+    }
+    (ow, oh, out)
+  }
+
+  /** WAV with REAL PCM16 little-endian mono samples. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = 2 * samples.length
+    val b = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII"))
+    b.putInt(36 + dataLen)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII"))
+    b.putInt(16)
+    b.putShort(1)
+    b.putShort(1)
+    b.putInt(sampleRate)
+    b.putInt(sampleRate * 2)
+    b.putShort(2)
+    b.putShort(16)
+    b.put("data".getBytes("US-ASCII"))
+    b.putInt(dataLen)
+    var i = 0
+    while (i < samples.length) { b.putShort(samples(i)); i += 1 }
+    b.array()
+  }
+
+  /** Parse the data chunk of a canonical PCM16 mono WAV back into
+    * samples (length taken from the chunk header, not the buffer). */
+  def decodeWavSamples(bytes: Array[Byte]): Array[Short] = {
+    require(bytes.length >= 44 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "WAVE", "not a WAV")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val dataLen = bb.getInt(40)
+    val n = dataLen / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) { out(i) = bb.getShort(44 + 2 * i); i += 1 }
+    out
+  }
+
   // -------------------------------------------------------------- decoder
 
   /** Header decode: (format, width, height). WAV reports

@@ -593,6 +593,56 @@ object Llm {
       .orderBy(col("doc_id"))
   }
 
+  /** Multimodal feature-extract, stage 2: image RESIZE. Per document a
+    * real 8x6 grayscale BMP is synthesized (pixel(x,y) = (7*doc_id +
+    * 3x + 5y) mod 251), round-tripped through the byte-level codec
+    * (bottom-up rows, stride padding), nearest-neighbor downsampled
+    * 2:1, and checksummed. The oracle recomputes the resized-pixel sum
+    * arithmetically — any error in row order, stride or the resize
+    * index map breaks the hash gate. */
+  val mmResize: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val bytes = graft.functions.MediaCodec.encodeBmpGray(
+            8, 6, (x, y) => ((7 * id + 3 * x + 5 * y) % 251).toInt)
+          val (w, h, pix) = graft.functions.MediaCodec.decodeBmpGray(bytes)
+          val (ow, oh, out) = graft.functions.MediaCodec.resizeHalf(w, h, pix)
+          (id, ow, oh, out.map(_.toLong).sum)
+        }
+      }
+      .toDF("doc_id", "out_w", "out_h", "checksum")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Multimodal feature-extract, stage 2: audio FRAME-SAMPLING. Per
+    * document a real PCM16 WAV is synthesized (n = 32 + doc_id mod 16
+    * samples, s_i = (13*doc_id + 17*i) mod 32768), decoded back from
+    * the data chunk, and every 4th sample is kept (the frame-sampling
+    * shape used to thin audio/video before feature extraction). Oracle
+    * recomputes count and sum of the kept samples arithmetically. */
+  val mmFrameSample: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (32 + id % 16).toInt
+          val samples = Array.tabulate(n)(i => ((13 * id + 17 * i) % 32768).toShort)
+          val bytes = graft.functions.MediaCodec.encodeWavPcm16(8000, samples)
+          val decoded = graft.functions.MediaCodec.decodeWavSamples(bytes)
+          val kept = decoded.indices.collect { case i if i % 4 == 0 => decoded(i).toLong }
+          (id, decoded.length, kept.length, kept.sum)
+        }
+      }
+      .toDF("doc_id", "n_samples", "n_frames", "frame_sum")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_llm_dedup_exact" -> dedupExact,
     "q_llm_dedup_norm" -> dedupNorm,
@@ -612,7 +662,9 @@ object Llm {
     "q_llm_qualityfilter" -> qualityFilter,
     "q_llm_langid" -> langid,
     "q_llm_fingerprint" -> fingerprint,
-    "q_mm_binary_meta" -> mmBinaryMeta)
+    "q_mm_binary_meta" -> mmBinaryMeta,
+    "q_mm_resize" -> mmResize,
+    "q_mm_framesample" -> mmFrameSample)
 
   val oracle: Map[String, String] = Map(
     "q_llm_dedup_exact" ->
@@ -764,5 +816,30 @@ object Llm {
                        WHEN 0 THEN (doc_id % 480) + 1
                        WHEN 1 THEN (doc_id % 480) + 1
                        ELSE 1 + doc_id % 2 END AS INT) AS height
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+    // resized pixel (x,y) of the half-scale image is source pixel
+    // (2x, 2y): value (7*doc_id + 3*(2x) + 5*(2y)) mod 251
+    "q_mm_resize" ->
+      """SELECT d.doc_id,
+                CAST(4 AS INT) AS out_w,
+                CAST(3 AS INT) AS out_h,
+                CAST(SUM((7 * d.doc_id + 3 * (2 * x.g) + 5 * (2 * y.g)) % 251)
+                  AS BIGINT) AS checksum
+         FROM documents d,
+              (SELECT unnest(generate_series(0, 3)) AS g) x,
+              (SELECT unnest(generate_series(0, 2)) AS g) y
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
+    // every 4th of n = 32 + doc_id%16 samples s_i = (13*doc_id+17*i) mod 32768
+    "q_mm_framesample" ->
+      """WITH idx AS (
+           SELECT doc_id,
+                  unnest(generate_series(0, CAST(32 + doc_id % 16 AS BIGINT) - 1)) AS i
+           FROM documents)
+         SELECT doc_id,
+                CAST(count(*) AS INT) AS n_samples,
+                CAST(count(*) FILTER (WHERE i % 4 = 0) AS INT) AS n_frames,
+                CAST(SUM(CASE WHEN i % 4 = 0
+                              THEN (13 * doc_id + 17 * i) % 32768 END)
+                  AS BIGINT) AS frame_sum
+         FROM idx GROUP BY doc_id ORDER BY doc_id""")
 }

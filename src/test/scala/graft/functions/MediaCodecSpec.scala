@@ -43,6 +43,36 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.decodeHeader(avi) == ("unknown", -1, -1))
   }
 
+  test("bmp pixel round-trip undoes bottom-up rows and stride padding") {
+    // width 5 forces a 1-byte row pad (stride 16 for 15 data bytes)
+    val pix = (x: Int, y: Int) => (10 * y + x) % 251
+    val bytes = MediaCodec.encodeBmpGray(5, 4, pix)
+    val (w, h, got) = MediaCodec.decodeBmpGray(bytes)
+    assert((w, h) == (5, 4))
+    for (y <- 0 until 4; x <- 0 until 5)
+      assert(got(y * 5 + x) == pix(x, y), s"pixel ($x,$y)")
+    // header-only decoder still classifies it
+    assert(MediaCodec.decodeHeader(bytes) == ("image/bmp", 5, 4))
+  }
+
+  test("nearest-neighbor half resize picks source pixel (2x, 2y)") {
+    val pix = Array.tabulate(8 * 6)(i => i)
+    val (ow, oh, out) = MediaCodec.resizeHalf(8, 6, pix)
+    assert((ow, oh) == (4, 3))
+    for (y <- 0 until 3; x <- 0 until 4)
+      assert(out(y * 4 + x) == (2 * y) * 8 + 2 * x)
+  }
+
+  test("wav pcm16 sample round-trip, length from the data chunk") {
+    val samples = Array.tabulate(37)(i => (i * 117 - 2000).toShort)
+    val bytes = MediaCodec.encodeWavPcm16(8000, samples)
+    assert(MediaCodec.decodeWavSamples(bytes).toSeq == samples.toSeq)
+    // trailing junk beyond the data chunk must be ignored
+    assert(MediaCodec.decodeWavSamples(bytes ++ Array.fill(7)(0x55.toByte))
+      .toSeq == samples.toSeq)
+    assert(MediaCodec.decodeHeader(bytes) == ("audio/wav", 8000, 1))
+  }
+
   test("synthesize is deterministic and decodable for every format branch") {
     for (id <- 0L to 8L; nc <- Seq(37L, 640L, 1999L)) {
       val b1 = MediaCodec.synthesize(id, nc)
