@@ -32,13 +32,24 @@ object Llm {
   /** Word tokens (single-space split, mirrored by the oracle). */
   private val toksE = "split(text, ' ')"
 
-  /** Distinct 3-gram word shingles as a column expression. */
+  /** Distinct 3-gram word shingles over a PRE-BOUND token column `t`.
+    *
+    * The n-gram windows come from zipping three shifted slices of the
+    * bound array — NOT from `element_at(split(text), i)` lambdas: with
+    * the split inlined, every element_at re-tokenizes the whole text,
+    * making the shingle expression O(tokens^2) per document (measured
+    * 20x slower at sf0.1 — it dominated all four shingle-consuming
+    * queries, costing more than the LSH joins themselves). */
   private val shinglesE =
-    s"""array_distinct(transform(
-          sequence(1, size($toksE) - 2),
-          i -> concat_ws(' ', element_at($toksE, i),
-                         element_at($toksE, i + 1),
-                         element_at($toksE, i + 2))))"""
+    """array_distinct(transform(
+         arrays_zip(slice(t, 1, greatest(size(t) - 2, 0)),
+                    slice(t, 2, greatest(size(t) - 2, 0)),
+                    slice(t, 3, greatest(size(t) - 2, 0))),
+         p -> concat_ws(' ', p['0'], p['1'], p['2'])))"""
+
+  /** documents with tokens bound once as column `t`. */
+  private def tokenized(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").withColumn("t", expr(toksE))
 
   /** Shared DuckDB CTE producing (doc_id, s) distinct shingles. */
   private val shingleCte =
@@ -76,7 +87,7 @@ object Llm {
 
   /** Distinct-shingle exploded view: (doc_id, s). */
   private def shingleDf(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    tokenized(spark, dir)
       .select(col("doc_id"), explode(expr(shinglesE)).as("s"))
 
   /** L2 exact-pairwise: n-gram Jaccard near-dup pairs (threshold 0.5).
@@ -112,7 +123,7 @@ object Llm {
   /** L2 at scale: MinHashLSH banding over hashed shingles (MLlib).
     * Rows-only check — MLlib hash families are not SQL-expressible. */
   val dedupMinhash: Q = (spark, dir) => {
-    val docs = Tables(spark, dir, "documents")
+    val docs = tokenized(spark, dir)
       .select(col("doc_id"), expr(shinglesE).as("shingles"))
       .filter(size(col("shingles")) > 0)
     val tf = new HashingTF()
@@ -151,7 +162,7 @@ object Llm {
   val dedupMinhashNative: Q = (spark, dir) => {
     // three consumers (signature explode, both verify joins) — derive
     // the shingle arrays once
-    val docs = Tables(spark, dir, "documents")
+    val docs = tokenized(spark, dir)
       .select(col("doc_id"), expr(shinglesE).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -461,8 +472,8 @@ object Llm {
   /** Document fingerprint: lexicographic min of md5 over 3-gram
     * shingles — a 1-permutation MinHash signature, cross-engine stable. */
   val fingerprint: Q = (spark, dir) =>
-    Tables(spark, dir, "documents")
-      .filter(size(expr(toksE)) >= 3)
+    tokenized(spark, dir)
+      .filter(size(col("t")) >= 3)
       .select(
         col("doc_id"),
         expr(s"array_min(transform($shinglesE, s -> md5(s)))").as("fingerprint"))
@@ -564,6 +575,113 @@ object Llm {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
       .orderBy(col("split"))
 
+  /** PII redaction (C4/CCNet-style corpus cleaning): scrub emails and
+    * phone numbers with typed placeholder tokens, counting the hits.
+    * The synthetic corpus carries no PII, so a deterministic
+    * contact-line suffix is appended per document before scrubbing —
+    * the redactor itself is the operator under test, and the oracle
+    * re-runs the same regexes in DuckDB (both engines' flavors accept
+    * this subset: character classes, bounded repetition, alternation).
+    * Pure `regexp_replace`/`regexp_extract_all` — codegen'd, no UDF;
+    * at corpus scale this is a map-only stage with zero shuffle. */
+  val redactPii: Q = (spark, dir) => {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\d{3}-\\d{4}"
+    Tables(spark, dir, "documents")
+      .withColumn("raw", concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or call 555-0"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit(" today")))
+      .select(
+        col("doc_id"),
+        size(expr(
+          s"regexp_extract_all(raw, '${emailRe.replace("\\", "\\\\")}', 0)"))
+          .as("n_emails"),
+        size(expr(
+          s"regexp_extract_all(raw, '${phoneRe.replace("\\", "\\\\")}', 0)"))
+          .as("n_phones"),
+        regexp_replace(
+          regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Repetition-based quality signals (the Gopher rules): word-level
+    * duplicate fraction and top-bigram frequency share, plus the
+    * keep/drop verdict. The duplicate fraction is array ops per row;
+    * the top-bigram share is an explode -> (doc, gram) hash count ->
+    * per-doc max — two codegen'd aggregates on one shuffle keyed by
+    * (doc_id, gram), which is the 100 TB shape (a per-row
+    * count-within-array HOF loop would be O(len^2) CodegenFallback).
+    * Fractions are integer-count divisions, so both engines agree
+    * bitwise. */
+  val repetition: Q = (spark, dir) => {
+    val docs = tokenized(spark, dir)
+    val words = docs.select(
+      col("doc_id"),
+      size(col("t")).as("n_tok"),
+      size(array_distinct(col("t"))).as("n_uniq"))
+    // bigrams zip two shifted slices of the BOUND token column — see
+    // the shinglesE note (inlined-split lambdas are O(tokens^2)/row)
+    val grams = docs
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(
+             arrays_zip(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)),
+             p -> concat_ws(' ', p['0'], p['1']))""")).as("g"))
+    val top = grams
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top2"), sum(col("c")).as("n2"))
+    words.join(top, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        col("n_tok"),
+        ((col("n_tok") - col("n_uniq")).cast("double") / col("n_tok"))
+          .as("dup_word_frac"),
+        (col("top2").cast("double") / col("n2")).as("top_bigram_frac"),
+        (((col("n_tok") - col("n_uniq")).cast("double") / col("n_tok")) <= 0.6
+          && (col("top2").cast("double") / col("n2")) <= 0.1).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-source corpus curation stats: the group-by a curator runs to
+    * decide which sources to keep, reweight, or drop. One shuffle on
+    * `source` with map-side partials; token totals ride the same
+    * aggregate instead of a second pass. */
+  val sourceStats: Q = (spark, dir) =>
+    Tables(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        sum(size(expr(toksE))).as("n_tokens"))
+      .orderBy(col("source"))
+
+  /** Int8 scalar quantization of embeddings (the memory-compression
+    * step before a 100 TB ANN index: 4 bytes/dim float -> 1 byte/dim
+    * code). Per-vector min/max affine map to [0, 255]; emitted here as
+    * summary stats (dims, code sum, code range) so the oracle can
+    * hash-check the codes without comparing raw arrays. All arithmetic
+    * is identical-order IEEE on both engines -> floor() agrees
+    * bitwise. */
+  val embedQuantize: Q = (spark, dir) =>
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("vmin", array_min(col("e")))
+      .withColumn("vmax", array_max(col("e")))
+      .filter(col("vmax") > col("vmin")) // constant vectors are unquantizable
+      .withColumn("q", expr(
+        "transform(e, x -> CAST(floor((x - vmin) * 255 / (vmax - vmin)) AS INT))"))
+      .select(
+        col("vec_id"),
+        size(col("q")).as("n_dims"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("q_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"))
+      .orderBy(col("vec_id"))
+
   // ------------------------------------------------------------- multimodal
 
   /** Multimodal columns: opaque binary content + typed metadata via a
@@ -662,6 +780,10 @@ object Llm {
     "q_llm_qualityfilter" -> qualityFilter,
     "q_llm_langid" -> langid,
     "q_llm_fingerprint" -> fingerprint,
+    "q_llm_redact_pii" -> redactPii,
+    "q_llm_repetition" -> repetition,
+    "q_llm_source_stats" -> sourceStats,
+    "q_llm_embed_quantize" -> embedQuantize,
     "q_mm_binary_meta" -> mmBinaryMeta,
     "q_mm_resize" -> mmResize,
     "q_mm_framesample" -> mmFrameSample)
@@ -795,6 +917,68 @@ object Llm {
       s"""$shingleCte
           SELECT doc_id, min(md5(s)) AS fingerprint FROM sh
           GROUP BY doc_id ORDER BY doc_id""",
+    "q_llm_redact_pii" ->
+      """WITH raw AS (
+           SELECT doc_id,
+                  text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or call 555-0'
+                       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                       || ' today' AS raw
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(raw,
+                  '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+                CAST(len(regexp_extract_all(raw, '\d{3}-\d{4}')) AS INT)
+                  AS n_phones,
+                regexp_replace(regexp_replace(raw,
+                    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                  '\d{3}-\d{4}', '<PHONE>', 'g') AS clean
+         FROM raw ORDER BY doc_id""",
+    "q_llm_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         w AS (
+           SELECT doc_id, CAST(len(t) AS INT) AS n_tok,
+                  CAST(len(list_distinct(t)) AS INT) AS n_uniq
+           FROM toks),
+         g AS (
+           SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+           FROM (SELECT doc_id, t,
+                        unnest(generate_series(1, len(t) - 1)) AS i
+                 FROM toks WHERE len(t) >= 2)),
+         c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+         tp AS (
+           SELECT doc_id, max(c) AS top2, CAST(sum(c) AS BIGINT) AS n2
+           FROM c GROUP BY 1)
+         SELECT w.doc_id, n_tok,
+                CAST(n_tok - n_uniq AS DOUBLE) / n_tok AS dup_word_frac,
+                CAST(top2 AS DOUBLE) / n2 AS top_bigram_frac,
+                (CAST(n_tok - n_uniq AS DOUBLE) / n_tok <= 0.6
+                 AND CAST(top2 AS DOUBLE) / n2 <= 0.1) AS keep
+         FROM w JOIN tp ON w.doc_id = tp.doc_id ORDER BY w.doc_id""",
+    "q_llm_source_stats" ->
+      """SELECT source, count(*) AS n_docs,
+                count(DISTINCT lang) AS n_langs,
+                round(avg(n_chars), 4) AS avg_chars,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         FROM documents GROUP BY source ORDER BY source""",
+    "q_llm_embed_quantize" ->
+      """WITH v AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         m AS (
+           SELECT vec_id, e, list_aggregate(e, 'min') AS vmin,
+                  list_aggregate(e, 'max') AS vmax
+           FROM v),
+         qq AS (
+           SELECT vec_id,
+                  list_transform(e, x ->
+                    CAST(floor((x - vmin) * 255 / (vmax - vmin)) AS INT)) AS q
+           FROM m WHERE vmax > vmin)
+         SELECT vec_id, CAST(len(q) AS INT) AS n_dims,
+                CAST(list_sum(q) AS BIGINT) AS q_sum,
+                list_aggregate(q, 'min') AS q_min,
+                list_aggregate(q, 'max') AS q_max
+         FROM qq ORDER BY vec_id""",
     // recomputes MediaCodec.synthesize's header fields arithmetically:
     // format rotates by doc_id % 3, dims derive from (doc_id, n_chars),
     // n_bytes = fixed header size (PNG 33 / BMP 54 / WAV 44) + filler

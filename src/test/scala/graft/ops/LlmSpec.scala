@@ -143,6 +143,51 @@ class LlmSpec extends SparkTestBase {
     }
   }
 
+  test("pii redaction scrubs every email and phone it counted") {
+    val rows = Llm.redactPii(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // the injected contact line guarantees at least one of each
+      assert(r.getInt(1) >= 1 && r.getInt(2) >= 1)
+      val clean = r.getString(3)
+      assert(!clean.matches(".*[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}.*"),
+        s"doc ${r.getLong(0)}: email survived redaction")
+      assert(!clean.matches(".*\\d{3}-\\d{4}.*"),
+        s"doc ${r.getLong(0)}: phone survived redaction")
+      assert(clean.contains("<EMAIL>") && clean.contains("<PHONE>"))
+    }
+  }
+
+  test("repetition signals are fractions and the verdict matches them") {
+    val rows = Llm.repetition(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dup, top2, keep) = (r.getDouble(2), r.getDouble(3), r.getBoolean(4))
+      assert(dup >= 0.0 && dup < 1.0)
+      assert(top2 > 0.0 && top2 <= 1.0)
+      assert(keep == (dup <= 0.6 && top2 <= 0.1))
+    }
+  }
+
+  test("source stats partition the corpus exactly") {
+    val n = graft.engine.Tables(spark, sfSmoke, "documents").count()
+    val rows = Llm.sourceStats(spark, sfSmoke).collect()
+    assert(rows.map(_.getLong(1)).sum == n, "per-source doc counts must tile")
+    rows.foreach(r => assert(r.getLong(2) >= 1L && r.getLong(4) > 0L))
+  }
+
+  test("int8 quantization codes stay in range and span it") {
+    val rows = Llm.embedQuantize(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) == 64, "embedding fixtures are 64-dim")
+      assert(r.getInt(3) == 0, "the min element must map to code 0")
+      // the max element maps to floor(255.0 - eps): 254 or 255
+      assert(r.getInt(4) >= 254 && r.getInt(4) <= 255)
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 255L * 64)
+    }
+  }
+
   test("multimodal decode recovers header fields from real binary headers") {
     val n = graft.engine.Tables(spark, sfSmoke, "documents").count()
     val got = Llm.mmBinaryMeta(spark, sfSmoke).collect()
