@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 
@@ -682,6 +683,98 @@ object Llm {
         array_max(col("q")).as("q_max"))
       .orderBy(col("vec_id"))
 
+  /** Benchmark decontamination (GPT-3/Pile-style): flag training
+    * documents that share any 5-gram with the held-out eval set, so
+    * eval answers can't leak into training data. The eval set here is
+    * the md5-bucket 'f' sixteenth of the corpus (stand-in for a real
+    * benchmark, which is tiny by nature — hence `broadcast` of its
+    * distinct-5-gram set: at 100 TB the train side streams map-only
+    * against the broadcast eval grams, no shuffle of the corpus).
+    * 5-grams, not the 3-gram shingles the dedup ops use: short grams
+    * collide on common phrases (probed 419/469 false flags at 3,
+    * 1/469 at 5 on the fixtures), and published decontamination
+    * pipelines use 8-13-gram overlap for the same reason. */
+  val decontaminate: Q = (spark, dir) => {
+    val docs = tokenized(spark, dir)
+      .withColumn("is_eval",
+        substring(md5(col("doc_id").cast("string")), 1, 1) === "f")
+    val grams5 = expr(
+      """array_distinct(transform(
+           arrays_zip(slice(t, 1, greatest(size(t) - 4, 0)),
+                      slice(t, 2, greatest(size(t) - 4, 0)),
+                      slice(t, 3, greatest(size(t) - 4, 0)),
+                      slice(t, 4, greatest(size(t) - 4, 0)),
+                      slice(t, 5, greatest(size(t) - 4, 0))),
+           p -> concat_ws(' ', p['0'], p['1'], p['2'], p['3'], p['4'])))""")
+    val exploded = docs
+      .select(col("doc_id"), col("is_eval"), explode(grams5).as("g"))
+    val evalGrams = exploded.filter(col("is_eval")).select(col("g")).distinct()
+    val hits = exploded.filter(!col("is_eval"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+    docs.filter(!col("is_eval"))
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic corpus mixing: per-source keep-rates (the reweight
+    * step after source_stats says which sources to up/down-sample).
+    * Membership is decided by an md5 bucket of the doc id against a
+    * per-source quota — hash sampling survives reshuffles and appends
+    * where row-number sampling does not, and re-runs are reproducible
+    * row-for-row (same property as the train/val/test split). The
+    * quota cycles 4/8/12/16 sixteenths by source index, standing in
+    * for a curator's weight table. Map-only until the final tiny
+    * per-source rollup — one aggregate shuffle at any scale. */
+  val corpusMix: Q = (spark, dir) =>
+    Tables(spark, dir, "documents")
+      .withColumn("quota",
+        ((regexp_extract(col("source"), "\\d+", 0).cast("int") % 4) + 1) * 4)
+      .withColumn("bucket",
+        expr("instr('0123456789abcdef', substring(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 1)) - 1"))
+      .withColumn("keep", col("bucket") < col("quota"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        sum(when(col("keep"), col("n_chars")).otherwise(lit(0L))).as("kept_chars"))
+      .orderBy(col("source"))
+
+  /** Chunk-level (paragraph-proxy) exact dedup: the corpus keeps only
+    * the globally-first occurrence of every repeated passage while
+    * untouched text survives verbatim — the passage-granular
+    * complement to doc-level dedup (boilerplate headers/footers
+    * repeat across distinct documents). Passages are non-overlapping
+    * 10-token windows (the fixtures have no paragraph markers); first
+    * occurrence is the (doc_id, chunk index) minimum, resolved by one
+    * row_number window partitioned BY THE CHUNK TEXT — a single
+    * shuffle keyed by the passage, which is also the 100 TB shape
+    * (shuffle width = corpus size, no join back: total/kept/rebuilt
+    * all ride one aggregation). */
+  val chunkDedup: Q = (spark, dir) =>
+    tokenized(spark, dir)
+      .select(col("doc_id"), explode(expr(
+        """transform(
+             sequence(1, (size(t) + 9) div 10),
+             i -> struct(i AS i, concat_ws(' ', slice(t, (i - 1) * 10 + 1, 10)) AS c))"""))
+        .as("ch"))
+      .select(col("doc_id"), col("ch.i").as("i"), col("ch.c").as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("c")).orderBy(col("doc_id"), col("i"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(IF(rn = 1, struct(i, c), NULL))), x -> x.c)"),
+          " ").as("clean_text"))
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------------- multimodal
 
   /** Multimodal columns: opaque binary content + typed metadata via a
@@ -784,6 +877,9 @@ object Llm {
     "q_llm_repetition" -> repetition,
     "q_llm_source_stats" -> sourceStats,
     "q_llm_embed_quantize" -> embedQuantize,
+    "q_llm_decontaminate" -> decontaminate,
+    "q_llm_corpus_mix" -> corpusMix,
+    "q_llm_chunk_dedup" -> chunkDedup,
     "q_mm_binary_meta" -> mmBinaryMeta,
     "q_mm_resize" -> mmResize,
     "q_mm_framesample" -> mmFrameSample)
@@ -979,6 +1075,63 @@ object Llm {
                 list_aggregate(q, 'min') AS q_min,
                 list_aggregate(q, 'max') AS q_max
          FROM qq ORDER BY vec_id""",
+    "q_llm_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         tag AS (
+           SELECT doc_id,
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' AS is_eval
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id,
+                  list_aggregate(t[i:i+4], 'string_agg', ' ') AS g
+           FROM (SELECT doc_id, t,
+                        unnest(generate_series(1, len(t) - 4)) AS i
+                 FROM toks WHERE len(t) >= 5)),
+         ev AS (SELECT DISTINCT g FROM sh JOIN tag USING (doc_id)
+                WHERE is_eval),
+         h AS (SELECT sh.doc_id, count(*) AS hits
+               FROM sh JOIN tag USING (doc_id) JOIN ev USING (g)
+               WHERE NOT is_eval GROUP BY 1)
+         SELECT d.doc_id, CAST(coalesce(hits, 0) AS BIGINT) AS n_hits,
+                coalesce(hits, 0) > 0 AS contaminated
+         FROM documents d JOIN tag ON d.doc_id = tag.doc_id
+         LEFT JOIN h ON d.doc_id = h.doc_id
+         WHERE NOT is_eval ORDER BY d.doc_id""",
+    "q_llm_corpus_mix" ->
+      """WITH d AS (
+           SELECT source, doc_id, n_chars,
+                  ((CAST(regexp_extract(source, '\d+', 0) AS INT) % 4) + 1) * 4
+                    AS quota,
+                  instr('0123456789abcdef',
+                        substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                    AS bucket
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(CASE WHEN bucket < quota THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_kept,
+                CAST(sum(CASE WHEN bucket < quota THEN n_chars ELSE 0 END)
+                     AS BIGINT) AS kept_chars
+         FROM d GROUP BY source ORDER BY source""",
+    "q_llm_chunk_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         ch AS (
+           SELECT doc_id, i,
+                  list_aggregate(t[(i-1)*10+1:(i-1)*10+10], 'string_agg', ' ')
+                    AS c
+           FROM (SELECT doc_id, t,
+                        unnest(generate_series(1, (len(t) + 9) // 10)) AS i
+                 FROM toks)),
+         r AS (SELECT doc_id, i, c,
+                      row_number() OVER (PARTITION BY c ORDER BY doc_id, i)
+                        AS rn
+               FROM ch)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+                coalesce(string_agg(c, ' ' ORDER BY i) FILTER (WHERE rn = 1),
+                         '') AS clean_text
+         FROM r GROUP BY doc_id ORDER BY doc_id""",
     // recomputes MediaCodec.synthesize's header fields arithmetically:
     // format rotates by doc_id % 3, dims derive from (doc_id, n_chars),
     // n_bytes = fixed header size (PNG 33 / BMP 54 / WAV 44) + filler

@@ -73,6 +73,12 @@ object ScaleProbe {
     time("dedup clusters") { Llm.dedupClusters(spark, dst) }
     time("ann ivf") { Llm.annIvf(spark, dst) }
     time("simhash pairs") { Llm.simhashPairs(spark, dst, 8) }
+    // round-2 curation additions: the chunk window (shuffle = full
+    // corpus keyed by passage), the broadcast decontamination join,
+    // and the Gopher bigram aggregate
+    time("chunk dedup") { Llm.chunkDedup(spark, dst) }
+    time("decontaminate") { Llm.decontaminate(spark, dst) }
+    time("repetition rules") { Llm.repetition(spark, dst) }
 
     spark.stop()
   }

@@ -73,4 +73,28 @@ class PlansSpec extends SparkTestBase {
     assert(!p.contains("ArrayAggregate"),
       "the nested-HOF (CodegenFallback) signature form must not come back")
   }
+
+  test("decontamination joins the corpus against a BROADCAST eval-gram set") {
+    val p = plan("q_llm_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("SortMergeJoin"),
+      "the eval set is tiny by nature; the corpus side must stream map-only")
+  }
+
+  test("corpus mix is map-only up to the final per-source rollup") {
+    val p = plan("q_llm_corpus_mix")
+    // exactly one aggregation exchange (plus AQE's final-sort exchange
+    // for the 20-row ORDER BY) — the hash-bucket keep decision must
+    // not itself shuffle
+    assert(p.contains("HashAggregate"), p.take(400))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      "membership is per-row hash arithmetic, no join or window")
+  }
+
+  test("chunk dedup resolves first-occurrence in ONE window, no join-back") {
+    val p = plan("q_llm_chunk_dedup")
+    assert(p.contains("Window"), p.take(400))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "total/kept/rebuilt must all ride the single post-window aggregation")
+  }
 }

@@ -188,6 +188,60 @@ class LlmSpec extends SparkTestBase {
     }
   }
 
+  test("decontamination covers every train doc and flags the planted dup") {
+    val rows = Llm.decontaminate(spark, sfSmoke).collect()
+    val evalIds = graft.engine.Tables(spark, sfSmoke, "documents")
+      .filter(org.apache.spark.sql.functions.expr(
+        "substring(md5(CAST(doc_id AS STRING)), 1, 1) = 'f'"))
+      .count()
+    val total = graft.engine.Tables(spark, sfSmoke, "documents").count()
+    assert(rows.length == total - evalIds,
+      "one row per train doc, eval docs excluded")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0L)
+      assert(r.getBoolean(2) == (r.getLong(1) > 0L))
+    }
+    // the fixtures plant near-dup pairs; at least one straddles the
+    // eval/train boundary (probed: exactly 1 at sf0.001 with 5-grams)
+    assert(rows.exists(_.getBoolean(2)), "expected >=1 contaminated doc")
+  }
+
+  test("corpus mix keeps exactly the quota'd hash buckets per source") {
+    val rows = Llm.corpusMix(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (src, nDocs, nKept) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(nKept <= nDocs)
+      val quota = ("""\d+""".r.findFirstIn(src).get.toInt % 4 + 1) * 4
+      if (quota == 16) assert(nKept == nDocs, s"$src has full quota")
+      else assert(nKept < nDocs, s"$src quota $quota/16 must drop something")
+    }
+  }
+
+  test("chunk dedup keeps first occurrences only and rebuilds clean text") {
+    val rows = Llm.chunkDedup(spark, sfSmoke).collect()
+    val docs = graft.engine.Tables(spark, sfSmoke, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size)
+    // kept chunks across the corpus tile the distinct chunk space
+    import org.apache.spark.sql.functions._
+    val distinctChunks = graft.engine.Tables(spark, sfSmoke, "documents")
+      .withColumn("t", expr("split(text, ' ')"))
+      .select(explode(expr(
+        """transform(sequence(1, (size(t) + 9) div 10),
+             i -> concat_ws(' ', slice(t, (i - 1) * 10 + 1, 10)))""")).as("c"))
+      .distinct().count()
+    assert(rows.map(_.getLong(2)).sum == distinctChunks)
+    rows.foreach { r =>
+      val (id, nChunks, nKept, clean) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      assert(nKept <= nChunks && nChunks >= 1)
+      if (nKept == nChunks)
+        assert(clean == docs(id), s"doc $id untouched => text survives verbatim")
+    }
+  }
+
   test("multimodal decode recovers header fields from real binary headers") {
     val n = graft.engine.Tables(spark, sfSmoke, "documents").count()
     val got = Llm.mmBinaryMeta(spark, sfSmoke).collect()
