@@ -101,6 +101,19 @@ object VersionedTable {
     expire
   }
 
+  /** Small-file compaction (the OPTIMIZE step): rewrite the current
+    * snapshot into at most `targetFiles` files as a NEW version.
+    * Copy-on-write — readers pinned to older versions are undisturbed,
+    * and time travel still reaches pre-compaction snapshots until
+    * `expireVersions` drops them. `coalesce`, not `repartition`:
+    * compaction merges input splits narrowly and must not pay a full
+    * shuffle of the table. At 100 TB this runs per partition-scoped
+    * snapshot, not whole-table. */
+  def compact(spark: SparkSession, dir: String, targetFiles: Int): Long = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    commit(read(spark, dir).coalesce(targetFiles), dir)
+  }
+
   /** Read the current snapshot, or a pinned `version` (time travel). */
   def read(spark: SparkSession, dir: String, version: Option[Long] = None): DataFrame = {
     val v = version.orElse(currentVersion(spark, dir)).getOrElse(

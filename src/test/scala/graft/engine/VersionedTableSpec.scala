@@ -41,6 +41,24 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.read(spark, dir).count() == 1)
   }
 
+  test("compact merges small files into a new version; old versions untouched") {
+    val dir = tmp("graft_vt_compact")
+    val wide = spark.range(0, 1000).toDF("k")
+      .withColumn("v", col("k") * 2).repartition(16)
+    val v0 = VersionedTable.commit(wide, dir)
+    def dataFiles(v: Long) =
+      new java.io.File(s"$dir/v$v").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    assert(dataFiles(v0) == 16, "fixture must start fragmented")
+    val v1 = VersionedTable.compact(spark, dir, targetFiles = 2)
+    assert(v1 == v0 + 1)
+    assert(dataFiles(v1) <= 2, "compaction must hit the file target")
+    // same data, new layout; pre-compaction snapshot still time-travels
+    assert(VersionedTable.read(spark, dir).agg(sum("v")).head().getLong(0)
+      == 999L * 1000L)
+    assert(VersionedTable.read(spark, dir, Some(v0)).count() == 1000)
+  }
+
   test("upsert: updates win by key, unmatched base survives") {
     val base = Seq((1L, "old"), (2L, "keep")).toDF("k", "v")
     val updates = Seq((1L, "new"), (3L, "ins")).toDF("k", "v")

@@ -188,6 +188,17 @@ class LlmSpec extends SparkTestBase {
     }
   }
 
+  test("approximate ANN paths recall the brute-force top-10") {
+    val exact = Llm.cosineTopk(spark, sfSmoke).collect().map(_.getLong(0)).toSet
+    val ivf = Llm.annIvf(spark, sfSmoke).collect().map(_.getLong(0)).toSet
+    val lsh = Llm.annLsh(spark, sfSmoke).collect().map(_.getLong(0)).toSet
+    // approximate methods trade recall for sublinear scan cost; the
+    // floor pins that the trade stays reasonable (2-probe IVF over 8
+    // cells, 4-table LSH) instead of silently degrading to noise
+    assert((exact & ivf).size >= 6, s"IVF recall ${(exact & ivf).size}/10")
+    assert((exact & lsh).size >= 6, s"LSH recall ${(exact & lsh).size}/10")
+  }
+
   test("decontamination covers every train doc and flags the planted dup") {
     val rows = Llm.decontaminate(spark, sfSmoke).collect()
     val evalIds = graft.engine.Tables(spark, sfSmoke, "documents")
