@@ -132,6 +132,8 @@ object CosineSimilarity {
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     CosineSimilarity.inject(e)
+    ZOrder.inject(e)
+  }
 }

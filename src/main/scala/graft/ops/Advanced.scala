@@ -164,6 +164,48 @@ object Advanced {
       .orderBy(col("c_custkey"))
   }
 
+  /** Z-order (Morton) layout key: the native `zorder2` expression
+    * (graft.functions.ZOrder) over two bucketed dimensions. The oracle
+    * recomputes the interleave arithmetically — bit-exact, so the
+    * custom expression itself is under the DuckDB gate, interpreted
+    * AND codegen paths. */
+  val zorderLayout: Q = (spark, dir) => {
+    graft.functions.ZOrder.register(spark)
+    Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("zorder2(l_partkey % 1024, l_suppkey % 1024)").as("z"))
+      .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+      .limit(200)
+  }
+
+  /** End-to-end data skipping: write lineitem Z-ordered on
+    * (l_partkey, l_suppkey) with a per-file min/max manifest
+    * (VersionedTable.commitWithStats), then answer a 2-D range query
+    * through the pruned read path. The oracle is the PLAIN filtered
+    * aggregate — file skipping must be invisible in results; the
+    * pruning itself (files actually skipped) is asserted in
+    * VersionedTableSpec. At 100 TB this layout+manifest pair is what
+    * turns a full-table scan into a few-file read for selective 2-D
+    * predicates, on either dimension. */
+  val dataSkipping: Q = (spark, dir) => {
+    graft.functions.ZOrder.register(spark)
+    val table = Files.createTempDirectory("graft_skip").toString
+    val zordered = Tables(spark, dir, "lineitem")
+      .withColumn("z", expr("zorder2(l_partkey, l_suppkey)"))
+      .repartitionByRange(16, col("z"))
+      .sortWithinPartitions(col("z"))
+      .drop("z")
+    graft.engine.VersionedTable.commitWithStats(
+      zordered, table, Seq("l_partkey", "l_suppkey"))
+    val (pruned, _, _) = graft.engine.VersionedTable.readPruned(
+      spark, table,
+      Map("l_partkey" -> ((100L, 150L)), "l_suppkey" -> ((10L, 40L))))
+    pruned
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_merge_upsert" -> mergeUpsert,
     "q_join_asof" -> joinAsof,
@@ -171,7 +213,9 @@ object Advanced {
     "q_stream_session" -> streamSession,
     "q_pivot" -> pivot,
     "q_explode_tokens" -> explodeTokens,
-    "q_bucketed_join" -> bucketedJoin)
+    "q_bucketed_join" -> bucketedJoin,
+    "q_zorder_layout" -> zorderLayout,
+    "q_data_skipping" -> dataSkipping)
 
   val oracle: Map[String, String] = Map(
     "q_merge_upsert" ->
@@ -239,5 +283,27 @@ object Advanced {
     "q_bucketed_join" ->
       """SELECT count(*) AS cnt,
                 sum(CAST(l_extendedprice + o_totalprice AS DECIMAL(18,2))) AS total
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey""")
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+    // bit-exact arithmetic recomputation of the Morton interleave
+    "q_zorder_layout" ->
+      """WITH base AS (
+           SELECT l_orderkey, l_linenumber,
+                  l_partkey % 1024 AS x, l_suppkey % 1024 AS y
+           FROM lineitem)
+         SELECT l_orderkey, l_linenumber,
+                CAST(list_sum(list_transform(generate_series(0, 9), i ->
+                  ((x >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i)) +
+                  ((y >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1))))
+                  AS BIGINT) AS z
+         FROM base
+         ORDER BY z, l_orderkey, l_linenumber LIMIT 200""",
+    // the oracle is the PLAIN filtered aggregate: file skipping must be
+    // invisible in results
+    "q_data_skipping" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+                round(sum(l_quantity), 4) AS sum_qty
+         FROM lineitem
+         WHERE l_partkey BETWEEN 100 AND 150
+           AND l_suppkey BETWEEN 10 AND 40
+         GROUP BY l_returnflag ORDER BY l_returnflag""")
 }

@@ -68,11 +68,141 @@ object Joins {
       .orderBy(col("c_custkey"))
   }
 
+  /** Binned range join (point-in-interval, NO equi key).
+    *
+    * A naive `points JOIN intervals ON p BETWEEN s AND e` has no
+    * hashable key, so Spark plans BroadcastNestedLoopJoin — O(n·m)
+    * comparisons, the classic range-join trap. The fix (same idea as
+    * Databricks' range-join hint): quantize time into fixed-width bins
+    * no narrower than the interval length, explode each interval onto
+    * the <=2 bins it overlaps, and equi-join on the bin with the exact
+    * containment predicate as a residual filter. Each point then probes
+    * a hash table once instead of scanning every interval; at 100 TB
+    * the intermediate is |points| * avg_intervals_per_bin, not n·m.
+    *
+    * Here: every 100th order opens a 30-day fulfillment window; count
+    * and total the lineitems shipped inside each window. Decimal sum —
+    * order-independent across engines (see bucketedJoin). */
+  val joinRange: Q = (spark, dir) => {
+    val binDays = 30 // bin width == interval length => <=2 bins/interval
+    val iv = Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(
+        col("o_orderkey").as("iv_id"),
+        to_date(col("o_orderdate")).as("start_d"),
+        date_add(to_date(col("o_orderdate")), binDays).as("end_d"))
+      .withColumn("bin", explode(sequence(
+        floor(unix_date(col("start_d")) / binDays),
+        floor(unix_date(date_sub(col("end_d"), 1)) / binDays))))
+    val pts = Tables(spark, dir, "lineitem")
+      .select(to_date(col("l_shipdate")).as("ship_d"), col("l_extendedprice"))
+      .withColumn("bin", floor(unix_date(col("ship_d")) / binDays))
+    pts.join(
+        broadcast(iv),
+        pts("bin") === iv("bin") &&
+          col("ship_d") >= col("start_d") && col("ship_d") < col("end_d"))
+      .groupBy(col("iv_id"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("sum_price"))
+      .orderBy(col("iv_id"))
+  }
+
+  /** Salted shuffle join: the skew-defeating join form (the join-side
+    * sibling of Advanced.aggSalted). A shuffle join hashes every fact
+    * row with key k to ONE reducer — a hot key (events.user_id is
+    * deliberately skewed in the fixtures) turns into one straggler
+    * task. Salting replicates each dim row S times (dim is the small
+    * side — S·|dim| stays tiny) and spreads each fact key over S
+    * reducers via a deterministic salt; results are identical to the
+    * plain join, which is the oracle. `shuffle_hash` hint keeps the
+    * demonstration honest — this pattern targets dims too large to
+    * broadcast (at 100 TB a user dim is, and AQE skew-join only splits
+    * oversized partitions after the fact; salting prevents them). */
+  val joinSalted: Q = (spark, dir) => {
+    val s = 8
+    val fact = Tables(spark, dir, "events")
+      .withColumn("salt", pmod(col("event_id"), lit(s)).cast("int"))
+    val dim = Tables(spark, dir, "customer")
+      .filter(col("c_custkey") < 150)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      .withColumn("salt", explode(sequence(lit(0), lit(s - 1))))
+    fact.join(dim.hint("shuffle_hash"), Seq("user_id", "salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** TPC-H Q3 (shipping priority): the canonical 3-way join + topk
+    * macro query, on the fixtures' own star schema. Plan shape that
+    * matters at 100 TB: both date filters reach the parquet scans
+    * (PushedFilters), the customer dim broadcasts, and the top-10 is
+    * TakeOrderedAndProject — no global sort of the aggregate. */
+  val tpchQ3: Q = (spark, dir) => {
+    val cutoff = "1998-01-01"
+    val cust = Tables(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val orders = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("decimal(38,4)").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 (local supplier volume): 6-table join chain —
+    * region -> nation -> customer/supplier co-nationality -> orders ->
+    * lineitem — the join-reorder / broadcast-dim stress test. All four
+    * dims broadcast; the only shuffles are fact-fact (lineitem x
+    * orders) and the final 5-row aggregate. */
+  val tpchQ5: Q = (spark, dir) => {
+    val region = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = Tables(spark, dir, "nation")
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val orders = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+      .join(broadcast(supp),
+        li("l_suppkey") === supp("s_suppkey") &&
+          cust("c_nationkey") === supp("s_nationkey"))
+      .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("decimal(38,4)").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_join_left_enrich" -> joinLeftEnrich,
     "q_join_inner" -> joinInner,
     "q_join_semi" -> joinSemi,
-    "q_join_anti" -> joinAnti)
+    "q_join_anti" -> joinAnti,
+    "q_join_range" -> joinRange,
+    "q_join_salted" -> joinSalted,
+    "q_tpch_q3" -> tpchQ3,
+    "q_tpch_q5" -> tpchQ5)
 
   val oracle: Map[String, String] = Map(
     "q_join_left_enrich" ->
@@ -95,5 +225,46 @@ object Joins {
     "q_join_anti" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
-         ORDER BY c_custkey""")
+         ORDER BY c_custkey""",
+    // the oracle is the UNBINNED containment join — the binning is a
+    // pure execution-strategy rewrite and must not change results
+    "q_join_range" ->
+      """SELECT o_orderkey AS iv_id, count(*) AS cnt,
+                sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+         FROM orders JOIN lineitem
+           ON CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
+          AND CAST(l_shipdate AS DATE) < CAST(o_orderdate AS DATE) + INTERVAL 30 DAY
+         WHERE o_orderkey % 100 = 0
+         GROUP BY o_orderkey ORDER BY iv_id""",
+    // the oracle is the UNSALTED join — salting must be invisible
+    "q_join_salted" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+                round(sum(value), 4) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         WHERE c_custkey < 150
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_tpch_q3" ->
+      """SELECT o_orderkey, o_orderdate,
+                sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY o_orderkey, o_orderdate
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "q_tpch_q5" ->
+      """SELECT n_name,
+                sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""")
 }

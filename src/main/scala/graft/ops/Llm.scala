@@ -451,6 +451,88 @@ object Llm {
       .select(col("doc_id"), col("tok_cnt"), col("n_chars"), col("ratio"))
       .orderBy(col("doc_id"))
 
+  /** Quality scoring via a unigram log-likelihood-ratio model (the
+    * CCNet / fastText-classifier shape, reduced to its distributable
+    * core): "train" add-one-smoothed unigram models on a target slice
+    * (lang = 'en') and on the full corpus, then score every document
+    * by its mean per-token log-odds of having come from the target
+    * distribution.
+    *
+    * Scale shape: the model is ONE aggregation over exploded tokens
+    * (conditional count gives both corpora in a single shuffle); the
+    * resulting vocab table is the trained model — small relative to
+    * the corpus and broadcast to the scoring join, so scoring is a
+    * map-side hash probe + one per-doc aggregate. This is exactly how
+    * a 100 TB curation run applies a quality model: weights broadcast,
+    * corpus streamed once. Doubles: per-token weights are computed
+    * from integer counts by identical-order IEEE arithmetic on both
+    * engines; only the per-doc mean (order-varying) is rounded. */
+  val qualityLr: Q = (spark, dir) => {
+    // tokens feed model training AND the scoring join-back
+    val toks = tokenized(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(col("t")).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = toks.groupBy(col("tok")).agg(
+      count(lit(1)).as("ca"),
+      count(when(col("lang") === "en", 1)).as("cg"))
+    val totals = stats.agg(
+      sum(col("ca")).as("na"), sum(col("cg")).as("ng"),
+      count(lit(1)).as("v"))
+    val weights = stats.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        (log((col("cg") + 1) / (col("ng") + col("v"))) -
+          log((col("ca") + 1) / (col("na") + col("v")))).as("w"))
+    toks.join(broadcast(weights), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(col("w")), 6).as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TF-IDF top-3 terms per document. The document-frequency table is
+    * the "model": one aggregate over (doc, term) pairs, broadcast back
+    * to the term-frequency side, so scoring never shuffles the corpus
+    * a second time; the per-doc top-3 rides a WindowGroupLimit (rank
+    * <= k prunes before the sort materializes). Corpus size joins as a
+    * broadcast 1-row frame — never a driver-side collect. */
+  val tfidf: Q = (spark, dir) => {
+    val tf = tokenized(spark, dir)
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
+    val n = Tables(spark, dir, "documents").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("tok"))
+    tf.join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf") * log(col("n") / col("dfreq")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("tok"),
+        round(col("tfidf"), 6).as("tfidf"), col("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  /** Overlapping fixed-token-window chunker (training-sample prep):
+    * width-8 windows at stride 4, so every token except the edges
+    * appears in exactly two training chunks. Pure generator over the
+    * pre-bound token array — map-only, zero shuffle until the final
+    * deterministic ORDER BY; at 100 TB this is the shape that matters
+    * because chunking is applied to EVERY document. */
+  val chunkStride: Q = (spark, dir) => {
+    val width = 8
+    val stride = 4
+    tokenized(spark, dir)
+      .filter(size(col("t")) >= width)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, size(t) - ${width - 1}, $stride)," +
+            s" i -> concat_ws(' ', slice(t, i, $width)))"))
+          .as(Seq("chunk_idx", "chunk")))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Language-ID heuristic: stopword-hit ratio (deterministic n-gram
     * heuristic stand-in; integer-count division matches the oracle
     * bitwise). */
@@ -871,6 +953,9 @@ object Llm {
     "q_llm_tokenize_bpe" -> tokenizeBpe,
     "q_llm_textstats" -> textstats,
     "q_llm_qualityfilter" -> qualityFilter,
+    "q_llm_quality_lr" -> qualityLr,
+    "q_llm_tfidf" -> tfidf,
+    "q_llm_chunk_stride" -> chunkStride,
     "q_llm_langid" -> langid,
     "q_llm_fingerprint" -> fingerprint,
     "q_llm_redact_pii" -> redactPii,
@@ -999,6 +1084,50 @@ object Llm {
            AND len(string_split(text, ' ')) BETWEEN 20 AND 1000
            AND n_chars * 1.0 / len(string_split(text, ' ')) BETWEEN 3.0 AND 20.0
          ORDER BY doc_id""",
+    "q_llm_quality_lr" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         stats AS (
+           SELECT tok, count(*) AS ca,
+                  count(CASE WHEN lang = 'en' THEN 1 END) AS cg
+           FROM toks GROUP BY tok),
+         totals AS (
+           SELECT sum(ca) AS na, sum(cg) AS ng, count(*) AS v FROM stats),
+         weights AS (
+           SELECT tok, ln((cg + 1) / (ng + v)) - ln((ca + 1) / (na + v)) AS w
+           FROM stats, totals)
+         SELECT doc_id, round(avg(w), 6) AS score
+         FROM toks JOIN weights USING (tok)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q_llm_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         tf AS (
+           SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+         df AS (
+           SELECT tok, count(*) AS dfreq FROM tf GROUP BY tok),
+         n AS (SELECT count(*) AS n FROM documents),
+         scored AS (
+           SELECT doc_id, tok, tf * ln(n / dfreq) AS tfidf
+           FROM tf JOIN df USING (tok), n),
+         ranked AS (
+           SELECT doc_id, tok, tfidf,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, tok) AS rnk
+           FROM scored)
+         SELECT doc_id, tok, round(tfidf, 6) AS tfidf, CAST(rnk AS INT) AS rnk
+         FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "q_llm_chunk_stride" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         w AS (
+           SELECT doc_id, t, unnest(generate_series(1, len(t) - 7, 4)) AS i
+           FROM toks WHERE len(t) >= 8)
+         SELECT doc_id, CAST((i - 1) // 4 AS INT) AS chunk_idx,
+                array_to_string(t[i : i + 7], ' ') AS chunk
+         FROM w ORDER BY doc_id, chunk_idx""",
     "q_llm_langid" ->
       """SELECT doc_id,
                 len(list_filter(string_split(text, ' '),

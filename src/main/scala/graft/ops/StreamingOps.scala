@@ -34,9 +34,17 @@ object StreamingOps {
         col("event_type"), col("cnt"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Stream-stream interval join, batch face — same code path the
+    * streaming query runs (Pipelines.clickAttribution); the oracle is
+    * the plain interval join. */
+  val streamJoin: Q = (spark, dir) =>
+    Pipelines.clickAttribution(Tables(spark, dir, "events"))
+      .orderBy(col("purchase_id"), col("click_id"))
+
   val queries: Map[String, Q] = Map(
     "q_stream_tumbling" -> streamTumbling,
-    "q_stream_sliding" -> streamSliding)
+    "q_stream_sliding" -> streamSliding,
+    "q_stream_join" -> streamJoin)
 
   val oracle: Map[String, String] = Map(
     "q_stream_tumbling" ->
@@ -55,5 +63,15 @@ object StreamingOps {
            FROM events)
          SELECT window_start, event_type, count(*) AS cnt
          FROM assigned GROUP BY window_start, event_type
-         ORDER BY window_start, event_type""")
+         ORDER BY window_start, event_type""",
+    "q_stream_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+                p.ts AS purchase_ts,
+                c.event_id AS click_id, c.ts AS click_ts
+         FROM events p JOIN events c
+           ON p.user_id = c.user_id
+          AND p.event_type = 'purchase' AND c.event_type = 'click'
+          AND c.ts <= p.ts
+          AND c.ts >= p.ts - INTERVAL 10 MINUTE
+         ORDER BY purchase_id, click_id""")
 }

@@ -347,6 +347,35 @@ object Pipelines {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** Stream-stream interval join (click->purchase attribution): each
+    * purchase matched to the same user's clicks within the preceding
+    * 10 minutes. Both sides carry watermarks AND the join condition
+    * bounds event time on both sides — that pair is what lets Spark
+    * expire join state: a buffered click is dropped as soon as the
+    * purchase watermark passes click_ts + 10 min. Without the interval
+    * bound a stream-stream join buffers both streams forever, which is
+    * the canonical unbounded-state failure at scale. Works identically
+    * on batch frames (same code path) — q_stream_join is the
+    * oracle-checked batch face; StreamingSpec runs this form. */
+  def clickAttribution(events: DataFrame): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 10 MINUTES"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** X5: tumbling event-time window aggregation with watermark —
     * the streaming form of q_stream_tumbling. */
   def tumblingCounts(events: DataFrame, width: String = "1 hour"): DataFrame =

@@ -46,6 +46,8 @@ object ScaleProbe {
     inflate("orders", Seq("o_orderkey"), 10000000L)
     inflate("customer", Seq(), 0L) // dims stay as-is: fact x N, dim fixed
     inflate("nation", Seq(), 0L)
+    inflate("supplier", Seq(), 0L)
+    inflate("region", Seq(), 0L)
     inflate("events", Seq("event_id"), 10000000L)
     inflate("documents", Seq("doc_id"), 10000000L)
     inflate("embeddings", Seq("vec_id"), 10000000L)
@@ -79,6 +81,15 @@ object ScaleProbe {
     time("chunk dedup") { Llm.chunkDedup(spark, dst) }
     time("decontaminate") { Llm.decontaminate(spark, dst) }
     time("repetition rules") { Llm.repetition(spark, dst) }
+    // round-2 batch 2: the binned range join (the binning IS the scale
+    // claim — without it this is O(n*m)), the salted shuffle join, the
+    // TPC-H macros, and the quality-LR model train+score
+    time("binned range join") { Joins.joinRange(spark, dst) }
+    time("salted join") { Joins.joinSalted(spark, dst) }
+    time("tpch q3") { Joins.tpchQ3(spark, dst) }
+    time("tpch q5") { Joins.tpchQ5(spark, dst) }
+    time("quality LR") { Llm.qualityLr(spark, dst) }
+    time("stream join face") { StreamingOps.streamJoin(spark, dst) }
 
     spark.stop()
   }

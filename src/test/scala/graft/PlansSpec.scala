@@ -97,4 +97,44 @@ class PlansSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       "total/kept/rebuilt must all ride the single post-window aggregation")
   }
+
+  test("binned range join plans a HASH join, not a nested loop") {
+    val p = plan("q_join_range")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the bin key must make the containment join hashable")
+  }
+
+  test("salted join honors the shuffle-hash hint (the no-broadcast regime)") {
+    val p = plan("q_join_salted")
+    assert(p.contains("ShuffledHashJoin"), p.take(400))
+  }
+
+  test("TPC-H Q3 broadcasts the dim, pushes date filters, top-10 without global sort") {
+    val p = plan("q_tpch_q3")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(p.contains("TakeOrderedAndProject"), "LIMIT 10 must not global-sort")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      "the shipdate filter must reach the lineitem scan")
+  }
+
+  test("TPC-H Q5 keeps all four dims broadcast; no cartesian anywhere") {
+    val p = plan("q_tpch_q5")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    // the ONLY shuffle join allowed is fact x fact (lineitem x orders)
+    assert(p.sliding("SortMergeJoin".length).count(_ == "SortMergeJoin") <= 1,
+      "dims must broadcast, not shuffle")
+  }
+
+  test("quality-LR scoring join broadcasts the trained vocab weights") {
+    val p = plan("q_llm_quality_lr")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+  }
+
+  test("stream-stream join face keys on user_id (hashable), never a nested loop") {
+    val p = plan("q_stream_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(400))
+  }
 }

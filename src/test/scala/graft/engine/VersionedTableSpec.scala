@@ -59,6 +59,46 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.read(spark, dir, Some(v0)).count() == 1000)
   }
 
+  test("diffVersions emits insert/delete/update between snapshots, drops unchanged") {
+    val dir = tmp("graft_vt_diff")
+    VersionedTable.commit(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), dir)
+    VersionedTable.commit(
+      Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v"), dir)
+    val diff = VersionedTable.diffVersions(spark, dir, "k", 0L, 1L)
+      .as[(Long, String)].collect().toMap
+    assert(diff == Map(2L -> "update", 3L -> "delete", 4L -> "insert"),
+      s"got $diff") // key 1 unchanged -> absent
+  }
+
+  test("z-ordered commitWithStats prunes files on 2-D range predicates, same results") {
+    val dir = tmp("graft_vt_skip")
+    graft.functions.ZOrder.register(spark)
+    val data = spark.range(0, 4096).toDF("i")
+      .select((col("i") / 64).cast("long").as("x"), (col("i") % 64).as("y"),
+        col("i").as("payload"))
+    val zordered = data
+      .withColumn("z", expr("zorder2(x, y)"))
+      .repartitionByRange(16, col("z"))
+      .sortWithinPartitions(col("z"))
+      .drop("z")
+    VersionedTable.commitWithStats(zordered, dir, Seq("x", "y"))
+    val ranges = Map("x" -> ((3L, 10L)), "y" -> ((5L, 12L)))
+    val (pruned, read, total) = VersionedTable.readPruned(spark, dir, ranges)
+    assert(total == 16, s"expected 16 files, got $total")
+    assert(read < total, s"selective 2-D range must skip files ($read/$total)")
+    val expected = VersionedTable.read(spark, dir)
+      .filter(col("x").between(3, 10) && col("y").between(5, 12))
+      .agg(sum("payload"), count(lit(1))).head()
+    val got = pruned.agg(sum("payload"), count(lit(1))).head()
+    assert(got == expected, "pruned read must equal the full filtered scan")
+    // pruning must also hold on the SECOND dimension alone — the
+    // property a 1-D sort cannot give
+    val (_, readY, totalY) = VersionedTable.readPruned(
+      spark, dir, Map("y" -> ((0L, 7L))))
+    assert(readY < totalY, s"y-only range must also skip files ($readY/$totalY)")
+  }
+
   test("upsert: updates win by key, unmatched base survives") {
     val base = Seq((1L, "old"), (2L, "keep")).toDF("k", "v")
     val updates = Seq((1L, "new"), (3L, "ins")).toDF("k", "v")

@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class ZOrderSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("interleave places x on even bits, y on odd bits") {
+    assert(ZOrder.interleave(0L, 0L) == 0L)
+    assert(ZOrder.interleave(1L, 0L) == 1L) // x bit 0 -> z bit 0
+    assert(ZOrder.interleave(0L, 1L) == 2L) // y bit 0 -> z bit 1
+    assert(ZOrder.interleave(3L, 3L) == 15L) // 0b1111
+    assert(ZOrder.interleave(0b101L, 0b011L) == 0b011011L)
+    // only the low 31 bits of each input participate; result >= 0
+    assert(ZOrder.interleave(0x7FFFFFFFL, 0x7FFFFFFFL) == 0x3FFFFFFFFFFFFFFFL)
+    assert(ZOrder.interleave(-1L, -1L) == 0x3FFFFFFFFFFFFFFFL)
+  }
+
+  test("codegen and interpreted paths agree with the reference impl") {
+    ZOrder.register(spark)
+    val df = spark.range(0, 1000).toDF("i")
+      .select(col("i") * 7919 % 1024 as "x", col("i") * 104729 % 1024 as "y")
+    val rows = df.select(col("x"), col("y"), expr("zorder2(x, y)").as("z"))
+      .as[(Long, Long, Long)].collect()
+    rows.foreach { case (x, y, z) =>
+      assert(z == ZOrder.interleave(x, y), s"($x, $y)")
+    }
+  }
+
+  test("z-sort clusters both dimensions: adjacent rows are near in x AND y") {
+    ZOrder.register(spark)
+    // full 32x32 grid, z-sorted; Morton guarantees any K consecutive
+    // values span an x- and y-range of O(sqrt(K)), unlike a
+    // lexicographic (x, y) sort where a single x value spans ALL of y
+    val grid = spark.range(0, 1024).toDF("i")
+      .select((col("i") / 32).cast("long").as("x"), (col("i") % 32).as("y"))
+      .select(col("x"), col("y"), expr("zorder2(x, y)").as("z"))
+      .orderBy("z").as[(Long, Long, Long)].collect()
+    grid.sliding(64, 64).foreach { chunk =>
+      val xs = chunk.map(_._1)
+      val ys = chunk.map(_._2)
+      assert(xs.max - xs.min <= 8 && ys.max - ys.min <= 8,
+        s"64-row z-run must stay in an 8x8 tile, got ${xs.min}..${xs.max} x ${ys.min}..${ys.max}")
+    }
+  }
+}
