@@ -5,18 +5,22 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-trend probe: inflates the sf0.1 fixtures in-place (union with
-  * shifted keys — same distributions, x N rows) and times the
-  * heavyweight plans on the inflated copy. The point is the TREND: a
-  * plan that is ~linear from sf0.1 to sf~1 has no hidden quadratic or
-  * driver-side bottleneck, which is the property that carries to a
-  * 1000-executor cluster.
+/** Scale-trend probe: inflates the sf0.1 fixtures in-place (facts
+  * unioned with shifted keys — same distributions, x N rows; dims kept
+  * fixed) and times the heavyweight plans on the inflated copy. The
+  * point is the TREND: a plan that is ~linear from sf0.1 to sf~1 has
+  * no hidden quadratic or driver-side bottleneck, which is the
+  * property that carries to a 1000-executor cluster.
   *
-  * Usage: runMain graft.tools.ScaleProbe [factor]
+  * All requested factors run in ONE JVM (default: 1 then 10) so the
+  * x1/x10 ratio is not polluted by JIT warm-up or machine variance
+  * between separate runs; the trend table prints at the end.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [factor...]
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val factors = if (args.isEmpty) Seq(1, 10) else args.toSeq.map(_.toInt)
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-scale-probe")
@@ -28,69 +32,111 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     val src = "/root/testdata/sf0.1"
-    val dst = Files.createTempDirectory("graft_scaleprobe").toString
-    println(s"== inflating sf0.1 x$factor -> $dst")
+    // (probe name, factor) -> seconds, in insertion order
+    val results = scala.collection.mutable.LinkedHashMap.empty[(String, Int), Double]
 
-    def inflate(name: String, keyCols: Seq[String], keySpan: Long): Unit = {
-      val base = graft.engine.Tables(spark, src, name)
-      val copies = (0 until factor).map { i =>
-        keyCols.foldLeft(base) { (df, k) =>
-          df.withColumn(k, col(k) + lit(i * keySpan))
-        }
+    def runFactor(factor: Int): Unit = {
+      val dst = Files.createTempDirectory(s"graft_scaleprobe_x$factor").toString
+      println(s"== inflating sf0.1 x$factor -> $dst")
+
+      def inflate(name: String, keyCols: Seq[String], keySpan: Long): Unit = {
+        val base = graft.engine.Tables(spark, src, name)
+        // dims (no key columns) are written ONCE: fact x N, dim fixed.
+        // Unioning N unshifted copies would duplicate every dim row and
+        // fan every dim join out x N (x N^2 with two dims) — a probe
+        // artifact that masquerades as superlinear engine behavior.
+        val out =
+          if (keyCols.isEmpty) base
+          else (0 until factor).map { i =>
+            keyCols.foldLeft(base) { (df, k) =>
+              df.withColumn(k, col(k) + lit(i * keySpan))
+            }
+          }.reduce(_ unionByName _)
+        out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
       }
-      copies.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      // key spans chosen beyond each table's max key so copies don't collide
+      inflate("lineitem", Seq("l_orderkey"), 10000000L)
+      inflate("orders", Seq("o_orderkey"), 10000000L)
+      inflate("customer", Seq(), 0L)
+      inflate("nation", Seq(), 0L)
+      inflate("supplier", Seq(), 0L)
+      inflate("region", Seq(), 0L)
+      inflate("events", Seq("event_id"), 10000000L)
+      // documents: shift the key AND the vocabulary. Copying identical
+      // text would multiply every duplicate-cluster size by N, growing
+      // candidate PAIRS quadratically — that measures the fixture, not
+      // the engine. Prefixing each copy's tokens keeps the dup-rate
+      // constant while the corpus grows x N, which is the real
+      // "bigger corpus" axis. Copy 0 stays verbatim.
+      locally {
+        val base = graft.engine.Tables(spark, src, "documents")
+        (0 until factor).map { i =>
+          val shifted = base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+          if (i == 0) shifted
+          else shifted.withColumn("text", concat_ws(" ",
+            expr(s"transform(split(text, ' '), w -> concat('c${i}_', w))")))
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+      }
+      // embeddings keep identical vectors across copies: embed_neardup
+      // is the documented exact-O(n^2) baseline (its pair space really
+      // does grow quadratically); LSH/IVF are the at-scale paths.
+      inflate("embeddings", Seq("vec_id"), 10000000L)
+
+      def time(name: String)(df: => DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        df.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        results((name, factor)) = dt
+        println(f"== x$factor $name%-24s $dt%8.2f s")
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        graft.ops.Ml.invalidateFitCache() // the fit must be paid per factor
+      }
+
+      import graft.ops._
+      time("flagship groupby_multi") { Aggs.aggGroupbyMulti(spark, dst) }
+      time("dedup_latest (window)") { Filters.dedupLatest(spark, dst) }
+      time("quantile filter") { Filters.filterQuantile(spark, dst) }
+      time("topk counts") { Aggs.aggTopkCounts(spark, dst) }
+      time("salted agg") { Advanced.aggSalted(spark, dst) }
+      time("sessionization") { Advanced.streamSession(spark, dst) }
+      time("dedup exact (sha)") { Llm.dedupExact(spark, dst) }
+      time("minhash lsh native") { Llm.dedupMinhashNative(spark, dst) }
+      time("embed neardup") { Llm.embedNeardup(spark, dst) }
+      // round-2 risk list: the iterative clusters loop (cache/lineage
+      // hygiene), the IVF quantizer (sampled fit), simhash banding
+      time("dedup clusters") { Llm.dedupClusters(spark, dst) }
+      time("ann ivf") { Llm.annIvf(spark, dst) }
+      time("simhash pairs") { Llm.simhashPairs(spark, dst, 8) }
+      // round-2 curation additions: the chunk window (shuffle = full
+      // corpus keyed by passage), the broadcast decontamination join,
+      // and the Gopher bigram aggregate
+      time("chunk dedup") { Llm.chunkDedup(spark, dst) }
+      time("decontaminate") { Llm.decontaminate(spark, dst) }
+      time("repetition rules") { Llm.repetition(spark, dst) }
+      // round-2 batch 2: the binned range join (the binning IS the scale
+      // claim — without it this is O(n*m)), the salted shuffle join, the
+      // TPC-H macros, and the quality-LR model train+score
+      time("binned range join") { Joins.joinRange(spark, dst) }
+      time("salted join") { Joins.joinSalted(spark, dst) }
+      time("tpch q3") { Joins.tpchQ3(spark, dst) }
+      time("tpch q5") { Joins.tpchQ5(spark, dst) }
+      time("quality LR") { Llm.qualityLr(spark, dst) }
+      time("stream join face") { StreamingOps.streamJoin(spark, dst) }
     }
-    // key spans chosen beyond each table's max key so copies don't collide
-    inflate("lineitem", Seq("l_orderkey"), 10000000L)
-    inflate("orders", Seq("o_orderkey"), 10000000L)
-    inflate("customer", Seq(), 0L) // dims stay as-is: fact x N, dim fixed
-    inflate("nation", Seq(), 0L)
-    inflate("supplier", Seq(), 0L)
-    inflate("region", Seq(), 0L)
-    inflate("events", Seq("event_id"), 10000000L)
-    inflate("documents", Seq("doc_id"), 10000000L)
-    inflate("embeddings", Seq("vec_id"), 10000000L)
 
-    def time(name: String)(df: => DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      df.count()
-      println(f"== $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    factors.foreach(runFactor)
+
+    if (factors.length >= 2) {
+      val lo = factors.head
+      val hi = factors.last
+      println(f"== trend table (x$lo -> x$hi, same JVM)")
+      results.keys.map(_._1).toSeq.distinct.foreach { name =>
+        for (a <- results.get((name, lo)); b <- results.get((name, hi)))
+          println(f"== $name%-24s x$lo $a%7.2f s  x$hi $b%7.2f s  ratio ${b / a}%5.2f")
+      }
     }
-
-    import graft.ops._
-    time("flagship groupby_multi") { Aggs.aggGroupbyMulti(spark, dst) }
-    time("dedup_latest (window)") { Filters.dedupLatest(spark, dst) }
-    time("quantile filter") { Filters.filterQuantile(spark, dst) }
-    time("topk counts") { Aggs.aggTopkCounts(spark, dst) }
-    time("salted agg") { Advanced.aggSalted(spark, dst) }
-    time("sessionization") { Advanced.streamSession(spark, dst) }
-    time("dedup exact (sha)") { Llm.dedupExact(spark, dst) }
-    time("minhash lsh native") { Llm.dedupMinhashNative(spark, dst) }
-    time("embed neardup") { Llm.embedNeardup(spark, dst) }
-    // round-2 risk list: the iterative clusters loop (cache/lineage
-    // hygiene), the IVF quantizer (sampled fit), simhash banding
-    time("dedup clusters") { Llm.dedupClusters(spark, dst) }
-    time("ann ivf") { Llm.annIvf(spark, dst) }
-    time("simhash pairs") { Llm.simhashPairs(spark, dst, 8) }
-    // round-2 curation additions: the chunk window (shuffle = full
-    // corpus keyed by passage), the broadcast decontamination join,
-    // and the Gopher bigram aggregate
-    time("chunk dedup") { Llm.chunkDedup(spark, dst) }
-    time("decontaminate") { Llm.decontaminate(spark, dst) }
-    time("repetition rules") { Llm.repetition(spark, dst) }
-    // round-2 batch 2: the binned range join (the binning IS the scale
-    // claim — without it this is O(n*m)), the salted shuffle join, the
-    // TPC-H macros, and the quality-LR model train+score
-    time("binned range join") { Joins.joinRange(spark, dst) }
-    time("salted join") { Joins.joinSalted(spark, dst) }
-    time("tpch q3") { Joins.tpchQ3(spark, dst) }
-    time("tpch q5") { Joins.tpchQ5(spark, dst) }
-    time("quality LR") { Llm.qualityLr(spark, dst) }
-    time("stream join face") { StreamingOps.streamJoin(spark, dst) }
-
     spark.stop()
   }
 }
