@@ -68,6 +68,24 @@ object Joins {
       .orderBy(col("c_custkey"))
   }
 
+  /** FULL OUTER: per-user event counts x customer dim — keeps
+    * customers with no events (left-only) AND event users outside the
+    * dim (right-only, user 0). Completes the join-type matrix with
+    * semi/anti/left/inner above. */
+  val joinFull: Q = (spark, dir) => {
+    val users = Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val cust = Tables(spark, dir, "customer")
+      .filter(col("c_custkey") < 300)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    cust.join(users, cust("c_custkey") === users("user_id"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("user_id")).as("k"),
+        col("c_mktsegment"), col("n_events"))
+      .orderBy(col("k"))
+  }
+
   /** Binned range join (point-in-interval, NO equi key).
     *
     * A naive `points JOIN intervals ON p BETWEEN s AND e` has no
@@ -199,6 +217,7 @@ object Joins {
     "q_join_inner" -> joinInner,
     "q_join_semi" -> joinSemi,
     "q_join_anti" -> joinAnti,
+    "q_join_full" -> joinFull,
     "q_join_range" -> joinRange,
     "q_join_salted" -> joinSalted,
     "q_tpch_q3" -> tpchQ3,
@@ -226,6 +245,14 @@ object Joins {
       """SELECT c_custkey, c_name FROM customer
          WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
          ORDER BY c_custkey""",
+    "q_join_full" ->
+      """SELECT coalesce(c_custkey, user_id) AS k, c_mktsegment, n_events
+         FROM (SELECT c_custkey, c_mktsegment FROM customer
+               WHERE c_custkey < 300) c
+         FULL JOIN (SELECT user_id, count(*) AS n_events
+                    FROM events GROUP BY user_id) u
+           ON c.c_custkey = u.user_id
+         ORDER BY k""",
     // the oracle is the UNBINNED containment join — the binning is a
     // pure execution-strategy rewrite and must not change results
     "q_join_range" ->

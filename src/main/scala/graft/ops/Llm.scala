@@ -631,6 +631,76 @@ object Llm {
       .limit(10)
   }
 
+  /** SemDeDup (semantic dedup, Abbas et al. 2023 shape): coarse-cluster
+    * embeddings with the same sampled KMeans quantizer as annIvf, then
+    * drop near-duplicate vectors WITHIN each cell (cosine >= 0.8 to the
+    * kept representative; lowest vec_id survives). The scale property
+    * is the cell join: near-dup pairs only form inside a cell —
+    * shuffle keyed by cell id, never corpus x corpus — so the
+    * quadratic term is bounded by the largest cell, which k controls
+    * (at 100 TB: k ~ sqrt(n) keeps cells ~sqrt(n)). Rows-only check
+    * (KMeans assignment is not SQL-expressible); output is per-cell
+    * kept/dropped counts, deterministic given seed 42. */
+  val semDedup: Q = (spark, dir) => {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("unit", expr(
+        "transform(e, x -> x / sqrt(aggregate(transform(e, y -> y * y)," +
+          " 0D, (acc, v) -> acc + v)))"))
+      .withColumn("features", array_to_vector(col("unit")))
+    val fitCap = 100000L
+    val total = Tables(spark, dir, "embeddings").count()
+    val fitInput =
+      if (total > fitCap) emb.sample(withReplacement = false,
+        fraction = fitCap.toDouble / total, seed = 42L)
+      else emb
+    val model = new KMeans().setK(8).setSeed(42).setMaxIter(8)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(fitInput)
+    val cells = model.transform(emb)
+      .select(col("vec_id"), col("unit"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = cells.select(col("cell"), col("vec_id").as("a_id"),
+      col("unit").as("a_e"))
+    val b = cells.select(col("cell"), col("vec_id").as("b_id"),
+      col("unit").as("b_e"))
+    val drops = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id") &&
+        expr("cosine_sim(a_e, b_e)") >= 0.8)
+      .select(col("b_id").as("vec_id")).distinct()
+    val kept = cells.join(drops, Seq("vec_id"), "left_anti")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_kept"))
+    cells.groupBy(col("cell")).agg(count(lit(1)).as("n_total"))
+      .join(kept, Seq("cell"), "left")
+      .select(col("cell"),
+        col("n_total"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("cell"))
+  }
+
+  /** Sequence packing (training-batch prep): assign documents to
+    * fixed-token-budget bins (cap 512) greedily in deterministic
+    * doc_id order, packed independently PER SOURCE — the partition key
+    * is what makes packing distributable (a single global order would
+    * serialize the corpus through one window partition at 100 TB).
+    * Standard cumulative-sum formulation: a doc opens a new bin when
+    * the running total before it crosses a cap multiple. */
+  val pack: Q = (spark, dir) => {
+    val cap = 512L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    tokenized(spark, dir)
+      .select(col("source"), col("doc_id"), size(col("t")).cast("long").as("n_tok"))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("cum_before") / cap))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("source"), col("bin"))
+  }
+
   /** Token counting, whitespace + BPE-ish regex: runs of letters, runs
     * of digits, single other symbols (the classic pre-tokenizer
     * shape). */
@@ -956,6 +1026,8 @@ object Llm {
     "q_llm_quality_lr" -> qualityLr,
     "q_llm_tfidf" -> tfidf,
     "q_llm_chunk_stride" -> chunkStride,
+    "q_llm_semdedup" -> semDedup,
+    "q_llm_pack" -> pack,
     "q_llm_langid" -> langid,
     "q_llm_fingerprint" -> fingerprint,
     "q_llm_redact_pii" -> redactPii,
@@ -1119,6 +1191,22 @@ object Llm {
            FROM scored)
          SELECT doc_id, tok, round(tfidf, 6) AS tfidf, CAST(rnk AS INT) AS rnk
          FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    // q_llm_semdedup is rows-only by design (KMeans cell assignment)
+    "q_llm_pack" ->
+      """WITH d AS (
+           SELECT source, doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         c AS (
+           SELECT source, doc_id, n_tok,
+                  coalesce(sum(n_tok) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS cum_before
+           FROM d)
+         SELECT source, CAST(cum_before // 512 AS BIGINT) AS bin,
+                count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         FROM c GROUP BY source, bin ORDER BY source, bin""",
     "q_llm_chunk_stride" ->
       """WITH toks AS (
            SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -62,12 +62,22 @@ object Sorts {
     cust.except(ordered).orderBy(col("c_custkey"))
   }
 
+  /** INTERSECT: customers active in BOTH 1996 and 1997 (set semantics,
+    * distinct — same plan shape as a semi-join + distinct). */
+  val intersectKeys: Q = (spark, dir) => {
+    val o = Tables(spark, dir, "orders")
+    val a = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+    val b = o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey"))
+    a.intersect(b).orderBy(col("o_custkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_topk_sort_limit" -> topkSortLimit,
     "q_limit" -> limitN,
     "q_sort_asc" -> sortAsc,
     "q_sample" -> sample,
-    "q_except" -> exceptKeys)
+    "q_except" -> exceptKeys,
+    "q_intersect" -> intersectKeys)
 
   val oracle: Map[String, String] = Map(
     "q_topk_sort_limit" ->
@@ -81,5 +91,10 @@ object Sorts {
     "q_except" ->
       """SELECT c_custkey FROM customer
          EXCEPT SELECT o_custkey AS c_custkey FROM orders
-         ORDER BY c_custkey""")
+         ORDER BY c_custkey""",
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+         ORDER BY o_custkey""")
 }

@@ -83,12 +83,27 @@ object Windows {
       .orderBy(col("o_orderkey"))
   }
 
+  /** W+: distribution functions — percent_rank / cume_dist of each
+    * event's value within its event_type. Both are pure functions of
+    * the ORDER BY column, so tie rows carry equal outputs and the
+    * all-column ORDER BY keeps the row stream deterministic. */
+  val windowCume: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    Tables(spark, dir, "events")
+      .select(
+        col("event_type"), col("value"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy(col("event_type"), col("value"), col("pr"), col("cd"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_window_rownum" -> windowRownum,
     "q_window_rank" -> windowRank,
     "q_window_frame" -> windowFrame,
     "q_window_lag" -> windowLag,
-    "q_window_ntile" -> windowNtile)
+    "q_window_ntile" -> windowNtile,
+    "q_window_cume" -> windowCume)
 
   val oracle: Map[String, String] = Map(
     "q_window_rownum" ->
@@ -114,6 +129,13 @@ object Windows {
                 CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT)
                   AS quartile
          FROM orders ORDER BY o_orderkey""",
+    "q_window_cume" ->
+      """SELECT event_type, value,
+                round(percent_rank() OVER (PARTITION BY event_type
+                                           ORDER BY value), 6) AS pr,
+                round(cume_dist() OVER (PARTITION BY event_type
+                                        ORDER BY value), 6) AS cd
+         FROM events ORDER BY event_type, value, pr, cd""",
     "q_window_frame" ->
       """WITH hourly AS (
            SELECT date_trunc('hour', ts) AS h, count(*) AS cnt

@@ -75,6 +75,25 @@ object MedallionDemo {
       servingDir)
     println(s"== serving versions: ${VersionedTable.versions(spark, servingDir)}")
 
+    // -- OPTIMIZE: Z-order the serving layer on (longitude, latitude)
+    // buckets and commit with a per-file min/max manifest, then answer
+    // a 2-D range query through the pruned read path — the maintenance
+    // step a real lake runs nightly (compaction + layout + stats)
+    graft.functions.ZOrder.register(spark)
+    val clustered = VersionedTable.read(spark, servingDir)
+      .withColumn("lon_b", ((col("longitude") + 180.0) * 10).cast("long"))
+      .withColumn("lat_b", ((col("latitude") + 90.0) * 10).cast("long"))
+      .withColumn("zv", expr("zorder2(lon_b, lat_b)"))
+      .repartitionByRange(2, col("zv"))
+      .sortWithinPartitions(col("zv"))
+      .drop("zv")
+    VersionedTable.commitWithStats(clustered, servingDir, Seq("lon_b", "lat_b"))
+    val (europe, filesRead, filesTotal) = VersionedTable.readPruned(
+      spark, servingDir,
+      Map("lon_b" -> ((1800L, 1999L)), "lat_b" -> ((1300L, 1499L))))
+    println(s"== optimize: z-ordered serving committed; Europe-box query " +
+      s"read $filesRead/$filesTotal files, ${europe.count()} rows")
+
     // -- analytics: the flagship country-intelligence shape (§7.1)
     val result = VersionedTable.read(spark, servingDir)
       .filter(col("on_ground") === false)

@@ -124,6 +124,10 @@ object ScaleProbe {
       time("tpch q5") { Joins.tpchQ5(spark, dst) }
       time("quality LR") { Llm.qualityLr(spark, dst) }
       time("stream join face") { StreamingOps.streamJoin(spark, dst) }
+      // batch 3: SemDeDup's quadratic term is bounded by the largest
+      // KMeans cell; packing windows per source, never globally
+      time("semdedup") { Llm.semDedup(spark, dst) }
+      time("seq packing") { Llm.pack(spark, dst) }
     }
 
     factors.foreach(runFactor)

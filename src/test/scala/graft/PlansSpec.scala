@@ -137,4 +137,17 @@ class PlansSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       p.take(400))
   }
+
+  test("semdedup pair space is keyed by cell, never corpus x corpus") {
+    val p = plan("q_llm_semdedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(400))
+  }
+
+  test("sequence packing windows per source and aggregates in place") {
+    val p = plan("q_llm_pack")
+    assert(p.contains("Window"), p.take(400))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "packing is window + aggregate, no join")
+  }
 }
