@@ -574,26 +574,38 @@ object Llm {
       .agg(round(avg(col("v")), 4).as("c"))
       .orderBy(col("label"), col("i"))
 
-  /** IVF-style ANN: coarse-quantize with KMeans (k=8, seed 42) over
-    * unit vectors, then scan only the query's cell and its runner-up
-    * (2 probes) with the native cosine scorer. The 100 TB shape:
-    * centroid table broadcast, per-cell scans pruned by cluster id.
-    * Rows-only check (cell assignment is not SQL-expressible). */
-  val annIvf: Q = (spark, dir) => {
+  /** Memoized IVF cell index — unit vectors + KMeans(k=8, seed 42)
+    * cell assignments — shared by annIvf and semDedup so a session
+    * pays ONE quantizer fit per embeddings dir (the fit is the
+    * expensive part; the model object survives cache clears). Session
+    * keys are held weakly, same rationale as Ml.fitCache. */
+  private val cellCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[
+      String, (org.apache.spark.ml.clustering.KMeansModel, DataFrame)]])
+
+  def invalidateCellCache(): Unit = cellCache.clear()
+
+  private def ivfCells(spark: SparkSession, dir: String)
+      : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) =
+    cellCache
+      .computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate(dir, fitIvfCells(spark, dir))
+
+  /** One quantizer fit: coarse cells barely improve past a few Lloyd
+    * passes and probing covers boundary error — cap the iterations.
+    * Fit on a seeded sample capped at ~100k vectors (centroid
+    * placement converges long before that); transform ALL rows. The
+    * row count comes from parquet footer metadata, not a scan. */
+  private def fitIvfCells(spark: SparkSession, dir: String)
+      : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    graft.functions.CosineSimilarity.register(spark)
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("unit", expr(
         "transform(e, x -> x / sqrt(aggregate(transform(e, y -> y * y)," +
           " 0D, (acc, v) -> acc + v)))"))
       .withColumn("features", array_to_vector(col("unit")))
-    // coarse quantizer: cell quality barely moves past a few Lloyd
-    // passes, and probing covers boundary error — cap the iterations.
-    // Fit on a seeded sample capped at ~100k vectors (centroid
-    // placement converges long before that); transform ALL rows. The
-    // row count comes from parquet footer metadata, not a scan.
     val fitCap = 100000L
     val total = Tables(spark, dir, "embeddings").count()
     val fitInput =
@@ -604,7 +616,19 @@ object Llm {
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(fitInput)
     val cells = model.transform(emb)
+      .select(col("vec_id"), col("e"), col("unit"), col("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (model, cells)
+  }
+
+  /** IVF-style ANN: coarse-quantize with KMeans (k=8, seed 42) over
+    * unit vectors, then scan only the query's cell and its runner-up
+    * (2 probes) with the native cosine scorer. The 100 TB shape:
+    * centroid table broadcast, per-cell scans pruned by cluster id.
+    * Rows-only check (cell assignment is not SQL-expressible). */
+  val annIvf: Q = (spark, dir) => {
+    graft.functions.CosineSimilarity.register(spark)
+    val (model, cells) = ivfCells(spark, dir)
     val query = cells.filter(col("vec_id") === 0)
       .select(col("e").as("qe"), col("cell").as("qcell"))
     // probe the query's cell plus the nearest other centroid's cell
@@ -642,27 +666,8 @@ object Llm {
     * (KMeans assignment is not SQL-expressible); output is per-cell
     * kept/dropped counts, deterministic given seed 42. */
   val semDedup: Q = (spark, dir) => {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     graft.functions.CosineSimilarity.register(spark)
-    val emb = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("unit", expr(
-        "transform(e, x -> x / sqrt(aggregate(transform(e, y -> y * y)," +
-          " 0D, (acc, v) -> acc + v)))"))
-      .withColumn("features", array_to_vector(col("unit")))
-    val fitCap = 100000L
-    val total = Tables(spark, dir, "embeddings").count()
-    val fitInput =
-      if (total > fitCap) emb.sample(withReplacement = false,
-        fraction = fitCap.toDouble / total, seed = 42L)
-      else emb
-    val model = new KMeans().setK(8).setSeed(42).setMaxIter(8)
-      .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(fitInput)
-    val cells = model.transform(emb)
-      .select(col("vec_id"), col("unit"), col("cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (_, cells) = ivfCells(spark, dir)
     val a = cells.select(col("cell"), col("vec_id").as("a_id"),
       col("unit").as("a_e"))
     val b = cells.select(col("cell"), col("vec_id").as("b_id"),

@@ -92,6 +92,7 @@ object ScaleProbe {
         spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         graft.ops.Ml.invalidateFitCache() // the fit must be paid per factor
+        graft.ops.Llm.invalidateCellCache()
       }
 
       import graft.ops._
