@@ -706,6 +706,29 @@ object Llm {
       .orderBy(col("source"), col("bin"))
   }
 
+  /** Character-entropy quality signal: Shannon entropy of the per-doc
+    * character distribution — low entropy flags boilerplate/repetition,
+    * high entropy flags binary junk (a standard curation heuristic next
+    * to the Gopher rules). Uses the single-aggregation identity
+    * H = log2(n) - (sum c*log2(c))/n so the whole thing is ONE
+    * (doc, char) count plus one per-doc aggregate — no window, no
+    * join. The empty-string filter drops the trailing "" Java's
+    * split-with-limit--1 emits on empty-pattern splits. */
+  val entropy: Q = (spark, dir) =>
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.functions.split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n"),
+        sum(col("c") * log2(col("c"))).as("s"))
+      .select(col("doc_id"),
+        round(log2(col("n")) - col("s") / col("n"), 6).as("entropy"))
+      .orderBy(col("doc_id"))
+
   /** Token counting, whitespace + BPE-ish regex: runs of letters, runs
     * of digits, single other symbols (the classic pre-tokenizer
     * shape). */
@@ -1033,6 +1056,7 @@ object Llm {
     "q_llm_chunk_stride" -> chunkStride,
     "q_llm_semdedup" -> semDedup,
     "q_llm_pack" -> pack,
+    "q_llm_entropy" -> entropy,
     "q_llm_langid" -> langid,
     "q_llm_fingerprint" -> fingerprint,
     "q_llm_redact_pii" -> redactPii,
@@ -1197,6 +1221,16 @@ object Llm {
          SELECT doc_id, tok, round(tfidf, 6) AS tfidf, CAST(rnk AS INT) AS rnk
          FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""",
     // q_llm_semdedup is rows-only by design (KMeans cell assignment)
+    "q_llm_entropy" ->
+      """WITH chars AS (
+           SELECT doc_id, unnest(string_split(text, '')) AS ch
+           FROM documents),
+         cnt AS (
+           SELECT doc_id, ch, count(*) AS c FROM chars
+           WHERE ch <> '' GROUP BY doc_id, ch)
+         SELECT doc_id,
+                round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy
+         FROM cnt GROUP BY doc_id ORDER BY doc_id""",
     "q_llm_pack" ->
       """WITH d AS (
            SELECT source, doc_id,

@@ -240,7 +240,7 @@ object Pipelines {
   def kafkaPayload(states: DataFrame): DataFrame =
     states.select(
       col("icao24").cast(StringType).as("key"),
-      to_json(struct(states.columns.map(col): _*)).as("value"))
+      to_json(struct(states.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   /** Kafka-shaped source (S3). Not executable in the build env (no
     * broker, no connector jar); the text-file source below is the test
