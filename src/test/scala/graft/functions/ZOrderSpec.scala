@@ -28,6 +28,28 @@ class ZOrderSpec extends SparkTestBase {
     }
   }
 
+  test("GraftExtensions injects both native functions into a fresh session") {
+    val base = spark // force the shared session (and its context) up
+    try {
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      // same SparkContext, fresh session state with the extensions
+      // applied at build time — the spark.sql.extensions deployment path
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne base, "must be a fresh session, not the shared one")
+      val row = s2.sql(
+        "SELECT cosine_sim(array(1.0D, 0D), array(1.0D, 0D)) AS c," +
+          " zorder2(3L, 1L) AS z").head()
+      assert(row.getDouble(0) == 1.0)
+      assert(row.getLong(1) == 7L) // x=3 -> bits 0,2; y=1 -> bit 1
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+
   test("z-sort clusters both dimensions: adjacent rows are near in x AND y") {
     ZOrder.register(spark)
     // full 32x32 grid, z-sorted; Morton guarantees any K consecutive
