@@ -99,8 +99,10 @@ object Joins {
     * the intermediate is |points| * avg_intervals_per_bin, not n·m.
     *
     * Here: every 100th order opens a 30-day fulfillment window; count
-    * and total the lineitems shipped inside each window. Decimal sum —
-    * order-independent across engines (see bucketedJoin). */
+    * and total the lineitems shipped inside each window. The sum is
+    * `round(sum(double), 4)` on BOTH engines — the same pattern as
+    * joinInner — because a double->DECIMAL cast renders differently
+    * across DuckDB versions (round-2's one hash mismatch). */
   val joinRange: Q = (spark, dir) => {
     val binDays = 30 // bin width == interval length => <=2 bins/interval
     val iv = Tables(spark, dir, "orders")
@@ -122,8 +124,7 @@ object Joins {
       .groupBy(col("iv_id"))
       .agg(
         count(lit(1)).as("cnt"),
-        sum(col("l_extendedprice").cast("decimal(18,2)"))
-          .cast("decimal(38,2)").as("sum_price"))
+        round(sum(col("l_extendedprice")), 4).as("sum_price"))
       .orderBy(col("iv_id"))
   }
 
@@ -254,13 +255,15 @@ object Joins {
            ON c.c_custkey = u.user_id
          ORDER BY k""",
     // the oracle is the UNBINNED containment join — the binning is a
-    // pure execution-strategy rewrite and must not change results
+    // pure execution-strategy rewrite and must not change results.
+    // round(sum(double),4) and integer day-add (not DECIMAL cast /
+    // INTERVAL) keep the rendering stable across DuckDB versions.
     "q_join_range" ->
       """SELECT o_orderkey AS iv_id, count(*) AS cnt,
-                sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+                round(sum(l_extendedprice), 4) AS sum_price
          FROM orders JOIN lineitem
            ON CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
-          AND CAST(l_shipdate AS DATE) < CAST(o_orderdate AS DATE) + INTERVAL 30 DAY
+          AND CAST(l_shipdate AS DATE) < CAST(o_orderdate AS DATE) + 30
          WHERE o_orderkey % 100 = 0
          GROUP BY o_orderkey ORDER BY iv_id""",
     // the oracle is the UNSALTED join — salting must be invisible
