@@ -574,28 +574,56 @@ object Llm {
       .agg(round(avg(col("v")), 4).as("c"))
       .orderBy(col("label"), col("i"))
 
-  /** Memoized IVF cell index — unit vectors + KMeans(k=8, seed 42)
-    * cell assignments — shared by annIvf and semDedup so a session
-    * pays ONE quantizer fit per embeddings dir (the fit is the
+  /** Memoized IVF cell index — unit vectors + KMeans(k ~ sqrt(n),
+    * seed 42) cell assignments — shared by annIvf and semDedup so a
+    * session pays ONE quantizer fit per embeddings dir (the fit is the
     * expensive part; the model object survives cache clears). Session
-    * keys are held weakly, same rationale as Ml.fitCache. */
+    * keys are held weakly; the value is behind a SoftReference because
+    * the cached DataFrame strongly references its session — a strong
+    * value would pin the weak key forever (the WeakHashMap would never
+    * evict). Under memory pressure the soft ref clears, the
+    * value→session path breaks, and a dropped session becomes
+    * collectable; `invalidateCellCache()` is the explicit override. */
   private val cellCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[
-      String, (org.apache.spark.ml.clustering.KMeansModel, DataFrame)]])
+      String, java.lang.ref.SoftReference[
+        (org.apache.spark.ml.clustering.KMeansModel, DataFrame)]]])
 
   def invalidateCellCache(): Unit = cellCache.clear()
 
   private def ivfCells(spark: SparkSession, dir: String)
-      : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) =
-    cellCache
+      : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
+    val perSession = cellCache
       .computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
-      .getOrElseUpdate(dir, fitIvfCells(spark, dir))
+    perSession.get(dir).flatMap(r => Option(r.get())) match {
+      case Some(v) => v
+      case None =>
+        val v = fitIvfCells(spark, dir)
+        perSession.put(dir, new java.lang.ref.SoftReference(v))
+        v
+    }
+  }
+
+  /** (k, largest-cell size) of the memoized cell index — the bound on
+    * semDedup's within-cell quadratic term; ScaleProbe prints it so the
+    * "cells stay ~sqrt(n)" claim is a measured number, not prose. */
+  def ivfCellStats(spark: SparkSession, dir: String): (Int, Long) = {
+    val (model, cells) = ivfCells(spark, dir)
+    val largest = cells.groupBy(col("cell")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    (model.getK, largest)
+  }
 
   /** One quantizer fit: coarse cells barely improve past a few Lloyd
     * passes and probing covers boundary error — cap the iterations.
     * Fit on a seeded sample capped at ~100k vectors (centroid
     * placement converges long before that); transform ALL rows. The
-    * row count comes from parquet footer metadata, not a scan. */
+    * row count comes from parquet footer metadata, not a scan.
+    *
+    * k scales with the corpus: k = max(8, ceil(sqrt(n))) keeps the
+    * average cell ~sqrt(n), so semDedup's within-cell pair count is
+    * O(n^1.5) total instead of O(n^2/8) with a fixed k — the fixed
+    * k=8 of round 2 was a latent quadratic at corpus scale. */
   private def fitIvfCells(spark: SparkSession, dir: String)
       : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
@@ -608,11 +636,12 @@ object Llm {
       .withColumn("features", array_to_vector(col("unit")))
     val fitCap = 100000L
     val total = Tables(spark, dir, "embeddings").count()
+    val k = math.max(8, math.ceil(math.sqrt(total.toDouble)).toInt)
     val fitInput =
       if (total > fitCap) emb.sample(withReplacement = false,
         fraction = fitCap.toDouble / total, seed = 42L)
       else emb
-    val model = new KMeans().setK(8).setSeed(42).setMaxIter(8)
+    val model = new KMeans().setK(k).setSeed(42).setMaxIter(8)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(fitInput)
     val cells = model.transform(emb)
@@ -621,20 +650,26 @@ object Llm {
     (model, cells)
   }
 
-  /** IVF-style ANN: coarse-quantize with KMeans (k=8, seed 42) over
-    * unit vectors, then scan only the query's cell and its runner-up
-    * (2 probes) with the native cosine scorer. The 100 TB shape:
-    * centroid table broadcast, per-cell scans pruned by cluster id.
+  /** IVF-style ANN: coarse-quantize with KMeans (k ~ sqrt(n), seed 42)
+    * over unit vectors, then scan only the query's cell and its
+    * runner-up (2 probes) with the native cosine scorer. The 100 TB
+    * shape: centroid table broadcast, per-cell scans pruned by cluster
+    * id; probed fraction shrinks as 2/k while each cell stays ~sqrt(n).
     * Rows-only check (cell assignment is not SQL-expressible). */
   val annIvf: Q = (spark, dir) => {
     graft.functions.CosineSimilarity.register(spark)
     val (model, cells) = ivfCells(spark, dir)
     val query = cells.filter(col("vec_id") === 0)
       .select(col("e").as("qe"), col("cell").as("qcell"))
-    // probe the query's cell plus the nearest other centroid's cell
+    // probe the query's cell plus the nearest (nprobe-1) other
+    // centroids. nprobe scales with k — ceil(k/4) keeps the probed
+    // fraction constant as k grows with sqrt(n), which is what holds
+    // recall steady on weakly-clustered (worst-case uniform) vectors;
+    // corpora with real cluster structure can probe far fewer.
     val qRow = query.head()
     val qe = qRow.getAs[scala.collection.Seq[Double]](0)
     val qcell = qRow.getInt(1)
+    val nprobe = math.max(2, math.ceil(model.getK / 4.0).toInt)
     val centersRanked = model.clusterCenters.zipWithIndex
       .filter(_._2 != qcell)
       .map { case (c, i) =>
@@ -645,7 +680,7 @@ object Llm {
         (i, dot / math.sqrt(n))
       }
       .sortBy(-_._2)
-    val probes = Seq(qcell, centersRanked.head._1)
+    val probes = qcell +: centersRanked.take(nprobe - 1).map(_._1)
     cells
       .filter(col("vec_id") =!= 0 && col("cell").isin(probes: _*))
       .crossJoin(broadcast(query.select(col("qe"))))
@@ -661,8 +696,10 @@ object Llm {
     * kept representative; lowest vec_id survives). The scale property
     * is the cell join: near-dup pairs only form inside a cell —
     * shuffle keyed by cell id, never corpus x corpus — so the
-    * quadratic term is bounded by the largest cell, which k controls
-    * (at 100 TB: k ~ sqrt(n) keeps cells ~sqrt(n)). Rows-only check
+    * quadratic term is bounded by the largest cell, which k controls:
+    * k = max(8, ceil(sqrt(n))) is now DERIVED from the corpus row
+    * count (fitIvfCells), keeping cells ~sqrt(n) and the total pair
+    * work O(n^1.5) at any scale. Rows-only check
     * (KMeans assignment is not SQL-expressible); output is per-cell
     * kept/dropped counts, deterministic given seed 42. */
   val semDedup: Q = (spark, dir) => {

@@ -33,20 +33,31 @@ object Ml {
     * Keyed WEAKLY by the live session object (a WeakHashMap, so a
     * stopped session's DataFrame/persisted lineage is collectable with
     * the session rather than pinned forever, and distinct sessions can
-    * never collide the way a recycled identity hash can);
-    * `invalidateFitCache()` drops everything explicitly (e.g. when the
-    * data under `dir` changes). */
+    * never collide the way a recycled identity hash can). The cached
+    * DataFrame strongly references its session, so it sits behind a
+    * SoftReference — a strong value would pin the weak key and the map
+    * could never evict; under memory pressure the soft ref clears and
+    * the value→session cycle breaks. `invalidateFitCache()` drops
+    * everything explicitly (e.g. when the data under `dir` changes). */
   private val fitCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]])
+      scala.collection.concurrent.TrieMap[String,
+        java.lang.ref.SoftReference[org.apache.spark.sql.DataFrame]]])
 
   def invalidateFitCache(): Unit = fitCache.clear()
 
   private def clusteredRows(spark: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame =
-    fitCache
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val perSession = fitCache
       .computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
-      .getOrElseUpdate(dir, fitClusteredRows(spark, dir))
+    perSession.get(dir).flatMap(r => Option(r.get())) match {
+      case Some(df) => df
+      case None =>
+        val df = fitClusteredRows(spark, dir)
+        perSession.put(dir, new java.lang.ref.SoftReference(df))
+        df
+    }
+  }
 
   /** M1+M2 shared core: scaled features -> KMeans(k=3, seed=42) row
     * assignments. */

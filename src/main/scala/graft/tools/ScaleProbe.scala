@@ -128,6 +128,17 @@ object ScaleProbe {
       // batch 3: SemDeDup's quadratic term is bounded by the largest
       // KMeans cell; packing windows per source, never globally
       time("semdedup") { Llm.semDedup(spark, dst) }
+      // print the measured bound on semdedup's quadratic term (k is
+      // derived ~sqrt(n), so the largest cell should track sqrt(n));
+      // this refits the just-invalidated quantizer — stats cost, not
+      // part of the timed run
+      locally {
+        val (k, largest) = Llm.ivfCellStats(spark, dst)
+        println(s"== x$factor semdedup cell bound: k=$k largestCell=$largest")
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        Llm.invalidateCellCache()
+      }
       time("seq packing") { Llm.pack(spark, dst) }
     }
 

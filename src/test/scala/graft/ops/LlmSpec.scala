@@ -120,10 +120,14 @@ class LlmSpec extends SparkTestBase {
     }
   }
 
-  test("ivf ann returns k rows from at most two probed cells") {
+  test("ivf ann returns k rows from at most ceil(k/4) probed cells") {
     val got = Llm.annIvf(spark, sfSmoke).collect()
     assert(got.length == 10)
-    assert(got.map(_.getInt(1)).distinct.length <= 2)
+    // nprobe = max(2, ceil(k/4)) with k derived ~sqrt(n): the result
+    // must come from the probed subset, never a full-corpus scan
+    val (k, _) = Llm.ivfCellStats(spark, sfSmoke)
+    val nprobe = math.max(2, math.ceil(k / 4.0).toInt)
+    assert(got.map(_.getInt(1)).distinct.length <= nprobe)
     val sims = got.map(_.getDouble(2))
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
