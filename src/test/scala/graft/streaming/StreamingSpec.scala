@@ -253,4 +253,87 @@ class StreamingSpec extends SparkTestBase {
     assert(got.count() == 2)
     assert(got.select($"icao24").distinct().count() == 2)
   }
+
+  // ---- late-data semantics under a LIVE watermark (X5) ----
+  //
+  // The reference silently appends late records (SURVEY.md §2.9 X5);
+  // this engine claims the stricter Structured Streaming contract:
+  // once the watermark (max event time − delay) passes a window's
+  // end, a late event for that window is DROPPED, while on-time
+  // events arriving in the very same micro-batch are admitted. These
+  // two tests feed a controlled batch sequence through MemoryStream
+  // and prove both halves of that claim.
+
+  private def evTs(h: Int, m: Int) =
+    java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  test("tumbling watermark: late event dropped, on-time peer in same batch admitted") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = Pipelines.tumblingCounts(
+        mem.toDS().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("late_tumbling")
+      .outputMode("append")
+      .start()
+    try {
+      // batch 1: window 00:00 gets one event; the 06:00 event advances
+      // the watermark to 04:00 (2h delay), closing window 00:00-01:00
+      mem.addData((evTs(0, 30), "click", 1.0), (evTs(6, 0), "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: 00:45 is LATE (its window end 01:00 < watermark
+      // 04:00) — must be dropped; 06:30 in the SAME batch is on-time
+      mem.addData((evTs(0, 45), "click", 100.0), (evTs(6, 30), "click", 1.0))
+      q.processAllAvailable()
+      // batch 3: push the watermark past 07:00 so append-mode emits
+      // the 06:00 window
+      mem.addData((evTs(12, 0), "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("late_tumbling")
+      .select($"window_start", $"cnt", $"sum_value")
+      .collect()
+      .map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // late 100.0 did NOT land in the closed window
+    assert(got(evTs(0, 0)) == ((1L, 1.0)))
+    // the on-time event that shared the late event's batch survived
+    assert(got(evTs(6, 0)) == ((2L, 2.0)))
+  }
+
+  test("session watermark: late event dropped, concurrent on-time session extends") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = Pipelines.sessionCounts(mem.toDS().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("late_session")
+      .outputMode("append")
+      .start()
+    try {
+      // batch 1: u1 opens a session at 00:00; u2's 06:00 event moves
+      // the watermark to 04:00, expiring u1's session state
+      mem.addData((evTs(0, 0), 1L), (evTs(6, 0), 2L))
+      q.processAllAvailable()
+      // batch 2: u1's 00:05 event is LATE (session would end 00:35 <
+      // watermark 04:00) — dropped; u2's 06:10 extends the live session
+      mem.addData((evTs(0, 5), 1L), (evTs(6, 10), 2L))
+      q.processAllAvailable()
+      // batch 3: advance the watermark so all sessions emit
+      mem.addData((evTs(12, 0), 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("late_session")
+      .select($"user_id", $"n_events", $"session_end")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getTimestamp(2))))
+      .toMap
+    // u1's session holds ONLY the on-time event — the late 00:05 was
+    // dropped, not silently appended (the reference's behavior)
+    assert(got(1L) == ((1L, evTs(0, 30))))
+    // u2's same-batch on-time event extended the session: 2 events,
+    // gap-based close at 06:10 + 30min
+    assert(got(2L) == ((2L, evTs(6, 40))))
+  }
 }
