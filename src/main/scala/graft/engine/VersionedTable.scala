@@ -5,6 +5,16 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
+/** Thrown when a concurrent committer claimed the version this commit
+  * targeted. RETRYABLE: re-read `currentVersion` (the winner advanced
+  * it) and re-commit — or use `commitRetrying`. Nothing was clobbered:
+  * the losing snapshot was staged under a unique temp name and has
+  * been cleaned up. */
+class ConcurrentCommitException(dir: String, version: Long)
+  extends RuntimeException(
+    s"version v$version in $dir was claimed by a concurrent committer; " +
+      "re-read currentVersion and retry")
+
 /** Minimal copy-on-write versioned table: each commit writes a full
   * parquet snapshot under `dir/v<N>` and atomically advances the
   * `_CURRENT` pointer (write-temp + rename, the classic HDFS commit
@@ -54,28 +64,64 @@ object VersionedTable {
       .sorted
   }
 
+  private def claimPath(dir: String, v: Long) = new Path(dir, s".claim_v$v")
+
   /** Write a new snapshot and advance the pointer atomically.
     *
+    * OPTIMISTIC CONCURRENCY (the check Delta's log-entry create gives):
+    * the snapshot is staged under a unique temp name — never written at
+    * the final path, so a losing writer cannot clobber the winner's
+    * files — and the version NUMBER is claimed with a create-exclusive
+    * marker (`FileSystem.create(overwrite=false)`, atomic at the HDFS
+    * namenode). Exactly one of N concurrent committers wins the claim;
+    * losers clean up their staged snapshot and throw the retryable
+    * `ConcurrentCommitException`. Only the claim winner renames its
+    * snapshot to `v<next>` and swaps the pointer, so pointer advances
+    * stay monotonic (no other writer can publish that version, and
+    * later versions can't be claimed until this pointer moves).
+    *
     * The pointer swap is write-temp + `FileContext.rename(OVERWRITE)`,
-    * which is a single atomic replace on HDFS and local FS — readers
-    * always observe either the old pointer or the new one, never a
-    * missing/half-written `_CURRENT`, and a failed rename throws
-    * instead of leaving the table pointerless. SINGLE-WRITER: like
-    * Delta/Iceberg without a lock service, concurrent committers can
-    * race `currentVersion` and clobber each other's snapshot — callers
-    * must serialize commits per table (the streaming refresh path does,
-    * via foreachBatch's per-sink ordering). */
+    * a single atomic replace on HDFS and local FS — readers always
+    * observe either the old pointer or the new one.
+    *
+    * A writer that crashes BETWEEN claim and publish leaves an orphan
+    * claim that blocks the next version; `clearClaim` is the
+    * administrative unwedge (run only with no live writers — the same
+    * caveat as Iceberg's orphan-file cleanup). */
   def commit(df: DataFrame, dir: String): Long = {
+    val next = currentVersion(df.sparkSession, dir).map(_ + 1).getOrElse(0L)
+    commitExact(df, dir, next)
+  }
+
+  /** `commit` with the target version made explicit — the seam that
+    * lets a spec (or an idempotent writer that knows its version)
+    * deterministically exercise the two-committers race: both compute
+    * the same `next`, exactly one returns, the other throws. */
+  def commitExact(df: DataFrame, dir: String, next: Long): Long = {
     val spark = df.sparkSession
-    val next = currentVersion(spark, dir).map(_ + 1).getOrElse(0L)
-    df.write.mode("overwrite").parquet(s"$dir/v$next")
     val f = fs(spark, dir)
+    val staged = new Path(dir,
+      s".stage_v${next}_${java.util.UUID.randomUUID().toString.take(8)}")
+    df.write.mode("overwrite").parquet(staged.toString)
+    // claim the version number: atomic create-exclusive. On local FS
+    // the existence check isn't a single syscall (test-only caveat);
+    // on HDFS the namenode serializes it.
+    try f.create(claimPath(dir, next), false).close()
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+          _: java.io.IOException =>
+        f.delete(staged, true)
+        throw new ConcurrentCommitException(dir, next)
+    }
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, spark.sparkContext.hadoopConfiguration)
+    // we own v<next> now: move the staged snapshot into place
+    fc.rename(f.makeQualified(staged),
+      f.makeQualified(new Path(dir, s"v$next")))
     val tmp = new Path(dir, s"._CURRENT.tmp$next")
     val out = f.create(tmp, true)
     try out.write(s"v$next".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      f.getUri, spark.sparkContext.hadoopConfiguration)
     fc.rename( // throws on failure — no silently-dropped boolean
       f.makeQualified(tmp),
       f.makeQualified(currentPath(dir)),
@@ -83,10 +129,45 @@ object VersionedTable {
     next
   }
 
+  /** Convenience retry loop around the optimistic commit: re-reads the
+    * current version and re-commits on conflict, up to `maxAttempts`,
+    * with linear backoff (attempt * 100 ms) so racing writers separate.
+    * The snapshot is re-written per attempt (its content may depend on
+    * the base the caller read — callers doing read-modify-write should
+    * re-derive `df` themselves instead). */
+  def commitRetrying(df: DataFrame, dir: String, maxAttempts: Int = 3): Long = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return commit(df, dir)
+      catch {
+        case _: ConcurrentCommitException if attempt < maxAttempts =>
+          Thread.sleep(attempt * 100L)
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Remove the claim marker for `v` — the manual unwedge for a writer
+    * that crashed between claim and publish. Refuses to clear a claim
+    * whose snapshot WAS published (that marker is load-bearing: it is
+    * what stops a future committer from re-claiming the version). */
+  def clearClaim(spark: SparkSession, dir: String, v: Long): Unit = {
+    val f = fs(spark, dir)
+    require(!f.exists(new Path(dir, s"v$v")),
+      s"v$v is published; its claim marker must not be cleared")
+    f.delete(claimPath(dir, v), false)
+    ()
+  }
+
   /** Retention: drop all but the newest `keepLast` snapshots. The
     * current pointer's version is always retained regardless. Returns
     * the versions expired. Failed deletes throw (a half-expired table
-    * is visible, not silent). */
+    * is visible, not silent). An expired version's stats manifest goes
+    * with it (an orphaned manifest would turn a later read of the
+    * expired version into a confusing missing-parquet error instead of
+    * the clean no-committed-version path); the claim marker stays — it
+    * is what proves the version number was consumed. */
   def expireVersions(spark: SparkSession, dir: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val f = fs(spark, dir)
@@ -97,6 +178,9 @@ object VersionedTable {
       val p = new Path(dir, s"v$v")
       if (!f.delete(p, true))
         throw new java.io.IOException(s"failed to delete expired snapshot $p")
+      val m = new Path(manifestDir(dir, v))
+      if (f.exists(m) && !f.delete(m, true))
+        throw new java.io.IOException(s"failed to delete expired manifest $m")
     }
     expire
   }
