@@ -155,6 +155,27 @@ object MediaCodec {
     (ow, oh, out)
   }
 
+  /** Difference hash (dHash) rows over a (w+1) x h top-down gray
+    * grid: bit x of row y is `pix(x+1, y) > pix(x, y)`, packed LSB
+    * first — the standard 64-bit perceptual hash when w=8, h=8,
+    * returned as h per-row bytes so callers can band them for LSH
+    * candidate generation (two rows per band = 16-bit bands). Gradient
+    * comparisons survive uniform brightness shifts, which is what
+    * makes dHash a NEAR-dup signature rather than an exact digest. */
+  def dHashRows(w: Int, h: Int, pix: Array[Int]): Array[Int] = {
+    require(pix.length == (w + 1) * h,
+      s"dHash needs a ${w + 1}x$h grid, got ${pix.length} pixels")
+    Array.tabulate(h) { y =>
+      var row = 0
+      var x = 0
+      while (x < w) {
+        if (pix(y * (w + 1) + x + 1) > pix(y * (w + 1) + x)) row |= (1 << x)
+        x += 1
+      }
+      row
+    }
+  }
+
   /** WAV with REAL PCM16 little-endian mono samples. */
   def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
     val dataLen = 2 * samples.length

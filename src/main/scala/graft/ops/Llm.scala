@@ -1071,6 +1071,70 @@ object Llm {
       .orderBy(col("doc_id"))
   }
 
+  /** Image NEAR-dup via perceptual hash — dedup extended to the
+    * multimodal column (a multimodal corpus needs it as much as text
+    * dedup). Per document a REAL 18x16 gray BMP is synthesized
+    * (pix(x,y) = ((g+1)*(3x^2 + 5y + xy) + s) mod 251 with g =
+    * doc_id%40 the image "subject" and s = doc_id%3 a small
+    * brightness shift), round-tripped through the byte codec,
+    * downsampled 2:1 to the canonical 9x8 dHash grid, and hashed into
+    * 8 row-bytes (64 bits). Same-subject images differ only where the
+    * mod-251 wrap flips a gradient — a genuinely NEAR-identical hash —
+    * while different subjects diverge on ~half the bits.
+    *
+    * Candidate pairs come from LSH banding over the signature (4
+    * bands x 2 rows = 16 bits, the simhashPairs shape): the self-join
+    * key is (band, 16 bits), never image x image, so at corpus scale
+    * the shuffle carries 40-byte signatures and pair work is bounded
+    * by band-bucket sizes. Banded recall < 1 by design (a pair whose
+    * differing bits touch all 4 bands is missed) — the oracle
+    * replicates the banding, so the check is exact. Verification is
+    * exact Hamming distance (<= 6) via xor + bit_count on the row
+    * bytes. */
+  val mmPhash: Q = (spark, dir) => {
+    import spark.implicits._
+    val sigs = Tables(spark, dir, "documents")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val g = id % 40
+          val s = id % 3
+          val bytes = graft.functions.MediaCodec.encodeBmpGray(
+            18, 16,
+            (x, y) => (((g + 1) * (3 * x * x + 5 * y + x * y) + s) % 251).toInt)
+          val (w, h, pix) = graft.functions.MediaCodec.decodeBmpGray(bytes)
+          val (_, _, small) = graft.functions.MediaCodec.resizeHalf(w, h, pix)
+          val r = graft.functions.MediaCodec.dHashRows(8, 8, small)
+          (id, r(0), r(1), r(2), r(3), r(4), r(5), r(6), r(7))
+        }
+      }
+      .toDF("doc_id", "r0", "r1", "r2", "r3", "r4", "r5", "r6", "r7")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = sigs.select(col("doc_id"), explode(array(
+      struct(lit(0).as("b"), col("r0").as("u"), col("r1").as("v")),
+      struct(lit(1).as("b"), col("r2").as("u"), col("r3").as("v")),
+      struct(lit(2).as("b"), col("r4").as("u"), col("r5").as("v")),
+      struct(lit(3).as("b"), col("r6").as("u"), col("r7").as("v"))))
+        .as("band"))
+      .select(col("doc_id"), col("band.b"), col("band.u"), col("band.v"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.b") === col("b.b") && col("a.u") === col("b.u") &&
+          col("a.v") === col("b.v") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sigs.toDF("doc_a" +: (0 to 7).map(i => s"a$i"): _*)
+    val sb = sigs.toDF("doc_b" +: (0 to 7).map(i => s"b$i"): _*)
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("hamming",
+        (0 to 7).map(i => expr(s"bit_count(a$i ^ b$i)"))
+          .reduce(_ + _).cast("int"))
+      .filter(col("hamming") <= 6)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_llm_dedup_exact" -> dedupExact,
     "q_llm_dedup_norm" -> dedupNorm,
@@ -1105,7 +1169,8 @@ object Llm {
     "q_llm_chunk_dedup" -> chunkDedup,
     "q_mm_binary_meta" -> mmBinaryMeta,
     "q_mm_resize" -> mmResize,
-    "q_mm_framesample" -> mmFrameSample)
+    "q_mm_framesample" -> mmFrameSample,
+    "q_mm_phash" -> mmPhash)
 
   val oracle: Map[String, String] = Map(
     "q_llm_dedup_exact" ->
@@ -1471,5 +1536,58 @@ object Llm {
                 CAST(SUM(CASE WHEN i % 4 = 0
                               THEN (13 * doc_id + 17 * i) % 32768 END)
                   AS BIGINT) AS frame_sum
-         FROM idx GROUP BY doc_id ORDER BY doc_id""")
+         FROM idx GROUP BY doc_id ORDER BY doc_id""",
+    // recomputes the dHash pipeline arithmetically: resized pixel
+    // (x,y) = source(2x,2y) with p(u,v) = ((doc_id%40+1)*(3u^2+5v+uv)
+    // + doc_id%3) mod 251; bit x of row y compares p at 2(x+1) vs 2x;
+    // then the SAME 4x16-bit banding + hamming<=6 verify as the engine
+    "q_mm_phash" ->
+      """WITH px AS (
+           SELECT d.doc_id, x.g AS x, y.g AS y,
+                  ((d.doc_id % 40 + 1) * (3*(2*x.g)*(2*x.g) + 5*(2*y.g)
+                    + (2*x.g)*(2*y.g)) + d.doc_id % 3) % 251 AS p0,
+                  ((d.doc_id % 40 + 1) * (3*(2*x.g+2)*(2*x.g+2) + 5*(2*y.g)
+                    + (2*x.g+2)*(2*y.g)) + d.doc_id % 3) % 251 AS p1
+           FROM documents d,
+                (SELECT unnest(generate_series(0, 7)) AS g) x,
+                (SELECT unnest(generate_series(0, 7)) AS g) y),
+         rows_ AS (
+           SELECT doc_id, y,
+                  SUM(CASE WHEN p1 > p0 THEN (1 << x) ELSE 0 END) AS r
+           FROM px GROUP BY doc_id, y),
+         sigs AS (
+           SELECT doc_id,
+                  MAX(CASE WHEN y=0 THEN r END) AS r0,
+                  MAX(CASE WHEN y=1 THEN r END) AS r1,
+                  MAX(CASE WHEN y=2 THEN r END) AS r2,
+                  MAX(CASE WHEN y=3 THEN r END) AS r3,
+                  MAX(CASE WHEN y=4 THEN r END) AS r4,
+                  MAX(CASE WHEN y=5 THEN r END) AS r5,
+                  MAX(CASE WHEN y=6 THEN r END) AS r6,
+                  MAX(CASE WHEN y=7 THEN r END) AS r7
+           FROM rows_ GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, 0 AS b, r0 AS u, r1 AS v FROM sigs
+           UNION ALL SELECT doc_id, 1, r2, r3 FROM sigs
+           UNION ALL SELECT doc_id, 2, r4, r5 FROM sigs
+           UNION ALL SELECT doc_id, 3, r6, r7 FROM sigs),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.b = b.b AND a.u = b.u AND a.v = b.v
+            AND a.doc_id < b.doc_id)
+         SELECT c.doc_a, c.doc_b,
+                CAST(bit_count(xor(sa.r0, sb.r0)) + bit_count(xor(sa.r1, sb.r1))
+                   + bit_count(xor(sa.r2, sb.r2)) + bit_count(xor(sa.r3, sb.r3))
+                   + bit_count(xor(sa.r4, sb.r4)) + bit_count(xor(sa.r5, sb.r5))
+                   + bit_count(xor(sa.r6, sb.r6)) + bit_count(xor(sa.r7, sb.r7))
+                  AS INT) AS hamming
+         FROM cand c
+         JOIN sigs sa ON c.doc_a = sa.doc_id
+         JOIN sigs sb ON c.doc_b = sb.doc_id
+         WHERE bit_count(xor(sa.r0, sb.r0)) + bit_count(xor(sa.r1, sb.r1))
+             + bit_count(xor(sa.r2, sb.r2)) + bit_count(xor(sa.r3, sb.r3))
+             + bit_count(xor(sa.r4, sb.r4)) + bit_count(xor(sa.r5, sb.r5))
+             + bit_count(xor(sa.r6, sb.r6)) + bit_count(xor(sa.r7, sb.r7)) <= 6
+         ORDER BY doc_a, doc_b""")
 }

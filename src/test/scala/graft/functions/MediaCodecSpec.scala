@@ -73,6 +73,22 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.decodeHeader(bytes) == ("audio/wav", 8000, 1))
   }
 
+  test("dHash: packs gradient bits LSB-first, invariant to uniform brightness shift") {
+    // 9x2 grid: row 0 strictly increasing -> all 8 bits set (255);
+    // row 1 strictly decreasing -> no bits set (0)
+    val pix = Array.tabulate(18) { i =>
+      val y = i / 9; val x = i % 9
+      if (y == 0) x * 10 else 100 - x * 10
+    }
+    assert(MediaCodec.dHashRows(8, 2, pix).toSeq == Seq(255, 0))
+    // dHash compares neighbors, so a uniform +40 brightness shift
+    // (no wrap) leaves every bit unchanged — the near-dup property
+    assert(MediaCodec.dHashRows(8, 2, pix.map(_ + 40)).toSeq == Seq(255, 0))
+    // a single flipped gradient changes exactly that bit
+    val one = pix.clone(); one(3) = one(2) - 1 // row 0, bit 2 now falls
+    assert(MediaCodec.dHashRows(8, 2, one).toSeq == Seq(255 & ~4, 0))
+  }
+
   test("synthesize is deterministic and decodable for every format branch") {
     for (id <- 0L to 8L; nc <- Seq(37L, 640L, 1999L)) {
       val b1 = MediaCodec.synthesize(id, nc)
