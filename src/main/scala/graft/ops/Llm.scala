@@ -121,6 +121,57 @@ object Llm {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Suffix-style EXACT substring dedup — the third dedup axis real
+    * corpus pipelines run beside doc-level (dedupExact) and
+    * passage-level (chunkDedup): find doc pairs sharing a verbatim
+    * token run of >= 10 tokens and report the longest such run (the
+    * distributed formulation of the suffix-array substring dedup of
+    * Lee et al. 2022, "Deduplicating Training Data Makes LMs Better").
+    *
+    * Shape: positional 6-gram windows, hashed to 16-byte md5 digests
+    * so the gram shuffle never carries text; equi-join keyed by the
+    * GRAM DIGEST (never doc x doc); a shared run of L tokens appears
+    * as L-5 consecutive matched positions at a constant alignment
+    * delta (pa - pb), merged with the gaps-and-islands window
+    * (pa - row_number) partitioned by (pair, delta) — that window only
+    * ranges over MATCHED gram pairs, so its cost is bounded by true
+    * overlap, not corpus^2. At 100 TB the known hazard is
+    * super-frequent grams (boilerplate) fanning out the join — the
+    * production mitigation is a document-frequency cap on grams (drop
+    * df > K before the join), the same move decontaminate's scaladoc
+    * documents; the planted-dup fixtures don't need it. */
+  val substrDedup: Q = (spark, dir) => {
+    val n = 6
+    val minRun = 10
+    val slices = (0 until n)
+      .map(i => s"slice(t, ${i + 1}, greatest(size(t) - ${n - 1}, 0))")
+      .mkString(",\n             ")
+    val fields = (0 until n).map(i => s"p['$i']").mkString(", ")
+    val grams = tokenized(spark, dir)
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           arrays_zip($slices),
+           p -> md5(concat_ws(' ', $fields)))""")).as(Seq("pos", "g")))
+    val a = grams.as("a")
+    val b = grams.as("b")
+    val matched = a.join(b,
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.pos").as("pa"), (col("a.pos") - col("b.pos")).as("delta"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("d1"), col("d2"), col("delta")).orderBy(col("pa"))
+    matched
+      .withColumn("island", col("pa") - row_number().over(w))
+      .groupBy(col("d1"), col("d2"), col("delta"), col("island"))
+      .agg(count(lit(1)).as("m"))
+      .groupBy(col("d1"), col("d2"))
+      .agg((max(col("m")) + lit(n - 1)).cast("int").as("longest_run"))
+      .filter(col("longest_run") >= minRun)
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** L2 at scale: MinHashLSH banding over hashed shingles (MLlib).
     * Rows-only check — MLlib hash families are not SQL-expressible. */
   val dedupMinhash: Q = (spark, dir) => {
@@ -1139,6 +1190,7 @@ object Llm {
     "q_llm_dedup_exact" -> dedupExact,
     "q_llm_dedup_norm" -> dedupNorm,
     "q_llm_dedup_ngram" -> dedupNgram,
+    "q_llm_dedup_substr" -> substrDedup,
     "q_llm_dedup_minhash" -> dedupMinhash,
     "q_llm_dedup_minhash_native" -> dedupMinhashNative,
     "q_llm_dedup_clusters" -> dedupClusters,
@@ -1192,6 +1244,34 @@ object Llm {
           JOIN sizes sb ON sb.doc_id = d2
           WHERE ic * 1.0 / (sa.n + sb.n - ic) >= 0.5
           ORDER BY d1, d2""",
+    // positional 6-gram digests -> gram-keyed join -> gaps-and-islands
+    // run merge at constant alignment delta; longest run = islands + 5
+    "q_llm_dedup_substr" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         g AS (
+           SELECT doc_id, i - 1 AS pos,
+                  md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                      t[i+3] || ' ' || t[i+4] || ' ' || t[i+5]) AS g
+           FROM (SELECT doc_id, t,
+                        unnest(generate_series(1, len(t) - 5)) AS i
+                 FROM toks WHERE len(t) >= 6)),
+         m AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2,
+                  a.pos AS pa, a.pos - b.pos AS delta
+           FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id),
+         isl AS (
+           SELECT d1, d2, delta, pa,
+                  pa - row_number() OVER (
+                    PARTITION BY d1, d2, delta ORDER BY pa) AS island
+           FROM m),
+         runs AS (
+           SELECT d1, d2, delta, island, count(*) AS m
+           FROM isl GROUP BY d1, d2, delta, island)
+         SELECT d1, d2, CAST(MAX(m) + 5 AS INT) AS longest_run
+         FROM runs GROUP BY d1, d2
+         HAVING MAX(m) + 5 >= 10
+         ORDER BY d1, d2""",
     "q_llm_dedup_clusters" ->
       s"""${shingleCte.replaceFirst("WITH", "WITH RECURSIVE")},
           inter AS (

@@ -144,6 +144,21 @@ class PlansSpec extends SparkTestBase {
       p.take(400))
   }
 
+  test("substring dedup joins on the gram digest, never doc x doc") {
+    val p = plan("q_llm_dedup_substr")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(400))
+    // the run-merge window must partition by (pair, delta), which only
+    // exists AFTER the gram-keyed join
+    assert(p.contains("Window"), p.take(400))
+  }
+
+  test("phash candidates come from the band join, never image x image") {
+    val p = plan("q_mm_phash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(400))
+  }
+
   test("sequence packing windows per source and aggregates in place") {
     val p = plan("q_llm_pack")
     assert(p.contains("Window"), p.take(400))
