@@ -150,6 +150,36 @@ object Aggs {
       .orderBy(
         asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
+  /** TPC-H Q1 (pricing summary report): the canonical pure-aggregate
+    * macro — one full-table scan, eight aggregates over four groups,
+    * zero joins. The 100 TB shape is all map-side partial aggregation:
+    * the shuffle carries 4 groups x 8 partials per task, nothing else,
+    * and the date filter reaches the parquet scan.
+    *
+    * Determinism note: per-row CAST(double-product AS DECIMAL) is NOT
+    * cross-engine stable here — Spark and DuckDB round double->decimal
+    * ties differently, and with ~95% of lineitem surviving Q1's filter
+    * the tie rows actually occur (measured +0.0034 drift at sf0.01).
+    * Monetary sums therefore use the driver-green round(sum(double), 2)
+    * shape (q_join_inner / reworked q_join_range pattern); q_tpch_q3/q5
+    * keep the decimal form over their far sparser row sets. */
+  val tpchQ1: Q = (spark, dir) =>
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
   val queries: Map[String, Q] = Map(
     "q_agg_cube" -> aggCube,
     "q_agg_count" -> aggCount,
@@ -164,7 +194,8 @@ object Aggs {
     "q_agg_approx_distinct" -> aggApproxDistinct,
     "q_agg_approx_percentile" -> aggApproxPercentile,
     "q_agg_mode" -> aggMode,
-    "q_agg_rollup" -> aggRollup)
+    "q_agg_rollup" -> aggRollup,
+    "q_tpch_q1" -> tpchQ1)
 
   val oracle: Map[String, String] = Map(
     "q_agg_cube" ->
@@ -223,5 +254,21 @@ object Aggs {
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY ROLLUP(n_name, o_orderstatus)
-         ORDER BY n_name ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""")
+         ORDER BY n_name ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""",
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_base_price,
+                round(sum(l_extendedprice * (1 - l_discount)), 2)
+                  AS sum_disc_price,
+                round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                  AS sum_charge,
+                round(avg(l_quantity), 4) AS avg_qty,
+                round(avg(l_extendedprice), 4) AS avg_price,
+                round(avg(l_discount), 4) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""")
 }

@@ -140,6 +140,70 @@ object ScaleProbe {
         Llm.invalidateCellCache()
       }
       time("seq packing") { Llm.pack(spark, dst) }
+
+      // AQE skew-join probe: join the deliberately-skewed
+      // events.user_id WITHOUT salting and assert AQE's skew-join
+      // split engages (plan tagged skew=true) — the runtime safety
+      // net the engine relies on when salting isn't hand-applied
+      // (Joins.joinSalted is the manual form). Thresholds are lowered
+      // to probe-data scale; production defaults (256 MB) express the
+      // same mechanism at cluster scale.
+      locally {
+        val keys = Seq(
+          "spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+        try {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+          spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+          spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+          spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+          // the fixture's organic skew (hottest user ~1.5x the median)
+          // sits below any sane split threshold, so plant a REAL hot
+          // key: collapse half the users onto user 10 (~50% of all
+          // rows on one reducer) — the shape salting/AQE exist for.
+          // Both join inputs must be PLAIN shuffles: OptimizeSkewedJoin
+          // only matches SMJ(sort(shuffle), sort(shuffle)), so an
+          // aggregate on the dim side would mask the skew handling —
+          // this is the same events x customer join joinSalted salts
+          // by hand. The repartition matters too: AQE can only split a
+          // skewed reduce partition at MAP-chunk boundaries, and a
+          // single-row-group parquet fixture yields ONE real map task
+          // (unsplittable); 16 round-robin maps stand in for the
+          // thousands a 100 TB scan produces.
+          val ev = graft.engine.Tables(spark, dst, "events")
+            .withColumn("user_id",
+              when(col("user_id") % 2 === 0, lit(10L))
+                .otherwise(col("user_id")))
+            .repartition(16)
+          val dim = graft.engine.Tables(spark, dst, "customer")
+            .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+          val joined = ev.join(dim, Seq("user_id"))
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("cnt"),
+              round(sum(col("value")), 4).as("sum_value"))
+          val t0 = System.nanoTime()
+          // collect() — NOT count() — so the inspected queryExecution is
+          // the one that actually ran (count() spawns a separate pruned
+          // execution whose constant hot key compresses into invisibility)
+          joined.collect()
+          val dt = (System.nanoTime() - t0) / 1e9
+          val skewed = joined.queryExecution.executedPlan.toString
+            .contains("skew=true")
+          println(f"== x$factor skewed-join (unsalted, AQE) $dt%8.2f s  skew-split=$skewed")
+          assert(skewed,
+            "AQE skew-join split did not engage on the skewed user_id join")
+        } finally saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None)    => spark.conf.unset(k)
+        }
+      }
     }
 
     factors.foreach(runFactor)
