@@ -35,33 +35,59 @@ object MedallionDemo {
     val bronzeSrc = s"$root/bronze_src"
     Files.createDirectories(Paths.get(bronzeSrc))
 
-    // -- bronze: two polls' worth of state vectors (AB1 twice -> dedup)
+    // -- bronze via the REST polling face (S1): two polls drop atomic
+    // JSONL batch files; the second poll carries planted corrupt
+    // lines that must land in quarantine, never in bronze
     def state(icao: String, call: String, country: String, lc: Long,
         lon: Double, lat: Double, vel: Double): String =
       s"""["$icao", "$call", "$country", ${lc - 10}, $lc, $lon, $lat,""" +
         s""" 10000.0, false, $vel, 90.0, 1.0, null, 10100.0, "7000",""" +
         " false, 0, 3]"
-    Files.writeString(Paths.get(bronzeSrc, "raw_1.jsonl"), Seq(
-      state("AB1", "AFR101  ", "France", 1700000100, 2.1, 48.8, 250.0),
-      state("ab1", "AFR101  ", "France", 1700000150, 2.2, 48.9, 251.0),
-      state("CD2", "DLH202  ", "Germany", 1700000100, 13.4, 52.5, 230.0),
-      state("EF3", "UAL303  ", "United States", 1700000100, -73.9, 40.7, 260.0)
-    ).mkString("\n"))
+    val polls = Iterator(
+      Seq(
+        state("AB1", "AFR101  ", "France", 1700000100, 2.1, 48.8, 250.0),
+        state("ab1", "AFR101  ", "France", 1700000150, 2.2, 48.9, 251.0),
+        state("CD2", "DLH202  ", "Germany", 1700000100, 13.4, 52.5, 230.0)),
+      Seq(
+        state("EF3", "UAL303  ", "United States", 1700000100, -73.9, 40.7, 260.0),
+        """["BAD4", "TRUNCATED""", // not parseable as a JSON array
+        """["GH5", "C5", "Spain", 1700000100, 1700000110, "EAST", 41.0,""" +
+          """ 100.0, false, 10.0, 5.0, 0.1, null, 110.0, "1000", false, 0]"""))
+    val dropped = graft.streaming.RestPoller.pollLoop(
+      () => polls.next(), bronzeSrc, intervalMs = 0, maxBatches = 2)
+    println(s"== bronze source: $bronzeSrc (${dropped.size} polled batches)")
 
-    println(s"== bronze source: $bronzeSrc")
-    Pipelines.runIngest(
+    // -- ingest with the quarantine lane: good rows -> bronze parquet,
+    // malformed lines -> (raw, reason) quarantine parquet
+    Pipelines.runIngestQuarantine(
       Pipelines.bronzeSource(spark, bronzeSrc),
-      s"$root/bronze", s"$root/ckpt_ingest").awaitTermination()
-    println(s"== ingest: ${spark.read.parquet(s"$root/bronze").count()} rows (deduped)")
+      s"$root/bronze", s"$root/quarantine",
+      s"$root/ckpt_ingest").awaitTermination()
+    val bronze = spark.read.parquet(s"$root/bronze")
+    val quarantined = spark.read.parquet(s"$root/quarantine")
+    println(s"== ingest: ${bronze.count()} clean rows; " +
+      s"quarantined ${quarantined.count()}:")
+    quarantined.select(col("reason"), col("raw")).show(truncate = false)
+    require(quarantined.count() >= 2,
+      "the planted bad lines must land in the quarantine lane")
+    require(bronze.filter(col("longitude").isNull).count() == 0,
+      "no silently-nulled numerics may reach bronze")
 
-    // -- silver: broadcast enrichment with a metadata dim
+    // -- silver: broadcast enrichment of the CLEAN bronze table (the
+    // true medallion shape — silver consumes the quarantine-filtered
+    // bronze layer, not the raw feed)
     val dim = Seq(
       ("AB1", "A320", "Air France"),
       ("CD2", "A350", "Lufthansa"))
       .toDF("icao24", "model", "operator")
-    Pipelines.runSilver(
-      Pipelines.bronzeSource(spark, bronzeSrc), dim,
-      s"$root/silver", s"$root/ckpt_silver").awaitTermination()
+    val silverQ = Pipelines.enrich(
+        spark.readStream.schema(bronze.schema).parquet(s"$root/bronze"), dim)
+      .writeStream.format("parquet")
+      .option("path", s"$root/silver")
+      .option("checkpointLocation", s"$root/ckpt_silver")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    silverQ.awaitTermination()
     val silver = spark.read.parquet(s"$root/silver")
     println(s"== silver: ${silver.count()} rows enriched")
 
