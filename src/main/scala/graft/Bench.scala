@@ -33,10 +33,26 @@ object Bench {
       System.gc() // take the collection between queries, not inside one
       (name, dt, err)
     }
-    val ok = results.collect { case (k, v, None) => k -> v }
+    // split q_data_skipping's one-time Z-ordered WRITE from its pruned
+    // READ: the committed table is memoized per (session, dir), so this
+    // second invocation pays only the manifest-pruned read path — the
+    // number that actually recurs in production (the write is a nightly
+    // OPTIMIZE). Recorded as its own entry beside the combined one.
+    val skipRead =
+      try {
+        val t0 = System.nanoTime()
+        graft.ops.Advanced.dataSkipping(spark, sfDir).count()
+        Some(("q_data_skipping_read", (System.nanoTime() - t0) / 1e9, None))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAILURE q_data_skipping_read: $e")
+          Some(("q_data_skipping_read", 0.0, Some(e.getClass.getSimpleName)))
+      }
+    val all = results ++ skipRead
+    val ok = all.collect { case (k, v, None) => k -> v }
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
+    val errs = all.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")

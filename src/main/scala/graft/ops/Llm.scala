@@ -519,10 +519,14 @@ object Llm {
     * from integer counts by identical-order IEEE arithmetic on both
     * engines; only the per-doc mean (order-varying) is rounded. */
   val qualityLr: Q = (spark, dir) => {
-    // tokens feed model training AND the scoring join-back
+    // tokens feed model training AND the scoring join-back. NOT
+    // persisted: the exploded view is LARGER than the source corpus
+    // (one row per token), so caching it is a memory hog at scale and
+    // a leak for any caller that doesn't clear caches — recomputing
+    // costs one extra map-only scan+explode, which is the cheaper side
+    // of the trade everywhere past toy scale.
     val toks = tokenized(spark, dir)
       .select(col("doc_id"), col("lang"), explode(col("t")).as("tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = toks.groupBy(col("tok")).agg(
       count(lit(1)).as("ca"),
       count(when(col("lang") === "en", 1)).as("cg"))

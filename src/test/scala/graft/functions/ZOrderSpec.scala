@@ -21,10 +21,30 @@ class ZOrderSpec extends SparkTestBase {
     ZOrder.register(spark)
     val df = spark.range(0, 1000).toDF("i")
       .select(col("i") * 7919 % 1024 as "x", col("i") * 104729 % 1024 as "y")
-    val rows = df.select(col("x"), col("y"), expr("zorder2(x, y)").as("z"))
-      .as[(Long, Long, Long)].collect()
-    rows.foreach { case (x, y, z) =>
-      assert(z == ZOrder.interleave(x, y), s"($x, $y)")
+    def check(): Unit = {
+      val rows = df.select(col("x"), col("y"), expr("zorder2(x, y)").as("z"))
+        .as[(Long, Long, Long)].collect()
+      rows.foreach { case (x, y, z) =>
+        assert(z == ZOrder.interleave(x, y), s"($x, $y)")
+      }
+    }
+    check() // default: whole-stage codegen (doGenCode path)
+    // now ACTUALLY exercise the interpreted eval (nullSafeEval): with
+    // whole-stage codegen off and the codegen factory forced to
+    // NO_CODEGEN, expression evaluation goes through the interpreter
+    val savedWsc = spark.conf.get("spark.sql.codegen.wholeStage")
+    val factoryKey = "spark.sql.codegen.factoryMode"
+    val savedFactory = spark.conf.getOption(factoryKey)
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set(factoryKey, "NO_CODEGEN")
+      check() // interpreted path
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", savedWsc)
+      savedFactory match {
+        case Some(v) => spark.conf.set(factoryKey, v)
+        case None    => spark.conf.unset(factoryKey)
+      }
     }
   }
 
