@@ -180,6 +180,21 @@ object Aggs {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** TPC-H Q6 (forecasting revenue change): the selective filter-and-sum
+    * macro — the pushdown showcase. All three predicates reach the
+    * parquet scan as PushedFilters; what survives is one map-side
+    * partial sum per task and a single-row final aggregate. No group
+    * keys, no join, no shuffle beyond the 1-row exchange. */
+  val tpchQ6: Q = (spark, dir) =>
+    Tables(spark, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"))
+
   val queries: Map[String, Q] = Map(
     "q_agg_cube" -> aggCube,
     "q_agg_count" -> aggCount,
@@ -195,7 +210,8 @@ object Aggs {
     "q_agg_approx_percentile" -> aggApproxPercentile,
     "q_agg_mode" -> aggMode,
     "q_agg_rollup" -> aggRollup,
-    "q_tpch_q1" -> tpchQ1)
+    "q_tpch_q1" -> tpchQ1,
+    "q_tpch_q6" -> tpchQ6)
 
   val oracle: Map[String, String] = Map(
     "q_agg_cube" ->
@@ -270,5 +286,12 @@ object Aggs {
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus
-         ORDER BY l_returnflag, l_linestatus""")
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_tpch_q6" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""")
 }

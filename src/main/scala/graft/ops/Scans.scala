@@ -105,6 +105,48 @@ object Scans {
       .orderBy(col("event_type"))
   }
 
+  /** ORC sink/source round-trip — the second columnar format Spark
+    * ships natively (the lake-migration reality: ORC for Hive-lineage
+    * tables, parquet for the rest; an engine that claims source/sink
+    * completeness needs both). Predicate pushdown and the vectorized
+    * reader apply to ORC scans exactly as to parquet — the read-back
+    * filter below reaches the ORC scan as a pushed search argument. */
+  val sinkOrcRoundtrip: Q = (spark, dir) => {
+    val out = tmpDir("graft_orc")
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite")
+      .option("compression", "zlib")
+      .orc(out)
+    spark.read.orc(out)
+      .filter(col("o_orderkey") % 2 === 0)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 4).as("sum_total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Schema-evolution scan: a lake table whose NEWER files carry an
+    * added column — the steady state of any long-lived ingest (the
+    * reference's positional layout faced exactly this with the
+    * optional idx-17 `category` field). `mergeSchema` unifies the file
+    * schemas at read time; rows from pre-evolution files surface NULL
+    * for the added column instead of failing the scan. At 100 TB
+    * schema merging reads footers only — data files are untouched. */
+  val scanSchemaEvolution: Q = (spark, dir) => {
+    val out = tmpDir("graft_evolve")
+    val r = Tables(spark, dir, "region")
+      .select(col("r_regionkey"), col("r_name"))
+    r.filter(col("r_regionkey") < 3)
+      .write.mode("append").parquet(out)
+    r.filter(col("r_regionkey") >= 3)
+      .withColumn("r_name_upper", upper(col("r_name")))
+      .write.mode("append").parquet(out)
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .orderBy(col("r_regionkey"))
+  }
+
   /** S10: latest record per key (max-per-group; newest-file analog). */
   val latestByKey: Q = (spark, dir) =>
     Tables(spark, dir, "events")
@@ -151,6 +193,8 @@ object Scans {
     "q_scan_positional_json" -> scanPositionalJson,
     "q_sink_parquet_roundtrip" -> sinkParquetRoundtrip,
     "q_sink_csv_roundtrip" -> sinkCsvRoundtrip,
+    "q_sink_orc_roundtrip" -> sinkOrcRoundtrip,
+    "q_scan_schema_evolution" -> scanSchemaEvolution,
     "q_latest_by_key" -> latestByKey,
     "q_union_all" -> unionAll)
 
@@ -171,6 +215,18 @@ object Scans {
     "q_sink_csv_roundtrip" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_sink_orc_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+                round(sum(o_totalprice), 4) AS sum_total
+         FROM orders WHERE o_orderkey % 2 = 0
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_scan_schema_evolution" ->
+      """SELECT r_regionkey, r_name, CAST(NULL AS VARCHAR) AS r_name_upper
+         FROM region WHERE r_regionkey < 3
+         UNION ALL
+         SELECT r_regionkey, r_name, upper(r_name) AS r_name_upper
+         FROM region WHERE r_regionkey >= 3
+         ORDER BY r_regionkey""",
     "q_latest_by_key" ->
       "SELECT user_id, max(ts) AS last_ts FROM events GROUP BY user_id ORDER BY user_id",
     "q_union_all" ->

@@ -97,7 +97,27 @@ object Windows {
       .orderBy(col("event_type"), col("value"), col("pr"), col("cd"))
   }
 
+  /** W+: value-picking window functions — first/last/nth event value
+    * over each user's full ordered history (the baseline-delta /
+    * gap-fill shape). The frame must be UNBOUNDED FOLLOWING for
+    * last_value to mean "the user's final event" rather than "the
+    * current row" (the default frame's classic trap); (ts, event_id)
+    * makes the order total so the picked rows are deterministic. */
+  val windowFirstLast: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, dir, "events")
+      .select(
+        col("event_id"), col("user_id"),
+        first(col("value")).over(w).as("first_v"),
+        last(col("value")).over(w).as("last_v"),
+        nth_value(col("value"), 2).over(w).as("second_v"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_window_firstlast" -> windowFirstLast,
     "q_window_rownum" -> windowRownum,
     "q_window_rank" -> windowRank,
     "q_window_frame" -> windowFrame,
@@ -106,6 +126,16 @@ object Windows {
     "q_window_cume" -> windowCume)
 
   val oracle: Map[String, String] = Map(
+    "q_window_firstlast" ->
+      """SELECT event_id, user_id,
+                first_value(value) OVER w AS first_v,
+                last_value(value) OVER w AS last_v,
+                nth_value(value, 2) OVER w AS second_v
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)
+         ORDER BY event_id""",
     "q_window_rownum" ->
       """SELECT user_id, event_id, CAST(rn AS INT) AS rn FROM (
            SELECT user_id, event_id,

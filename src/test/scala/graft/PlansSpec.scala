@@ -159,6 +159,35 @@ class PlansSpec extends SparkTestBase {
       p.take(400))
   }
 
+  test("dynamic partition pruning: partitioned fact scan takes a runtime dim filter") {
+    import org.apache.spark.sql.functions._
+    // date-partitioned fact (the silver-zone layout) joined on the
+    // partition column against a selectively-filtered dim: the fact
+    // scan must receive a DYNAMIC partition filter derived from the
+    // dim at runtime — at 100 TB this prunes the lake down to the
+    // dim's dates before any fact IO happens
+    val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    graft.engine.Tables(spark, sfSmoke, "events")
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    val fact = spark.read.parquet(out)
+    val dates = fact.select(col("event_date")).distinct()
+      .orderBy(col("event_date")).limit(2)
+      .collect().map(_.getDate(0).toString)
+    import spark.implicits._
+    val dim = fact.select(col("event_date")).distinct()
+      .withColumn("tag",
+        when(col("event_date").isin(dates.toIndexedSeq: _*), "keep")
+          .otherwise("drop"))
+    val q = fact.join(dim.filter(col("tag") === "keep"), Seq("event_date"))
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("cnt"))
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "fact scan must carry a dynamicpruning partition filter:\n" + p.take(800))
+  }
+
   test("sequence packing windows per source and aggregates in place") {
     val p = plan("q_llm_pack")
     assert(p.contains("Window"), p.take(400))

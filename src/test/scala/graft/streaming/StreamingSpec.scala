@@ -254,6 +254,32 @@ class StreamingSpec extends SparkTestBase {
     assert(got.select($"icao24").distinct().count() == 2)
   }
 
+  test("maxFilesPerTrigger bounds each backfill micro-batch (rate-limited catch-up)") {
+    // a restarted stream facing a large backlog must NOT load the
+    // whole backlog into one giant micro-batch — maxFilesPerTrigger
+    // is the knob, and Trigger.AvailableNow honors it (unlike the
+    // deprecated Trigger.Once, which ignored rate limits)
+    val src = tmp("graft_rate_src")
+    (1 to 3).foreach { i =>
+      Files.writeString(Paths.get(src, s"raw_$i.jsonl"), stateLines.head)
+    }
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .text(src)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sizes += b.count()
+        ()
+      }
+      .option("checkpointLocation", tmp("graft_rate_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(sizes.length == 3, s"3 files at 1 file/trigger must make 3 batches, got $sizes")
+    assert(sizes.forall(_ == 1L), s"each batch must hold exactly one file's rows, got $sizes")
+  }
+
   // ---- late-data semantics under a LIVE watermark (X5) ----
   //
   // The reference silently appends late records (SURVEY.md §2.9 X5);
