@@ -159,6 +159,69 @@ class PlansSpec extends SparkTestBase {
       p.take(400))
   }
 
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      body
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE converts a planned shuffle join to broadcast once runtime stats shrink the dim") {
+    import org.apache.spark.sql.functions._
+    // the 100 TB situation: static stats can't see through a selective
+    // filter, so the planner schedules a shuffle join — AQE re-plans to
+    // broadcast at runtime from the REAL post-filter size. Static
+    // broadcast is disabled while the adaptive threshold stays on
+    // (explicitly: the adaptive threshold DEFAULTS to the static one,
+    // which would silently disable the conversion too).
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "10MB") {
+      val fact = graft.engine.Tables(spark, sfSmoke, "lineitem")
+      val dim = graft.engine.Tables(spark, sfSmoke, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val q = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), p.take(300))
+      assert(p.contains("BroadcastHashJoin"),
+        "AQE must have converted the shuffle join to broadcast:\n" + p.take(800))
+    }
+  }
+
+  test("runtime bloom filter: a selective dim side injects might_contain into the fact scan") {
+    import org.apache.spark.sql.functions._
+    // semi-join reduction: before shuffling the (huge) fact side, a
+    // bloom filter built from the filtered dim's join keys drops
+    // non-matching fact rows at the scan. Size thresholds are lowered
+    // to fixture scale; the mechanism is what runs at 100 TB with the
+    // 10 MB / 10 GB defaults.
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
+      val fact = graft.engine.Tables(spark, sfSmoke, "lineitem")
+      val dim = graft.engine.Tables(spark, sfSmoke, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val q = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+        .agg(count(lit(1)).as("cnt"))
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        "runtime bloom filter must be injected on the fact side:\n" +
+          optimized.take(800))
+    }
+  }
+
   test("dynamic partition pruning: partitioned fact scan takes a runtime dim filter") {
     import org.apache.spark.sql.functions._
     // date-partitioned fact (the silver-zone layout) joined on the
