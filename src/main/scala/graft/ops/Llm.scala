@@ -692,13 +692,21 @@ object Llm {
     val fitCap = 100000L
     val total = Tables(spark, dir, "embeddings").count()
     val k = math.max(8, math.ceil(math.sqrt(total.toDouble)).toInt)
+    // persist the fit input: KMeans re-evaluates it once per Lloyd
+    // pass (plus kmeans|| init rounds), and the lineage here carries
+    // the per-row HOF unit normalization — the same trap
+    // Ml.fitClusteredRows documents. Matters more now that k (and so
+    // the number of evaluations MLlib's internal handling triggers)
+    // scales with the corpus. Released as soon as the fit returns.
     val fitInput =
-      if (total > fitCap) emb.sample(withReplacement = false,
+      (if (total > fitCap) emb.sample(withReplacement = false,
         fraction = fitCap.toDouble / total, seed = 42L)
-      else emb
-    val model = new KMeans().setK(k).setSeed(42).setMaxIter(8)
-      .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(fitInput)
+      else emb).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model =
+      try new KMeans().setK(k).setSeed(42).setMaxIter(8)
+        .setFeaturesCol("features").setPredictionCol("cell")
+        .fit(fitInput)
+      finally fitInput.unpersist()
     val cells = model.transform(emb)
       .select(col("vec_id"), col("e"), col("unit"), col("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
