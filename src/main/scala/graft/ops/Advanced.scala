@@ -96,6 +96,20 @@ object Advanced {
       .na.fill(0L, eventTypes)
       .orderBy(col("hr"))
 
+  /** Unpivot (melt): the wide hour x event_type counter matrix back to
+    * long form — the inverse transform of `pivot`, and the proof that
+    * the pair round-trips: unpivot(pivot(x)) must equal the plain
+    * two-key group-by, which is exactly the oracle. Zero-count cells
+    * (created by the pivot's fill) drop out on the way back. */
+  val unpivotLong: Q = (spark, dir) =>
+    pivot(spark, dir)
+      .unpivot(
+        Array(col("hr")),
+        eventTypes.map(col).toArray,
+        "event_type", "cnt")
+      .filter(col("cnt") > 0)
+      .orderBy(col("hr"), col("event_type"))
+
   /** Generator surface: explode tokens -> corpus token frequency. */
   val explodeTokens: Q = (spark, dir) =>
     Tables(spark, dir, "documents")
@@ -234,6 +248,7 @@ object Advanced {
     "q_agg_salted" -> aggSalted,
     "q_stream_session" -> streamSession,
     "q_pivot" -> pivot,
+    "q_unpivot" -> unpivotLong,
     "q_explode_tokens" -> explodeTokens,
     "q_bucketed_join" -> bucketedJoin,
     "q_zorder_layout" -> zorderLayout,
@@ -298,6 +313,11 @@ object Advanced {
                 CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
                 CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
          FROM events GROUP BY hour(ts) ORDER BY hr""",
+    "q_unpivot" ->
+      """SELECT CAST(hour(ts) AS INT) AS hr, event_type,
+                count(*) AS cnt
+         FROM events GROUP BY hour(ts), event_type
+         ORDER BY hr, event_type""",
     "q_explode_tokens" ->
       """SELECT tok, count(*) AS cnt FROM (
            SELECT unnest(string_split(text, ' ')) AS tok FROM documents)

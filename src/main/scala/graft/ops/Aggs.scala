@@ -180,6 +180,34 @@ object Aggs {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** Explicit GROUPING SETS — the general grouping-set form beside
+    * rollup and cube: per-status totals, per-priority totals, and the
+    * grand total, WITHOUT the cross combinations cube would add. The
+    * DataFrame API spells rollup/cube only, so this rides spark.sql
+    * over a temp view — still one declarative plan through the same
+    * Expand operator. */
+  val aggGroupingSets: Q = (spark, dir) => {
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders_gsets")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+         FROM orders_gsets
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY o_orderstatus ASC NULLS FIRST,
+                  o_orderpriority ASC NULLS FIRST, cnt""")
+  }
+
+  /** Deterministic array aggregation: the set of event types per user,
+    * sorted — collect_set alone is order-nondeterministic, so the
+    * sort_array wrapper is what makes the result reproducible (and
+    * oracle-comparable) across partitionings. */
+  val aggCollectSet: Q = (spark, dir) =>
+    Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        sort_array(collect_set(col("event_type"))).as("types"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
   /** TPC-H Q6 (forecasting revenue change): the selective filter-and-sum
     * macro — the pushdown showcase. All three predicates reach the
     * parquet scan as PushedFilters; what survives is one map-side
@@ -211,7 +239,9 @@ object Aggs {
     "q_agg_mode" -> aggMode,
     "q_agg_rollup" -> aggRollup,
     "q_tpch_q1" -> tpchQ1,
-    "q_tpch_q6" -> tpchQ6)
+    "q_tpch_q6" -> tpchQ6,
+    "q_agg_grouping_sets" -> aggGroupingSets,
+    "q_agg_collect_set" -> aggCollectSet)
 
   val oracle: Map[String, String] = Map(
     "q_agg_cube" ->
@@ -293,5 +323,16 @@ object Aggs {
          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
            AND l_shipdate < TIMESTAMP '1998-01-01'
            AND l_discount BETWEEN 0.05 AND 0.07
-           AND l_quantity < 24""")
+           AND l_quantity < 24""",
+    "q_agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY o_orderstatus ASC NULLS FIRST,
+                  o_orderpriority ASC NULLS FIRST, cnt""",
+    "q_agg_collect_set" ->
+      """SELECT user_id,
+                list_sort(array_agg(DISTINCT event_type)) AS types,
+                count(*) AS n_events
+         FROM events GROUP BY user_id ORDER BY user_id""")
 }

@@ -83,7 +83,13 @@ object ScaleProbe {
       // does grow quadratically); LSH/IVF are the at-scale paths.
       inflate("embeddings", Seq("vec_id"), 10000000L)
 
+      // optional probe filter for targeted re-runs (jitter checks):
+      // SPARK_GRAFT_PROBE_ONLY=substr1,substr2 runs only matching plans
+      val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+        .map(_.split(",").map(_.trim.toLowerCase).toSeq)
+
       def time(name: String)(df: => DataFrame): Unit = {
+        if (only.exists(fs => !fs.exists(name.toLowerCase.contains))) return
         val t0 = System.nanoTime()
         df.count()
         val dt = (System.nanoTime() - t0) / 1e9
@@ -132,7 +138,7 @@ object ScaleProbe {
       // derived ~sqrt(n), so the largest cell should track sqrt(n));
       // this refits the just-invalidated quantizer — stats cost, not
       // part of the timed run
-      locally {
+      if (only.forall(_.exists("semdedup".contains))) locally {
         val (k, largest) = Llm.ivfCellStats(spark, dst)
         println(s"== x$factor semdedup cell bound: k=$k largestCell=$largest")
         spark.sharedState.cacheManager.clearCache()
@@ -148,7 +154,7 @@ object ScaleProbe {
       // (Joins.joinSalted is the manual form). Thresholds are lowered
       // to probe-data scale; production defaults (256 MB) express the
       // same mechanism at cluster scale.
-      locally {
+      if (only.forall(_.exists("skew".contains))) locally {
         val keys = Seq(
           "spark.sql.autoBroadcastJoinThreshold",
           "spark.sql.adaptive.autoBroadcastJoinThreshold",
