@@ -543,6 +543,39 @@ object Llm {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram language-model score — the perplexity-proxy quality
+    * filter (CCNet's KenLM role, reduced to the largest model the
+    * engine itself can train): add-one-smoothed bigram conditionals
+    * P(w_i | w_{i-1}) = (c2+1)/(c1+V) fitted on the whole corpus in
+    * two gram-keyed aggregates, each document scored by its mean log
+    * probability. Gibberish and unnatural token sequences score far
+    * below fluent text. Every shuffle is keyed by a gram (bigram
+    * counts, prefix counts, the scoring join) — never doc x doc, and
+    * the V constant rides a broadcast 1-row frame. The bigram view is
+    * recomputed per consumer rather than cached (explode output >
+    * corpus; same trade as qualityLr). */
+  val lmScore: Q = (spark, dir) => {
+    val bi = tokenized(spark, dir)
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "arrays_zip(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1))"))
+        .as("p"))
+      .select(col("doc_id"),
+        expr("p['0']").as("prev"), expr("p['1']").as("cur"))
+    val c2 = bi.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy(col("prev")).agg(count(lit(1)).as("c1"))
+    val v = Tables(spark, dir, "documents")
+      .select(explode(expr(toksE)).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    bi.join(c2, Seq("prev", "cur"))
+      .join(c1, Seq("prev"))
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(log((col("c2") + 1) / (col("c1") + col("v")))), 6)
+        .as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** TF-IDF top-3 terms per document. The document-frequency table is
     * the "model": one aggregate over (doc, term) pairs, broadcast back
     * to the term-frequency side, so scoring never shuffles the corpus
@@ -1217,6 +1250,7 @@ object Llm {
     "q_llm_textstats" -> textstats,
     "q_llm_qualityfilter" -> qualityFilter,
     "q_llm_quality_lr" -> qualityLr,
+    "q_llm_lm_score" -> lmScore,
     "q_llm_tfidf" -> tfidf,
     "q_llm_chunk_stride" -> chunkStride,
     "q_llm_semdedup" -> semDedup,
@@ -1395,6 +1429,28 @@ object Llm {
          SELECT doc_id, round(avg(w), 6) AS score
          FROM toks JOIN weights USING (tok)
          GROUP BY doc_id ORDER BY doc_id""",
+    // add-one-smoothed bigram conditionals; V = corpus unigram vocab
+    "q_llm_lm_score" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         bi AS (
+           SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+           FROM (SELECT doc_id, t,
+                        unnest(generate_series(1, len(t) - 1)) AS i
+                 FROM toks WHERE len(t) >= 2)),
+         c2 AS (SELECT prev, cur, count(*) AS c2 FROM bi GROUP BY prev, cur),
+         c1 AS (SELECT prev, count(*) AS c1 FROM bi GROUP BY prev),
+         v AS (SELECT count(DISTINCT tok) AS v FROM (
+                 SELECT unnest(string_split(text, ' ')) AS tok
+                 FROM documents))
+         SELECT b.doc_id,
+                round(avg(ln((c2.c2 + 1) * 1.0 / (c1.c1 + v.v))), 6)
+                  AS lm_score
+         FROM bi b
+         JOIN c2 ON b.prev = c2.prev AND b.cur = c2.cur
+         JOIN c1 ON b.prev = c1.prev
+         CROSS JOIN v
+         GROUP BY b.doc_id ORDER BY doc_id""",
     "q_llm_tfidf" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
