@@ -353,6 +353,27 @@ object Llm {
       .orderBy(col("doc_id"))
   }
 
+  /** Near-dup cluster REPRESENTATIVE selection — the decision step
+    * that turns cluster labels into a dedup action: keep exactly one
+    * document per near-dup cluster, preferring the longest text (most
+    * content survives) with doc_id as the deterministic tie-break.
+    * One window over the (doc, cluster) labels joined to the
+    * metadata-sized doc stats; clusters are the LSH-derived components
+    * (dedupClusters), so everything upstream stays gram-keyed. */
+  val clusterRep: Q = (spark, dir) => {
+    val clusters = dedupClusters(spark, dir)
+    val stats = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    clusters.join(stats, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("doc_id").as("rep_id"), col("n_chars"))
+      .orderBy(col("cluster"))
+  }
+
   /** SimHash 64-bit signature. The per-bit ±1 sums are a hash
     * AGGREGATE over exploded tokens — 64 codegen'd conditional sums,
     * one shuffle row of 64 longs per doc — not a nested
@@ -1239,6 +1260,7 @@ object Llm {
     "q_llm_dedup_minhash" -> dedupMinhash,
     "q_llm_dedup_minhash_native" -> dedupMinhashNative,
     "q_llm_dedup_clusters" -> dedupClusters,
+    "q_llm_cluster_rep" -> clusterRep,
     "q_llm_dedup_simhash" -> dedupSimhash,
     "q_llm_cosine_topk" -> cosineTopk,
     "q_llm_embed_neardup" -> embedNeardup,
@@ -1338,6 +1360,36 @@ object Llm {
             SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
           SELECT a AS doc_id, least(a, min(b)) AS cluster
           FROM reach GROUP BY a ORDER BY doc_id""",
+    // the clusters CTE above + representative selection: longest text
+    // wins per cluster, doc_id breaks exact-length ties
+    "q_llm_cluster_rep" ->
+      s"""${shingleCte.replaceFirst("WITH", "WITH RECURSIVE")},
+          inter AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ic
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          pairs AS (
+            SELECT d1, d2 FROM inter
+            JOIN sizes sa ON sa.doc_id = d1
+            JOIN sizes sb ON sb.doc_id = d2
+            WHERE ic * 1.0 / (sa.n + sb.n - ic) >= 0.5),
+          und AS (SELECT d1 AS a, d2 AS b FROM pairs
+                  UNION SELECT d2, d1 FROM pairs),
+          reach AS (
+            SELECT a, b FROM und
+            UNION
+            SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+          lbl AS (
+            SELECT a AS doc_id, least(a, min(b)) AS cluster
+            FROM reach GROUP BY a),
+          ranked AS (
+            SELECT l.cluster, l.doc_id, d.n_chars,
+                   row_number() OVER (PARTITION BY l.cluster
+                     ORDER BY d.n_chars DESC, l.doc_id) AS rn
+            FROM lbl l JOIN documents d ON l.doc_id = d.doc_id)
+          SELECT cluster, doc_id AS rep_id, n_chars
+          FROM ranked WHERE rn = 1 ORDER BY cluster""",
     // exact-verified LSH: same result set as the exhaustive join, so
     // the same oracle applies (see dedupMinhashNative scaladoc)
     "q_llm_dedup_minhash_native" ->
