@@ -136,6 +136,26 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.versions(spark, serving).size >= 2)
   }
 
+  test("expireVersions removes the expired version's stats manifest with it") {
+    val dir = tmp("graft_vt_expman")
+    VersionedTable.commitWithStats(
+      Seq((1L, "v0"), (5L, "v0")).toDF("k", "v"), dir, Seq("k"))
+    VersionedTable.commitWithStats(
+      Seq((2L, "v1"), (6L, "v1")).toDF("k", "v"), dir, Seq("k"))
+    assert(new java.io.File(s"$dir/manifest_v0").exists())
+    assert(VersionedTable.expireVersions(spark, dir, keepLast = 1) == Seq(0L))
+    // the orphan manifest would turn a read of the expired version into
+    // a confusing missing-parquet error — it must go with the snapshot
+    assert(!new java.io.File(s"$dir/manifest_v0").exists())
+    assert(new java.io.File(s"$dir/manifest_v1").exists())
+    // the surviving version's pruned read path is untouched
+    val (pruned, read, total) = VersionedTable.readPruned(
+      spark, dir, Map("k" -> ((1L, 3L))))
+    assert(total == pruned.sparkSession.read
+      .parquet(s"$dir/v1").inputFiles.length || total >= 1)
+    assert(pruned.count() == 1)
+  }
+
   test("optimistic concurrency: of two interleaved committers exactly one wins, nothing clobbered") {
     val dir = tmp("graft_vt_occ")
     VersionedTable.commit(Seq((1L, "base")).toDF("k", "v"), dir)
