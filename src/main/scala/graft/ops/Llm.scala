@@ -1207,15 +1207,24 @@ object Llm {
     * differing bits touch all 4 bands is missed) — the oracle
     * replicates the banding, so the check is exact. Verification is
     * exact Hamming distance (<= 6) via xor + bit_count on the row
-    * bytes. */
+    * bytes.
+    *
+    * The subject modulus SCALES with the corpus (m = max(40, n/12), a
+    * metadata-count constant mirrored by the oracle) so near-dup
+    * groups stay ~12 images at any scale — the realistic regime. A
+    * fixed modulus would grow every group linearly with the corpus
+    * and the pair OUTPUT quadratically, measuring the fixture rather
+    * than the banding (ScaleProbe caught exactly that: ratio 28 at
+    * x10 with m=40, linear after deriving m). */
   val mmPhash: Q = (spark, dir) => {
     import spark.implicits._
+    val m = math.max(40L, Tables(spark, dir, "documents").count() / 12)
     val sigs = Tables(spark, dir, "documents")
       .select(col("doc_id"))
       .as[Long]
       .mapPartitions { it =>
         it.map { id =>
-          val g = id % 40
+          val g = id % m
           val s = id % 3
           val bytes = graft.functions.MediaCodec.encodeBmpGray(
             18, 16,
@@ -1738,19 +1747,23 @@ object Llm {
                   AS BIGINT) AS frame_sum
          FROM idx GROUP BY doc_id ORDER BY doc_id""",
     // recomputes the dHash pipeline arithmetically: resized pixel
-    // (x,y) = source(2x,2y) with p(u,v) = ((doc_id%40+1)*(3u^2+5v+uv)
-    // + doc_id%3) mod 251; bit x of row y compares p at 2(x+1) vs 2x;
-    // then the SAME 4x16-bit banding + hamming<=6 verify as the engine
+    // (x,y) = source(2x,2y) with p(u,v) = ((doc_id%m+1)*(3u^2+5v+uv)
+    // + doc_id%3) mod 251, m = greatest(40, n/12); bit x of row y
+    // compares p at 2(x+1) vs 2x; then the SAME 4x16-bit banding +
+    // hamming<=6 verify as the engine
     "q_mm_phash" ->
-      """WITH px AS (
+      """WITH mm AS (
+           SELECT greatest(40, count(*) // 12) AS m FROM documents),
+         px AS (
            SELECT d.doc_id, x.g AS x, y.g AS y,
-                  ((d.doc_id % 40 + 1) * (3*(2*x.g)*(2*x.g) + 5*(2*y.g)
+                  ((d.doc_id % mm.m + 1) * (3*(2*x.g)*(2*x.g) + 5*(2*y.g)
                     + (2*x.g)*(2*y.g)) + d.doc_id % 3) % 251 AS p0,
-                  ((d.doc_id % 40 + 1) * (3*(2*x.g+2)*(2*x.g+2) + 5*(2*y.g)
+                  ((d.doc_id % mm.m + 1) * (3*(2*x.g+2)*(2*x.g+2) + 5*(2*y.g)
                     + (2*x.g+2)*(2*y.g)) + d.doc_id % 3) % 251 AS p1
            FROM documents d,
                 (SELECT unnest(generate_series(0, 7)) AS g) x,
-                (SELECT unnest(generate_series(0, 7)) AS g) y),
+                (SELECT unnest(generate_series(0, 7)) AS g) y,
+                mm),
          rows_ AS (
            SELECT doc_id, y,
                   SUM(CASE WHEN p1 > p0 THEN (1 << x) ELSE 0 END) AS r

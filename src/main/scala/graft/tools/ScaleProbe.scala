@@ -146,6 +146,13 @@ object ScaleProbe {
         Llm.invalidateCellCache()
       }
       time("seq packing") { Llm.pack(spark, dst) }
+      // round-3 heavies: the positional-gram substring dedup (gram-
+      // keyed join + islands window), image phash banding, and the
+      // bigram-LM scoring joins — all gram/band-keyed, so the probe
+      // watches for any hidden pair-space quadratic
+      time("substr dedup") { Llm.substrDedup(spark, dst) }
+      time("image phash neardup") { Llm.mmPhash(spark, dst) }
+      time("bigram LM score") { Llm.lmScore(spark, dst) }
 
       // AQE skew-join probe: join the deliberately-skewed
       // events.user_id WITHOUT salting and assert AQE's skew-join

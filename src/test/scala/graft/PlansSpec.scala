@@ -159,6 +159,15 @@ class PlansSpec extends SparkTestBase {
       p.take(400))
   }
 
+  test("bigram LM scoring joins stay gram-keyed; only the vocab constant broadcasts") {
+    val p = plan("q_llm_lm_score")
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    // exactly one nested-loop join is legitimate: the broadcast 1-row
+    // vocab-size frame; the count/scoring joins must be hash-keyed
+    assert(p.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") <= 1, p.take(600))
+  }
+
   private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
     val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     try {
