@@ -24,10 +24,26 @@ object Verify {
       case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
       case None        => SparkEntry.queries
     }
+    // Driver-comparator constraint: its pandas hash gate crashes on
+    // array/map/struct values ("unhashable type"), so an oracle-checked
+    // query with a non-scalar column can never pass — refuse to dump it
+    // and fail loudly rather than ship a result the gate will choke on.
+    def nonScalar(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] ||
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] => f.name
+      }.toSeq
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        val bad = if (SparkEntry.oracleSql.contains(name)) nonScalar(df) else Nil
+        if (bad.nonEmpty)
+          System.err.println(s"[verify] $name REJECTED: oracle-checked query " +
+            s"emits non-scalar columns ${bad.mkString(",")} — the driver's " +
+            "comparator cannot hash these; stringify on both engines")
+        else df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -196,15 +196,19 @@ object Aggs {
                   o_orderpriority ASC NULLS FIRST, cnt""")
   }
 
-  /** Deterministic array aggregation: the set of event types per user,
-    * sorted — collect_set alone is order-nondeterministic, so the
-    * sort_array wrapper is what makes the result reproducible (and
-    * oracle-comparable) across partitionings. */
+  /** Deterministic set aggregation: the set of event types per user,
+    * sorted then joined to ONE scalar string — collect_set alone is
+    * order-nondeterministic (sort_array fixes that), and an
+    * array-typed output column crashes the driver's pandas comparator
+    * ("unhashable type"), so the join-to-scalar is what makes the
+    * result both reproducible across partitionings AND
+    * hash-comparable by the gate. */
   val aggCollectSet: Q = (spark, dir) =>
     Tables(spark, dir, "events")
       .groupBy(col("user_id"))
       .agg(
-        sort_array(collect_set(col("event_type"))).as("types"),
+        array_join(sort_array(collect_set(col("event_type"))), ",")
+          .as("types"),
         count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))
 
@@ -332,7 +336,8 @@ object Aggs {
                   o_orderpriority ASC NULLS FIRST, cnt""",
     "q_agg_collect_set" ->
       """SELECT user_id,
-                list_sort(array_agg(DISTINCT event_type)) AS types,
+                array_to_string(list_sort(array_agg(DISTINCT event_type)), ',')
+                  AS types,
                 count(*) AS n_events
          FROM events GROUP BY user_id ORDER BY user_id""")
 }

@@ -14,6 +14,21 @@ class ContractSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("oracle-checked queries emit only scalar columns (driver comparator limit)") {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    SparkEntry.oracleSql.keySet.foreach { name =>
+      val bad = SparkEntry.queries(name)(spark, sfSmoke).schema.fields
+        .filter(_.dataType match {
+          case _: ArrayType | _: MapType | _: StructType => true
+          case _                                         => false
+        })
+      assert(bad.isEmpty,
+        s"$name emits non-scalar columns [${bad.map(_.name).mkString(",")}] — " +
+          "the driver's pandas comparator cannot hash array/map/struct values; " +
+          "stringify with array_join/to_json on BOTH engines")
+    }
+  }
+
   test("every query runs and yields a non-empty schema on sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfSmoke)

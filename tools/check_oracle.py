@@ -45,6 +45,20 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
             continue
+        # Driver-comparator capability guard: its pandas-based compare
+        # crashes on array/map/struct values (sort_values -> factorize,
+        # "unhashable type"), so any non-scalar column in an
+        # oracle-checked output is an automatic FAIL here even though
+        # this harness's tuple compare would handle lists fine.
+        nested = [c for c, r in zip(got_cols, zip(*got_rows)) if any(
+            isinstance(v, (list, dict, tuple)) for v in r)] if got_rows else []
+        nested += [c for c, r in zip(exp_cols, zip(*exp_rows)) if any(
+            isinstance(v, (list, dict, tuple)) for v in r)] if exp_rows else []
+        if nested:
+            print(f"FAIL {name}: non-scalar columns {sorted(set(nested))} — "
+                  "driver comparator cannot hash array/map/struct values")
+            n_fail += 1
+            continue
         # driver sorts columns by name before hashing
         gi = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
         ei = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
