@@ -204,6 +204,29 @@ object Advanced {
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       scala.collection.concurrent.TrieMap[String, String]])
 
+  /** Explicit invalidation, mirroring Ml.invalidateFitCache /
+    * Llm.invalidateCellCache — without it a regenerated `dir`
+    * in-session would silently serve the stale Z-ordered table.
+    * Also deletes the written temp tables so invalidation reclaims
+    * the disk, not just the pointer. */
+  def invalidateSkipTableCache(): Unit = {
+    val paths = skipTableCache.synchronized {
+      val ps = scala.jdk.CollectionConverters.CollectionHasAsScala(
+        skipTableCache.values).asScala.flatMap(_.values).toList
+      skipTableCache.clear()
+      ps
+    }
+    paths.foreach { p =>
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }
+  }
+
   private def zorderedTable(spark: org.apache.spark.sql.SparkSession,
       dir: String): String =
     skipTableCache
