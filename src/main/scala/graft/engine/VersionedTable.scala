@@ -52,16 +52,102 @@ object VersionedTable {
     }
   }
 
-  /** All committed versions (ascending). */
-  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+  // ---- metadata checkpoint: the `_VERSIONS` summary -----------------
+  //
+  // Version resolution used to LIST the table dir per read — O(live
+  // versions) namenode load on a long-lived table, the one structural
+  // gap vs Delta's checkpoint file. The summary is one small text file
+  // (current pointer + live versions + stats-manifest versions)
+  // rewritten atomically on commit/expire and read in O(1) file ops.
+  //
+  // Staleness is HANDLED, not assumed away: two committers of
+  // successive versions can interleave their summary rewrites so the
+  // older one lands last. The fast path therefore trusts the summary
+  // only when its `current` matches `_CURRENT` (the real source of
+  // truth); on any mismatch, absence, or parse failure it falls back
+  // to a directory listing and rewrites the summary — self-healing,
+  // never wrong, and the fallback count is observable so a spec can
+  // assert steady state is listing-free.
+
+  private def summaryPath(dir: String) = new Path(dir, "_VERSIONS")
+
+  private case class Summary(
+    current: Long, versions: Seq[Long], manifests: Seq[Long])
+
+  /** Directory-listing fallbacks since process start — the O(1)
+    * resolution claim as a counter, asserted flat by the spec. */
+  private val summaryFallbacks = new java.util.concurrent.atomic.AtomicLong
+  def listingFallbackCount: Long = summaryFallbacks.get()
+
+  private def readSummary(f: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[Summary] = {
+    val p = summaryPath(dir)
+    if (!f.exists(p)) None
+    else try {
+      val in = f.open(p)
+      val text =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val kv = text.split("\n").map(_.trim).filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+      def nums(s: String): Seq[Long] =
+        if (s.isEmpty) Seq.empty else s.split(",").map(_.toLong).toSeq
+      Some(Summary(kv("current").toLong,
+        nums(kv.getOrElse("versions", "")),
+        nums(kv.getOrElse("manifests", ""))))
+    } catch { case _: Exception => None } // corrupt summary -> fallback
+  }
+
+  private def writeSummary(spark: SparkSession, dir: String, s: Summary): Unit = {
     val f = fs(spark, dir)
+    val tmp = new Path(dir, s"._VERSIONS.tmp${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, true)
+    try out.write(
+      (s"current=${s.current}\n" +
+        s"versions=${s.versions.mkString(",")}\n" +
+        s"manifests=${s.manifests.mkString(",")}\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(f.makeQualified(tmp), f.makeQualified(summaryPath(dir)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def listVersions(f: org.apache.hadoop.fs.FileSystem,
+      dir: String, pattern: String): Seq[Long] = {
     val base = new Path(dir)
     if (!f.exists(base)) Seq.empty
     else f.listStatus(base).toSeq
       .map(_.getPath.getName)
-      .filter(_.matches("v\\d+"))
-      .map(_.stripPrefix("v").toLong)
+      .filter(_.matches(pattern))
+      .map(_.replaceAll("[^0-9]", "").toLong)
       .sorted
+  }
+
+  /** Listing fallback + repair: the slow path behind `versions`. */
+  private def relistAndRepair(spark: SparkSession, dir: String): Seq[Long] = {
+    summaryFallbacks.incrementAndGet()
+    val f = fs(spark, dir)
+    val listed = listVersions(f, dir, "v\\d+")
+    currentVersion(spark, dir).foreach { c =>
+      writeSummary(spark, dir,
+        Summary(c, listed, listVersions(f, dir, "manifest_v\\d+")))
+    }
+    listed
+  }
+
+  /** All committed versions (ascending) — O(1) file ops via the
+    * summary when it is fresh; listing fallback (with repair) when it
+    * is stale, absent, or corrupt. */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val f = fs(spark, dir)
+    (readSummary(f, dir), currentVersion(spark, dir)) match {
+      case (Some(s), Some(c)) if s.current == c => s.versions
+      case (None, None)                         => // never committed
+        listVersions(f, dir, "v\\d+") // plain list, nothing to repair
+      case _                                    => relistAndRepair(spark, dir)
+    }
   }
 
   private def claimPath(dir: String, v: Long) = new Path(dir, s".claim_v$v")
@@ -89,8 +175,40 @@ object VersionedTable {
     * administrative unwedge (run only with no live writers — the same
     * caveat as Iceberg's orphan-file cleanup). */
   def commit(df: DataFrame, dir: String): Long = {
-    val next = currentVersion(df.sparkSession, dir).map(_ + 1).getOrElse(0L)
+    val spark = df.sparkSession
+    val f = fs(spark, dir)
+    var next = currentVersion(spark, dir).map(_ + 1).getOrElse(0L)
+    // Crash-window repair: a writer that died AFTER renaming its
+    // staged snapshot to v<next> but BEFORE the pointer swap leaves
+    // snapshot + claim present with the pointer behind. Without
+    // repair the table is wedged forever: every future commit targets
+    // the already-claimed version and throws, while clearClaim
+    // (correctly) refuses to clear a published claim. The snapshot
+    // was fully written before its single atomic rename, so rolling
+    // the pointer FORWARD completes the dead writer's commit — the
+    // same recovery direction as a Delta log entry that is present
+    // but unreferenced. Racing repairers both write the identical
+    // pointer value (idempotent); the claim then serializes next.
+    while (f.exists(new Path(dir, s"v$next")) && f.exists(claimPath(dir, next))) {
+      swapPointer(spark, f, dir, next)
+      next += 1
+    }
     commitExact(df, dir, next)
+  }
+
+  /** Atomic `_CURRENT` advance: write-temp + rename(OVERWRITE). */
+  private def swapPointer(spark: SparkSession,
+      f: org.apache.hadoop.fs.FileSystem, dir: String, v: Long): Unit = {
+    val tmp = new Path(dir, s"._CURRENT.tmp$v")
+    val out = f.create(tmp, true)
+    try out.write(s"v$v".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename( // throws on failure — no silently-dropped boolean
+      f.makeQualified(tmp),
+      f.makeQualified(currentPath(dir)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** `commit` with the target version made explicit — the seam that
@@ -105,27 +223,41 @@ object VersionedTable {
     df.write.mode("overwrite").parquet(staged.toString)
     // claim the version number: atomic create-exclusive. On local FS
     // the existence check isn't a single syscall (test-only caveat);
-    // on HDFS the namenode serializes it.
+    // on HDFS the namenode serializes it. Only an already-existing
+    // claim is a CONFLICT; any other IOException (permissions, quota,
+    // transient FS failure) is a genuine IO error and must not
+    // masquerade as a retryable concurrent-committer message.
+    def loseClaim(): Nothing = {
+      f.delete(staged, true)
+      throw new ConcurrentCommitException(dir, next)
+    }
     try f.create(claimPath(dir, next), false).close()
     catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-          _: java.io.IOException =>
-        f.delete(staged, true)
-        throw new ConcurrentCommitException(dir, next)
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => loseClaim()
+      case e: java.io.IOException =>
+        // local FS reports an existing file as a plain IOException —
+        // re-check existence before deciding conflict vs real failure
+        if (f.exists(claimPath(dir, next))) loseClaim()
+        else { f.delete(staged, true); throw e }
     }
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       f.getUri, spark.sparkContext.hadoopConfiguration)
     // we own v<next> now: move the staged snapshot into place
     fc.rename(f.makeQualified(staged),
       f.makeQualified(new Path(dir, s"v$next")))
-    val tmp = new Path(dir, s"._CURRENT.tmp$next")
-    val out = f.create(tmp, true)
-    try out.write(s"v$next".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fc.rename( // throws on failure — no silently-dropped boolean
-      f.makeQualified(tmp),
-      f.makeQualified(currentPath(dir)),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    swapPointer(spark, f, dir, next)
+    // summary checkpoint: extend the prior summary when it is fresh
+    // (O(1)); list once when it is stale/absent (pre-summary tables).
+    // A racing summary rewrite landing after ours just goes stale —
+    // the read path validates against _CURRENT and self-heals.
+    val (live, manifests) = readSummary(f, dir) match {
+      case Some(s) if s.current == next - 1 =>
+        (s.versions :+ next, s.manifests)
+      case None if next == 0L => (Seq(0L), Seq.empty[Long])
+      case _ => (listVersions(f, dir, "v\\d+"),
+        listVersions(f, dir, "manifest_v\\d+"))
+    }
+    writeSummary(spark, dir, Summary(next, live, manifests))
     next
   }
 
@@ -182,6 +314,16 @@ object VersionedTable {
       if (f.exists(m) && !f.delete(m, true))
         throw new java.io.IOException(s"failed to delete expired manifest $m")
     }
+    // keep the summary consistent with what survived (a crash mid-way
+    // leaves a stale summary; the read path's _CURRENT check heals it)
+    cur.foreach { c =>
+      val survivors = all.filterNot(expire.contains)
+      val manifests = readSummary(f, dir) match {
+        case Some(s) if s.current == c => s.manifests.filterNot(expire.contains)
+        case _ => listVersions(f, dir, "manifest_v\\d+")
+      }
+      writeSummary(spark, dir, Summary(c, survivors, manifests))
+    }
     expire
   }
 
@@ -233,6 +375,13 @@ object VersionedTable {
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(manifestDir(dir, v))
+    // register the manifest in the summary so resolution stays O(1)
+    val f = fs(spark, dir)
+    readSummary(f, dir) match {
+      case Some(s) if s.current == v =>
+        writeSummary(spark, dir, s.copy(manifests = (s.manifests :+ v).distinct))
+      case _ => () // stale summary — the read path's fallback re-lists
+    }
     v
   }
 

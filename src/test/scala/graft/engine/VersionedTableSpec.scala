@@ -10,6 +10,14 @@ class VersionedTableSpec extends SparkTestBase {
 
   private def tmp(p: String) = Files.createTempDirectory(p).toString
 
+  /** Overwrite a metadata file BEHIND the Hadoop FS (simulating a
+    * crash/corruption), dropping the local-FS checksum sidecar so the
+    * next Hadoop read sees the content, not a ChecksumException. */
+  private def clobber(dir: String, name: String, content: String): Unit = {
+    Files.writeString(Paths.get(dir, name), content)
+    Files.deleteIfExists(Paths.get(dir, s".$name.crc"))
+  }
+
   test("commit advances versions; read resolves the pointer; time travel works") {
     val dir = tmp("graft_vt")
     assert(VersionedTable.currentVersion(spark, dir).isEmpty)
@@ -198,6 +206,62 @@ class VersionedTableSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       VersionedTable.clearClaim(spark, dir, 1L)
     }
+  }
+
+  test("version resolution is O(1): steady state never lists; summary self-heals") {
+    val dir = tmp("graft_vt_summary")
+    (0 until 5).foreach(i =>
+      VersionedTable.commit(Seq((i.toLong, s"v$i")).toDF("k", "v"), dir))
+    val before = VersionedTable.listingFallbackCount
+    (0 until 3).foreach(_ =>
+      assert(VersionedTable.versions(spark, dir) == (0L to 4L)))
+    assert(VersionedTable.listingFallbackCount == before,
+      "steady-state resolution after N commits must not list the directory")
+    // a deleted summary heals itself: exactly one listing, then O(1) again
+    Files.delete(Paths.get(dir, "_VERSIONS"))
+    Files.deleteIfExists(Paths.get(dir, "._VERSIONS.crc"))
+    assert(VersionedTable.versions(spark, dir) == (0L to 4L))
+    val healed = VersionedTable.listingFallbackCount
+    assert(healed == before + 1)
+    assert(VersionedTable.versions(spark, dir) == (0L to 4L))
+    assert(VersionedTable.listingFallbackCount == healed,
+      "repair must restore the listing-free path")
+    // a STALE summary (racing writer's rewrite landed late) is detected
+    // against _CURRENT and repaired, never trusted
+    clobber(dir, "_VERSIONS", "current=0\nversions=0\nmanifests=\n")
+    assert(VersionedTable.versions(spark, dir) == (0L to 4L))
+    assert(VersionedTable.listingFallbackCount == healed + 1)
+  }
+
+  test("expire keeps the summary consistent: post-expire resolution stays listing-free") {
+    val dir = tmp("graft_vt_sumexp")
+    (0 until 4).foreach(i =>
+      VersionedTable.commit(Seq((i.toLong, s"v$i")).toDF("k", "v"), dir))
+    assert(VersionedTable.expireVersions(spark, dir, keepLast = 2) == Seq(0L, 1L))
+    val before = VersionedTable.listingFallbackCount
+    assert(VersionedTable.versions(spark, dir) == Seq(2L, 3L))
+    assert(VersionedTable.listingFallbackCount == before,
+      "expire must leave a fresh summary, not force a listing")
+  }
+
+  test("a crash between publish and pointer swap is repaired by the next commit") {
+    val dir = tmp("graft_vt_wedge")
+    VersionedTable.commit(Seq((1L, "v0")).toDF("k", "v"), dir)
+    VersionedTable.commit(Seq((1L, "v1")).toDF("k", "v"), dir)
+    // simulate the dead writer: v1 snapshot + claim exist, but the
+    // pointer never swapped — roll it back to v0
+    clobber(dir, "_CURRENT", "v0")
+    // without repair this state is permanently wedged: every commit
+    // targets the already-claimed v1 and clearClaim refuses (published)
+    val v = VersionedTable.commit(Seq((1L, "v2")).toDF("k", "v"), dir)
+    assert(v == 2L, "repair must complete the dead writer's commit, then land after it")
+    assert(VersionedTable.currentVersion(spark, dir).contains(2L))
+    assert(VersionedTable.read(spark, dir)
+      .as[(Long, String)].head() == ((1L, "v2")))
+    // the dead writer's snapshot survived as v1 (time travel reaches it)
+    assert(VersionedTable.read(spark, dir, Some(1L))
+      .as[(Long, String)].head() == ((1L, "v1")))
+    assert(VersionedTable.versions(spark, dir) == Seq(0L, 1L, 2L))
   }
 
   test("commitRetrying rides over a stale claim cleared mid-flight") {
