@@ -143,6 +143,20 @@ object Llm {
   val substrDedup: Q = (spark, dir) => {
     val n = 6
     val minRun = 10
+    matchedIslands(spark, dir, n)
+      .groupBy(col("d1"), col("d2"), col("delta"), col("island"))
+      .agg(count(lit(1)).as("m"))
+      .groupBy(col("d1"), col("d2"))
+      .agg((max(col("m")) + lit(n - 1)).cast("int").as("longest_run"))
+      .filter(col("longest_run") >= minRun)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Shared core of the substring ops: positional n-gram digests,
+    * gram-digest equi-join (never doc x doc), constant-alignment
+    * islands — see substrDedup's scaladoc for the full shape. */
+  private def matchedIslands(spark: SparkSession, dir: String, n: Int)
+      : DataFrame = {
     val slices = (0 until n)
       .map(i => s"slice(t, ${i + 1}, greatest(size(t) - ${n - 1}, 0))")
       .mkString(",\n             ")
@@ -162,14 +176,58 @@ object Llm {
         col("a.pos").as("pa"), (col("a.pos") - col("b.pos")).as("delta"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("d1"), col("d2"), col("delta")).orderBy(col("pa"))
-    matched
-      .withColumn("island", col("pa") - row_number().over(w))
+    matched.withColumn("island", col("pa") - row_number().over(w))
+  }
+
+  /** Substring REMOVAL — the production decision step on top of
+    * substrDedup's detection (the Lee et al. 2022 pipeline removes the
+    * shared span, it doesn't just report it): every duplicated token
+    * run of >= minRun tokens is EXCISED from the later document of
+    * each pair (d2, the larger doc_id), so the earliest occurrence of
+    * any span is the one that survives — including transitively, since
+    * every pair orients removal away from its earlier member. Emits
+    * one row per affected doc: the rebuilt text and how many tokens
+    * were cut (both scalar, driver-hashable).
+    *
+    * Distributed shape: islands stay gram-keyed (matchedIslands);
+    * spans, token anti-join, and the rebuild aggregation are all keyed
+    * by doc_id — no shuffle ever carries a doc x doc pair space, and
+    * the window/aggregations range over matched spans and affected
+    * docs only, so cost is bounded by true overlap. The rebuild sorts
+    * (pos, token) structs inside the aggregate, not the shuffle, so
+    * tokens arrive unordered and leave deterministic. */
+  val substrDedupRemove: Q = (spark, dir) => {
+    val n = 6
+    val minRun = 10
+    val spans = matchedIslands(spark, dir, n)
       .groupBy(col("d1"), col("d2"), col("delta"), col("island"))
-      .agg(count(lit(1)).as("m"))
-      .groupBy(col("d1"), col("d2"))
-      .agg((max(col("m")) + lit(n - 1)).cast("int").as("longest_run"))
-      .filter(col("longest_run") >= minRun)
-      .orderBy(col("d1"), col("d2"))
+      .agg(min(col("pa")).as("pa0"), count(lit(1)).as("m"))
+      .filter(col("m") + lit(n - 1) >= minRun)
+      .select(col("d2").as("doc_id"),
+        (col("pa0") - col("delta")).as("s"),
+        (col("pa0") - col("delta") + col("m") + lit(n - 2)).as("e"))
+    val affected = spans.select(col("doc_id")).distinct()
+    val toks = tokenized(spark, dir)
+      .join(affected, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
+    val kept = toks.as("t").join(spans.as("sp"),
+        col("t.doc_id") === col("sp.doc_id") &&
+          col("t.pos") >= col("sp.s") && col("t.pos") <= col("sp.e"),
+        "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
+          " ").as("text_clean"))
+    val sizes = tokenized(spark, dir)
+      .select(col("doc_id"), size(col("t")).as("n_toks"))
+    affected.join(sizes, Seq("doc_id"))
+      .join(kept, Seq("doc_id"), "left") // a fully-excised doc keeps 0 tokens
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        (col("n_toks") - coalesce(col("kept"), lit(0L))).cast("int")
+          .as("removed_tokens"))
+      .orderBy(col("doc_id"))
   }
 
   /** L2 at scale: MinHashLSH banding over hashed shingles (MLlib).
@@ -1317,6 +1375,7 @@ object Llm {
     "q_llm_dedup_norm" -> dedupNorm,
     "q_llm_dedup_ngram" -> dedupNgram,
     "q_llm_dedup_substr" -> substrDedup,
+    "q_llm_dedup_substr_rm" -> substrDedupRemove,
     "q_llm_dedup_minhash" -> dedupMinhash,
     "q_llm_dedup_minhash_native" -> dedupMinhashNative,
     "q_llm_dedup_clusters" -> dedupClusters,
@@ -1400,6 +1459,53 @@ object Llm {
          FROM runs GROUP BY d1, d2
          HAVING MAX(m) + 5 >= 10
          ORDER BY d1, d2""",
+    "q_llm_dedup_substr_rm" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         g AS (
+           SELECT doc_id, i - 1 AS pos,
+                  md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                      t[i+3] || ' ' || t[i+4] || ' ' || t[i+5]) AS g
+           FROM (SELECT doc_id, t,
+                        unnest(generate_series(1, len(t) - 5)) AS i
+                 FROM toks WHERE len(t) >= 6)),
+         m AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2,
+                  a.pos AS pa, a.pos - b.pos AS delta
+           FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id),
+         isl AS (
+           SELECT d1, d2, delta, pa,
+                  pa - row_number() OVER (
+                    PARTITION BY d1, d2, delta ORDER BY pa) AS island
+           FROM m),
+         runs AS (
+           SELECT d1, d2, delta, island, min(pa) AS pa0, count(*) AS cnt
+           FROM isl GROUP BY d1, d2, delta, island
+           HAVING count(*) + 5 >= 10),
+         spans AS (
+           SELECT d2 AS doc_id, pa0 - delta AS s, pa0 - delta + cnt + 4 AS e
+           FROM runs),
+         aff AS (SELECT DISTINCT doc_id FROM spans),
+         dtoks AS (
+           SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+           FROM toks WHERE doc_id IN (SELECT doc_id FROM aff)),
+         kept AS (
+           SELECT d.doc_id, d.i - 1 AS pos, d.t[d.i] AS tok
+           FROM dtoks d
+           WHERE NOT EXISTS (
+             SELECT 1 FROM spans sp
+             WHERE sp.doc_id = d.doc_id AND d.i - 1 BETWEEN sp.s AND sp.e)),
+         reb AS (
+           SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+                  count(*) AS kept FROM kept GROUP BY doc_id),
+         sizes AS (SELECT doc_id, len(t) AS n_toks FROM toks)
+         SELECT a.doc_id,
+                COALESCE(r.text_clean, '') AS text_clean,
+                CAST(s.n_toks - COALESCE(r.kept, 0) AS INT) AS removed_tokens
+         FROM aff a
+         JOIN sizes s ON s.doc_id = a.doc_id
+         LEFT JOIN reb r ON r.doc_id = a.doc_id
+         ORDER BY a.doc_id""",
     "q_llm_dedup_clusters" ->
       s"""${shingleCte.replaceFirst("WITH", "WITH RECURSIVE")},
           inter AS (

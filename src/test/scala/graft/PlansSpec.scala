@@ -153,6 +153,16 @@ class PlansSpec extends SparkTestBase {
     assert(p.contains("Window"), p.take(400))
   }
 
+  test("substring removal stays gram- then doc-keyed, never doc x doc") {
+    val p = plan("q_llm_dedup_substr_rm")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(400))
+    // the span excision is an ANTI join of tokens against spans keyed
+    // by doc — pair spaces never reach a shuffle
+    assert(p.contains("LeftAnti"), p.take(400))
+    assert(p.contains("Window"), p.take(400))
+  }
+
   test("phash candidates come from the band join, never image x image") {
     val p = plan("q_mm_phash")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
