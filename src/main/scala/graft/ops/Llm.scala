@@ -1095,6 +1095,66 @@ object Llm {
         sum(size(expr(toksE))).as("n_tokens"))
       .orderBy(col("source"))
 
+  // ------------------------------------------------------- URL curation
+
+  /** Deterministic URL derivation seam: the fixture's `documents`
+    * table carries no url column, so the C4/RefinedWeb-style
+    * URL-curation ops derive one from (lang, source, doc_id) with the
+    * IDENTICAL string expression on both engines — the parsing,
+    * capping, and blocklist logic downstream is exactly what would run
+    * on a real url column. */
+  private val urlE =
+    "concat('https://', lang, '.', source, '.example.com/', lang, " +
+      "'/article-', cast(doc_id as string), '?ref=', " +
+      "cast(doc_id % 7 as string))"
+
+  /** Host / registered-domain / path extraction from a URL column —
+    * pure regexp projections (codegen'd, no UDF), the first step of
+    * every URL-level curation pipeline. Map-only plan: the one
+    * exchange is the output sort. */
+  val urlHost: Q = (spark, dir) =>
+    Tables(spark, dir, "documents")
+      .withColumn("url", expr(urlE))
+      .select(col("doc_id"), col("url"),
+        regexp_extract(col("url"), "^https://([^/]+)/", 1).as("host"),
+        regexp_extract(col("url"), "^https://[^./]+\\.([^/]+)/", 1)
+          .as("domain"),
+        regexp_extract(col("url"), "^https://[^/]+(/[^?]*)", 1).as("path"))
+      .orderBy(col("doc_id"))
+
+  /** Per-domain document cap (the C4 move against domain dominance):
+    * keep at most K docs per registered domain, preferring the longest
+    * (deterministic doc_id tie-break). ONE window over the
+    * domain-keyed shuffle — the corpusMix shape applied to domains. */
+  val domainCap: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables(spark, dir, "documents")
+      .withColumn("domain",
+        regexp_extract(expr(urlE), "^https://[^./]+\\.([^/]+)/", 1))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("domain"), col("doc_id"), col("n_chars"), col("rn"))
+      .orderBy(col("domain"), col("rn"))
+  }
+
+  /** Domain blocklist filter: the blocklist is dimension-sized
+    * (thousands of domains vs billions of docs), so it BROADCASTS and
+    * the filter is a map-side anti join — no shuffle of the corpus.
+    * Plan-guarded (BroadcastHashJoin LeftAnti). */
+  val urlBlocklist: Q = (spark, dir) => {
+    import spark.implicits._
+    val blocked = Seq("src3.example.com", "src7.example.com",
+      "src12.example.com").toDF("domain")
+    Tables(spark, dir, "documents")
+      .withColumn("domain",
+        regexp_extract(expr(urlE), "^https://[^./]+\\.([^/]+)/", 1))
+      .join(broadcast(blocked), Seq("domain"), "left_anti")
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("domain"))
+  }
+
   /** Int8 scalar quantization of embeddings (the memory-compression
     * step before a 100 TB ANN index: 4 bytes/dim float -> 1 byte/dim
     * code). Per-vector min/max affine map to [0, 255]; emitted here as
@@ -1402,6 +1462,9 @@ object Llm {
     "q_llm_redact_pii" -> redactPii,
     "q_llm_repetition" -> repetition,
     "q_llm_source_stats" -> sourceStats,
+    "q_llm_url_host" -> urlHost,
+    "q_llm_domain_cap" -> domainCap,
+    "q_llm_url_blocklist" -> urlBlocklist,
     "q_llm_embed_quantize" -> embedQuantize,
     "q_llm_decontaminate" -> decontaminate,
     "q_llm_corpus_mix" -> corpusMix,
@@ -1782,6 +1845,48 @@ object Llm {
                 round(avg(n_chars), 4) AS avg_chars,
                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
          FROM documents GROUP BY source ORDER BY source""",
+    "q_llm_url_host" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  'https://' || lang || '.' || source || '.example.com/' ||
+                  lang || '/article-' || CAST(doc_id AS VARCHAR) ||
+                  '?ref=' || CAST(doc_id % 7 AS VARCHAR) AS url
+           FROM documents)
+         SELECT doc_id, url,
+                regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+                regexp_extract(url, '^https://[^./]+\.([^/]+)/', 1) AS domain,
+                regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path
+         FROM d ORDER BY doc_id""",
+    "q_llm_domain_cap" ->
+      """WITH d AS (
+           SELECT doc_id, n_chars,
+                  regexp_extract(
+                    'https://' || lang || '.' || source || '.example.com/' ||
+                    lang || '/article-' || CAST(doc_id AS VARCHAR) ||
+                    '?ref=' || CAST(doc_id % 7 AS VARCHAR),
+                    '^https://[^./]+\.([^/]+)/', 1) AS domain
+           FROM documents),
+         r AS (
+           SELECT domain, doc_id, n_chars,
+                  CAST(row_number() OVER (
+                    PARTITION BY domain
+                    ORDER BY n_chars DESC, doc_id) AS INT) AS rn
+           FROM d)
+         SELECT domain, doc_id, n_chars, rn FROM r WHERE rn <= 5
+         ORDER BY domain, rn""",
+    "q_llm_url_blocklist" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  regexp_extract(
+                    'https://' || lang || '.' || source || '.example.com/' ||
+                    lang || '/article-' || CAST(doc_id AS VARCHAR) ||
+                    '?ref=' || CAST(doc_id % 7 AS VARCHAR),
+                    '^https://[^./]+\.([^/]+)/', 1) AS domain
+           FROM documents)
+         SELECT domain, count(*) AS n_docs FROM d
+         WHERE domain NOT IN ('src3.example.com', 'src7.example.com',
+                              'src12.example.com')
+         GROUP BY domain ORDER BY domain""",
     "q_llm_embed_quantize" ->
       """WITH v AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

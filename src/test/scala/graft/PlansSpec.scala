@@ -163,6 +163,18 @@ class PlansSpec extends SparkTestBase {
     assert(p.contains("Window"), p.take(400))
   }
 
+  test("url curation: host extract is scan+project; blocklist anti join broadcasts; cap is one window") {
+    val host = plan("q_llm_url_host")
+    assert(!host.contains("Join") && !host.contains("HashAggregate"),
+      "host extraction must be a pure projection: " + host.take(400))
+    val block = plan("q_llm_url_blocklist")
+    assert(block.contains("BroadcastHashJoin") && block.contains("LeftAnti"),
+      "the dimension-sized blocklist must broadcast: " + block.take(400))
+    val cap = plan("q_llm_domain_cap")
+    assert(cap.contains("Window"), cap.take(400))
+    assert(!cap.contains("Join"), "per-domain cap needs no join: " + cap.take(400))
+  }
+
   test("phash candidates come from the band join, never image x image") {
     val p = plan("q_mm_phash")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
