@@ -317,22 +317,72 @@ object Pipelines {
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     updates.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
-        val merged = graft.engine.VersionedTable
-          .currentVersion(spark, servingDir) match {
-          case Some(_) =>
-            graft.engine.VersionedTable.upsert(
-              graft.engine.VersionedTable.read(spark, servingDir),
-              batch.toDF(), key)
-          case None => batch.toDF()
-        }
-        graft.engine.VersionedTable.commit(merged, servingDir)
-        ()
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        refreshBatch(batch.toDF(), epochId, key, servingDir)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+
+  /** The per-batch merge behind runRefresh, factored out and
+    * EPOCH-AWARE. foreachBatch is at-least-once: a batch whose commit
+    * landed but whose checkpoint write didn't is re-delivered with the
+    * SAME epoch id after restart. The sink records the last applied
+    * epoch in the serving dir (the Delta `txnVersion` idempotent-sink
+    * pattern) and skips re-deliveries, so a replay commits no new
+    * version. Defense in depth: even a replay that races the marker —
+    * crash between commit and marker write — converges, because the
+    * upsert is content-idempotent by key. The marker is scoped to the
+    * serving dir; pointing a FRESH checkpoint (epoch ids restart at 0)
+    * at an existing serving dir requires clearing `_LAST_EPOCH`, same
+    * as resetting a Delta sink's txn app id. */
+  def refreshBatch(batch: DataFrame, epochId: Long, key: String,
+      servingDir: String): Unit = {
+    val spark = batch.sparkSession
+    if (lastEpoch(spark, servingDir).exists(_ >= epochId)) return
+    val merged = graft.engine.VersionedTable
+      .currentVersion(spark, servingDir) match {
+      case Some(_) =>
+        graft.engine.VersionedTable.upsert(
+          graft.engine.VersionedTable.read(spark, servingDir),
+          batch, key)
+      case None => batch
+    }
+    graft.engine.VersionedTable.commit(merged, servingDir)
+    writeEpochMarker(spark, servingDir, epochId)
+  }
+
+  private def epochPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_LAST_EPOCH")
+
+  /** Last epoch applied to `servingDir`, if any. */
+  def lastEpoch(spark: SparkSession, servingDir: String): Option[Long] = {
+    val f = epochPath(servingDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(epochPath(servingDir))) None
+    else {
+      val in = f.open(epochPath(servingDir))
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def writeEpochMarker(spark: SparkSession, servingDir: String,
+      epochId: Long): Unit = {
+    val f = epochPath(servingDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(servingDir,
+      s"._LAST_EPOCH.tmp$epochId")
+    val out = f.create(tmp, true)
+    try out.write(epochId.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(
+        f.getUri, spark.sparkContext.hadoopConfiguration)
+      .rename(f.makeQualified(tmp), f.makeQualified(epochPath(servingDir)),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
 
   /** Gap-based session windows (streaming face of q_stream_session):
     * `session_window` closes a session after `gap` of event-time

@@ -362,4 +362,37 @@ class StreamingSpec extends SparkTestBase {
     // gap-based close at 06:10 + 30min
     assert(got(2L) == ((2L, evTs(6, 40))))
   }
+
+  test("refresh sink is idempotent under epoch re-delivery: replay commits nothing") {
+    import graft.engine.VersionedTable
+    val serving = tmp("graft_epoch_serving")
+    val b = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Pipelines.refreshBatch(b, 0L, "k", serving)
+    assert(Pipelines.lastEpoch(spark, serving).contains(0L))
+    val versionsBefore = VersionedTable.versions(spark, serving)
+    val contentBefore = VersionedTable.read(spark, serving)
+      .as[(Long, String)].collect().toMap
+    // crash-replay: foreachBatch re-delivers the SAME epoch after a
+    // restart whose checkpoint write didn't land
+    Pipelines.refreshBatch(b, 0L, "k", serving)
+    assert(VersionedTable.versions(spark, serving) == versionsBefore,
+      "a replayed epoch must not commit a new version")
+    assert(VersionedTable.read(spark, serving)
+      .as[(Long, String)].collect().toMap == contentBefore,
+      "serving content must be byte-identical after replay")
+    // the marker-race fallback: same DATA arriving as a NEW epoch
+    // advances the version but converges to the same content (the
+    // upsert is idempotent by key) — row counts conserved
+    Pipelines.refreshBatch(b, 1L, "k", serving)
+    assert(VersionedTable.versions(spark, serving).size
+      == versionsBefore.size + 1)
+    assert(VersionedTable.read(spark, serving)
+      .as[(Long, String)].collect().toMap == contentBefore)
+    // a genuinely new batch still applies
+    Pipelines.refreshBatch(Seq((2L, "B2"), (3L, "c")).toDF("k", "v"),
+      2L, "k", serving)
+    assert(VersionedTable.read(spark, serving)
+      .as[(Long, String)].collect().toMap
+      == Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+  }
 }
