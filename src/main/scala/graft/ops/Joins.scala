@@ -213,6 +213,38 @@ object Joins {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q18 (large-volume customer): the agg-as-filter macro —
+    * Q1/Q3/Q5/Q6 cover scan/join/agg, but not an AGGREGATE driving a
+    * join as a filter. sum(l_quantity) HAVING > 300 reduces lineitem
+    * to a key list orders of magnitude smaller than the fact, which
+    * then gates a 4-way join as a semi-join build side — small enough
+    * that AQE's runtime size check converts it to a broadcast at the
+    * 100 TB end (statically it plans as a shuffled semi join; the
+    * key list's size is only known after the aggregate runs). The
+    * customer dim broadcasts statically; the top-100 is
+    * TakeOrderedAndProject, never a global sort. Determinism: the
+    * quantity sum is round(sum,4) (dense double aggregate), and
+    * o_orderkey breaks o_totalprice ties across the LIMIT boundary. */
+  val tpchQ18: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sq"))
+      .filter(col("sq") > 300)
+      .select(col("l_orderkey").as("bigkey"))
+    val orders = Tables(spark, dir, "orders")
+    val cust = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    orders.join(big, orders("o_orderkey") === col("bigkey"), "left_semi")
+      .join(li, col("o_orderkey") === li("l_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === cust("c_custkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .agg(round(sum(col("l_quantity")), 4).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_join_left_enrich" -> joinLeftEnrich,
     "q_join_inner" -> joinInner,
@@ -222,7 +254,8 @@ object Joins {
     "q_join_range" -> joinRange,
     "q_join_salted" -> joinSalted,
     "q_tpch_q3" -> tpchQ3,
-    "q_tpch_q5" -> tpchQ5)
+    "q_tpch_q5" -> tpchQ5,
+    "q_tpch_q18" -> tpchQ18)
 
   val oracle: Map[String, String] = Map(
     "q_join_left_enrich" ->
@@ -296,5 +329,16 @@ object Joins {
          WHERE r_name = 'ASIA'
            AND o_orderdate >= TIMESTAMP '1996-01-01'
            AND o_orderdate < TIMESTAMP '1997-01-01'
-         GROUP BY n_name ORDER BY revenue DESC, n_name""")
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                round(sum(l_quantity), 4) AS sum_qty
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderkey IN (
+           SELECT l_orderkey FROM lineitem
+           GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")
 }

@@ -163,6 +163,19 @@ class PlansSpec extends SparkTestBase {
     assert(p.contains("Window"), p.take(400))
   }
 
+  test("tpch q18: the having-side aggregate gates the join as a semi-join build; top-100 never global-sorts") {
+    val p = plan("q_tpch_q18")
+    assert(p.contains("LeftSemi"), p.take(600))
+    // the build side of that semi join is the filtered aggregate —
+    // agg-as-filter, the shape AQE upgrades to a runtime broadcast
+    // once the key list's actual (tiny) size is known
+    assert(p.contains("HashAggregate") && p.contains("sq"), p.take(600))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 must not global-sort: " + p.take(600))
+    assert(p.contains("BroadcastHashJoin"),
+      "customer dim must broadcast: " + p.take(600))
+  }
+
   test("url curation: host extract is scan+project; blocklist anti join broadcasts; cap is one window") {
     val host = plan("q_llm_url_host")
     assert(!host.contains("Join") && !host.contains("HashAggregate"),
