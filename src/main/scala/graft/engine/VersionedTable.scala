@@ -15,6 +15,12 @@ class ConcurrentCommitException(dir: String, version: Long)
     s"version v$version in $dir was claimed by a concurrent committer; " +
       "re-read currentVersion and retry")
 
+/** Thrown when a commit's schema is incompatible with the table's
+  * current snapshot (Delta-style enforcement): dropped columns and
+  * type changes are always rejected; ADDED columns are rejected unless
+  * the commit opts in with `allowEvolution = true` (mergeSchema). */
+class SchemaMismatchException(msg: String) extends RuntimeException(msg)
+
 /** Minimal copy-on-write versioned table: each commit writes a full
   * parquet snapshot under `dir/v<N>` and atomically advances the
   * `_CURRENT` pointer (write-temp + rename, the classic HDFS commit
@@ -174,7 +180,8 @@ object VersionedTable {
     * claim that blocks the next version; `clearClaim` is the
     * administrative unwedge (run only with no live writers — the same
     * caveat as Iceberg's orphan-file cleanup). */
-  def commit(df: DataFrame, dir: String): Long = {
+  def commit(df: DataFrame, dir: String,
+      allowEvolution: Boolean = false): Long = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     var next = currentVersion(spark, dir).map(_ + 1).getOrElse(0L)
@@ -193,7 +200,7 @@ object VersionedTable {
       swapPointer(spark, f, dir, next)
       next += 1
     }
-    commitExact(df, dir, next)
+    commitExact(df, dir, next, allowEvolution)
   }
 
   /** Atomic `_CURRENT` advance: write-temp + rename(OVERWRITE). */
@@ -215,9 +222,36 @@ object VersionedTable {
     * lets a spec (or an idempotent writer that knows its version)
     * deterministically exercise the two-committers race: both compute
     * the same `next`, exactly one returns, the other throws. */
-  def commitExact(df: DataFrame, dir: String, next: Long): Long = {
+  def commitExact(df: DataFrame, dir: String, next: Long,
+      allowEvolution: Boolean = false): Long = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
+    // Delta-style schema enforcement, BEFORE the snapshot write (fail
+    // fast, not after staging a table-sized copy): dropped columns and
+    // type changes always reject; additions require the explicit
+    // allowEvolution opt-in (mergeSchema). The current snapshot's
+    // schema is a parquet-footer read — metadata-sized.
+    currentVersion(spark, dir).foreach { cur =>
+      val have = spark.read.parquet(s"$dir/v$cur").schema
+      val haveT = have.map(x => x.name -> x.dataType).toMap
+      val inT = df.schema.map(x => x.name -> x.dataType).toMap
+      val changed = haveT.keySet.intersect(inT.keySet)
+        .filter(k => haveT(k) != inT(k))
+      val dropped = haveT.keySet -- inT.keySet
+      val added = inT.keySet -- haveT.keySet
+      if (changed.nonEmpty || dropped.nonEmpty ||
+        (added.nonEmpty && !allowEvolution))
+        throw new SchemaMismatchException(
+          s"commit to $dir rejected: " +
+            (if (changed.nonEmpty)
+              s"type changes ${changed.mkString(",")} " else "") +
+            (if (dropped.nonEmpty)
+              s"dropped columns ${dropped.mkString(",")} " else "") +
+            (if (added.nonEmpty && !allowEvolution)
+              s"added columns ${added.mkString(",")} need allowEvolution=true "
+            else "") +
+            "(current snapshot schema wins; use allowEvolution for additive changes)")
+    }
     val staged = new Path(dir,
       s".stage_v${next}_${java.util.UUID.randomUUID().toString.take(8)}")
     df.write.mode("overwrite").parquet(staged.toString)
@@ -267,11 +301,12 @@ object VersionedTable {
     * The snapshot is re-written per attempt (its content may depend on
     * the base the caller read — callers doing read-modify-write should
     * re-derive `df` themselves instead). */
-  def commitRetrying(df: DataFrame, dir: String, maxAttempts: Int = 3): Long = {
+  def commitRetrying(df: DataFrame, dir: String, maxAttempts: Int = 3,
+      allowEvolution: Boolean = false): Long = {
     var attempt = 0
     while (true) {
       attempt += 1
-      try return commit(df, dir)
+      try return commit(df, dir, allowEvolution)
       catch {
         case _: ConcurrentCommitException if attempt < maxAttempts =>
           Thread.sleep(attempt * 100L)
@@ -363,10 +398,11 @@ object VersionedTable {
     * ignores it. Pair with a Z-order sort (graft.functions.ZOrder) so
     * each file covers a small rectangle of the stats columns and range
     * predicates on EITHER column prune files. */
-  def commitWithStats(df: DataFrame, dir: String, statsCols: Seq[String]): Long = {
+  def commitWithStats(df: DataFrame, dir: String, statsCols: Seq[String],
+      allowEvolution: Boolean = false): Long = {
     require(statsCols.nonEmpty, "statsCols must not be empty")
     import org.apache.spark.sql.functions.{input_file_name, max, min}
-    val v = commit(df, dir)
+    val v = commit(df, dir, allowEvolution)
     val spark = df.sparkSession
     val snap = spark.read.parquet(s"$dir/v$v")
     val aggs = statsCols.flatMap(c =>

@@ -113,7 +113,10 @@ object MedallionDemo {
       .repartitionByRange(2, col("zv"))
       .sortWithinPartitions(col("zv"))
       .drop("zv")
-    VersionedTable.commitWithStats(clustered, servingDir, Seq("lon_b", "lat_b"))
+    // the layout step ADDS bucket columns — an additive schema change,
+    // so the commit opts in to evolution (enforcement rejects it otherwise)
+    VersionedTable.commitWithStats(clustered, servingDir,
+      Seq("lon_b", "lat_b"), allowEvolution = true)
     val (europe, filesRead, filesTotal) = VersionedTable.readPruned(
       spark, servingDir,
       Map("lon_b" -> ((1800L, 1999L)), "lat_b" -> ((1300L, 1499L))))

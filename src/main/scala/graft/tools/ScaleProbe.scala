@@ -114,6 +114,18 @@ object ScaleProbe {
       // round-2 risk list: the iterative clusters loop (cache/lineage
       // hygiene), the IVF quantizer (sampled fit), simhash banding
       time("dedup clusters") { Llm.dedupClusters(spark, dst) }
+      // the convergence stats the loop already computes, as printed
+      // numbers (like the semdedup cell bound): rounds should sit at
+      // O(log diameter) — shallow star/clique components converge in
+      // <= 4 — and edges bounds the per-round join work
+      if (only.forall(_.exists("cluster".contains))) locally {
+        val (rounds, edges) = Llm.clusterConvergenceStats(spark, dst)
+        println(s"== x$factor cluster convergence: rounds=$rounds edges=$edges")
+      }
+      // with labels memoized (written once per (session, dir)),
+      // cluster_rep pays one parquet scan + one window — the probe
+      // expects ~flat across factors past the shared upstream
+      time("cluster rep (memo labels)") { Llm.clusterRep(spark, dst) }
       time("ann ivf") { Llm.annIvf(spark, dst) }
       time("simhash pairs") { Llm.simhashPairs(spark, dst, 8) }
       // round-2 curation additions: the chunk window (shuffle = full
@@ -151,8 +163,15 @@ object ScaleProbe {
       // bigram-LM scoring joins — all gram/band-keyed, so the probe
       // watches for any hidden pair-space quadratic
       time("substr dedup") { Llm.substrDedup(spark, dst) }
+      // round-4: the removal step shares the gram-keyed islands, then
+      // adds a doc-keyed anti join + rebuild — cost bounded by true
+      // overlap, so the disjoint-vocab inflation should read ~flat
+      time("substr removal") { Llm.substrDedupRemove(spark, dst) }
       time("image phash neardup") { Llm.mmPhash(spark, dst) }
       time("bigram LM score") { Llm.lmScore(spark, dst) }
+      // round-4: Q18's agg-as-filter — the having-side aggregate must
+      // stay a pre-join reduction (key list), not a post-join filter
+      time("tpch q18") { Joins.tpchQ18(spark, dst) }
 
       // AQE skew-join probe: join the deliberately-skewed
       // events.user_id WITHOUT salting and assert AQE's skew-join

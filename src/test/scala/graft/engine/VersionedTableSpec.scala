@@ -264,6 +264,35 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.versions(spark, dir) == Seq(0L, 1L, 2L))
   }
 
+  test("schema enforcement: drops/type changes reject; additions need the evolution opt-in") {
+    val dir = tmp("graft_vt_schema")
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), dir)
+    // type change: always rejected
+    intercept[SchemaMismatchException] {
+      VersionedTable.commit(Seq((1L, 2L)).toDF("k", "v"), dir)
+    }
+    // dropped column: always rejected
+    intercept[SchemaMismatchException] {
+      VersionedTable.commit(Seq(Tuple1(1L)).toDF("k"), dir)
+    }
+    // added column: rejected by default...
+    intercept[SchemaMismatchException] {
+      VersionedTable.commit(Seq((1L, "a", 9L)).toDF("k", "v", "extra"), dir)
+    }
+    // ...accepted with the explicit opt-in; nothing above committed
+    assert(VersionedTable.versions(spark, dir) == Seq(0L))
+    val v = VersionedTable.commit(
+      Seq((1L, "a", 9L)).toDF("k", "v", "extra"), dir, allowEvolution = true)
+    assert(v == 1L)
+    // a rejected commit stages nothing and claims nothing: the next
+    // version number was NOT consumed by the failures above
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith(".stage_")))
+    // same-schema commits (the steady state) still flow with defaults
+    assert(VersionedTable.commit(
+      Seq((2L, "b", 1L)).toDF("k", "v", "extra"), dir) == 2L)
+  }
+
   test("commitRetrying rides over a stale claim cleared mid-flight") {
     val dir = tmp("graft_vt_retry")
     VersionedTable.commit(Seq((1L, "v0")).toDF("k", "v"), dir)
