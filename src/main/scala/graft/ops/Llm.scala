@@ -152,21 +152,39 @@ object Llm {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Gram document-frequency cap for the substring ops. A gram shared
+    * by d documents fans the self-join out d^2 rows; genuine
+    * duplication keeps d small, but BOILERPLATE (license headers, nav
+    * chrome) can put one gram in millions of docs and turn the join
+    * quadratic. Grams with df > cap are dropped BEFORE the join —
+    * a run present in more than `cap` documents is boilerplate by
+    * definition, not a duplication signal (the Lee et al. pipeline
+    * applies the same cutoff). Mirrored in both DuckDB oracles, so
+    * the cap is itself under the hash gate. */
+  private val gramDfCap = 64
+
   /** Shared core of the substring ops: positional n-gram digests,
-    * gram-digest equi-join (never doc x doc), constant-alignment
-    * islands — see substrDedup's scaladoc for the full shape. */
+    * df-capped gram-digest equi-join (never doc x doc),
+    * constant-alignment islands — see substrDedup's scaladoc. */
   private def matchedIslands(spark: SparkSession, dir: String, n: Int)
       : DataFrame = {
     val slices = (0 until n)
       .map(i => s"slice(t, ${i + 1}, greatest(size(t) - ${n - 1}, 0))")
       .mkString(",\n             ")
     val fields = (0 until n).map(i => s"p['$i']").mkString(", ")
-    val grams = tokenized(spark, dir)
+    val allGrams = tokenized(spark, dir)
       .filter(size(col("t")) >= n)
       .select(col("doc_id"), posexplode(expr(
         s"""transform(
            arrays_zip($slices),
            p -> md5(concat_ws(' ', $fields)))""")).as(Seq("pos", "g")))
+    // df cap: one gram-keyed aggregate + semi join — rides the same
+    // gram-hash shuffle the self-join needs anyway
+    val rare = allGrams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= gramDfCap)
+      .select(col("g"))
+    val grams = allGrams.join(rare, Seq("g"), "left_semi")
     val a = grams.as("a")
     val b = grams.as("b")
     val matched = a.join(b,
@@ -1506,10 +1524,14 @@ object Llm {
            FROM (SELECT doc_id, t,
                         unnest(generate_series(1, len(t) - 5)) AS i
                  FROM toks WHERE len(t) >= 6)),
+         gf AS (
+           SELECT gg.g FROM g AS gg GROUP BY gg.g
+           HAVING count(DISTINCT gg.doc_id) <= 64),
+         gc AS (SELECT a.* FROM g a JOIN gf ON a.g = gf.g),
          m AS (
            SELECT a.doc_id AS d1, b.doc_id AS d2,
                   a.pos AS pa, a.pos - b.pos AS delta
-           FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id),
+           FROM gc a JOIN gc b ON a.g = b.g AND a.doc_id < b.doc_id),
          isl AS (
            SELECT d1, d2, delta, pa,
                   pa - row_number() OVER (
@@ -1532,10 +1554,14 @@ object Llm {
            FROM (SELECT doc_id, t,
                         unnest(generate_series(1, len(t) - 5)) AS i
                  FROM toks WHERE len(t) >= 6)),
+         gf AS (
+           SELECT gg.g FROM g AS gg GROUP BY gg.g
+           HAVING count(DISTINCT gg.doc_id) <= 64),
+         gc AS (SELECT a.* FROM g a JOIN gf ON a.g = gf.g),
          m AS (
            SELECT a.doc_id AS d1, b.doc_id AS d2,
                   a.pos AS pa, a.pos - b.pos AS delta
-           FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id),
+           FROM gc a JOIN gc b ON a.g = b.g AND a.doc_id < b.doc_id),
          isl AS (
            SELECT d1, d2, delta, pa,
                   pa - row_number() OVER (

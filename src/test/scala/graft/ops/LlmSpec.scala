@@ -162,6 +162,34 @@ class LlmSpec extends SparkTestBase {
     }
   }
 
+  test("gram df cap: boilerplate in >64 docs creates no pairs; genuine dups survive; removal excises the later doc") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_boiler").toString
+    // a 14-token run every doc shares (license-header shape): its pure
+    // grams have df=100 > cap and must be dropped BEFORE the self-join
+    // — without the cap this fixture alone makes the join emit
+    // ~100^2/2 gram pairs and report 4950 bogus dup pairs
+    val boiler = (1 to 14).map(i => s"license$i").mkString(" ")
+    // one genuine 12-token duplication between exactly two docs
+    val dup = (1 to 12).map(i => s"dupline$i").mkString(" ")
+    val docs = (0 until 100).map { i =>
+      (i.toLong, s"$boiler u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f")
+    } ++ Seq(
+      (200L, s"x200a x200b x200c $dup y200a y200b y200c"),
+      (201L, s"x201a x201b x201c $dup y201a y201b y201c"))
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Llm.substrDedup(spark, dir)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs == Seq((200L, 201L, 12)),
+      s"expected ONLY the genuine pair (boilerplate df-capped), got $pairs")
+    val rm = Llm.substrDedupRemove(spark, dir)
+      .as[(Long, String, Int)].collect().toSeq
+    assert(rm == Seq((201L, "x201a x201b x201c y201a y201b y201c", 12)),
+      s"the LATER doc loses exactly the duplicated run, got $rm")
+  }
+
   test("repetition signals are fractions and the verdict matches them") {
     val rows = Llm.repetition(spark, sfSmoke).collect()
     assert(rows.nonEmpty)
