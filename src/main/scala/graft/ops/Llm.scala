@@ -380,7 +380,26 @@ object Llm {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, (String, Int, Long)]])
 
-  def invalidateClusterLabelCache(): Unit = labelCache.clear()
+  /** Clears the memo AND deletes the written labels tables —
+    * invalidation reclaims the disk, not just the pointer (the same
+    * contract as Advanced.invalidateSkipTableCache). */
+  def invalidateClusterLabelCache(): Unit = {
+    val paths = labelCache.synchronized {
+      val ps = scala.jdk.CollectionConverters.CollectionHasAsScala(
+        labelCache.values).asScala.flatMap(_.values.map(_._1)).toList
+      labelCache.clear()
+      ps
+    }
+    paths.foreach { p =>
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }
+  }
 
   private def convergedLabels(spark: SparkSession, dir: String)
       : (String, Int, Long) = labelCache
