@@ -315,6 +315,31 @@ object VersionedTable {
     -1L // unreachable
   }
 
+  /** Delete orphaned staged snapshots (`.stage_v*`) older than
+    * `olderThanMs` — the Delta/Iceberg VACUUM role for this format's
+    * one garbage class. A writer that dies mid-stage leaks its staged
+    * dir forever (commit cleans up only the claim-losing path), and at
+    * 100 TB each orphan is table-sized. The age guard is what makes
+    * this safe to run beside LIVE writers: an in-flight commit's
+    * staged dir is seconds old, so the default 1 h threshold can never
+    * touch it. Returns the paths removed. */
+  def vacuumStaged(spark: SparkSession, dir: String,
+      olderThanMs: Long = 3600 * 1000L): Seq[String] = {
+    val f = fs(spark, dir)
+    val base = new Path(dir)
+    if (!f.exists(base)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    f.listStatus(base).toSeq
+      .filter(s => s.getPath.getName.startsWith(".stage_v") &&
+        s.getModificationTime < cutoff)
+      .map { s =>
+        if (!f.delete(s.getPath, true))
+          throw new java.io.IOException(
+            s"failed to delete orphaned staged snapshot ${s.getPath}")
+        s.getPath.toString
+      }
+  }
+
   /** Remove the claim marker for `v` — the manual unwedge for a writer
     * that crashed between claim and publish. Refuses to clear a claim
     * whose snapshot WAS published (that marker is load-bearing: it is

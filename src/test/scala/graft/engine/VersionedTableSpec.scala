@@ -264,6 +264,27 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.versions(spark, dir) == Seq(0L, 1L, 2L))
   }
 
+  test("vacuumStaged removes only OLD orphaned stage dirs; fresh ones and live data survive") {
+    val dir = tmp("graft_vt_vacuum")
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), dir)
+    // a crashed writer's orphan (old) and an in-flight writer's stage (fresh)
+    val orphan = Paths.get(dir, ".stage_v1_deadbeef")
+    Files.createDirectory(orphan)
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2 * 3600 * 1000L))
+    val inflight = Paths.get(dir, ".stage_v1_00c0ffee")
+    Files.createDirectory(inflight)
+    val removed = VersionedTable.vacuumStaged(spark, dir)
+    assert(removed.exists(_.endsWith(".stage_v1_deadbeef")) && removed.size == 1,
+      s"exactly the old orphan goes, got $removed")
+    assert(!Files.exists(orphan))
+    assert(Files.exists(inflight), "an in-flight stage must never be vacuumed")
+    // live table untouched, still committable
+    assert(VersionedTable.read(spark, dir).count() == 1)
+    assert(VersionedTable.commit(Seq((2L, "b")).toDF("k", "v"), dir) == 1L)
+  }
+
   test("schema enforcement: drops/type changes reject; additions need the evolution opt-in") {
     val dir = tmp("graft_vt_schema")
     VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), dir)
