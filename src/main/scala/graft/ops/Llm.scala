@@ -1161,16 +1161,33 @@ object Llm {
 
   /** Per-domain document cap (the C4 move against domain dominance):
     * keep at most K docs per registered domain, preferring the longest
-    * (deterministic doc_id tie-break). ONE window over the
-    * domain-keyed shuffle — the corpusMix shape applied to domains. */
+    * (deterministic doc_id tie-break).
+    *
+    * SALTED TWO-PHASE top-K, not one window: web domain distributions
+    * are head-heavy (one domain can hold 1% of a 100 TB corpus), and a
+    * single window partitioned by domain puts that whole domain on one
+    * reducer — AQE cannot split a window the way it splits a skewed
+    * join. Phase 1 takes the local top-K within (domain, salt-of-
+    * doc_id); phase 2 re-ranks the <= SALTS*K survivors per domain.
+    * Top-K is associative (the global top-K is contained in the union
+    * of per-salt top-Ks), so the result is IDENTICAL to the plain
+    * window — the oracle runs the plain window SQL — while the
+    * heaviest reducer input drops from |domain| to SALTS*K rows. */
   val domainCap: Q = (spark, dir) => {
-    val w = Window.partitionBy(col("domain"))
+    val k = 5
+    val salts = 8
+    val localW = Window.partitionBy(col("domain"), col("salt"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val globalW = Window.partitionBy(col("domain"))
       .orderBy(col("n_chars").desc, col("doc_id"))
     Tables(spark, dir, "documents")
       .withColumn("domain",
         regexp_extract(expr(urlE), "^https://[^./]+\\.([^/]+)/", 1))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
+      .withColumn("salt", pmod(col("doc_id"), lit(salts)))
+      .withColumn("rn_local", row_number().over(localW))
+      .filter(col("rn_local") <= k)
+      .withColumn("rn", row_number().over(globalW))
+      .filter(col("rn") <= k)
       .select(col("domain"), col("doc_id"), col("n_chars"), col("rn"))
       .orderBy(col("domain"), col("rn"))
   }

@@ -184,7 +184,10 @@ class PlansSpec extends SparkTestBase {
     assert(block.contains("BroadcastHashJoin") && block.contains("LeftAnti"),
       "the dimension-sized blocklist must broadcast: " + block.take(400))
     val cap = plan("q_llm_domain_cap")
-    assert(cap.contains("Window"), cap.take(400))
+    // salted two-phase: local (domain, salt) top-K then global re-rank —
+    // TWO window group-limits, so no reducer ever holds a whole domain
+    assert("WindowGroupLimit".r.findAllIn(cap).size >= 2,
+      "expected both cap phases to plan group-limits: " + cap.take(600))
     assert(!cap.contains("Join"), "per-domain cap needs no join: " + cap.take(400))
   }
 
