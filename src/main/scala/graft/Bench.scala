@@ -50,7 +50,11 @@ object Bench {
     val okTimes = firstPass.collect { case (_, v, None) => v }.sorted
     val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.size / 2)
     val threshold = math.max(5 * median, 1.5)
-    val reruns = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    // each value is a rendered JSON object: {"first":..,"rerun":..} on
+    // success, {"first":..,"rerun_error":".."} when the cold-cache
+    // rerun itself fails — a failed adjudication attempt must be
+    // visible in the record, not silently dropped
+    val reruns = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = firstPass.map { case (name, dt, err) =>
       if (err.isEmpty && dt > threshold) {
         graft.ops.Ml.invalidateFitCache()
@@ -61,11 +65,14 @@ object Bench {
         // entry into a full write+read
         if (name == "q_data_skipping")
           graft.ops.Advanced.invalidateSkipTableCache()
-        val (dt2, err2) = timeOne(name, SparkEntry.queries(name))
-        if (err2.isEmpty) {
-          reruns(name) = (dt, dt2)
-          (name, math.min(dt, dt2), err)
-        } else (name, dt, err)
+        timeOne(name, SparkEntry.queries(name)) match {
+          case (dt2, None) =>
+            reruns(name) = s"""{"first":$dt,"rerun":$dt2}"""
+            (name, math.min(dt, dt2), err)
+          case (_, Some(e2)) =>
+            reruns(name) = s"""{"first":$dt,"rerun_error":"$e2"}"""
+            (name, dt, err)
+        }
       } else (name, dt, err)
     }
     // split q_data_skipping's one-time Z-ordered WRITE from its pruned
@@ -89,9 +96,8 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = all.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
-    val rr = reruns.map { case (k, (a, b)) =>
-      s"\"" + k + s"\":{\"first\":$a,\"rerun\":$b}"
-    }.mkString("{", ",", "}")
+    val rr = reruns.map { case (k, obj) => s"\"" + k + "\":" + obj }
+      .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"reruns":$rr,"sf":"$sfDir"}""")
     spark.stop()

@@ -38,11 +38,15 @@ object Verify {
       try {
         val df = fn(spark, sfDir)
         val bad = if (SparkEntry.oracleSql.contains(name)) nonScalar(df) else Nil
-        if (bad.nonEmpty)
+        if (bad.nonEmpty) {
           System.err.println(s"[verify] $name REJECTED: oracle-checked query " +
             s"emits non-scalar columns ${bad.mkString(",")} — the driver's " +
             "comparator cannot hash these; stringify on both engines")
-        else df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          // a previous run's dump must not survive the rejection: the
+          // comparator would read the stale parquet and report PASS,
+          // masking exactly the regression this guard exists to surface
+          graft.util.Fs.deleteRecursively(s"$outDir/$name")
+        } else df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

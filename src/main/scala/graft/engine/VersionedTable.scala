@@ -104,21 +104,31 @@ object VersionedTable {
     } catch { case _: Exception => None } // corrupt summary -> fallback
   }
 
-  private def writeSummary(spark: SparkSession, dir: String, s: Summary): Unit = {
+  /** Atomic small-file write: write-temp + FileContext.rename
+    * (OVERWRITE) — a single atomic replace on HDFS and local FS, so
+    * readers always observe either the old content or the new one.
+    * Shared by the `_CURRENT` swap, the `_VERSIONS` summary, and the
+    * streaming sink's epoch marker. */
+  private[graft] def atomicWrite(spark: SparkSession, dir: String,
+      name: String, content: String): Unit = {
     val f = fs(spark, dir)
-    val tmp = new Path(dir, s"._VERSIONS.tmp${java.util.UUID.randomUUID().toString.take(8)}")
+    val tmp = new Path(dir,
+      s".$name.tmp${java.util.UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, true)
-    try out.write(
-      (s"current=${s.current}\n" +
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(
+        f.getUri, spark.sparkContext.hadoopConfiguration)
+      .rename( // throws on failure — no silently-dropped boolean
+        f.makeQualified(tmp), f.makeQualified(new Path(dir, name)),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def writeSummary(spark: SparkSession, dir: String, s: Summary): Unit =
+    atomicWrite(spark, dir, "_VERSIONS",
+      s"current=${s.current}\n" +
         s"versions=${s.versions.mkString(",")}\n" +
         s"manifests=${s.manifests.mkString(",")}\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      f.getUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(f.makeQualified(tmp), f.makeQualified(summaryPath(dir)),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
 
   private def listVersions(f: org.apache.hadoop.fs.FileSystem,
       dir: String, pattern: String): Seq[Long] = {
@@ -184,39 +194,46 @@ object VersionedTable {
       allowEvolution: Boolean = false): Long = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
-    var next = currentVersion(spark, dir).map(_ + 1).getOrElse(0L)
     // Crash-window repair: a writer that died AFTER renaming its
-    // staged snapshot to v<next> but BEFORE the pointer swap leaves
-    // snapshot + claim present with the pointer behind. Without
+    // staged snapshot to v<pointer+1> but BEFORE the pointer swap
+    // leaves snapshot + claim present with the pointer behind. Without
     // repair the table is wedged forever: every future commit targets
     // the already-claimed version and throws, while clearClaim
     // (correctly) refuses to clear a published claim. The snapshot
     // was fully written before its single atomic rename, so rolling
     // the pointer FORWARD completes the dead writer's commit — the
     // same recovery direction as a Delta log entry that is present
-    // but unreferenced. Racing repairers both write the identical
-    // pointer value (idempotent); the claim then serializes next.
-    while (f.exists(new Path(dir, s"v$next")) && f.exists(claimPath(dir, next))) {
-      swapPointer(spark, f, dir, next)
-      next += 1
+    // but unreferenced.
+    //
+    // The pointer is RE-READ every iteration and only ever moved to
+    // exactly pointer+1: published versions AT or BELOW the pointer
+    // also retain snapshot+claim, and a repairer acting on a stale
+    // pre-read `next` could otherwise move the pointer BACKWARD
+    // (serving rolled-back data to concurrent readers) or silently
+    // walk past a version a concurrent committer just won. A commit
+    // landing between the re-read and the swap can still transiently
+    // regress the pointer by one (plain-FS rename has no compare-and-
+    // swap); the next iteration re-reads, sees the published
+    // successor, and rolls forward again — bounded to this loop's own
+    // microsecond window and self-healing, vs. the permanent wedge it
+    // repairs.
+    var repaired = true
+    while (repaired) {
+      repaired = false
+      val candidate = currentVersion(spark, dir).map(_ + 1).getOrElse(0L)
+      if (f.exists(new Path(dir, s"v$candidate")) &&
+        f.exists(claimPath(dir, candidate))) {
+        swapPointer(spark, dir, candidate)
+        repaired = true
+      }
     }
+    val next = currentVersion(spark, dir).map(_ + 1).getOrElse(0L)
     commitExact(df, dir, next, allowEvolution)
   }
 
-  /** Atomic `_CURRENT` advance: write-temp + rename(OVERWRITE). */
-  private def swapPointer(spark: SparkSession,
-      f: org.apache.hadoop.fs.FileSystem, dir: String, v: Long): Unit = {
-    val tmp = new Path(dir, s"._CURRENT.tmp$v")
-    val out = f.create(tmp, true)
-    try out.write(s"v$v".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      f.getUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename( // throws on failure — no silently-dropped boolean
-      f.makeQualified(tmp),
-      f.makeQualified(currentPath(dir)),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+  /** Atomic `_CURRENT` advance. */
+  private def swapPointer(spark: SparkSession, dir: String, v: Long): Unit =
+    atomicWrite(spark, dir, "_CURRENT", s"v$v")
 
   /** `commit` with the target version made explicit — the seam that
     * lets a spec (or an idempotent writer that knows its version)
@@ -279,7 +296,7 @@ object VersionedTable {
     // we own v<next> now: move the staged snapshot into place
     fc.rename(f.makeQualified(staged),
       f.makeQualified(new Path(dir, s"v$next")))
-    swapPointer(spark, f, dir, next)
+    swapPointer(spark, dir, next)
     // summary checkpoint: extend the prior summary when it is fresh
     // (O(1)); list once when it is stale/absent (pre-summary tables).
     // A racing summary rewrite landing after ours just goes stale —
@@ -329,9 +346,19 @@ object VersionedTable {
     val base = new Path(dir)
     if (!f.exists(base)) return Seq.empty
     val cutoff = System.currentTimeMillis() - olderThanMs
+    // liveness must be judged by the NEWEST file anywhere in the stage
+    // tree, not the top-level dir mtime: a long parquet job writes its
+    // parts under _temporary subdirs, so the stage dir's own mtime
+    // freezes at job start and a >1 h live write would look vacuumable
+    def newestMtime(p: Path): Long = {
+      var newest = f.getFileStatus(p).getModificationTime
+      val it = f.listFiles(p, true)
+      while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
+      newest
+    }
     f.listStatus(base).toSeq
       .filter(s => s.getPath.getName.startsWith(".stage_v") &&
-        s.getModificationTime < cutoff)
+        newestMtime(s.getPath) < cutoff)
       .map { s =>
         if (!f.delete(s.getPath, true))
           throw new java.io.IOException(
@@ -458,13 +485,24 @@ object VersionedTable {
       ranges: Map[String, (Long, Long)], version: Option[Long] = None)
       : (DataFrame, Int, Int) = {
     import org.apache.spark.sql.functions.lit
-    val v = version.orElse(currentVersion(spark, dir)).getOrElse(
+    val f = fs(spark, dir)
+    val cur = currentVersion(spark, dir)
+    val v = version.orElse(cur).getOrElse(
       throw new IllegalStateException(s"no committed version in $dir"))
     val exact = ranges
       .map { case (c, (lo, hi)) => col(c) >= lit(lo) && col(c) <= lit(hi) }
       .reduce(_ && _)
     val mdir = manifestDir(dir, v)
-    if (!fs(spark, dir).exists(new Path(mdir)))
+    // manifest presence resolves through the `_VERSIONS` summary when
+    // it is fresh — the read-side consumer of the manifests list the
+    // commit path maintains (the summary covers ALL live versions, so
+    // a pinned time-travel read resolves through it too); a stale or
+    // absent summary degrades to the direct existence probe
+    val hasManifest = readSummary(f, dir) match {
+      case Some(s) if cur.contains(s.current) => s.manifests.contains(v)
+      case _                                  => f.exists(new Path(mdir))
+    }
+    if (!hasManifest)
       return (read(spark, dir, Some(v)).filter(exact), -1, -1)
     val manifest = spark.read.parquet(mdir)
     val total = manifest.count().toInt

@@ -390,15 +390,7 @@ object Llm {
       labelCache.clear()
       ps
     }
-    paths.foreach { p =>
-      val root = java.nio.file.Paths.get(p)
-      if (java.nio.file.Files.exists(root)) {
-        val walk = java.nio.file.Files.walk(root)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        finally walk.close()
-      }
-    }
+    paths.foreach(graft.util.Fs.deleteRecursively)
   }
 
   private def convergedLabels(spark: SparkSession, dir: String)

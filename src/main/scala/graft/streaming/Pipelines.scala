@@ -369,20 +369,9 @@ object Pipelines {
   }
 
   private def writeEpochMarker(spark: SparkSession, servingDir: String,
-      epochId: Long): Unit = {
-    val f = epochPath(servingDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(servingDir,
-      s"._LAST_EPOCH.tmp$epochId")
-    val out = f.create(tmp, true)
-    try out.write(epochId.toString
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(
-        f.getUri, spark.sparkContext.hadoopConfiguration)
-      .rename(f.makeQualified(tmp), f.makeQualified(epochPath(servingDir)),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+      epochId: Long): Unit =
+    graft.engine.VersionedTable.atomicWrite(
+      spark, servingDir, "_LAST_EPOCH", epochId.toString)
 
   /** Gap-based session windows (streaming face of q_stream_session):
     * `session_window` closes a session after `gap` of event-time

@@ -88,8 +88,15 @@ object ScaleProbe {
       val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
         .map(_.split(",").map(_.trim.toLowerCase).toSeq)
 
+      // the SAME predicate gates both the timed probes and their
+      // companion stats prints — a filter that selects a probe must
+      // also select its stats (matching a bare literal here once made
+      // PROBE_ONLY=clusters run the probe but skip the stats line)
+      def selected(name: String): Boolean =
+        only.forall(fs => fs.exists(name.toLowerCase.contains))
+
       def time(name: String)(df: => DataFrame): Unit = {
-        if (only.exists(fs => !fs.exists(name.toLowerCase.contains))) return
+        if (!selected(name)) return
         val t0 = System.nanoTime()
         df.count()
         val dt = (System.nanoTime() - t0) / 1e9
@@ -118,7 +125,7 @@ object ScaleProbe {
       // numbers (like the semdedup cell bound): rounds should sit at
       // O(log diameter) — shallow star/clique components converge in
       // <= 4 — and edges bounds the per-round join work
-      if (only.forall(_.exists("cluster".contains))) locally {
+      if (selected("dedup clusters")) locally {
         val (rounds, edges) = Llm.clusterConvergenceStats(spark, dst)
         println(s"== x$factor cluster convergence: rounds=$rounds edges=$edges")
       }
@@ -150,7 +157,7 @@ object ScaleProbe {
       // derived ~sqrt(n), so the largest cell should track sqrt(n));
       // this refits the just-invalidated quantizer — stats cost, not
       // part of the timed run
-      if (only.forall(_.exists("semdedup".contains))) locally {
+      if (selected("semdedup")) locally {
         val (k, largest) = Llm.ivfCellStats(spark, dst)
         println(s"== x$factor semdedup cell bound: k=$k largestCell=$largest")
         spark.sharedState.cacheManager.clearCache()
@@ -180,7 +187,7 @@ object ScaleProbe {
       // (Joins.joinSalted is the manual form). Thresholds are lowered
       // to probe-data scale; production defaults (256 MB) express the
       // same mechanism at cluster scale.
-      if (only.forall(_.exists("skew".contains))) locally {
+      if (selected("skewed-join (unsalted, aqe)")) locally {
         val keys = Seq(
           "spark.sql.autoBroadcastJoinThreshold",
           "spark.sql.adaptive.autoBroadcastJoinThreshold",

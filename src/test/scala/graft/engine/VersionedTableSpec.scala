@@ -262,6 +262,14 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.read(spark, dir, Some(1L))
       .as[(Long, String)].head() == ((1L, "v1")))
     assert(VersionedTable.versions(spark, dir) == Seq(0L, 1L, 2L))
+    // deeper wedge: pointer rolled back TWO published versions — the
+    // repair loop re-reads the pointer each iteration and walks it
+    // forward one version at a time to the top, then commits past it
+    clobber(dir, "_CURRENT", "v0")
+    assert(VersionedTable.commit(Seq((1L, "v3")).toDF("k", "v"), dir) == 3L)
+    assert(VersionedTable.currentVersion(spark, dir).contains(3L))
+    assert(VersionedTable.read(spark, dir)
+      .as[(Long, String)].head() == ((1L, "v3")))
   }
 
   test("vacuumStaged removes only OLD orphaned stage dirs; fresh ones and live data survive") {
