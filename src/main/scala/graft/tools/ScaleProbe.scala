@@ -169,10 +169,12 @@ object ScaleProbe {
       // keyed join + islands window), image phash banding, and the
       // bigram-LM scoring joins — all gram/band-keyed, so the probe
       // watches for any hidden pair-space quadratic
+      // substr dedup PAYS the memoized island-summary build (gram
+      // explode + df cap + digest join + window, written once per
+      // (session, dst)); removal then reads the memo table and adds
+      // its doc-keyed anti join + rebuild — like cluster_rep after
+      // dedup_clusters, the second entry prices the marginal op
       time("substr dedup") { Llm.substrDedup(spark, dst) }
-      // round-4: the removal step shares the gram-keyed islands, then
-      // adds a doc-keyed anti join + rebuild — cost bounded by true
-      // overlap, so the disjoint-vocab inflation should read ~flat
       time("substr removal") { Llm.substrDedupRemove(spark, dst) }
       time("image phash neardup") { Llm.mmPhash(spark, dst) }
       time("bigram LM score") { Llm.lmScore(spark, dst) }

@@ -144,8 +144,11 @@ class PlansSpec extends SparkTestBase {
       p.take(400))
   }
 
-  test("substring dedup joins on the gram digest, never doc x doc") {
-    val p = plan("q_llm_dedup_substr")
+  test("substring islands build joins on the gram digest, never doc x doc") {
+    // the shared upstream both substr ops memoize: guard the BUILD
+    // plan (the per-query plans read the written island table)
+    val p = graft.ops.Llm.substrIslandSummary(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(400))
     // the run-merge window must partition by (pair, delta), which only
@@ -153,14 +156,20 @@ class PlansSpec extends SparkTestBase {
     assert(p.contains("Window"), p.take(400))
   }
 
-  test("substring removal stays gram- then doc-keyed, never doc x doc") {
-    val p = plan("q_llm_dedup_substr_rm")
+  test("substring dedup and removal share the memoized island table") {
+    graft.ops.Llm.invalidateIslandsCache()
+    val p = plan("q_llm_dedup_substr")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(400))
+    // past the memo, detection is scan + two aggregates — the islands
+    // window must NOT re-run per query
+    assert(!p.contains("Window"), p.take(400))
+    val rm = plan("q_llm_dedup_substr_rm")
     // the span excision is an ANTI join of tokens against spans keyed
     // by doc — pair spaces never reach a shuffle
-    assert(p.contains("LeftAnti"), p.take(400))
-    assert(p.contains("Window"), p.take(400))
+    assert(rm.contains("LeftAnti"), rm.take(400))
+    assert(!rm.contains("CartesianProduct") && !rm.contains("BroadcastNestedLoopJoin"),
+      rm.take(400))
   }
 
   test("tpch q18: the having-side aggregate gates the join as a semi-join build; top-100 never global-sorts") {
