@@ -245,6 +245,33 @@ object Joins {
       .limit(100)
   }
 
+  /** TPC-H Q13 (customer distribution): the OUTER-join-then-double-
+    * aggregate macro — the one TPC-H shape Q1/Q3/Q5/Q6/Q18 don't
+    * cover. A LEFT join keeps zero-order customers; count(o_orderkey)
+    * ignores the null-padded rows, so they land in the c_count = 0
+    * bucket; a second aggregate histograms the counts. Q13's fact-side
+    * exclusion filter lives in the JOIN CONDITION (filtering the fact
+    * BEFORE an outer join is equivalent and lets the predicate push to
+    * the orders scan — the fixtures have no o_comment, so the class
+    * filter stands in for NOT LIKE '%special%requests%'). At 100 TB
+    * neither side broadcasts: both aggregates key on their grouping
+    * column, the first rides the join's custkey shuffle, and the
+    * second's input is one row per customer COUNT — dozens of rows.
+    * Determinism: c_count is unique per output row, so
+    * (custdist DESC, c_count DESC) is a total order. */
+  val tpchQ13: Q = (spark, dir) => {
+    val cust = Tables(spark, dir, "customer").select(col("c_custkey"))
+    val orders = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+    cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_join_left_enrich" -> joinLeftEnrich,
     "q_join_inner" -> joinInner,
@@ -255,7 +282,8 @@ object Joins {
     "q_join_salted" -> joinSalted,
     "q_tpch_q3" -> tpchQ3,
     "q_tpch_q5" -> tpchQ5,
-    "q_tpch_q18" -> tpchQ18)
+    "q_tpch_q18" -> tpchQ18,
+    "q_tpch_q13" -> tpchQ13)
 
   val oracle: Map[String, String] = Map(
     "q_join_left_enrich" ->
@@ -340,5 +368,14 @@ object Joins {
            SELECT l_orderkey FROM lineitem
            GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
          GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
-         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+         FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+               FROM customer LEFT JOIN orders
+                 ON c_custkey = o_custkey
+                AND o_orderpriority <> '1-URGENT'
+               GROUP BY c_custkey) t
+         GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""")
 }

@@ -185,6 +185,16 @@ class PlansSpec extends SparkTestBase {
       "customer dim must broadcast: " + p.take(600))
   }
 
+  test("tpch q13: the class filter pushes to the orders scan; the outer join never degenerates") {
+    val p = plan("q_tpch_q13")
+    // the exclusion filter lives in the join condition semantically,
+    // but because the fact is filtered BEFORE the outer join it must
+    // reach the parquet scan
+    assert(p.contains("Not(EqualTo(o_orderpriority"), p.take(600))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(400))
+  }
+
   test("url curation: host extract is scan+project; blocklist anti join broadcasts; cap is one window") {
     val host = plan("q_llm_url_host")
     assert(!host.contains("Join") && !host.contains("HashAggregate"),

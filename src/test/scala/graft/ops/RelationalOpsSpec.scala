@@ -113,6 +113,25 @@ class RelationalOpsSpec extends SparkTestBase {
       "partition column must not be treated as a data filter")
   }
 
+  test("tpch q13 conserves customers and buckets zero-order ones at c_count = 0") {
+    val dir = sfSmoke
+    val dist = Joins.tpchQ13(spark, dir)
+    // every customer lands in exactly one count bucket
+    val total = dist.agg(sum($"custdist")).as[Long].head()
+    assert(total == graft.engine.Tables(spark, dir, "customer").count())
+    // the zero bucket is exactly the customers with no qualifying
+    // order — the semantics the LEFT join + count(o_orderkey) exist for
+    val expectZero = graft.engine.Tables(spark, dir, "customer")
+      .join(
+        graft.engine.Tables(spark, dir, "orders")
+          .filter($"o_orderpriority" =!= "1-URGENT"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .count()
+    val gotZero = dist.filter($"c_count" === 0)
+      .select($"custdist").as[Long].collect().headOption.getOrElse(0L)
+    assert(gotZero == expectZero)
+  }
+
   test("rollup emits per-group rows plus subtotals plus grand total") {
     val df = Seq(("a", "x"), ("a", "y"), ("b", "x")).toDF("k1", "k2")
     val got = df.rollup($"k1", $"k2").agg(count(lit(1)).as("cnt"))
