@@ -190,6 +190,34 @@ class LlmSpec extends SparkTestBase {
       s"the LATER doc loses exactly the duplicated run, got $rm")
   }
 
+  test("islands memo: invalidation deletes the written table and rebuilds against regenerated data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_islmemo").toString
+    val dup = (1 to 12).map(i => s"dupline$i").mkString(" ")
+    def writeDocs(withDup: Boolean): Unit = {
+      val docs =
+        if (withDup) Seq(
+          (1L, s"a1 a2 a3 $dup b1 b2 b3"),
+          (2L, s"c1 c2 c3 $dup d1 d2 d3"))
+        else Seq(
+          (1L, "a1 a2 a3 b1 b2 b3"),
+          (2L, "c1 c2 c3 d1 d2 d3"))
+      docs.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length($"text").cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+    writeDocs(withDup = true)
+    assert(Llm.substrDedup(spark, dir).count() == 1)
+    // regenerate the corpus under the SAME dir with no duplication:
+    // without invalidation the memo would serve the stale islands —
+    // the exact in-session-regeneration hazard the skip-table cache
+    // advice documented
+    writeDocs(withDup = false)
+    Llm.invalidateIslandsCache()
+    assert(Llm.substrDedup(spark, dir).count() == 0,
+      "post-invalidation read must rebuild from the regenerated corpus")
+  }
+
   test("repetition signals are fractions and the verdict matches them") {
     val rows = Llm.repetition(spark, sfSmoke).collect()
     assert(rows.nonEmpty)
