@@ -186,7 +186,54 @@ object Scans {
       .orderBy(col("event_type"))
   }
 
+  /** S+: corrupt-record quarantine scan — the error-tolerance axis the
+    * reference lacks entirely (its silver loop try/excepts per FILE
+    * and `break`s, so one malformed file halts the backfill —
+    * `services/silver_layer/process_silver.py:53-69`). Spark-first:
+    * a PERMISSIVE JSONL read with `columnNameOfCorruptRecord` keeps
+    * malformed LINES as quarantine rows in the same scan — the job
+    * never fails (FAILFAST) and bad data never silently vanishes
+    * (DROPMALFORMED); a production pipeline writes the quarantine
+    * bucket to its own sink from this same frame.
+    *
+    * Fixture: events serialized to JSONL with every event_id % 50 == 0
+    * line truncated (always malformed — to_json output ends in '}').
+    * The corruption is DETERMINISTIC on the source table, so the
+    * DuckDB oracle recomputes the clean/quarantine split with a CASE
+    * over the original rows — the driver's hash gate covers the whole
+    * tolerance path. Grouping on a label that reads event_type only
+    * when _corrupt is null also sidesteps the Spark restriction on
+    * queries referencing just the corrupt column. */
+  val scanCorruptQuarantine: Q = (spark, dir) => {
+    val out = tmpDir("graft_corrupt_jsonl")
+    Tables(spark, dir, "events")
+      .select(
+        to_json(struct(col("event_id"), col("event_type"), col("user_id")))
+          .as("j"),
+        col("event_id"))
+      .select(
+        when(col("event_id") % 50 === 0,
+          expr("substring(j, 1, length(j) - 1)"))
+          .otherwise(col("j")).as("value"))
+      .write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("user_id", LongType),
+      StructField("_corrupt", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(out)
+      .groupBy(
+        when(col("_corrupt").isNull, col("event_type"))
+          .otherwise(lit("_corrupt")).as("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_scan_corrupt_quarantine" -> scanCorruptQuarantine,
     "q_sink_partitioned" -> sinkPartitioned,
     "q_scan_parquet" -> scanParquet,
     "q_scan_csv_projection" -> scanCsvProjection,
@@ -199,6 +246,14 @@ object Scans {
     "q_union_all" -> unionAll)
 
   val oracle: Map[String, String] = Map(
+    // the oracle recomputes the deterministic clean/quarantine split
+    // from the source rows — the CASE mirrors the Spark-side label so
+    // no empty-bucket row can diverge between engines
+    "q_scan_corrupt_quarantine" ->
+      """SELECT CASE WHEN event_id % 50 = 0 THEN '_corrupt'
+                     ELSE event_type END AS event_type,
+                count(*) AS cnt
+         FROM events GROUP BY 1 ORDER BY event_type""",
     "q_sink_partitioned" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
          FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'

@@ -113,6 +113,28 @@ class RelationalOpsSpec extends SparkTestBase {
       "partition column must not be treated as a data filter")
   }
 
+  test("permissive jsonl scan quarantines malformed lines, raw text preserved, job never fails") {
+    val out = java.nio.file.Files.createTempDirectory("graft_badjson").toString
+    val bad = """{"a":2,"b":"y""" // truncated — malformed on any parser
+    Seq("""{"a":1,"b":"x"}""", bad).toDF("value").write.mode("overwrite").text(out)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_corrupt", org.apache.spark.sql.types.StringType)))
+    val rows = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(out)
+      .select($"a", $"b", $"_corrupt")
+      .collect()
+    assert(rows.length == 2, "both lines must survive the scan")
+    val good = rows.filter(_.isNullAt(2))
+    val quarantined = rows.filterNot(_.isNullAt(2))
+    assert(good.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "x")))
+    assert(quarantined.length == 1 && quarantined.head.getString(2) == bad,
+      "the quarantine row must carry the raw malformed line for replay/debug")
+  }
+
   test("tpch q13 conserves customers and buckets zero-order ones at c_count = 0") {
     val dir = sfSmoke
     val dist = Joins.tpchQ13(spark, dir)
