@@ -272,6 +272,72 @@ object Joins {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  /** TPC-H Q10 (returned item reporting): rank customers by revenue
+    * lost to returns in one quarter — the wide-group-by top-k macro.
+    * Unlike Q3/Q5 (narrow keys) the aggregate groups on four customer
+    * attributes; Spark keys the shuffle on the whole tuple, which is
+    * functionally keyed by c_custkey alone, so the agg still rides one
+    * custkey-dominated exchange. Customer is deliberately NOT
+    * broadcast: at 100 TB the customer dim is tens of GB, and the
+    * quarter+returnflag filters already shrink the fact side to the
+    * same order of magnitude — a shuffled join with AQE free to
+    * convert at runtime is the honest plan (nation, 25 rows, does
+    * broadcast). Top-20 is TakeOrderedAndProject, never a global
+    * sort. Determinism: per-item revenue cast DECIMAL(18,4) before
+    * the sum (order-independent; the quarter filter keeps groups
+    * sparse — the Q1-density caveat in BASELINE.md doesn't bite),
+    * c_custkey breaks revenue ties across the LIMIT boundary. */
+  val tpchQ10: Q = (spark, dir) => {
+    val cust = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_nationkey"))
+    val nation = Tables(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val orders = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .join(cust, orders("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("decimal(38,4)").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q14 (promotion effect): what fraction of one month's
+    * revenue came from promo parts — the conditional-ratio macro over
+    * a fact x dim join. The month filter reaches the lineitem scan;
+    * part joins broadcast (it is a true dim); the two sums fold into
+    * ONE aggregate pass (a CASE inside sum, not two jobs). The output
+    * is a single row — the shuffle is the join only. Determinism:
+    * both sums rounded to 4 BEFORE the division, so the ratio is
+    * identical arithmetic on identical doubles on both engines
+    * (fixtures use class-valued p_type, so the predicate is equality
+    * with 'PROMO' rather than LIKE 'PROMO%'). */
+  val tpchQ14: Q = (spark, dir) => {
+    val part = Tables(spark, dir, "part")
+      .select(col("p_partkey"), col("p_type"))
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0d))), 4)
+          .as("promo_rev"),
+        round(sum(rev), 4).as("total_rev"))
+      .withColumn("promo_pct",
+        round(col("promo_rev") * 100d / col("total_rev"), 4))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_join_left_enrich" -> joinLeftEnrich,
     "q_join_inner" -> joinInner,
@@ -283,7 +349,9 @@ object Joins {
     "q_tpch_q3" -> tpchQ3,
     "q_tpch_q5" -> tpchQ5,
     "q_tpch_q18" -> tpchQ18,
-    "q_tpch_q13" -> tpchQ13)
+    "q_tpch_q13" -> tpchQ13,
+    "q_tpch_q10" -> tpchQ10,
+    "q_tpch_q14" -> tpchQ14)
 
   val oracle: Map[String, String] = Map(
     "q_join_left_enrich" ->
@@ -377,5 +445,30 @@ object Joins {
                 AND o_orderpriority <> '1-URGENT'
                GROUP BY c_custkey) t
          GROUP BY c_count
-         ORDER BY custdist DESC, c_count DESC""")
+         ORDER BY custdist DESC, c_count DESC""",
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+                sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-04-01'
+           AND l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    // both sums rounded to 4 BEFORE the division — the ratio is then
+    // identical double arithmetic on both engines
+    "q_tpch_q14" ->
+      """SELECT promo_rev, total_rev,
+                round(promo_rev * 100 / total_rev, 4) AS promo_pct
+         FROM (SELECT
+                 round(sum(CASE WHEN p_type = 'PROMO'
+                           THEN l_extendedprice * (1 - l_discount)
+                           ELSE 0 END), 4) AS promo_rev,
+                 round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+               FROM lineitem JOIN part ON l_partkey = p_partkey
+               WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+                 AND l_shipdate < TIMESTAMP '1996-04-01') t""")
 }

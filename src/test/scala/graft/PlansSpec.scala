@@ -195,6 +195,31 @@ class PlansSpec extends SparkTestBase {
       p.take(400))
   }
 
+  test("tpch q10: returnflag+quarter filters push to the scans; top-20 never global-sorts") {
+    val p = plan("q_tpch_q10")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      "returnflag filter must reach the lineitem scan: " + p.take(600))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "quarter filter must reach the orders scan: " + p.take(600))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must not global-sort: " + p.take(600))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(400))
+  }
+
+  test("tpch q14: part dim broadcasts; the conditional ratio is ONE aggregate pass") {
+    val p = plan("q_tpch_q14")
+    assert(p.contains("BroadcastHashJoin"),
+      "part dim must broadcast: " + p.take(600))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "fact side must not shuffle for the join: " + p.take(600))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "month filter must reach the lineitem scan: " + p.take(600))
+    // both sums + the CASE fold into one partial/final aggregate pair
+    assert("HashAggregate".r.findAllIn(p).length == 2,
+      "two sums must be one aggregate pass: " + p.take(600))
+  }
+
   test("url curation: host extract is scan+project; blocklist anti join broadcasts; cap is one window") {
     val host = plan("q_llm_url_host")
     assert(!host.contains("Join") && !host.contains("HashAggregate"),

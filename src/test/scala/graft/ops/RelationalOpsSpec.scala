@@ -154,6 +154,36 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(gotZero == expectZero)
   }
 
+  test("tpch q10 counts only returned items inside the quarter, descending by revenue") {
+    val dir = sfSmoke
+    val top = Joins.tpchQ10(spark, dir).collect()
+    assert(top.nonEmpty && top.length <= 20)
+    // descending revenue with c_custkey tiebreak — the LIMIT boundary order
+    val revs = top.map(r => r.getDecimal(4))
+    assert(revs.sliding(2).forall(p => p.length < 2 || p(0).compareTo(p(1)) >= 0))
+    // cross-check the top row against a first-principles recompute
+    val expect = graft.engine.Tables(spark, dir, "lineitem")
+      .filter($"l_returnflag" === "R")
+      .join(
+        graft.engine.Tables(spark, dir, "orders")
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1996-04-01").cast("timestamp")),
+        $"l_orderkey" === $"o_orderkey")
+      .filter($"o_custkey" === top.head.getLong(0))
+      .agg(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+          .cast("decimal(18,4)")).cast("decimal(38,4)"))
+      .head().getDecimal(0)
+    assert(top.head.getDecimal(4).compareTo(expect) == 0)
+  }
+
+  test("tpch q14 promo ratio is bounded and consistent with its own components") {
+    val row = Joins.tpchQ14(spark, sfSmoke).head()
+    val (promo, total, pct) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+    assert(promo >= 0 && promo <= total, s"promo=$promo total=$total")
+    assert(pct >= 0 && pct <= 100)
+    assert(math.abs(pct - promo * 100d / total) < 1e-3)
+  }
+
   test("rollup emits per-group rows plus subtotals plus grand total") {
     val df = Seq(("a", "x"), ("a", "y"), ("b", "x")).toDF("k1", "k2")
     val got = df.rollup($"k1", $"k2").agg(count(lit(1)).as("cnt"))
