@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 
@@ -338,6 +339,127 @@ object Joins {
         round(col("promo_rev") * 100d / col("total_rev"), 4))
   }
 
+  /** TPC-H Q15 (top supplier): the argmax-over-an-aggregate macro —
+    * revenue per supplier for one quarter, then keep the supplier(s)
+    * hitting the maximum. The classic formulation scans the fact
+    * twice (once for the revenue view, once for the scalar max);
+    * here the max rides a global window OVER THE AGGREGATE OUTPUT —
+    * a single-partition pass, but over a supplier-cardinality frame
+    * (10k rows at 100 TB), which is the right trade against a second
+    * 100 TB fact scan. The supplier dim broadcasts. Determinism:
+    * revenue is round(sum,4) BEFORE the max equality, so both
+    * engines select the argmax over identical 4-decimal values;
+    * s_suppkey orders the (rare) tie output. */
+  val tpchQ15: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    val rev = li.groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("total_rev"))
+    val supp = Tables(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+    rev.withColumn("mx", max(col("total_rev")).over(
+        Window.partitionBy()))
+      .filter(col("total_rev") === col("mx"))
+      .join(broadcast(supp), col("l_suppkey") === supp("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q17 (small-quantity-order revenue): the per-group
+    * scalar-aggregate-as-ROW-filter macro — Q18 gates GROUPS on their
+    * own aggregate; Q17 gates individual fact rows on their group's
+    * aggregate (l_quantity < 0.2 x that part's average quantity).
+    * The brand filter broadcasts into the fact first, so the
+    * per-partkey average is a window over the RESTRICTED fact — one
+    * partkey shuffle of a thousandth of the data instead of the
+    * self-join-with-reaggregation a literal translation of the
+    * correlated subquery would cost (the join restricts by partkey
+    * only, so the window sees every lineitem row of each surviving
+    * part — semantics identical to the correlated form, which the
+    * oracle deliberately keeps as an independent strategy).
+    * Determinism: quantities are integral doubles, so their sums are
+    * EXACT in IEEE754 regardless of order and the 0.2x threshold is
+    * bit-identical on both engines; the output sum is round/7.0/4. */
+  val tpchQ17: Q = (spark, dir) => {
+    val part = Tables(spark, dir, "part")
+      .filter(col("p_brand") === "Brand#13")
+      .select(col("p_partkey"))
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .withColumn("avg_qty",
+        avg(col("l_quantity")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"))
+  }
+
+  /** TPC-H Q19 (discounted revenue): the disjunctive-predicate macro —
+    * an OR of three brand/size/quantity conjunctions spanning BOTH
+    * join sides, the shape that defeats naive single-branch pushdown.
+    * Spark-first handling mirrors what mature TPC-H planners do:
+    * derive the single-side envelopes by hand — the part-only
+    * disjunction prunes the dim at its scan, the quantity envelope
+    * (the union of the three ranges) prunes the fact at its scan —
+    * then apply the full cross-side OR as the broadcast join's
+    * residual. At 100 TB the envelope filters are what matter: the
+    * fact scan drops ~20% of rows before the join ever sees them,
+    * and the dim broadcast carries 3 brands instead of 25.
+    * Determinism: single-row round(sum,4) output. */
+  val tpchQ19: Q = (spark, dir) => {
+    val b1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 15)
+    val b2 = col("p_brand") === "Brand#2" && col("p_size").between(10, 30)
+    val b3 = col("p_brand") === "Brand#3" && col("p_size").between(20, 50)
+    val part = Tables(spark, dir, "part")
+      .filter(b1 || b2 || b3)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_quantity").between(1, 40))
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+    val full = (b1 && col("l_quantity").between(1, 20)) ||
+      (b2 && col("l_quantity").between(10, 30)) ||
+      (b3 && col("l_quantity").between(20, 40))
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey") && full)
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+  }
+
+  /** TPC-H Q22 (global sales opportunity): the scalar-threshold +
+    * anti-join macro — customers in three segments with above-average
+    * balances and NO recent orders (the fixtures span 1995-2001 with
+    * ~70 orders per customer, so "never ordered" is empty; the
+    * 2001-06 recency window restores Q22's intended selectivity —
+    * segments stand in for the reference schema's missing phone
+    * country codes). The average is a 1-row broadcast (the
+    * q_filter_quantile scalar pattern, never collected); the recent
+    * slice of orders anti-joins on custkey — statically shuffled,
+    * AQE-broadcast-eligible since the date filter shrinks it to a
+    * sliver. Determinism: balances are 2-decimal doubles whose sums
+    * stay exact well past the comparison's precision; output sum
+    * rounded to 4; segment is a total order (one row each). */
+  val tpchQ22: Q = (spark, dir) => {
+    val segs = Seq("BUILDING", "FURNITURE", "MACHINERY")
+    val cust = Tables(spark, dir, "customer")
+      .filter(col("c_mktsegment").isin(segs: _*))
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("ab"))
+    val recent = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2001-06-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(recent, col("c_custkey") === recent("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("c_acctbal")), 4).as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_join_left_enrich" -> joinLeftEnrich,
     "q_join_inner" -> joinInner,
@@ -351,7 +473,11 @@ object Joins {
     "q_tpch_q18" -> tpchQ18,
     "q_tpch_q13" -> tpchQ13,
     "q_tpch_q10" -> tpchQ10,
-    "q_tpch_q14" -> tpchQ14)
+    "q_tpch_q14" -> tpchQ14,
+    "q_tpch_q15" -> tpchQ15,
+    "q_tpch_q17" -> tpchQ17,
+    "q_tpch_q19" -> tpchQ19,
+    "q_tpch_q22" -> tpchQ22)
 
   val oracle: Map[String, String] = Map(
     "q_join_left_enrich" ->
@@ -470,5 +596,50 @@ object Joins {
                  round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev
                FROM lineitem JOIN part ON l_partkey = p_partkey
                WHERE l_shipdate >= TIMESTAMP '1996-03-01'
-                 AND l_shipdate < TIMESTAMP '1996-04-01') t""")
+                 AND l_shipdate < TIMESTAMP '1996-04-01') t""",
+    // revenue rounded to 4 INSIDE the CTE so the max-equality selects
+    // the same argmax on both engines
+    "q_tpch_q15" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, s_acctbal, total_rev
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_rev = (SELECT max(total_rev) FROM rev)
+         ORDER BY s_suppkey""",
+    // deliberately the CORRELATED form — an independent evaluation
+    // strategy from the engine's window formulation
+    "q_tpch_q17" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_brand = 'Brand#13'
+           AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                             FROM lineitem l2
+                             WHERE l2.l_partkey = part.p_partkey)""",
+    "q_tpch_q19" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 20)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                AND l_quantity BETWEEN 10 AND 30)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+                AND l_quantity BETWEEN 20 AND 40)""",
+    "q_tpch_q22" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+                round(sum(c_acctbal), 4) AS totacctbal
+         FROM customer c
+         WHERE c_mktsegment IN ('BUILDING','FURNITURE','MACHINERY')
+           AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                            WHERE c_acctbal > 0
+                              AND c_mktsegment IN ('BUILDING','FURNITURE','MACHINERY'))
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '2001-06-01')
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment""")
 }

@@ -220,6 +220,46 @@ class PlansSpec extends SparkTestBase {
       "two sums must be one aggregate pass: " + p.take(600))
   }
 
+  test("tpch q15: one fact scan feeds both the revenue view and its max; supplier broadcasts") {
+    val p = plan("q_tpch_q15")
+    assert("Scan parquet".r.findAllIn(p).count(_ => true) == 2,
+      "lineitem must be scanned ONCE (plus the supplier dim): " + p.take(600))
+    assert(p.contains("Window"), "the max must ride a window, not a second scan")
+    assert(p.contains("BroadcastHashJoin"), "supplier dim must broadcast: " + p.take(400))
+  }
+
+  test("tpch q17: brand filter pushes to the part scan; per-part avg is a window, not a self-join") {
+    val p = plan("q_tpch_q17")
+    assert(p.contains("EqualTo(p_brand,Brand#13)"),
+      "brand filter must reach the part scan: " + p.take(600))
+    assert("Scan parquet".r.findAllIn(p).count(_ => true) == 2,
+      "lineitem must be scanned ONCE — the correlated subquery must not become a self-join: " + p.take(600))
+    assert(p.contains("Window"), p.take(400))
+    assert(p.contains("BroadcastHashJoin"), "filtered part must broadcast: " + p.take(400))
+  }
+
+  test("tpch q19: derived envelopes push to both scans; the cross-side OR is a join residual") {
+    val p = plan("q_tpch_q19")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      p.contains("LessThanOrEqual(l_quantity,40.0)"),
+      "quantity envelope must reach the lineitem scan: " + p.take(600))
+    assert(p.contains("Or(And(EqualTo(p_brand,Brand#1)"),
+      "part disjunction must reach the part scan: " + p.take(600))
+    assert(p.contains("BroadcastHashJoin"),
+      "equi-key + OR residual must stay a broadcast hash join: " + p.take(400))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(400))
+  }
+
+  test("tpch q22: recency filter pushes to the orders scan; exclusion is an anti join") {
+    val p = plan("q_tpch_q22")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "recency filter must reach the orders scan: " + p.take(600))
+    assert(p.contains("LeftAnti"), "exclusion must plan as an anti join: " + p.take(400))
+    assert(p.contains("In(c_mktsegment"),
+      "segment filter must reach the customer scan: " + p.take(600))
+  }
+
   test("url curation: host extract is scan+project; blocklist anti join broadcasts; cap is one window") {
     val host = plan("q_llm_url_host")
     assert(!host.contains("Join") && !host.contains("HashAggregate"),

@@ -184,6 +184,72 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(math.abs(pct - promo * 100d / total) < 1e-3)
   }
 
+  test("tpch q15 keeps exactly the argmax suppliers of the quarter's revenue view") {
+    val dir = sfSmoke
+    val rows = Joins.tpchQ15(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // recompute the revenue view independently (groupBy, no window)
+    val rev = graft.engine.Tables(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("r"))
+    val mx = rev.agg(max($"r")).head().getDouble(0)
+    val winners = rev.filter($"r" === mx).select($"l_suppkey")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet == winners)
+    assert(rows.forall(_.getDouble(3) == mx))
+  }
+
+  test("tpch q17 window formulation matches a groupBy-then-join recompute") {
+    val dir = sfSmoke
+    val got = Joins.tpchQ17(spark, dir).head().getDouble(0)
+    val li = graft.engine.Tables(spark, dir, "lineitem")
+    val brand = graft.engine.Tables(spark, dir, "part")
+      .filter($"p_brand" === "Brand#13").select($"p_partkey")
+    val avgs = li.groupBy($"l_partkey").agg(avg($"l_quantity").as("aq"))
+    val expect = li.join(brand, $"l_partkey" === $"p_partkey")
+      .join(avgs, Seq("l_partkey"))
+      .filter($"l_quantity" < lit(0.2) * $"aq")
+      .agg(round(sum($"l_extendedprice") / 7.0, 4))
+      .head().getDouble(0)
+    assert(got == expect)
+  }
+
+  test("tpch q19 revenue is the sum of its three mutually-exclusive branches") {
+    val dir = sfSmoke
+    val got = Joins.tpchQ19(spark, dir).head().getDouble(0)
+    val li = graft.engine.Tables(spark, dir, "lineitem")
+    val part = graft.engine.Tables(spark, dir, "part")
+    val joined = li.join(part, $"l_partkey" === $"p_partkey")
+    def branch(b: String, s1: Int, s2: Int, q1: Int, q2: Int): Double =
+      joined.filter($"p_brand" === b && $"p_size".between(s1, s2) &&
+          $"l_quantity".between(q1, q2))
+        .agg(coalesce(sum($"l_extendedprice" * (lit(1) - $"l_discount")), lit(0d)))
+        .head().getDouble(0)
+    val expect = BigDecimal(branch("Brand#1", 1, 15, 1, 20) +
+      branch("Brand#2", 10, 30, 10, 30) + branch("Brand#3", 20, 50, 20, 40))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got - expect) < 1e-6, s"got=$got expect=$expect")
+  }
+
+  test("tpch q22 keeps only above-average balances with no recent orders") {
+    val dir = sfSmoke
+    val rows = Joins.tpchQ22(spark, dir).collect()
+    assert(rows.length == 3) // one row per segment at every fixture scale
+    val cust = graft.engine.Tables(spark, dir, "customer")
+      .filter($"c_mktsegment".isin("BUILDING", "FURNITURE", "MACHINERY"))
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+    val ab = cust.filter($"c_acctbal" > 0).agg(avg($"c_acctbal")).head().getDouble(0)
+    val recentCust = graft.engine.Tables(spark, dir, "orders")
+      .filter($"o_orderdate" >= lit("2001-06-01").cast("timestamp"))
+      .select($"o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    val expect = cust.filter($"c_acctbal" > ab).collect()
+      .filterNot(r => recentCust(r.getLong(0)))
+      .groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(rows.map(r => r.getString(0) -> r.getLong(1).toInt).toMap == expect)
+  }
+
   test("rollup emits per-group rows plus subtotals plus grand total") {
     val df = Seq(("a", "x"), ("a", "y"), ("b", "x")).toDF("k1", "k2")
     val got = df.rollup($"k1", $"k2").agg(count(lit(1)).as("cnt"))
