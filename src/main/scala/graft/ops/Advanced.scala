@@ -140,16 +140,21 @@ object Advanced {
       .saveAsTable("graft_orders_b")
     val li = spark.table("graft_lineitem_b")
     val ord = spark.table("graft_orders_b")
-    // DECIMAL sum: at ~1.8e10 magnitude the double-sum's order-dependent
-    // error (~1e-4) exceeds any rounding grain; exact decimal is the
-    // only order-independent cross-engine-stable aggregate here
+    // Fixed-point money sum: at the sf0.1 magnitude (1.8e11 over 600k
+    // rows) a double sum's order-dependent error (~1e-3, measured)
+    // eats the round(,2) margin, and the per-row DECIMAL cast family
+    // was retired in round 5 (Q10's cast-of-a-computed-double diverged
+    // at the tie boundary). Summing integral ten-thousandths as LONG
+    // is exact and order-independent at ANY scale (sum ~1.8e15 << 2^53
+    // even at 100 TB per-partition partials), and the per-row
+    // round(x*10000) is deterministic on both engines — fixture money
+    // sits <=4e-5 off the integer grid, nowhere near a .5 tie.
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .agg(
         count(lit(1)).as("cnt"),
-        // cast to DuckDB's sum(DECIMAL(18,2)) result precision so the
-        // declared schema matches, not just the value
-        sum((col("l_extendedprice") + col("o_totalprice"))
-          .cast("decimal(18,2)")).cast("decimal(38,2)").as("total"))
+        round(sum((round(col("l_extendedprice") * 10000, 0) +
+            round(col("o_totalprice") * 10000, 0)).cast("long"))
+          .cast("double") / 10000d, 2).as("total"))
   }
 
   /** MERGE/upsert without a table format: updates win by key, new keys
@@ -339,7 +344,9 @@ object Advanced {
          GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""",
     "q_bucketed_join" ->
       """SELECT count(*) AS cnt,
-                sum(CAST(l_extendedprice + o_totalprice AS DECIMAL(18,2))) AS total
+                round(CAST(sum(CAST(round(l_extendedprice * 10000)
+                                  + round(o_totalprice * 10000) AS BIGINT))
+                      AS DOUBLE) / 10000, 2) AS total
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
     // bit-exact arithmetic recomputation of the Morton interleave
     "q_zorder_layout" ->

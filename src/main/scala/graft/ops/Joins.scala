@@ -175,8 +175,8 @@ object Joins {
     li.join(orders, li("l_orderkey") === orders("o_orderkey"))
       .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
-      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(18,4)")).cast("decimal(38,4)").as("revenue"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }
@@ -209,8 +209,8 @@ object Joins {
           cust("c_nationkey") === supp("s_nationkey"))
       .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(18,4)")).cast("decimal(38,4)").as("revenue"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -284,9 +284,9 @@ object Joins {
     * same order of magnitude — a shuffled join with AQE free to
     * convert at runtime is the honest plan (nation, 25 rows, does
     * broadcast). Top-20 is TakeOrderedAndProject, never a global
-    * sort. Determinism: per-item revenue cast DECIMAL(18,4) before
-    * the sum (order-independent; the quarter filter keeps groups
-    * sparse — the Q1-density caveat in BASELINE.md doesn't bite),
+    * sort. Determinism: revenue is round(sum(double), 4) on both
+    * engines — the per-row DECIMAL(18,4) cast diverged at the
+    * .00005 boundary between Spark and DuckDB (round-4 red row);
     * c_custkey breaks revenue ties across the LIMIT boundary. */
   val tpchQ10: Q = (spark, dir) => {
     val cust = Tables(spark, dir, "customer")
@@ -306,8 +306,8 @@ object Joins {
       .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
         col("n_name"))
-      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(18,4)")).cast("decimal(38,4)").as("revenue"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
   }
@@ -530,7 +530,7 @@ object Joins {
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_tpch_q3" ->
       """SELECT o_orderkey, o_orderdate,
-                sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+                round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -541,7 +541,7 @@ object Joins {
          ORDER BY revenue DESC, o_orderkey LIMIT 10""",
     "q_tpch_q5" ->
       """SELECT n_name,
-                sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+                round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -574,7 +574,7 @@ object Joins {
          ORDER BY custdist DESC, c_count DESC""",
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
-                sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+                round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
