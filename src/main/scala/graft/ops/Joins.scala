@@ -460,6 +460,75 @@ object Joins {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** TPC-H Q4 (order priority checking): the pure EXISTS-as-semi-join
+    * macro — orders in one quarter with at least one flagged lineitem,
+    * counted by priority. Q18 gates on an aggregate-derived key list;
+    * Q4 is the simpler existence test, and the plan bar is that it
+    * stays a LEFT SEMI join (one probe per order, fact side never
+    * re-aggregated or duplicated by the multi-lineitem match). The
+    * quarter filter reaches the orders scan; the flag filter reaches
+    * the lineitem scan, shrinking the build side ~4x before the
+    * shuffle. The fixtures carry no l_commitdate/l_receiptdate, so
+    * l_returnflag = 'R' stands in for "late" (commit < receipt) —
+    * same existence topology, same selectivity class. Determinism:
+    * integer counts, priority is a unique total order. */
+  val tpchQ4: Q = (spark, dir) => {
+    val late = Tables(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    val orders = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+    orders.join(late, orders("o_orderkey") === late("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q21 (suppliers who kept orders waiting): the hardest join
+    * topology in the suite — BOTH an EXISTS (another supplier shipped
+    * the same order) and a NOT EXISTS (no OTHER supplier was late)
+    * against the same fact, plus a status-filtered orders gate. A
+    * literal translation scans lineitem three times and self-joins
+    * twice; here the fact is scanned ONCE and reduced to one row per
+    * (order, supplier) carrying its late-row count, and both
+    * existence tests become window counts over the order partition of
+    * that reduced table: EXISTS other-supplier == n_supp > 1;
+    * NOT EXISTS other-late-supplier == n_late_supp == 1 (only me).
+    * The expensive shuffle is the single (orderkey, suppkey) fact
+    * aggregate; the window repartitions only the per-(order,supplier)
+    * reduction — orders-of-magnitude smaller at any scale. The 'F'
+    * status gate is a semi join on the reduced table (AQE may
+    * broadcast the filtered orders at runtime); the supplier dim
+    * broadcasts statically. l_returnflag = 'R' stands in for the
+    * receipt-after-commit lateness as in Q4; numwait sums the late
+    * ROW count per qualifying (order, supplier) to match the classic
+    * per-l1-row count semantics. Determinism: integer counts;
+    * s_name breaks numwait ties across the LIMIT 100 boundary. */
+  val tpchQ21: Q = (spark, dir) => {
+    val perOS = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(count(when(col("l_returnflag") === "R", lit(1))).as("n_late"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    val qual = perOS
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late_supp",
+        sum(when(col("n_late") > 0, 1).otherwise(0)).over(w))
+      .filter(col("n_late") > 0 && col("n_supp") > 1 &&
+        col("n_late_supp") === 1)
+    val ordersF = Tables(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+    val supp = Tables(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"))
+    qual.join(ordersF, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(broadcast(supp), col("l_suppkey") === supp("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(sum(col("n_late")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_join_left_enrich" -> joinLeftEnrich,
     "q_join_inner" -> joinInner,
@@ -477,7 +546,9 @@ object Joins {
     "q_tpch_q15" -> tpchQ15,
     "q_tpch_q17" -> tpchQ17,
     "q_tpch_q19" -> tpchQ19,
-    "q_tpch_q22" -> tpchQ22)
+    "q_tpch_q22" -> tpchQ22,
+    "q_tpch_q4" -> tpchQ4,
+    "q_tpch_q21" -> tpchQ21)
 
   val oracle: Map[String, String] = Map(
     "q_join_left_enrich" ->
@@ -641,5 +712,36 @@ object Joins {
                            WHERE o_custkey = c_custkey
                              AND o_orderdate >= TIMESTAMP '2001-06-01')
          GROUP BY c_mktsegment
-         ORDER BY c_mktsegment""")
+         ORDER BY c_mktsegment""",
+    // l_returnflag = 'R' stands in for l_commitdate < l_receiptdate
+    // (columns the fixtures lack) — same existence topology
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+           AND o_orderdate < TIMESTAMP '1996-10-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_returnflag = 'R')
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
+    // deliberately the classic correlated EXISTS / NOT EXISTS form —
+    // an independent evaluation strategy from the engine's
+    // single-scan windowed-flags formulation
+    "q_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM supplier, lineitem l1, orders
+         WHERE s_suppkey = l1.l_suppkey
+           AND o_orderkey = l1.l_orderkey
+           AND o_orderstatus = 'F'
+           AND l1.l_returnflag = 'R'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_returnflag = 'R')
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name LIMIT 100""")
 }

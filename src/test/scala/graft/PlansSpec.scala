@@ -260,6 +260,34 @@ class PlansSpec extends SparkTestBase {
       "segment filter must reach the customer scan: " + p.take(600))
   }
 
+  test("tpch q4: existence test plans a LEFT SEMI; both filters push to the scans") {
+    val p = plan("q_tpch_q4")
+    assert(p.contains("LeftSemi"),
+      "EXISTS must plan as a semi join — one probe per order: " + p.take(600))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "quarter filter must reach the orders scan: " + p.take(600))
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      "flag filter must reach the lineitem scan: " + p.take(600))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(400))
+  }
+
+  test("tpch q21: ONE lineitem scan; both existence tests are window flags; top-100 never global-sorts") {
+    val p = plan("q_tpch_q21")
+    assert("Scan parquet".r.findAllIn(p).count(_ => true) == 3,
+      "lineitem must be scanned ONCE (plus orders + supplier) — the EXISTS/NOT EXISTS " +
+        "must not become self-joins: " + p.take(800))
+    assert(p.contains("Window"),
+      "existence tests must ride windows over the reduced per-(order,supplier) table: " +
+        p.take(600))
+    assert(p.contains("LeftSemi"),
+      "the 'F'-status gate must plan as a semi join: " + p.take(600))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 must not global-sort: " + p.take(600))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(400))
+  }
+
   test("url curation: host extract is scan+project; blocklist anti join broadcasts; cap is one window") {
     val host = plan("q_llm_url_host")
     assert(!host.contains("Join") && !host.contains("HashAggregate"),
