@@ -61,6 +61,7 @@ object Bench {
         graft.ops.Llm.invalidateCellCache()
         graft.ops.Llm.invalidateClusterLabelCache()
         graft.ops.Llm.invalidateIslandsCache()
+        graft.ops.Llm.invalidateSnapshotSigCache()
         // scoped: wiping the Z-ordered table during an UNRELATED
         // rerun would silently turn the later q_data_skipping_read
         // entry into a full write+read

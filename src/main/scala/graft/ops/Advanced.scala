@@ -225,10 +225,14 @@ object Advanced {
   }
 
   private def zorderedTable(spark: org.apache.spark.sql.SparkSession,
-      dir: String): String =
-    skipTableCache
+      dir: String): String = {
+    val perSession = skipTableCache
       .computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
-      .getOrElseUpdate(dir, {
+    // serialize first-caller builds: TrieMap.getOrElseUpdate may
+    // evaluate a racing builder twice and the loser's written table
+    // would leak untracked (round-4 advice on the Llm memos)
+    perSession.synchronized {
+      perSession.getOrElseUpdate(dir, {
         val table = Files.createTempDirectory("graft_skip").toString
         val zordered = Tables(spark, dir, "lineitem")
           .withColumn("z", expr("zorder2(l_partkey, l_suppkey)"))
@@ -239,6 +243,8 @@ object Advanced {
           zordered, table, Seq("l_partkey", "l_suppkey"))
         table
       })
+    }
+  }
 
   /** End-to-end data skipping: write lineitem Z-ordered on
     * (l_partkey, l_suppkey) with a per-file min/max manifest

@@ -240,15 +240,19 @@ object Llm {
 
   private def islandSummaryTable(spark: SparkSession, dir: String)
       : DataFrame = {
-    val path = islandsCache
-      .computeIfAbsent(spark,
-        _ => scala.collection.concurrent.TrieMap.empty[String, String])
-      .getOrElseUpdate(dir, {
+    val perSession = islandsCache.computeIfAbsent(spark,
+      _ => scala.collection.concurrent.TrieMap.empty[String, String])
+    // builds serialize on the per-session map: TrieMap.getOrElseUpdate
+    // may evaluate a concurrent first caller's builder twice, and the
+    // loser's fully-written temp table would leak untracked
+    val path = perSession.synchronized {
+      perSession.getOrElseUpdate(dir, {
         val p = java.nio.file.Files
           .createTempDirectory("graft_islands").toString
         substrIslandSummary(spark, dir).write.mode("overwrite").parquet(p)
         p
       })
+    }
     spark.read.parquet(path)
   }
 
@@ -340,6 +344,26 @@ object Llm {
     * miss across 6 bands ~2e-8) — so it shares the exact oracle.
     * No MLlib UDF pair scoring; one shuffle on band keys, one on
     * candidate pairs. */
+  /** (doc_id, band_idx, band_key) banded MinHash signatures from a
+    * (doc_id, shingles) frame — 12 min-hashes in 6 bands of 2.
+    * Signatures are a hash AGGREGATE over exploded shingles, not a
+    * per-row higher-order loop: min(xxhash64(seed_i, s)) is fully
+    * codegen'd and shuffles one row per (doc, 12 longs) — the nested
+    * aggregate()-in-transform() form is CodegenFallback and was ~10x
+    * slower than the exhaustive join it was meant to beat. Shared by
+    * dedupMinhashNative (self-join) and dedupIncremental (snapshot
+    * build + new-batch probe), so both populations band identically. */
+  private def bandedSignatures(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val sigs = sh.groupBy(col("doc_id")).agg(
+      min(xxhash64(lit(0), col("s"))).as("h0"),
+      (1 until 12).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i")): _*)
+    sigs.select(col("doc_id"),
+      posexplode(array((0 until 6).map(j =>
+        concat_ws(",", col(s"h${2 * j}"), col(s"h${2 * j + 1}"))): _*))
+        .as(Seq("band_idx", "band_key")))
+  }
+
   val dedupMinhashNative: Q = (spark, dir) => {
     // three consumers (signature explode, both verify joins) — derive
     // the shingle arrays once
@@ -347,19 +371,7 @@ object Llm {
       .select(col("doc_id"), expr(shinglesE).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // signatures as a hash AGGREGATE over exploded shingles, not a
-    // per-row higher-order loop: min(xxhash64(seed_i, s)) is fully
-    // codegen'd and shuffles one row per (doc, 12 longs) — the nested
-    // aggregate()-in-transform() form is CodegenFallback and was ~10x
-    // slower than the exhaustive join it was meant to beat
-    val sh = docs.select(col("doc_id"), explode(col("shingles")).as("s"))
-    val sigs = sh.groupBy(col("doc_id")).agg(
-      min(xxhash64(lit(0), col("s"))).as("h0"),
-      (1 until 12).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i")): _*)
-    val banded = sigs.select(col("doc_id"),
-      posexplode(array((0 until 6).map(j =>
-        concat_ws(",", col(s"h${2 * j}"), col(s"h${2 * j + 1}"))): _*))
-        .as(Seq("band_idx", "band_key")))
+    val banded = bandedSignatures(docs)
     val a = banded.as("a")
     val b = banded.as("b")
     val cands = a
@@ -381,6 +393,112 @@ object Llm {
       .filter(col("jaccard") >= 0.5)
       .select(col("d1"), col("d2"), col("jaccard"))
       .orderBy(col("d1"), col("d2"))
+  }
+
+  /** The "prior corpus" of the incremental-dedup scenario: everything
+    * except the new batch (doc_id % 5 == 0 is the batch — a fifth of
+    * the corpus, the shape of a daily crawl refresh). */
+  private val incrBatchPred = col("doc_id") % 5 === 0
+
+  /** Memo for the prior corpus's banded signatures, keyed per
+    * (session, dir) — the cluster-labels/islands pattern: a written
+    * parquet table (in production: a VersionedTable in the lake that
+    * each refresh appends to). Built ONCE per session; every
+    * dedupIncremental call after that reads it from disk. */
+  private val snapshotSigCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]])
+
+  /** Clears the memo AND deletes the written snapshot tables — same
+    * contract as invalidateIslandsCache. */
+  def invalidateSnapshotSigCache(): Unit = {
+    val paths = snapshotSigCache.synchronized {
+      val ps = scala.jdk.CollectionConverters.CollectionHasAsScala(
+        snapshotSigCache.values).asScala.flatMap(_.values).toList
+      snapshotSigCache.clear()
+      ps
+    }
+    paths.foreach(graft.util.Fs.deleteRecursively)
+  }
+
+  /** Test seam: the on-disk location of the persisted snapshot (None
+    * until a dedupIncremental/first call builds it). Specs use it to
+    * falsify "signatures are read, not rebuilt" by doctoring the
+    * table and observing the query follow the doctored bytes. */
+  private[graft] def snapshotSigPath(spark: SparkSession, dir: String)
+      : Option[String] =
+    Option(snapshotSigCache.get(spark)).flatMap(_.get(dir))
+
+  private def snapshotSigTable(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val perSession = snapshotSigCache.computeIfAbsent(spark,
+      _ => scala.collection.concurrent.TrieMap.empty[String, String])
+    // builds serialize on the per-session map: a concurrent first
+    // caller must never evaluate the builder twice — the loser's
+    // fully-written temp table would leak untracked (round-4 advice)
+    val path = perSession.synchronized {
+      perSession.getOrElseUpdate(dir, {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_incr_sigs").toString
+        val old = tokenized(spark, dir)
+          .filter(!incrBatchPred)
+          .select(col("doc_id"), expr(shinglesE).as("shingles"))
+          .filter(size(col("shingles")) > 0)
+        bandedSignatures(old).write.mode("overwrite").parquet(p)
+        p
+      })
+    }
+    spark.read.parquet(path)
+  }
+
+  /** Incremental near-dup dedup against a PRIOR corpus snapshot — the
+    * production crawl-refresh motion none of the batch dedup ops
+    * cover: the existing corpus's banded MinHash signatures are
+    * PERSISTED (snapshotSigTable); a new batch signs ITS OWN docs
+    * only, probes the snapshot's band buckets, and exact-verifies the
+    * candidate pairs. The old corpus is never re-signed — the only
+    * old-side work besides the band-key equi-join is re-shingling the
+    * candidate-MATCHED docs for exact verification (semi-join-bounded:
+    * at 100 TB that is point lookups by doc_id, not a corpus scan) —
+    * so the recurring cost scales with the BATCH, not the corpus.
+    * Banding identical to dedupMinhashNative (shared helper), so the
+    * same recall argument holds (planted dups >= 0.90 jaccard; band
+    * match j^2 per band, miss across 6 bands <= 3e-5) and the exact
+    * verification makes precision exact — the oracle is therefore the
+    * exhaustive cross-population n-gram Jaccard. Emits (new_id,
+    * old_id, jaccard) for every new-batch doc near-duplicating a
+    * snapshot doc. */
+  val dedupIncremental: Q = (spark, dir) => {
+    // two consumers of the new batch's shingles (signing + verify)
+    val newDocs = tokenized(spark, dir)
+      .filter(incrBatchPred)
+      .select(col("doc_id"), expr(shinglesE).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newBands = bandedSignatures(newDocs)
+    val oldBands = snapshotSigTable(spark, dir) // read, never rebuilt
+    val cands = newBands.as("n")
+      .join(oldBands.as("o"),
+        col("n.band_idx") === col("o.band_idx") &&
+          col("n.band_key") === col("o.band_key"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+      .distinct()
+    val oldSh = tokenized(spark, dir)
+      .join(cands.select(col("old_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("old_id"), expr(shinglesE).as("so"))
+    val newSh = newDocs
+      .select(col("doc_id").as("new_id"), col("shingles").as("sn"))
+    cands
+      .join(newSh, Seq("new_id"))
+      .join(oldSh, Seq("old_id"))
+      .withColumn("ic", size(array_intersect(col("sn"), col("so"))))
+      .withColumn("jaccard",
+        col("ic") * lit(1.0) /
+          (size(col("sn")) + size(col("so")) - col("ic")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("new_id"), col("old_id"), col("jaccard"))
+      .orderBy(col("new_id"), col("old_id"))
   }
 
   /** Near-dup CLUSTERS: connected components over the near-dup pair
@@ -447,9 +565,12 @@ object Llm {
   }
 
   private def convergedLabels(spark: SparkSession, dir: String)
-      : (String, Int, Long) = labelCache
-    .computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
-    .getOrElseUpdate(dir, {
+      : (String, Int, Long) = {
+    val perSession = labelCache
+      .computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
+    // serialize first-caller builds (see islandSummaryTable): a racing
+    // duplicate evaluation would leak its written labels table
+    perSession.synchronized { perSession.getOrElseUpdate(dir, {
     // pair source is the LSH path (exact-verified, so identical pairs
     // to the exhaustive join) — at corpus scale banding is the only
     // affordable way to produce this edge list
@@ -532,7 +653,7 @@ object Llm {
     pairs.unpersist()
     if (prevRound != null) prevRound.unpersist()
     (path, rounds, edgeCount)
-  })
+  }) } }
 
   /** Near-dup cluster REPRESENTATIVE selection — the decision step
     * that turns cluster labels into a dedup action: keep exactly one
@@ -1537,6 +1658,7 @@ object Llm {
     "q_llm_dedup_substr_rm" -> substrDedupRemove,
     "q_llm_dedup_minhash" -> dedupMinhash,
     "q_llm_dedup_minhash_native" -> dedupMinhashNative,
+    "q_llm_dedup_incremental" -> dedupIncremental,
     "q_llm_dedup_clusters" -> dedupClusters,
     "q_llm_cluster_rep" -> clusterRep,
     "q_llm_dedup_simhash" -> dedupSimhash,
@@ -1741,6 +1863,25 @@ object Llm {
           JOIN sizes sb ON sb.doc_id = d2
           WHERE ic * 1.0 / (sa.n + sb.n - ic) >= 0.5
           ORDER BY d1, d2""",
+    // exact-verified banding against the persisted snapshot: same
+    // result set as the exhaustive CROSS-population join (new batch =
+    // doc_id % 5 = 0 vs the rest), so the exhaustive form is the
+    // oracle — an independent strategy from the engine's
+    // sign-probe-verify incremental path
+    "q_llm_dedup_incremental" ->
+      s"""$shingleCte,
+          inter AS (
+            SELECT b.doc_id AS new_id, a.doc_id AS old_id, count(*) AS ic
+            FROM sh a JOIN sh b ON a.s = b.s
+            WHERE b.doc_id % 5 = 0 AND a.doc_id % 5 <> 0
+            GROUP BY 1, 2),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+          SELECT new_id, old_id, ic * 1.0 / (sn.n + so.n - ic) AS jaccard
+          FROM inter
+          JOIN sizes sn ON sn.doc_id = new_id
+          JOIN sizes so ON so.doc_id = old_id
+          WHERE ic * 1.0 / (sn.n + so.n - ic) >= 0.5
+          ORDER BY new_id, old_id""",
     "q_llm_cosine_topk" ->
       """WITH q AS (
            SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings

@@ -218,6 +218,46 @@ class LlmSpec extends SparkTestBase {
       "post-invalidation read must rebuild from the regenerated corpus")
   }
 
+  test("incremental dedup equals the exhaustive cross-population join") {
+    // the exhaustive batch oracle: dedupNgram's full pair list,
+    // restricted to pairs that straddle the snapshot/new-batch split
+    val cross = Llm.dedupNgram(spark, sfSmoke)
+      .as[(Long, Long, Double)].collect()
+      .collect {
+        case (d1, d2, j) if d1 % 5 == 0 ^ d2 % 5 == 0 =>
+          if (d1 % 5 == 0) (d1, d2, j) else (d2, d1, j)
+      }.toSet
+    val incr = Llm.dedupIncremental(spark, sfSmoke)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cross.nonEmpty, "fixtures must plant cross-split near-dups")
+    assert(incr == cross, s"incr=${incr.size} exhaustive=${cross.size}")
+  }
+
+  test("incremental dedup reads the persisted snapshot, never re-signs the corpus") {
+    // prime the memo, then doctor the written table: if the query
+    // re-derived signatures from the documents table, the doctoring
+    // would be invisible; following the doctored bytes proves the
+    // snapshot is the source of truth
+    assert(Llm.dedupIncremental(spark, sfSmoke).count() > 0)
+    val path = Llm.snapshotSigPath(spark, sfSmoke)
+      .getOrElse(fail("first run must register the snapshot table"))
+    // snapshot must cover the PRIOR corpus only — new-batch ids absent
+    val snap = spark.read.parquet(path)
+    assert(snap.filter($"doc_id" % 5 === 0).count() == 0,
+      "new-batch docs must not be signed into the snapshot")
+    val schema = snap.schema
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode("overwrite").parquet(path)
+    assert(Llm.dedupIncremental(spark, sfSmoke).count() == 0,
+      "an emptied snapshot must yield zero candidates — nonzero means " +
+        "the old corpus was re-signed instead of read")
+    // invalidation rebuilds from the corpus and restores the result
+    Llm.invalidateSnapshotSigCache()
+    assert(Llm.dedupIncremental(spark, sfSmoke).count() > 0,
+      "post-invalidation rebuild must restore the pairs")
+  }
+
   test("repetition signals are fractions and the verdict matches them") {
     val rows = Llm.repetition(spark, sfSmoke).collect()
     assert(rows.nonEmpty)
