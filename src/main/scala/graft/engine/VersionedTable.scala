@@ -332,6 +332,24 @@ object VersionedTable {
     -1L // unreachable
   }
 
+  /** Newest mtime anywhere in a stage tree, or None if the tree
+    * vanished between the caller's listing and this walk — its
+    * committer renamed it to v<N> (publish). A vanished stage dir is
+    * by definition not an orphan: the vacuum skips it rather than
+    * crash on the FileNotFound. Liveness must be judged by the NEWEST
+    * file anywhere in the tree, not the top-level dir mtime: a long
+    * parquet job writes its parts under _temporary subdirs, so the
+    * stage dir's own mtime freezes at job start and a >1 h live write
+    * would look vacuumable. */
+  private[graft] def stagedNewestMtime(f: org.apache.hadoop.fs.FileSystem,
+      p: Path): Option[Long] =
+    try {
+      var newest = f.getFileStatus(p).getModificationTime
+      val it = f.listFiles(p, true)
+      while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
+      Some(newest)
+    } catch { case _: java.io.FileNotFoundException => None }
+
   /** Delete orphaned staged snapshots (`.stage_v*`) older than
     * `olderThanMs` — the Delta/Iceberg VACUUM role for this format's
     * one garbage class. A writer that dies mid-stage leaks its staged
@@ -346,24 +364,17 @@ object VersionedTable {
     val base = new Path(dir)
     if (!f.exists(base)) return Seq.empty
     val cutoff = System.currentTimeMillis() - olderThanMs
-    // liveness must be judged by the NEWEST file anywhere in the stage
-    // tree, not the top-level dir mtime: a long parquet job writes its
-    // parts under _temporary subdirs, so the stage dir's own mtime
-    // freezes at job start and a >1 h live write would look vacuumable
-    def newestMtime(p: Path): Long = {
-      var newest = f.getFileStatus(p).getModificationTime
-      val it = f.listFiles(p, true)
-      while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
-      newest
-    }
     f.listStatus(base).toSeq
       .filter(s => s.getPath.getName.startsWith(".stage_v") &&
-        newestMtime(s.getPath) < cutoff)
-      .map { s =>
-        if (!f.delete(s.getPath, true))
-          throw new java.io.IOException(
-            s"failed to delete orphaned staged snapshot ${s.getPath}")
-        s.getPath.toString
+        stagedNewestMtime(f, s.getPath).exists(_ < cutoff))
+      .flatMap { s =>
+        // same race on the delete side: deleting nothing is fine
+        try {
+          if (!f.delete(s.getPath, true) && f.exists(s.getPath))
+            throw new java.io.IOException(
+              s"failed to delete orphaned staged snapshot ${s.getPath}")
+          Some(s.getPath.toString)
+        } catch { case _: java.io.FileNotFoundException => None }
       }
   }
 
@@ -496,12 +507,17 @@ object VersionedTable {
     // manifest presence resolves through the `_VERSIONS` summary when
     // it is fresh — the read-side consumer of the manifests list the
     // commit path maintains (the summary covers ALL live versions, so
-    // a pinned time-travel read resolves through it too); a stale or
-    // absent summary degrades to the direct existence probe
-    val hasManifest = readSummary(f, dir) match {
+    // a pinned time-travel read resolves through it too). The summary
+    // is a POSITIVE cache only: commitWithStats skips registration
+    // when a concurrent commit moved `current` (or a crash lands
+    // between manifest write and registration), so an unlisted
+    // manifest may still exist on disk — absence from the list
+    // degrades to the direct existence probe rather than permanently
+    // condemning the version to unpruned full reads
+    val hasManifest = (readSummary(f, dir) match {
       case Some(s) if cur.contains(s.current) => s.manifests.contains(v)
-      case _                                  => f.exists(new Path(mdir))
-    }
+      case _                                  => false
+    }) || f.exists(new Path(mdir))
     if (!hasManifest)
       return (read(spark, dir, Some(v)).filter(exact), -1, -1)
     val manifest = spark.read.parquet(mdir)

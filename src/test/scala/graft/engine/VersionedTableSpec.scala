@@ -293,6 +293,46 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.commit(Seq((2L, "b")).toDF("k", "v"), dir) == 1L)
   }
 
+  test("vacuumStaged treats a stage dir vanishing mid-scan as not-an-orphan") {
+    val dir = tmp("graft_vt_vacrace")
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), dir)
+    // the guard itself: a path that disappeared between the listing
+    // and the recursive mtime walk (publish renamed it to v<N>) must
+    // read as None, never throw — pre-fix this FileNotFound crashed
+    // the whole vacuum run
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(VersionedTable.stagedNewestMtime(
+      f, new org.apache.hadoop.fs.Path(dir, ".stage_v9_vanished")).isEmpty)
+    // and an intact old orphan still vacuums through the same path
+    val orphan = Paths.get(dir, ".stage_v2_dead")
+    Files.createDirectory(orphan)
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2 * 3600 * 1000L))
+    assert(VersionedTable.vacuumStaged(spark, dir)
+      .exists(_.endsWith(".stage_v2_dead")))
+  }
+
+  test("readPruned finds an on-disk manifest the fresh summary failed to register") {
+    val dir = tmp("graft_vt_possum")
+    VersionedTable.commitWithStats(
+      spark.range(0, 100).toDF("k").withColumn("v", col("k") * 2)
+        .repartition(4), dir, Seq("k"))
+    // simulate commitWithStats's skipped-registration window: a crash
+    // (or concurrent commit) between manifest write and summary
+    // registration leaves a FRESH summary whose manifests list omits
+    // v0 — the summary must act as a positive cache only, not
+    // permanently condemn v0 to unpruned full reads
+    clobber(dir, "_VERSIONS", "current=0\nversions=0\nmanifests=\n")
+    val (pruned, read, total) = VersionedTable.readPruned(
+      spark, dir, Map("k" -> ((0L, 9L))))
+    assert(read != -1,
+      "the on-disk manifest must be probed when the fresh summary omits it")
+    assert(total >= 1 && read <= total)
+    assert(pruned.count() == 10)
+  }
+
   test("schema enforcement: drops/type changes reject; additions need the evolution opt-in") {
     val dir = tmp("graft_vt_schema")
     VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), dir)
