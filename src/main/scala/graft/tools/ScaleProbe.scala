@@ -61,6 +61,7 @@ object ScaleProbe {
       inflate("nation", Seq(), 0L)
       inflate("supplier", Seq(), 0L)
       inflate("region", Seq(), 0L)
+      inflate("part", Seq(), 0L)
       inflate("events", Seq("event_id"), 10000000L)
       // documents: shift the key AND the vocabulary. Copying identical
       // text would multiply every duplicate-cluster size by N, growing
@@ -181,6 +182,23 @@ object ScaleProbe {
       // round-4: Q18's agg-as-filter — the having-side aggregate must
       // stay a pre-join reduction (key list), not a post-join filter
       time("tpch q18") { Joins.tpchQ18(spark, dst) }
+      // round-5: the remaining macro plans with scale-sensitive
+      // shapes — Q10's deliberately-shuffled customer join, Q13's
+      // outer-join double aggregate, Q17's window-over-restricted
+      // fact, Q22's scalar-threshold + anti join, Q4's semi probe,
+      // Q21's single-scan windowed existence tests
+      time("tpch q10") { Joins.tpchQ10(spark, dst) }
+      time("tpch q13") { Joins.tpchQ13(spark, dst) }
+      time("tpch q17") { Joins.tpchQ17(spark, dst) }
+      time("tpch q22") { Joins.tpchQ22(spark, dst) }
+      time("tpch q4") { Joins.tpchQ4(spark, dst) }
+      time("tpch q21") { Joins.tpchQ21(spark, dst) }
+      // round-5: incremental dedup pays its snapshot-signature build
+      // at each factor (the memo keys on the per-factor dir), then
+      // probes band buckets with the new batch; the disjoint
+      // per-copy vocabulary keeps the cross-split dup rate constant
+      // so pair output grows linearly, not quadratically
+      time("incremental dedup") { Llm.dedupIncremental(spark, dst) }
 
       // AQE skew-join probe: join the deliberately-skewed
       // events.user_id WITHOUT salting and assert AQE's skew-join
