@@ -529,6 +529,127 @@ object Joins {
       .limit(100)
   }
 
+  /** TPC-H Q7 (volume shipping): bilateral trade between two nations
+    * by ship year — the symmetric-disjunction join macro. The classic
+    * form ORs two (supp_nation, cust_nation) assignments; a literal
+    * translation carries the disjunction as a join residual over the
+    * full fact. Here both dims are pre-filtered to the two nations —
+    * the supplier and customer sides each broadcast a pruned
+    * key->nation map, so the fact shrinks at the earliest join — and
+    * the OR collapses to one inequality residual (supp_nation <>
+    * cust_nation) over the surviving rows: same semantics, envelope
+    * pushed to both dim scans (Q19's device applied to a
+    * disjunction SPANNING the join graph). The two-year ship window
+    * reaches the lineitem scan. Determinism: round(sum,4); the
+    * (nation, nation, year) key is a total order. */
+  val tpchQ7: Q = (spark, dir) => {
+    val pair = Seq("NATION_12", "NATION_13")
+    val supp = Tables(spark, dir, "supplier")
+      .join(broadcast(Tables(spark, dir, "nation")
+          .filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = Tables(spark, dir, "customer")
+      .join(broadcast(Tables(spark, dir, "nation")
+          .filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("ck"))
+      .select(col("c_custkey"), col("cust_nation"))
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+    li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("int").as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8 (national market share): one nation's share of a
+    * region's market for one part class, by order year — the
+    * conditional-share-over-a-wide-join macro (Q14's CASE-inside-sum
+    * ratio, but over the full 7-relation join graph instead of one
+    * dim). The part-class and customer-region filters prune their
+    * dim scans and broadcast; the only fact-fact shuffle is
+    * lineitem x orders. Both sums fold into ONE aggregate pass and
+    * are rounded to 4 BEFORE the division (the Q14 determinism
+    * device), so the share is identical arithmetic on identical
+    * doubles on both engines. */
+  val tpchQ8: Q = (spark, dir) => {
+    val nat = "NATION_12"
+    val part = Tables(spark, dir, "part")
+      .filter(col("p_type") === "STANDARD").select(col("p_partkey"))
+    val suppNat = Tables(spark, dir, "supplier")
+      .join(broadcast(Tables(spark, dir, "nation")
+          .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val custAmerica = Tables(spark, dir, "customer")
+      .join(broadcast(Tables(spark, dir, "nation")
+          .join(broadcast(Tables(spark, dir, "region")
+              .filter(col("r_name") === "AMERICA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("ck"))),
+        col("c_nationkey") === col("ck"))
+      .select(col("c_custkey"))
+    val orders = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custAmerica), col("o_custkey") === col("c_custkey"),
+        "left_semi")
+      .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === nat, vol).otherwise(lit(0d))), 4)
+          .as("nation_rev"),
+        round(sum(vol), 4).as("total_rev"))
+      .withColumn("mkt_share_pct",
+        round(col("nation_rev") * 100d / col("total_rev"), 4))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q12 (shipmode and order priority): per line class, how
+    * many high- vs low-priority orders had flagged lines in one year
+    * — the two-way conditional pivot over a fact-fact join. Both
+    * counts fold into ONE aggregate pass (conditional count, the
+    * q_agg_count_if device — count, not sum-of-CASE, so both engines
+    * emit BIGINT); the flag + year filters reach the lineitem scan
+    * and shrink it before the join. l_linestatus stands in for
+    * l_shipmode and l_returnflag = 'R' for commit<receipt (columns
+    * the fixtures lack), preserving the shape. */
+  val tpchQ12: Q = (spark, dir) => {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R" &&
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linestatus"))
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        count(when(high, lit(1))).as("high_line_count"),
+        count(when(!high, lit(1))).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_join_left_enrich" -> joinLeftEnrich,
     "q_join_inner" -> joinInner,
@@ -548,7 +669,10 @@ object Joins {
     "q_tpch_q19" -> tpchQ19,
     "q_tpch_q22" -> tpchQ22,
     "q_tpch_q4" -> tpchQ4,
-    "q_tpch_q21" -> tpchQ21)
+    "q_tpch_q21" -> tpchQ21,
+    "q_tpch_q7" -> tpchQ7,
+    "q_tpch_q8" -> tpchQ8,
+    "q_tpch_q12" -> tpchQ12)
 
   val oracle: Map[String, String] = Map(
     "q_join_left_enrich" ->
@@ -743,5 +867,63 @@ object Joins {
                              AND l3.l_suppkey <> l1.l_suppkey
                              AND l3.l_returnflag = 'R')
          GROUP BY s_name
-         ORDER BY numwait DESC, s_name LIMIT 100""")
+         ORDER BY numwait DESC, s_name LIMIT 100""",
+    // deliberately the classic single-disjunction form — independent
+    // of the engine's pruned-dims + inequality-residual strategy
+    "q_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+                round(sum(volume), 4) AS revenue
+         FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                      CAST(year(l_shipdate) AS INT) AS l_year,
+                      l_extendedprice * (1 - l_discount) AS volume
+               FROM lineitem
+               JOIN orders ON o_orderkey = l_orderkey
+               JOIN customer ON c_custkey = o_custkey
+               JOIN supplier ON s_suppkey = l_suppkey
+               JOIN nation n1 ON s_nationkey = n1.n_nationkey
+               JOIN nation n2 ON c_nationkey = n2.n_nationkey
+               WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_13')
+                   OR (n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_12'))
+                 AND l_shipdate >= TIMESTAMP '1996-01-01'
+                 AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+         GROUP BY supp_nation, cust_nation, l_year
+         ORDER BY supp_nation, cust_nation, l_year""",
+    // both sums rounded to 4 BEFORE the division (the Q14 device)
+    "q_tpch_q8" ->
+      """SELECT o_year, nation_rev, total_rev,
+                round(nation_rev * 100 / total_rev, 4) AS mkt_share_pct
+         FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                      round(sum(CASE WHEN n1.n_name = 'NATION_12'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0 END), 4) AS nation_rev,
+                      round(sum(l_extendedprice * (1 - l_discount)), 4)
+                        AS total_rev
+               FROM lineitem
+               JOIN part ON p_partkey = l_partkey
+               JOIN orders ON o_orderkey = l_orderkey
+               JOIN customer ON c_custkey = o_custkey
+               JOIN supplier ON s_suppkey = l_suppkey
+               JOIN nation n1 ON s_nationkey = n1.n_nationkey
+               JOIN nation n2 ON c_nationkey = n2.n_nationkey
+               JOIN region ON n2.n_regionkey = r_regionkey
+               WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+                 AND o_orderdate >= TIMESTAMP '1996-01-01'
+                 AND o_orderdate < TIMESTAMP '1998-01-01'
+               GROUP BY o_year) t
+         ORDER BY o_year""",
+    // l_linestatus stands in for l_shipmode, l_returnflag = 'R' for
+    // l_commitdate < l_receiptdate (columns the fixtures lack);
+    // conditional COUNT (not sum-of-CASE) so both engines emit BIGINT
+    "q_tpch_q12" ->
+      """SELECT l_linestatus,
+                count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+                count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE l_returnflag = 'R'
+           AND l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY l_linestatus
+         ORDER BY l_linestatus""")
 }

