@@ -444,11 +444,34 @@ object Llm {
           .filter(!incrBatchPred)
           .select(col("doc_id"), expr(shinglesE).as("shingles"))
           .filter(size(col("shingles")) > 0)
-        bandedSignatures(old).write.mode("overwrite").parquet(p)
+        // a real VersionedTable, not a bare parquet dir: the refresh
+        // cycle appends versions (advanceIncrSnapshot) and yesterday's
+        // snapshot stays time-travelable
+        graft.engine.VersionedTable.commit(bandedSignatures(old), p)
         p
       })
     }
-    spark.read.parquet(path)
+    graft.engine.VersionedTable.read(spark, path)
+  }
+
+  /** End-of-refresh snapshot advance: append the NEW batch's banded
+    * signatures to the persisted snapshot as the NEXT VersionedTable
+    * version — after this, tomorrow's batch dedups against today's
+    * full corpus without anything being recomputed (the old sigs are
+    * READ from the current version, the batch signs only itself).
+    * Yesterday's snapshot remains time-travelable until expired.
+    * Returns the new version number. */
+  def advanceIncrSnapshot(spark: SparkSession, dir: String): Long = {
+    snapshotSigTable(spark, dir) // ensure v0 exists
+    val path = snapshotSigPath(spark, dir).get
+    val newSigs = bandedSignatures(
+      tokenized(spark, dir)
+        .filter(incrBatchPred)
+        .select(col("doc_id"), expr(shinglesE).as("shingles"))
+        .filter(size(col("shingles")) > 0))
+    graft.engine.VersionedTable.commit(
+      graft.engine.VersionedTable.read(spark, path).unionByName(newSigs),
+      path)
   }
 
   /** Incremental near-dup dedup against a PRIOR corpus snapshot — the

@@ -242,13 +242,12 @@ class LlmSpec extends SparkTestBase {
     val path = Llm.snapshotSigPath(spark, sfSmoke)
       .getOrElse(fail("first run must register the snapshot table"))
     // snapshot must cover the PRIOR corpus only — new-batch ids absent
-    val snap = spark.read.parquet(path)
+    val snap = graft.engine.VersionedTable.read(spark, path)
     assert(snap.filter($"doc_id" % 5 === 0).count() == 0,
       "new-batch docs must not be signed into the snapshot")
-    val schema = snap.schema
-    spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      .write.mode("overwrite").parquet(path)
+    // doctor the table: commit an EMPTY next version — the query must
+    // follow the table's current version, not recompute signatures
+    graft.engine.VersionedTable.commit(snap.limit(0), path)
     assert(Llm.dedupIncremental(spark, sfSmoke).count() == 0,
       "an emptied snapshot must yield zero candidates — nonzero means " +
         "the old corpus was re-signed instead of read")
@@ -256,6 +255,24 @@ class LlmSpec extends SparkTestBase {
     Llm.invalidateSnapshotSigCache()
     assert(Llm.dedupIncremental(spark, sfSmoke).count() > 0,
       "post-invalidation rebuild must restore the pairs")
+  }
+
+  test("snapshot advance appends the batch's signatures as a new version; old version time-travels") {
+    Llm.invalidateSnapshotSigCache() // fresh v0 for this dir
+    assert(Llm.dedupIncremental(spark, sfSmoke).count() > 0)
+    val path = Llm.snapshotSigPath(spark, sfSmoke).get
+    val v1 = Llm.advanceIncrSnapshot(spark, sfSmoke)
+    val cur = graft.engine.VersionedTable.read(spark, path)
+    assert(cur.filter($"doc_id" % 5 === 0).count() > 0,
+      "advanced snapshot must cover the just-ingested batch")
+    // yesterday's snapshot is still reachable and still batch-free
+    val old = graft.engine.VersionedTable.read(spark, path, Some(v1 - 1))
+    assert(old.filter($"doc_id" % 5 === 0).count() == 0)
+    // the advance READ the old sigs rather than re-signing: current =
+    // old version + exactly the batch signatures
+    assert(cur.count() == old.count() +
+      cur.filter($"doc_id" % 5 === 0).count())
+    Llm.invalidateSnapshotSigCache() // leave no advanced state behind
   }
 
   test("repetition signals are fractions and the verdict matches them") {
