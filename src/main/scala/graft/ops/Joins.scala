@@ -650,6 +650,201 @@ object Joins {
       .orderBy(col("l_linestatus"))
   }
 
+  /** Fixture stand-in for TPC-H's partsupp table (the fixtures lack
+    * it): the distinct (part, supplier) pairs actually traded in
+    * lineitem, with supply cost proxied by the minimum unit price the
+    * pair ever shipped at. Deterministic on both engines (division
+    * and min are exact selections, not accumulations), and the
+    * derivation is itself the right 100 TB shape: one hash aggregate
+    * keyed by the pair, map-side partials first. */
+  private def partsuppSurrogate(spark: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity"))
+        .as("ps_supplycost"))
+
+  /** TPC-H Q2 (minimum cost supplier): the correlated-MIN-subquery
+    * macro — for each qualifying part, the European supplier(s)
+    * offering the minimum supply cost. A literal translation evaluates
+    * the min subquery per outer row (re-scanning partsupp); here the
+    * surrogate partsupp is built ONCE, pruned by the broadcast part
+    * and region gates, and the correlated min becomes a window min
+    * over the part partition of the surviving rows — the same
+    * decorrelation Spark's own optimizer aims for, made explicit.
+    * The expensive shuffle is the single pair-keyed surrogate
+    * aggregate; the window repartitions only the region+type-pruned
+    * sliver. Cost equality is exact: both engines select among the
+    * identical IEEE-754 quotients. Determinism: (s_acctbal DESC,
+    * n_name, s_name, p_partkey) totally orders rows unique by
+    * (p_partkey, s_suppkey) across the LIMIT 100 boundary. */
+  val tpchQ2: Q = (spark, dir) => {
+    val ps = partsuppSurrogate(spark, dir)
+    val pEco = Tables(spark, dir, "part")
+      .filter(col("p_type") === "ECONOMY")
+      .select(col("p_partkey"))
+    val supEur = Tables(spark, dir, "supplier")
+      .join(broadcast(Tables(spark, dir, "nation")
+          .join(broadcast(Tables(spark, dir, "region")
+              .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val w = Window.partitionBy(col("ps_partkey"))
+    ps.join(broadcast(pEco), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(supEur), col("ps_suppkey") === col("s_suppkey"))
+      .withColumn("min_cost", min(col("ps_supplycost")).over(w))
+      .filter(col("ps_supplycost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), round(col("ps_supplycost"), 4).as("supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q9 (product type profit): profit by supplier nation and
+    * order year over the full part x supplier x orders join graph —
+    * the widest aggregate-over-joins macro after Q8. The fixtures
+    * carry no ps_supplycost, so cost is proxied as 60% of
+    * p_retailprice (deterministic, rides the already-broadcast part
+    * row — same join topology, same arithmetic shape). The name
+    * filter prunes the part scan to ~13% and broadcasts; supplier x
+    * nation broadcasts; the only fact-fact shuffle is
+    * lineitem x orders. One aggregate pass, round(sum, 4).
+    * (nation, o_year) is a unique total order. */
+  val tpchQ9: Q = (spark, dir) => {
+    val p = Tables(spark, dir, "part")
+      .filter(col("p_name").like("%red%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val sn = Tables(spark, dir, "supplier")
+      .join(broadcast(Tables(spark, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(round(sum(
+          col("l_extendedprice") * (lit(1) - col("l_discount")) -
+            lit(0.6) * col("p_retailprice") * col("l_quantity")), 4)
+        .as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 (important stock identification): per-part value held
+    * by one region's suppliers, kept only where it exceeds a fraction
+    * of the GLOBAL total — the HAVING-against-a-scalar-subquery
+    * macro. A literal translation aggregates the fact twice; here the
+    * per-part aggregate is computed ONCE and the global total is an
+    * aggregate OF THAT OUTPUT, broadcast back as a one-row cross
+    * join — the second pass touches |parts| rows, not the fact, and
+    * Spark reuses the per-part exchange underneath both branches.
+    * Region gate is a broadcast semi join pushed below the aggregate
+    * (value accrues only from EUROPE suppliers' lines, matching the
+    * classic per-nation restriction). Determinism: per-part value
+    * rounded to 4 before both the total and the strict > compare;
+    * (value DESC, ps_partkey) is total. */
+  val tpchQ11: Q = (spark, dir) => {
+    val supEur = Tables(spark, dir, "supplier")
+      .join(broadcast(Tables(spark, dir, "nation")
+          .join(broadcast(Tables(spark, dir, "region")
+              .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = Tables(spark, dir, "lineitem")
+      .join(broadcast(supEur), col("l_suppkey") === col("s_suppkey"),
+        "left_semi")
+      .groupBy(col("l_partkey").as("ps_partkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("value"))
+    val total = perPart.agg(round(sum(col("value")), 4).as("total"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value") > col("total") * lit(0.001))
+      .select(col("ps_partkey"), col("value"))
+      .orderBy(col("value").desc, col("ps_partkey"))
+  }
+
+  /** TPC-H Q16 (parts/supplier relationship): distinct supplier
+    * counts per (brand, type, size) bucket, excluding a brand, a
+    * type class, and a NOT-IN supplier blacklist — the
+    * count-distinct-over-an-anti-join macro. The pair universe is
+    * the lineitem fact itself (the partsupp stand-in — no
+    * pre-distinct needed, countDistinct dedups in its own two-phase
+    * aggregate); the blacklist (negative-balance suppliers standing
+    * in for "complaints") broadcasts as an anti join, the pruned part
+    * dim broadcasts, so the only shuffle is the distinct-aggregate's
+    * own. Integer counts — no floating determinism surface; the
+    * (cnt DESC, brand, type, size) order is total. */
+  val tpchQ16: Q = (spark, dir) => {
+    val sizes = Seq(1, 7, 13, 19, 25, 31, 37, 49)
+    val complaints = Tables(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val p = Tables(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(sizes: _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    Tables(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(complaints), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q20 (potential part promotion): suppliers who concentrated
+    * their shipments of qualifying parts into one year — the
+    * nested-IN-with-correlated-aggregate macro (classic: availqty >
+    * half the year's shipped quantity; fixtures lack availqty, so the
+    * correlated threshold becomes qty-in-1996 > 30% of the pair's
+    * all-time quantity — same correlated-aggregate-per-(supp,part)
+    * topology). One fact scan pruned by the broadcast name-filtered
+    * part, ONE (supp, part)-keyed aggregate computing both the
+    * conditional and total sums in the same pass; the qualifying
+    * supplier set then gates the region's suppliers as a BROADCAST
+    * semi join (dedup for free, no distinct) — it is bounded by
+    * |supplier|, never fact-sized, so the hint is safe at any scale
+    * where the dim itself broadcasts. Quantities are integer-valued
+    * doubles — both sums exact, the 0.3x threshold exact; s_name is
+    * unique so ORDER BY s_name is total. */
+  val tpchQ20: Q = (spark, dir) => {
+    val redParts = Tables(spark, dir, "part")
+      .filter(col("p_name").like("red%")).select(col("p_partkey"))
+    val qualifying = Tables(spark, dir, "lineitem")
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(
+        sum(when(year(col("l_shipdate")) === 1996, col("l_quantity"))
+          .otherwise(lit(0d))).as("qty96"),
+        sum(col("l_quantity")).as("qty_all"))
+      .filter(col("qty96") > col("qty_all") * lit(0.3))
+      .select(col("l_suppkey"))
+    Tables(spark, dir, "supplier")
+      .join(broadcast(Tables(spark, dir, "nation")
+          .join(broadcast(Tables(spark, dir, "region")
+              .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(qualifying), col("s_suppkey") === col("l_suppkey"),
+        "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_join_left_enrich" -> joinLeftEnrich,
     "q_join_inner" -> joinInner,
@@ -672,7 +867,12 @@ object Joins {
     "q_tpch_q21" -> tpchQ21,
     "q_tpch_q7" -> tpchQ7,
     "q_tpch_q8" -> tpchQ8,
-    "q_tpch_q12" -> tpchQ12)
+    "q_tpch_q12" -> tpchQ12,
+    "q_tpch_q2" -> tpchQ2,
+    "q_tpch_q9" -> tpchQ9,
+    "q_tpch_q11" -> tpchQ11,
+    "q_tpch_q16" -> tpchQ16,
+    "q_tpch_q20" -> tpchQ20)
 
   val oracle: Map[String, String] = Map(
     "q_join_left_enrich" ->
@@ -925,5 +1125,92 @@ object Joins {
            AND l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate < TIMESTAMP '1997-01-01'
          GROUP BY l_linestatus
-         ORDER BY l_linestatus""")
+         ORDER BY l_linestatus""",
+    // partsupp stand-in (fixtures lack the table): distinct traded
+    // (part, supplier) pairs, supply cost = min unit price ever
+    // shipped. Deliberately the classic CORRELATED min-subquery form
+    // — independent of the engine's window-min decorrelation.
+    "q_tpch_q2" ->
+      """WITH ps AS (
+           SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                  min(l_extendedprice / l_quantity) AS ps_supplycost
+           FROM lineitem GROUP BY 1, 2)
+         SELECT s_acctbal, s_name, n_name, p_partkey,
+                round(ps_supplycost, 4) AS supplycost
+         FROM ps
+         JOIN part ON p_partkey = ps_partkey
+         JOIN supplier ON s_suppkey = ps_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+           AND ps_supplycost = (
+             SELECT min(ps2.ps_supplycost)
+             FROM ps ps2
+             JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+             JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+             JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+             WHERE ps2.ps_partkey = ps.ps_partkey AND r2.r_name = 'EUROPE')
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+         LIMIT 100""",
+    // supply cost proxied as 60% of p_retailprice (fixtures lack
+    // ps_supplycost) — identical arithmetic on both engines
+    "q_tpch_q9" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+                round(sum(l_extendedprice * (1 - l_discount)
+                          - 0.6 * p_retailprice * l_quantity), 4) AS sum_profit
+         FROM lineitem
+         JOIN part ON p_partkey = l_partkey
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_name LIKE '%red%'
+         GROUP BY 1, 2
+         ORDER BY 1, 2 DESC""",
+    // deliberately the classic scalar-subquery HAVING form — the
+    // engine computes the total from the per-part aggregate's output
+    "q_tpch_q11" ->
+      """WITH perpart AS (
+           SELECT l_partkey AS ps_partkey,
+                  round(sum(l_extendedprice * (1 - l_discount)), 4) AS value
+           FROM lineitem
+           WHERE l_suppkey IN (
+             SELECT s_suppkey FROM supplier
+             JOIN nation ON s_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             WHERE r_name = 'EUROPE')
+           GROUP BY 1)
+         SELECT ps_partkey, value
+         FROM perpart
+         WHERE value > (SELECT round(sum(value), 4) FROM perpart) * 0.001
+         ORDER BY value DESC, ps_partkey""",
+    // negative-balance suppliers stand in for the complaint
+    // blacklist; the lineitem fact is the pair universe
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+                count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+           AND p_size IN (1, 7, 13, 19, 25, 31, 37, 49)
+           AND l_suppkey NOT IN (
+             SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    // deliberately the classic nested-IN form with the correlated
+    // aggregate threshold in a HAVING — independent of the engine's
+    // one-pass conditional-aggregate + semi-join strategy
+    "q_tpch_q20" ->
+      """SELECT s_name, s_acctbal
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'EUROPE'
+           AND s_suppkey IN (
+             SELECT l_suppkey
+             FROM lineitem JOIN part ON p_partkey = l_partkey
+             WHERE p_name LIKE 'red%'
+             GROUP BY l_suppkey, l_partkey
+             HAVING sum(CASE WHEN CAST(year(l_shipdate) AS INT) = 1996
+                        THEN l_quantity ELSE 0 END)
+                    > 0.3 * sum(l_quantity))
+         ORDER BY s_name""")
 }

@@ -333,6 +333,77 @@ class PlansSpec extends SparkTestBase {
       p.take(400))
   }
 
+  test("tpch q2: type filter pushes; correlated min is a window over ONE surrogate build; top-100 never global-sorts") {
+    val p = plan("q_tpch_q2")
+    assert(p.contains("EqualTo(p_type,ECONOMY)"),
+      "part-type filter must reach the part scan: " + p.take(600))
+    assert("Scan parquet".r.findAllIn(p).count(_ => true) == 5,
+      "lineitem must be scanned ONCE (plus part/supplier/nation/region) — " +
+        "the correlated min must not rebuild the surrogate: " + p.take(800))
+    assert(p.contains("Window"),
+      "the per-part min must be a window, not a self-join: " + p.take(600))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 must not global-sort: " + p.take(600))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(400))
+  }
+
+  test("tpch q9: name filter pushes to the part scan; ONE aggregate pass over the join tree") {
+    val p = plan("q_tpch_q9")
+    assert(p.contains("StringContains(p_name,red)"),
+      "name filter must reach the part scan: " + p.take(600))
+    assert("Scan parquet".r.findAllIn(p).count(_ => true) == 5,
+      "each of the 5 relations must be scanned exactly once: " + p.take(800))
+    assert("HashAggregate".r.findAllIn(p).length == 2,
+      "profit must be one partial/final aggregate pair: " + p.take(600))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(400))
+  }
+
+  test("tpch q11: region gate is a semi join below the aggregate; the global total REUSES the per-part exchange") {
+    // the reuse is an AQE runtime decision — execute, then read the
+    // final adaptive plan
+    val df = SparkEntry.queries("q_tpch_q11")(spark, sfSmoke)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(200))
+    assert(p.contains("LeftSemi"),
+      "region gate must plan as a semi join pushed below the aggregate: " +
+        p.take(600))
+    assert(p.contains("ReusedExchange"),
+      "the scalar total must reuse the per-part aggregate's shuffle — " +
+        "scanning the fact twice flunks the 100 TB bar: " + p.take(800))
+  }
+
+  test("tpch q16: size in-list pushes; blacklist is a broadcast anti join; distinct count is its own two-phase aggregate") {
+    val p = planFull("q_tpch_q16")
+    assert(p.contains("In(p_size"),
+      "size in-list must reach the part scan: " + p.take(800))
+    assert(p.contains("LeftAnti"),
+      "the supplier blacklist must plan as an anti join: " + p.take(600))
+    assert(p.contains("BroadcastHashJoin"),
+      "blacklist and part dims must broadcast: " + p.take(400))
+    assert(p.toLowerCase.contains("distinct"),
+      "supplier_cnt must be a distinct aggregate: " + p.take(400))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(400))
+  }
+
+  test("tpch q20: name prefix pushes; both quantity sums are ONE pass; the qualifying set gates via BROADCAST semi join") {
+    val p = planFull("q_tpch_q20")
+    assert(p.contains("StringStartsWith(p_name,red)"),
+      "name prefix must reach the part scan: " + p.take(800))
+    assert("HashAggregate \\(\\d+\\)".r.findAllIn(p).length == 2,
+      "qty96/qty_all must be one partial/final aggregate pair: " + p.take(600))
+    val tree = plan("q_tpch_q20")
+    assert(tree.contains("BroadcastHashJoin") && tree.contains("LeftSemi") &&
+      !tree.contains("SortMergeJoin"),
+      "the supplier gate must be a broadcast semi join — the qualifying " +
+        "set is bounded by |supplier|: " + tree.take(600))
+    assert(!tree.contains("CartesianProduct") && !tree.contains("BroadcastNestedLoopJoin"),
+      tree.take(400))
+  }
+
   test("url curation: host extract is scan+project; blocklist anti join broadcasts; cap is one window") {
     val host = plan("q_llm_url_host")
     assert(!host.contains("Join") && !host.contains("HashAggregate"),
