@@ -24,6 +24,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Naive (isAdjustedToUTC=false) parquet timestamps vary by fixture
+    * writer generation: Spark 4 infers them as TIMESTAMP_NTZ, which
+    * event-time streaming and `unix_micros` reject. With the session
+    * pinned to UTC, casting NTZ->TIMESTAMP preserves the stored wall
+    * clock as the same UTC instant DuckDB's oracle reads, so both the
+    * LTZ-written and naive-written fixture generations behave
+    * identically. */
+  private def ltzNormalized(df: DataFrame): DataFrame =
+    df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+    }.foldLeft(df)((d, c) => d.withColumn(c,
+      d.col(c).cast(org.apache.spark.sql.types.TimestampType)))
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     tune(spark)
     if (name == "events") {
@@ -42,10 +55,10 @@ object Tables {
             "event_id",
             "timestamp_micros(ts div 1000) AS ts",
             "user_id", "event_type", "value", "props")
-        case _ => raw
+        case _ => ltzNormalized(raw)
       }
     } else {
-      spark.read.parquet(s"$sfDir/$name.parquet")
+      ltzNormalized(spark.read.parquet(s"$sfDir/$name.parquet"))
     }
   }
 
@@ -54,6 +67,9 @@ object Tables {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // naive parquet timestamps read as LTZ (UTC), not NTZ — see
+    // ltzNormalized; the conf covers reads that bypass this catalog
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark
   }
 }
