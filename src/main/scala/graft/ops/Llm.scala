@@ -1460,6 +1460,60 @@ object Llm {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-prefiltered decontamination: identical result set to
+    * [[decontaminate]], different scale regime. `decontaminate`
+    * broadcasts the distinct eval grams exactly — right when the
+    * benchmark suite is small. When the reference set is itself huge
+    * (every eval suite ever published, or yesterday's full corpus
+    * signatures), broadcasting the set is off the table; what still
+    * broadcasts at any cardinality is its BLOOM SKETCH (~1.2 MB at
+    * 1M grams / 1% fpp, built by `df.stat.bloomFilter`'s distributed
+    * treeAggregate — only the fused sketch ever reaches the driver).
+    *
+    * The corpus side then drops non-members map-only via the
+    * codegen'd [[graft.functions.BloomMightContain]] probe (no false
+    * negatives — a bloom "no" is a safe drop), and only the
+    * survivors (true hits + the fpp sliver) pay the exact confirm
+    * join, here deliberately a SHUFFLE hash join: the scale story is
+    * precisely that the eval-gram relation cannot be a broadcast
+    * build. False positives die in the confirm join, so the output
+    * is bitwise the exact pipeline's — the sketch prunes work, never
+    * decides membership. Shares q_llm_decontaminate's oracle. */
+  val decontamBloom: Q = (spark, dir) => {
+    val docs = tokenized(spark, dir)
+      .withColumn("is_eval",
+        substring(md5(col("doc_id").cast("string")), 1, 1) === "f")
+    val grams5 = expr(
+      """array_distinct(transform(
+           arrays_zip(slice(t, 1, greatest(size(t) - 4, 0)),
+                      slice(t, 2, greatest(size(t) - 4, 0)),
+                      slice(t, 3, greatest(size(t) - 4, 0)),
+                      slice(t, 4, greatest(size(t) - 4, 0)),
+                      slice(t, 5, greatest(size(t) - 4, 0))),
+           p -> concat_ws(' ', p['0'], p['1'], p['2'], p['3'], p['4'])))""")
+    val exploded = docs
+      .select(col("doc_id"), col("is_eval"), explode(grams5).as("g"))
+    val evalGrams = exploded.filter(col("is_eval")).select(col("g")).distinct()
+    // expectedNumItems sizes the sketch; the count is a cheap
+    // aggregate over the (tiny by construction) eval slice
+    val nEval = math.max(evalGrams.count(), 1L)
+    val sketch = evalGrams.select(xxhash64(col("g")).as("h"))
+      .stat.bloomFilter("h", nEval, 0.01)
+    val survivors = exploded.filter(!col("is_eval"))
+      .filter(graft.functions.BloomMightContain(spark, xxhash64(col("g")), sketch))
+    val hits = survivors
+      .join(evalGrams.hint("shuffle_hash"), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+    docs.filter(!col("is_eval"))
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic corpus mixing: per-source keep-rates (the reweight
     * step after source_stats says which sources to up/down-sample).
     * Membership is decided by an md5 bucket of the doc id against a
@@ -1711,12 +1765,37 @@ object Llm {
     "q_llm_url_blocklist" -> urlBlocklist,
     "q_llm_embed_quantize" -> embedQuantize,
     "q_llm_decontaminate" -> decontaminate,
+    "q_llm_decontam_bloom" -> decontamBloom,
     "q_llm_corpus_mix" -> corpusMix,
     "q_llm_chunk_dedup" -> chunkDedup,
     "q_mm_binary_meta" -> mmBinaryMeta,
     "q_mm_resize" -> mmResize,
     "q_mm_framesample" -> mmFrameSample,
     "q_mm_phash" -> mmPhash)
+
+  private val decontamOracleSql =
+    """WITH toks AS (
+         SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       tag AS (
+         SELECT doc_id,
+                substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' AS is_eval
+         FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id,
+                list_aggregate(t[i:i+4], 'string_agg', ' ') AS g
+         FROM (SELECT doc_id, t,
+                      unnest(generate_series(1, len(t) - 4)) AS i
+               FROM toks WHERE len(t) >= 5)),
+       ev AS (SELECT DISTINCT g FROM sh JOIN tag USING (doc_id)
+              WHERE is_eval),
+       h AS (SELECT sh.doc_id, count(*) AS hits
+             FROM sh JOIN tag USING (doc_id) JOIN ev USING (g)
+             WHERE NOT is_eval GROUP BY 1)
+       SELECT d.doc_id, CAST(coalesce(hits, 0) AS BIGINT) AS n_hits,
+              coalesce(hits, 0) > 0 AS contaminated
+       FROM documents d JOIN tag ON d.doc_id = tag.doc_id
+       LEFT JOIN h ON d.doc_id = h.doc_id
+       WHERE NOT is_eval ORDER BY d.doc_id"""
 
   val oracle: Map[String, String] = Map(
     "q_llm_dedup_exact" ->
@@ -2175,29 +2254,10 @@ object Llm {
                 list_aggregate(q, 'min') AS q_min,
                 list_aggregate(q, 'max') AS q_max
          FROM qq ORDER BY vec_id""",
-    "q_llm_decontaminate" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         tag AS (
-           SELECT doc_id,
-                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' AS is_eval
-           FROM documents),
-         sh AS (
-           SELECT DISTINCT doc_id,
-                  list_aggregate(t[i:i+4], 'string_agg', ' ') AS g
-           FROM (SELECT doc_id, t,
-                        unnest(generate_series(1, len(t) - 4)) AS i
-                 FROM toks WHERE len(t) >= 5)),
-         ev AS (SELECT DISTINCT g FROM sh JOIN tag USING (doc_id)
-                WHERE is_eval),
-         h AS (SELECT sh.doc_id, count(*) AS hits
-               FROM sh JOIN tag USING (doc_id) JOIN ev USING (g)
-               WHERE NOT is_eval GROUP BY 1)
-         SELECT d.doc_id, CAST(coalesce(hits, 0) AS BIGINT) AS n_hits,
-                coalesce(hits, 0) > 0 AS contaminated
-         FROM documents d JOIN tag ON d.doc_id = tag.doc_id
-         LEFT JOIN h ON d.doc_id = h.doc_id
-         WHERE NOT is_eval ORDER BY d.doc_id""",
+    "q_llm_decontaminate" -> decontamOracleSql,
+    // the bloom prefilter only prunes work — the result contract is
+    // bitwise the exact pipeline's, so the SAME oracle gates it
+    "q_llm_decontam_bloom" -> decontamOracleSql,
     "q_llm_corpus_mix" ->
       """WITH d AS (
            SELECT source, doc_id, n_chars,

@@ -497,6 +497,23 @@ class PlansSpec extends SparkTestBase {
     }
   }
 
+  test("bloom decontamination: sketch probe prefilters the corpus below a shuffle confirm join") {
+    val p = plan("q_llm_decontam_bloom")
+    // the corpus side must carry the sketch probe as a plain Filter
+    // (map-only, zero shuffle) feeding the exact confirm join
+    assert(p.contains("bloom_might_contain"),
+      "corpus scan must be prefiltered by the bloom sketch probe:\n" + p.take(800))
+    // the confirm join deliberately does NOT broadcast the eval-gram
+    // relation — the whole point of the sketch is that the reference
+    // set is too big to broadcast exactly
+    assert(p.contains("ShuffledHashJoin"),
+      "confirm join must honor the shuffle_hash hint:\n" + p.take(800))
+    val filterLine = p.linesIterator.find(l =>
+      l.contains("Filter") && l.contains("bloom_might_contain"))
+    assert(filterLine.isDefined,
+      "bloom probe must be a Filter operator, not a join condition")
+  }
+
   test("dynamic partition pruning: partitioned fact scan takes a runtime dim filter") {
     import org.apache.spark.sql.functions._
     // date-partitioned fact (the silver-zone layout) joined on the
