@@ -353,12 +353,43 @@ object Llm {
     * slower than the exhaustive join it was meant to beat. Shared by
     * dedupMinhashNative (self-join) and dedupIncremental (snapshot
     * build + new-batch probe), so both populations band identically. */
-  private def bandedSignatures(docs: DataFrame): DataFrame = {
+  private[graft] def bandedSignatures(docs: DataFrame): DataFrame = {
     val sh = docs.select(col("doc_id"), explode(col("shingles")).as("s"))
     val sigs = sh.groupBy(col("doc_id")).agg(
       min(xxhash64(lit(0), col("s"))).as("h0"),
       (1 until 12).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i")): _*)
     sigs.select(col("doc_id"),
+      posexplode(array((0 until 6).map(j =>
+        concat_ws(",", col(s"h${2 * j}"), col(s"h${2 * j + 1}"))): _*))
+        .as(Seq("band_idx", "band_key")))
+  }
+
+  /** (doc_id, text) -> (doc_id, shingles), map-only — the shared
+    * front half of every MinHash path, factored for callers (the
+    * streaming ingest gate) that bring their own documents instead of
+    * reading the corpus dir. */
+  private[graft] def shingleDocs(docs: DataFrame): DataFrame =
+    docs.withColumn("t", expr(toksE))
+      .select(col("doc_id"), expr(shinglesE).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  /** MAP-ONLY equivalent of [[bandedSignatures]]: each per-seed
+    * minimum is `array_min(transform(...))` over the row's own
+    * shingle array instead of an explode + groupBy re-aggregation.
+    * Bitwise the same band keys (same xxhash64 seeds, same
+    * concat_ws pairing — LlmSpec asserts equality on the corpus), but
+    * with ZERO shuffle and zero aggregation state, which makes it
+    * legal in an append-mode streaming plan where a groupBy would
+    * demand watermarked state. Batch self-join callers keep
+    * [[bandedSignatures]]: after the explode the grouped form shares
+    * the shingle rows with the verify joins, while this form
+    * re-walks the array 12 times per row. */
+  private[graft] def mapOnlyBandedSignatures(docs: DataFrame): DataFrame = {
+    val sig = (0 until 12).foldLeft(docs) { (d, i) =>
+      d.withColumn(s"h$i",
+        expr(s"array_min(transform(shingles, s -> xxhash64($i, s)))"))
+    }
+    sig.select(col("doc_id"),
       posexplode(array((0 until 6).map(j =>
         concat_ws(",", col(s"h${2 * j}"), col(s"h${2 * j + 1}"))): _*))
         .as(Seq("band_idx", "band_key")))

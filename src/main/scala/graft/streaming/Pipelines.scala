@@ -373,6 +373,79 @@ object Pipelines {
     graft.engine.VersionedTable.atomicWrite(
       spark, servingDir, "_LAST_EPOCH", epochId.toString)
 
+  /** Streaming incremental near-dup dedup — the ingest-time face of
+    * `q_llm_dedup_incremental`: every micro-batch of crawled documents
+    * is gated against the PERSISTED corpus signature snapshot (a
+    * `VersionedTable` of MinHash band keys), and only novel documents
+    * land. The daily 100 TB crawl-refresh motion, run continuously:
+    *
+    *  - signatures for the new batch are MAP-ONLY
+    *    (`Llm.mapOnlyBandedSignatures` — no aggregation state, legal
+    *    under append semantics and zero stream-side shuffle);
+    *  - the snapshot is READ, never rebuilt (same contract the batch
+    *    op proves via `snapshotSigPath` doctoring);
+    *  - a band-key match is treated as a duplicate (banding recall at
+    *    ingest; the rare false-positive drop is the documented
+    *    tradeoff for not re-shingling the old corpus per batch — the
+    *    batch `dedupIncremental` is the exact-verify refinement);
+    *  - admitted documents' signatures are committed BACK to the
+    *    snapshot as a new version, so batch N+1 dedups against batch
+    *    N without any old-corpus recompute, and yesterday's snapshot
+    *    stays time-travelable. At cluster scale the signature store
+    *    would append a delta partition instead of re-committing a
+    *    full snapshot — the cycle, not the rewrite, is the contract;
+    *  - the sink is epoch-aware (the `runRefresh` idempotence
+    *    pattern): a replayed batch neither duplicates output rows nor
+    *    double-commits signatures. Duplicates WITHIN one batch are out
+    *    of scope here, as in the batch op (run exact dedup downstream).
+    */
+  def runStreamingIncrDedup(
+      newDocs: DataFrame,
+      sigSnapshotDir: String,
+      outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    newDocs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        incrDedupBatch(batch.toDF(), epochId, sigSnapshotDir, outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** The per-batch gate behind [[runStreamingIncrDedup]]. */
+  def incrDedupBatch(batch: DataFrame, epochId: Long,
+      sigSnapshotDir: String, outDir: String): Unit = {
+    val spark = batch.sparkSession
+    if (lastEpoch(spark, outDir).exists(_ >= epochId)) return
+    val bands = graft.ops.Llm.mapOnlyBandedSignatures(
+      graft.ops.Llm.shingleDocs(batch))
+    val oldBands = graft.engine.VersionedTable.read(spark, sigSnapshotDir)
+    val dupIds = bands
+      .join(oldBands, Seq("band_idx", "band_key"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val survivors = batch.join(dupIds, Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // per-epoch partition dir + overwrite => a replayed epoch
+      // rewrites the SAME rows in the SAME place (idempotent even in
+      // the crash window between this write and the marker); readers
+      // partition-discover `epoch=*` under outDir
+      survivors.drop("epoch").write.mode("overwrite")
+        .parquet(s"$outDir/epoch=$epochId")
+      val newBands = graft.ops.Llm.mapOnlyBandedSignatures(
+        graft.ops.Llm.shingleDocs(survivors))
+      graft.engine.VersionedTable.commit(
+        oldBands.unionByName(newBands), sigSnapshotDir)
+      // marker last: the epoch guard makes a clean replay a no-op; a
+      // replay that crashed between snapshot commit and marker
+      // re-commits the same band keys, which is semantically
+      // idempotent for the gate (duplicate band rows change no
+      // semi-join verdict) and is vacuumed by expireVersions
+      writeEpochMarker(spark, outDir, epochId)
+    } finally survivors.unpersist()
+  }
+
   /** Gap-based session windows (streaming face of q_stream_session):
     * `session_window` closes a session after `gap` of event-time
     * silence; state is bounded by the watermark. */

@@ -370,6 +370,23 @@ class LlmSpec extends SparkTestBase {
     }
   }
 
+  test("map-only banded signatures match the grouped batch form bitwise") {
+    // the streaming ingest gate signs documents with the map-only
+    // form; it must produce EXACTLY the band keys the persisted
+    // snapshot was built with or the stream-vs-snapshot join is
+    // silently meaningless
+    import org.apache.spark.sql.functions.col
+    val docs = graft.engine.Tables(spark, sfSmoke, "documents")
+      .select(col("doc_id"), col("text"))
+    val sh = Llm.shingleDocs(docs)
+    val grouped = Llm.bandedSignatures(sh)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val mapOnly = Llm.mapOnlyBandedSignatures(sh)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(grouped.nonEmpty)
+    assert(grouped == mapOnly)
+  }
+
   test("multimodal decode recovers header fields from real binary headers") {
     val n = graft.engine.Tables(spark, sfSmoke, "documents").count()
     val got = Llm.mmBinaryMeta(spark, sfSmoke).collect()

@@ -254,6 +254,67 @@ class StreamingSpec extends SparkTestBase {
     assert(got.select($"icao24").distinct().count() == 2)
   }
 
+  test("streaming incremental dedup: snapshot near-dups dropped, novel docs land and extend the snapshot") {
+    val src = tmp("graft_sid_src")
+    val snap = tmp("graft_sid_snap")
+    val out = tmp("graft_sid_out")
+    val ckpt = tmp("graft_sid_ckpt")
+
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val textB = "one two three four five six seven eight nine ten"
+    val textC = "red orange yellow green blue indigo violet black white gray"
+    val textD = "north south east west up down left right front back"
+
+    // yesterday's corpus: docs 1 (textA) and 2 (textB), signatures
+    // persisted as a VersionedTable — the snapshot the stream gates on
+    val oldDocs = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+    graft.engine.VersionedTable.commit(
+      graft.ops.Llm.mapOnlyBandedSignatures(graft.ops.Llm.shingleDocs(oldDocs)),
+      snap)
+
+    def docStream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      // each landed batch is its own subdir of part-files
+      .option("recursiveFileLookup", "true")
+      .parquet(src)
+
+    // batch 1: doc 10 duplicates textA (every band key collides),
+    // doc 11 is novel
+    Seq((10L, textA), (11L, textC)).toDF("doc_id", "text")
+      .write.parquet(s"$src/b1")
+    Pipelines.runStreamingIncrDedup(docStream, snap, out, ckpt)
+      .awaitTermination()
+    val after1 = spark.read.parquet(out)
+    assert(after1.select($"doc_id").as[Long].collect().toSet == Set(11L),
+      "snapshot dup must be dropped, novel doc must land")
+
+    // batch 2: doc 12 duplicates the ADMITTED doc 11 — it must be
+    // caught by the signatures batch 1 committed back (no old-corpus
+    // recompute anywhere); doc 13 is novel
+    Seq((12L, textC), (13L, textD)).toDF("doc_id", "text")
+      .write.parquet(s"$src/b2")
+    Pipelines.runStreamingIncrDedup(docStream, snap, out, ckpt)
+      .awaitTermination()
+    val after2 = spark.read.parquet(out)
+    assert(after2.select($"doc_id").as[Long].collect().toSet == Set(11L, 13L),
+      "batch-1 admission must extend the gate for batch 2")
+
+    // the snapshot advanced one version per non-empty admitted batch
+    // and yesterday's version is still time-travelable
+    val vs = graft.engine.VersionedTable.versions(spark, snap)
+    assert(vs.size == 3, s"expected v0 + one per batch, got $vs")
+    val v0 = graft.engine.VersionedTable.read(spark, snap, Some(vs.head))
+    assert(v0.select($"doc_id").distinct().as[Long].collect().toSet ==
+      Set(1L, 2L))
+
+    // replay the last epoch against the same out dir: the epoch guard
+    // makes it a no-op (no duplicate rows, no new snapshot version)
+    val lastBatch = Seq((12L, textC), (13L, textD)).toDF("doc_id", "text")
+    Pipelines.incrDedupBatch(lastBatch, epochId = 0L, snap, out)
+    assert(spark.read.parquet(out).count() == after2.count())
+    assert(graft.engine.VersionedTable.versions(spark, snap).size == 3)
+  }
+
   test("maxFilesPerTrigger bounds each backfill micro-batch (rate-limited catch-up)") {
     // a restarted stream facing a large backlog must NOT load the
     // whole backlog into one giant micro-batch — maxFilesPerTrigger
