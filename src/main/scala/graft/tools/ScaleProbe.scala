@@ -200,6 +200,26 @@ object ScaleProbe {
       // per-copy vocabulary keeps the cross-split dup rate constant
       // so pair output grows linearly, not quadratically
       time("incremental dedup") { Llm.dedupIncremental(spark, dst) }
+      // round-5 batch 2: the macro-suite completion. Scale-sensitive
+      // shapes: Q9's five-way join tree under one aggregate pass,
+      // Q2's correlated-min window over the surrogate build, Q20's
+      // dual quantity sums, Q11's reused per-part exchange, Q16's
+      // distinct-count + broadcast anti join, Q7/Q8/Q12's pushed
+      // fact windows and one-pass conditional aggregates
+      time("tpch q2") { Joins.tpchQ2(spark, dst) }
+      time("tpch q7") { Joins.tpchQ7(spark, dst) }
+      time("tpch q8") { Joins.tpchQ8(spark, dst) }
+      time("tpch q9") { Joins.tpchQ9(spark, dst) }
+      time("tpch q11") { Joins.tpchQ11(spark, dst) }
+      time("tpch q12") { Joins.tpchQ12(spark, dst) }
+      time("tpch q16") { Joins.tpchQ16(spark, dst) }
+      time("tpch q20") { Joins.tpchQ20(spark, dst) }
+      // round-5: the bloom-prefiltered decontamination — the sketch
+      // build is one treeAggregate over eval grams and the corpus
+      // side is map-only probe + survivor-only confirm join; the
+      // probe watches that the sketch path tracks the exact path's
+      // slope (both linear) while staying comfortably under it
+      time("decontam bloom") { Llm.decontamBloom(spark, dst) }
 
       // AQE skew-join probe: join the deliberately-skewed
       // events.user_id WITHOUT salting and assert AQE's skew-join
