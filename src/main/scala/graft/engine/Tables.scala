@@ -62,6 +62,20 @@ object Tables {
     }
   }
 
+  /** One-call SQL surface: temp views for every fixture table (same
+    * normalized reads as [[apply]]) plus graft's native SQL functions
+    * (`cosine_sim`, `zorder2`), so `spark.sql("SELECT ... FROM
+    * lineitem JOIN nation ...")` works immediately — the migration
+    * path for users arriving with SQL instead of the DataFrame API.
+    * Views are lazy plans over the parquet scans: pushdown, pruning
+    * and the whole Catalyst pipeline apply exactly as on the
+    * DataFrame face. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    All.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+    graft.functions.CosineSimilarity.register(spark)
+    graft.functions.ZOrder.register(spark)
+  }
+
   /** Idempotent runtime-conf tuning; safe to call per query. */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.adaptive.enabled", "true")

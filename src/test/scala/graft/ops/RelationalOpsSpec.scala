@@ -250,6 +250,27 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(rows.map(r => r.getString(0) -> r.getLong(1).toInt).toMap == expect)
   }
 
+  test("registerAll gives a working SQL surface: views + native functions") {
+    graft.engine.Tables.registerAll(spark, sfSmoke)
+    // a join+agg straight from SQL must equal the DataFrame face
+    val viaSql = spark.sql(
+      """SELECT n.n_name, count(*) AS cnt
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY n.n_name ORDER BY n.n_name""").collect()
+    val viaDf = graft.engine.Tables(spark, sfSmoke, "customer").as("c")
+      .join(graft.engine.Tables(spark, sfSmoke, "nation").as("n"),
+        $"c.c_nationkey" === $"n.n_nationkey")
+      .groupBy($"n.n_name").agg(count(lit(1)).as("cnt"))
+      .orderBy($"n.n_name").collect()
+    assert(viaSql.nonEmpty && viaSql.sameElements(viaDf))
+    // the native codegen functions resolve from SQL text
+    val sim = spark.sql(
+      """SELECT cosine_sim(CAST(embedding AS ARRAY<DOUBLE>),
+                           CAST(embedding AS ARRAY<DOUBLE>)) AS s
+         FROM embeddings LIMIT 5""").collect()
+    assert(sim.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
   test("rollup emits per-group rows plus subtotals plus grand total") {
     val df = Seq(("a", "x"), ("a", "y"), ("b", "x")).toDF("k1", "k2")
     val got = df.rollup($"k1", $"k2").agg(count(lit(1)).as("cnt"))
