@@ -1005,6 +1005,68 @@ object Llm {
     * bitwise). */
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
 
+  /** The END-TO-END curation run — langid gate -> quality gate ->
+    * exact dedup -> PII redaction -> per-source funnel report — as ONE
+    * composed plan, the shape a real corpus refresh executes nightly.
+    * Each stage reuses the standalone op's exact predicate (langid's
+    * stopword ratio, qualityFilter's bounds, dedupExact's sha256
+    * min-id rule, redactPii's planted-PII convention), so the
+    * composite is oracle-checkable end to end and any drift between a
+    * stage and its standalone op breaks the gate.
+    *
+    * Scale shape: stage flags are MAP-ONLY (no stage materializes an
+    * intermediate corpus); the corpus is scanned twice — once for the
+    * funnel rollup, once for the dedup branch — both scans pushed and
+    * pruned, which beats caching a 100 TB intermediate; the only
+    * corpus-keyed shuffle is the dedup window on sha256(text);
+    * redaction happens on unique survivors only; and the final join
+    * is per-SOURCE aggregates (metadata-sized). Funnel semantics are
+    * cumulative: n_lang passed langid, n_quality passed langid AND
+    * quality, n_unique survived dedup among those. */
+  val curatePipeline: Q = (spark, dir) => {
+    val stopArr = stopwords.map(w => s"'$w'").mkString(", ")
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\d{3}-\\d{4}"
+    val flagged = Tables(spark, dir, "documents")
+      .withColumn("tok_cnt", size(expr(toksE)))
+      .withColumn("lang_ok", expr(
+        s"""CAST(size(filter($toksE, t -> array_contains(array($stopArr), t)))
+            AS DOUBLE) / size($toksE)""") >= 0.1)
+      .withColumn("quality_ok",
+        col("n_chars").between(100L, 2000L) &&
+          col("tok_cnt").between(20, 1000) &&
+          (col("n_chars") * lit(1.0) / col("tok_cnt")).between(3.0, 20.0))
+    val funnel = flagged.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("lang_ok"), 1L).otherwise(0L)).as("n_lang"),
+      sum(when(col("lang_ok") && col("quality_ok"), 1L).otherwise(0L))
+        .as("n_quality"))
+    val unique = flagged
+      .filter(col("lang_ok") && col("quality_ok"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .withColumn("raw", concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or call 555-0"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit(" today")))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_unique"),
+        sum(col("tok_cnt").cast("long")).as("kept_tokens"),
+        sum((size(expr(
+          s"regexp_extract_all(raw, '${emailRe.replace("\\", "\\\\")}', 0)")) +
+          size(expr(
+            s"regexp_extract_all(raw, '${phoneRe.replace("\\", "\\\\")}', 0)")))
+          .cast("long")).as("n_redacted"))
+    funnel.join(unique, Seq("source"), "left")
+      .select(
+        col("source"), col("n_docs"), col("n_lang"), col("n_quality"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("n_redacted"), lit(0L)).as("n_redacted"))
+      .orderBy(col("source"))
+  }
+
   val langid: Q = (spark, dir) => {
     val stopArr = stopwords.map(w => s"'$w'").mkString(", ")
     Tables(spark, dir, "documents")
@@ -1797,6 +1859,7 @@ object Llm {
     "q_llm_embed_quantize" -> embedQuantize,
     "q_llm_decontaminate" -> decontaminate,
     "q_llm_decontam_bloom" -> decontamBloom,
+    "q_llm_curate_pipeline" -> curatePipeline,
     "q_llm_corpus_mix" -> corpusMix,
     "q_llm_chunk_dedup" -> chunkDedup,
     "q_mm_binary_meta" -> mmBinaryMeta,
@@ -2289,6 +2352,51 @@ object Llm {
     // the bloom prefilter only prunes work — the result contract is
     // bitwise the exact pipeline's, so the SAME oracle gates it
     "q_llm_decontam_bloom" -> decontamOracleSql,
+    "q_llm_curate_pipeline" ->
+      """WITH f AS (
+           SELECT doc_id, source, text, n_chars,
+                  len(string_split(text, ' ')) AS tok_cnt,
+                  len(list_filter(string_split(text, ' '),
+                      t -> list_contains(['the','a','of','and','to','in','is','on'], t)))
+                    * 1.0 / len(string_split(text, ' ')) >= 0.1 AS lang_ok,
+                  n_chars BETWEEN 100 AND 2000
+                    AND len(string_split(text, ' ')) BETWEEN 20 AND 1000
+                    AND n_chars * 1.0 / len(string_split(text, ' '))
+                          BETWEEN 3.0 AND 20.0 AS quality_ok
+           FROM documents),
+         g AS (
+           SELECT *, row_number() OVER (PARTITION BY sha256(text)
+                                        ORDER BY doc_id) AS rn
+           FROM f WHERE lang_ok AND quality_ok),
+         u AS (
+           SELECT source, tok_cnt,
+                  text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or call 555-0'
+                       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                       || ' today' AS raw
+           FROM g WHERE rn = 1),
+         ur AS (
+           SELECT source, count(*) AS n_unique,
+                  sum(tok_cnt) AS kept_tokens,
+                  sum(len(regexp_extract_all(raw,
+                        '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+                      + len(regexp_extract_all(raw, '\d{3}-\d{4}')))
+                    AS n_redacted
+           FROM u GROUP BY source),
+         fu AS (
+           SELECT source, count(*) AS n_docs,
+                  sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS n_lang,
+                  sum(CASE WHEN lang_ok AND quality_ok THEN 1 ELSE 0 END)
+                    AS n_quality
+           FROM f GROUP BY source)
+         SELECT fu.source, CAST(n_docs AS BIGINT) AS n_docs,
+                CAST(n_lang AS BIGINT) AS n_lang,
+                CAST(n_quality AS BIGINT) AS n_quality,
+                CAST(coalesce(n_unique, 0) AS BIGINT) AS n_unique,
+                CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens,
+                CAST(coalesce(n_redacted, 0) AS BIGINT) AS n_redacted
+         FROM fu LEFT JOIN ur ON fu.source = ur.source
+         ORDER BY fu.source""",
     "q_llm_corpus_mix" ->
       """WITH d AS (
            SELECT source, doc_id, n_chars,

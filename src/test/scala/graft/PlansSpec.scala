@@ -514,6 +514,21 @@ class PlansSpec extends SparkTestBase {
       "bloom probe must be a Filter operator, not a join condition")
   }
 
+  test("curation pipeline: one dedup window, map-only stage flags, no cartesian") {
+    val p = plan("q_llm_curate_pipeline")
+    // the only corpus-keyed shuffle is the sha256 dedup window —
+    // exactly one Window operator in the whole composed plan
+    val windows = p.linesIterator.count(_.matches(".*\\bWindow \\[row_number.*"))
+    assert(windows == 1, s"exactly ONE dedup window expected, got $windows:\n" +
+      p.take(600))
+    // stage gates compose as filters/flags, never as pair-space joins
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "stage composition must stay keyed:\n" + p.take(600))
+    // both corpus branches keep their scans pruned to the used columns
+    assert(!p.contains("lang:"), "unused columns must be pruned from the scans")
+  }
+
   test("dynamic partition pruning: partitioned fact scan takes a runtime dim filter") {
     import org.apache.spark.sql.functions._
     // date-partitioned fact (the silver-zone layout) joined on the
