@@ -1586,9 +1586,15 @@ object Llm {
            p -> concat_ws(' ', p['0'], p['1'], p['2'], p['3'], p['4'])))""")
     val exploded = docs
       .select(col("doc_id"), col("is_eval"), explode(grams5).as("g"))
+    // THREE consumers (sizing count, sketch treeAggregate, confirm
+    // join) — materialize the distinct eval grams once; eager
+    // localCheckpoint blocks are freed by the ContextCleaner when the
+    // result frame drops (the mmPhash pattern; a plain persist would
+    // pin the cache for the session)
     val evalGrams = exploded.filter(col("is_eval")).select(col("g")).distinct()
-    // expectedNumItems sizes the sketch; the count is a cheap
-    // aggregate over the (tiny by construction) eval slice
+      .localCheckpoint(true)
+    // expectedNumItems sizes the sketch; the count is now a cheap
+    // row count over the materialized blocks
     val nEval = math.max(evalGrams.count(), 1L)
     val sketch = evalGrams.select(xxhash64(col("g")).as("h"))
       .stat.bloomFilter("h", nEval, 0.01)

@@ -413,7 +413,14 @@ object Pipelines {
       .trigger(trigger)
       .start()
 
-  /** The per-batch gate behind [[runStreamingIncrDedup]]. */
+  /** The per-batch gate behind [[runStreamingIncrDedup]].
+    *
+    * SINGLE-WRITER per snapshot dir (the Delta txn-app-id regime):
+    * micro-batches of one streaming query are sequential, so the
+    * read-union-commit cycle never races itself. Two concurrent
+    * queries sharing one snapshot dir would lose updates (each
+    * commits its own old∪new basis) — give each stream its own
+    * snapshot, or serialize them upstream. */
   def incrDedupBatch(batch: DataFrame, epochId: Long,
       sigSnapshotDir: String, outDir: String): Unit = {
     val spark = batch.sparkSession

@@ -220,6 +220,10 @@ object ScaleProbe {
       // probe watches that the sketch path tracks the exact path's
       // slope (both linear) while staying comfortably under it
       time("decontam bloom") { Llm.decontamBloom(spark, dst) }
+      // round-5: the composed curation funnel — two pushed corpus
+      // scans + ONE sha-keyed dedup window; watches that composing
+      // stages doesn't compound their costs superlinearly
+      time("curate pipeline") { Llm.curatePipeline(spark, dst) }
 
       // AQE skew-join probe: join the deliberately-skewed
       // events.user_id WITHOUT salting and assert AQE's skew-join
