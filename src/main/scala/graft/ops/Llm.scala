@@ -182,6 +182,16 @@ object Llm {
         s"""transform(
            arrays_zip($slices),
            p -> md5(concat_ws(' ', $fields)))""")).as(Seq("pos", "g")))
+      // FOUR consumers (df aggregate + semi-join left, each on both
+      // self-join sides): without materialization the planner rebuilds
+      // the explode+md5 subtree per consumer — measured 4 full
+      // evaluations and two independent broadcast builds of the gram
+      // set at sf0.1 (no ReusedExchange once AQE picks BHJ). Eager
+      // localCheckpoint pays the gram derivation once; blocks are
+      // freed by the ContextCleaner with the build's result frame (at
+      // cluster scale, substitute reliable checkpoint() — this is the
+      // one-off memo BUILD, not a per-query cost)
+      .localCheckpoint(true)
     // df cap: one gram-keyed aggregate + semi join — rides the same
     // gram-hash shuffle the self-join needs anyway
     val rare = allGrams.groupBy(col("g"))
