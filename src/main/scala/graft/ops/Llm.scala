@@ -1623,6 +1623,42 @@ object Llm {
       .orderBy(col("doc_id"))
   }
 
+  /** SEMANTIC decontamination — the third face of the decontamination
+    * axis (exact n-gram, bloom-accelerated n-gram, and now embedding
+    * similarity): flag training vectors whose maximum cosine against
+    * ANY held-out eval vector crosses the threshold, catching
+    * paraphrased leakage that n-gram overlap misses. Eval membership
+    * is `vec_id % 10 == 0` (deterministic at every scale).
+    *
+    * Scale shape: an eval benchmark is tiny by nature, so ALL eval
+    * vectors collapse into ONE collected row that broadcasts (a few
+    * MB for thousands of vectors), and the corpus side computes its
+    * max via `array_max(transform(...))` over the broadcast array —
+    * MAP-ONLY — no hash shuffle anywhere, only the presentation sort
+    * — and no per-pair row space ever materializes (a cross-join +
+    * groupBy would shuffle |corpus| x |eval| rows).
+    * Per-vector cost is |eval| fused-loop cosines via the codegen'd
+    * `cosine_sim`; the ANN paths (annLsh/annIvf) are the scale
+    * refinement when |eval| itself grows. max() is order-independent
+    * and cosine_sim is bitwise DuckDB's list_dot_product formula, so
+    * the threshold verdict is cross-engine exact. */
+  val decontamSemantic: Q = (spark, dir) => {
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val evalRow = emb.filter(col("vec_id") % 10 === 0)
+      .agg(collect_list(col("e")).as("evs"))
+    emb.filter(col("vec_id") % 10 =!= 0)
+      .crossJoin(broadcast(evalRow))
+      .withColumn("max_raw",
+        expr("array_max(transform(evs, v -> cosine_sim(e, v)))"))
+      .select(
+        col("vec_id"),
+        round(col("max_raw"), 6).as("max_sim"),
+        (col("max_raw") >= 0.5).as("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Deterministic corpus mixing: per-source keep-rates (the reweight
     * step after source_stats says which sources to up/down-sample).
     * Membership is decided by an md5 bucket of the doc id against a
@@ -1875,6 +1911,7 @@ object Llm {
     "q_llm_embed_quantize" -> embedQuantize,
     "q_llm_decontaminate" -> decontaminate,
     "q_llm_decontam_bloom" -> decontamBloom,
+    "q_llm_decontam_semantic" -> decontamSemantic,
     "q_llm_curate_pipeline" -> curatePipeline,
     "q_llm_corpus_mix" -> corpusMix,
     "q_llm_chunk_dedup" -> chunkDedup,
@@ -2368,6 +2405,20 @@ object Llm {
     // the bloom prefilter only prunes work — the result contract is
     // bitwise the exact pipeline's, so the SAME oracle gates it
     "q_llm_decontam_bloom" -> decontamOracleSql,
+    "q_llm_decontam_semantic" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings),
+         ev AS (SELECT e AS ee FROM v WHERE vec_id % 10 = 0),
+         tr AS (SELECT vec_id, e FROM v WHERE vec_id % 10 <> 0),
+         m AS (
+           SELECT tr.vec_id,
+                  max(list_dot_product(tr.e, ev.ee)
+                      / (sqrt(list_dot_product(tr.e, tr.e))
+                         * sqrt(list_dot_product(ev.ee, ev.ee)))) AS max_raw
+           FROM tr CROSS JOIN ev GROUP BY tr.vec_id)
+         SELECT vec_id, round(max_raw, 6) AS max_sim,
+                max_raw >= 0.5 AS contaminated
+         FROM m ORDER BY vec_id""",
     "q_llm_curate_pipeline" ->
       """WITH f AS (
            SELECT doc_id, source, text, n_chars,

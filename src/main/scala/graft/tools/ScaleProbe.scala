@@ -224,6 +224,13 @@ object ScaleProbe {
       // scans + ONE sha-keyed dedup window; watches that composing
       // stages doesn't compound their costs superlinearly
       time("curate pipeline") { Llm.curatePipeline(spark, dst) }
+      // round-5: semantic decontamination — |corpus| x |eval| cosines
+      // but map-only (eval collapses to one broadcast row); with the
+      // eval slice also x N, per-row cost grows with the factor, so
+      // the honest expectation is ~quadratic HERE while the real-world
+      // shape (fixed benchmark suite) is linear — the probe documents
+      // the former, the op doc claims only the latter
+      time("decontam semantic") { Llm.decontamSemantic(spark, dst) }
 
       // AQE skew-join probe: join the deliberately-skewed
       // events.user_id WITHOUT salting and assert AQE's skew-join

@@ -529,6 +529,17 @@ class PlansSpec extends SparkTestBase {
     assert(!p.contains("lang:"), "unused columns must be pruned from the scans")
   }
 
+  test("semantic decontamination: one-row eval broadcast, corpus never hash-shuffles") {
+    val p = plan("q_llm_decontam_semantic")
+    // the eval set collapses to ONE collected row and broadcasts — a
+    // 1-row build BNLJ is the intended (and safe) join shape here
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(400))
+    // the corpus side is map-only: its only exchanges are the eval
+    // row's single-partition collect and the presentation range sort
+    assert(!p.contains("Exchange hashpartitioning"),
+      "corpus must not hash-shuffle:\n" + p.take(600))
+  }
+
   test("dynamic partition pruning: partitioned fact scan takes a runtime dim filter") {
     import org.apache.spark.sql.functions._
     // date-partitioned fact (the silver-zone layout) joined on the

@@ -96,4 +96,20 @@ class PropertiesSpec extends SparkTestBase {
       }
     })
   }
+
+  test("bloom probe admits every member for arbitrary insert sets (no false negatives)") {
+    val setGen = Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue))
+      .map(_.distinct)
+    check("bloom-no-false-negatives", Prop.forAll(setGen) { vals =>
+      val f = org.apache.spark.util.sketch.BloomFilter
+        .create(math.max(vals.size.toLong, 1L), 0.01)
+      vals.foreach(f.putLong)
+      // through the full Spark expression path (serialize, codegen,
+      // probe), every inserted value must come back
+      val admitted = vals.toDF("h")
+        .filter(graft.functions.BloomMightContain(spark, $"h", f))
+        .count()
+      admitted == vals.size.toLong
+    })
+  }
 }
