@@ -92,4 +92,22 @@ object BloomMightContain {
       "built-in")
     org.apache.spark.sql.functions.call_function(name, digest)
   }
+
+  /** Drop every sketch registration this object made in `spark`.
+    *
+    * Registration is content-keyed, so re-probing the same sketch is
+    * free; but a long-lived session that keeps REFRESHING sketches
+    * (daily decontamination, streaming gates) accretes one registry
+    * entry — with its captured sketch bytes — per distinct sketch.
+    * The entry is only needed until the consuming plan is ANALYZED
+    * (the expression then carries the bytes itself), so call this at
+    * refresh boundaries, after the previous cycle's results are
+    * materialized. Returns the number of entries dropped. */
+  def unregisterAll(spark: SparkSession): Int = {
+    val reg = spark.sessionState.functionRegistry
+    val stale = reg.listFunction()
+      .filter(_.funcName.startsWith("graft_bloom_mc_"))
+    stale.foreach(reg.dropFunction)
+    stale.size
+  }
 }

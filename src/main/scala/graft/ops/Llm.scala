@@ -883,12 +883,9 @@ object Llm {
   val qualityFilter: Q = (spark, dir) =>
     Tables(spark, dir, "documents")
       .withColumn("tok_cnt", size(expr(toksE)))
-      .withColumn("ratio", col("n_chars") * lit(1.0) / col("tok_cnt"))
-      .filter(
-        col("n_chars").between(100L, 2000L) &&
-          col("tok_cnt").between(20, 1000) &&
-          col("ratio").between(3.0, 20.0))
-      .select(col("doc_id"), col("tok_cnt"), col("n_chars"), col("ratio"))
+      .filter(qualityOkExpr)
+      .select(col("doc_id"), col("tok_cnt"), col("n_chars"),
+        (col("n_chars") * lit(1.0) / col("tok_cnt")).as("ratio"))
       .orderBy(col("doc_id"))
 
   /** Quality scoring via a unigram log-likelihood-ratio model (the
@@ -1015,6 +1012,26 @@ object Llm {
     * bitwise). */
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
 
+  /** Stopword-ratio language score — THE shared predicate: langid and
+    * curatePipeline must agree by construction, not by parallel
+    * copies (the composite's oracle is an independent copy too, so
+    * in-engine drift would otherwise go unnoticed). */
+  private def langScoreExpr: org.apache.spark.sql.Column = {
+    val stopArr = stopwords.map(w => s"'$w'").mkString(", ")
+    // CAST, not "* 1.0": Spark SQL parses the 1.0 literal as DECIMAL
+    // and the quotient would come out DECIMAL(_, 12)
+    expr(
+      s"""CAST(size(filter($toksE, t -> array_contains(array($stopArr), t)))
+          AS DOUBLE) / size($toksE)""")
+  }
+
+  /** qualityFilter's keep predicate over (n_chars, tok_cnt) — shared
+    * with curatePipeline for the same drift-proofing reason. */
+  private def qualityOkExpr: org.apache.spark.sql.Column =
+    col("n_chars").between(100L, 2000L) &&
+      col("tok_cnt").between(20, 1000) &&
+      (col("n_chars") * lit(1.0) / col("tok_cnt")).between(3.0, 20.0)
+
   /** The END-TO-END curation run — langid gate -> quality gate ->
     * exact dedup -> PII redaction -> per-source funnel report — as ONE
     * composed plan, the shape a real corpus refresh executes nightly.
@@ -1034,18 +1051,12 @@ object Llm {
     * cumulative: n_lang passed langid, n_quality passed langid AND
     * quality, n_unique survived dedup among those. */
   val curatePipeline: Q = (spark, dir) => {
-    val stopArr = stopwords.map(w => s"'$w'").mkString(", ")
     val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
     val phoneRe = "\\d{3}-\\d{4}"
     val flagged = Tables(spark, dir, "documents")
       .withColumn("tok_cnt", size(expr(toksE)))
-      .withColumn("lang_ok", expr(
-        s"""CAST(size(filter($toksE, t -> array_contains(array($stopArr), t)))
-            AS DOUBLE) / size($toksE)""") >= 0.1)
-      .withColumn("quality_ok",
-        col("n_chars").between(100L, 2000L) &&
-          col("tok_cnt").between(20, 1000) &&
-          (col("n_chars") * lit(1.0) / col("tok_cnt")).between(3.0, 20.0))
+      .withColumn("lang_ok", langScoreExpr >= 0.1)
+      .withColumn("quality_ok", qualityOkExpr)
     val funnel = flagged.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
       sum(when(col("lang_ok"), 1L).otherwise(0L)).as("n_lang"),
@@ -1077,19 +1088,13 @@ object Llm {
       .orderBy(col("source"))
   }
 
-  val langid: Q = (spark, dir) => {
-    val stopArr = stopwords.map(w => s"'$w'").mkString(", ")
+  val langid: Q = (spark, dir) =>
     Tables(spark, dir, "documents")
-      .withColumn("score", expr(
-        // CAST, not "* 1.0": Spark SQL parses the 1.0 literal as
-        // DECIMAL and the quotient would come out DECIMAL(_, 12)
-        s"""CAST(size(filter($toksE, t -> array_contains(array($stopArr), t)))
-            AS DOUBLE) / size($toksE)"""))
+      .withColumn("score", langScoreExpr)
       .withColumn("pred",
         when(col("score") >= 0.1, "en").otherwise("other"))
       .select(col("doc_id"), col("score"), col("pred"))
       .orderBy(col("doc_id"))
-  }
 
   /** Document fingerprint: lexicographic min of md5 over 3-gram
     * shingles — a 1-permutation MinHash signature, cross-engine stable. */
@@ -1535,7 +1540,12 @@ object Llm {
     * collide on common phrases (probed 419/469 false flags at 3,
     * 1/469 at 5 on the fixtures), and published decontamination
     * pipelines use 8-13-gram overlap for the same reason. */
-  val decontaminate: Q = (spark, dir) => {
+  /** (doc_id, is_eval, g) exploded distinct 5-grams with the
+    * md5-bucket eval tag — THE shared front half of both n-gram
+    * decontamination faces. They share one oracle precisely because
+    * this definition is identical; sharing the code makes that true
+    * by construction instead of by parallel copies. */
+  private def evalTaggedGrams(spark: SparkSession, dir: String): DataFrame = {
     val docs = tokenized(spark, dir)
       .withColumn("is_eval",
         substring(md5(col("doc_id").cast("string")), 1, 1) === "f")
@@ -1547,14 +1557,25 @@ object Llm {
                       slice(t, 4, greatest(size(t) - 4, 0)),
                       slice(t, 5, greatest(size(t) - 4, 0))),
            p -> concat_ws(' ', p['0'], p['1'], p['2'], p['3'], p['4'])))""")
-    val exploded = docs
-      .select(col("doc_id"), col("is_eval"), explode(grams5).as("g"))
+    docs.select(col("doc_id"), col("is_eval"), explode(grams5).as("g"))
+  }
+
+  /** Non-eval doc ids with the eval tag — the join-back spine both
+    * decontamination faces report over. */
+  private def trainDocIds(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .withColumn("is_eval",
+        substring(md5(col("doc_id").cast("string")), 1, 1) === "f")
+      .filter(!col("is_eval"))
+      .select(col("doc_id"))
+
+  val decontaminate: Q = (spark, dir) => {
+    val exploded = evalTaggedGrams(spark, dir)
     val evalGrams = exploded.filter(col("is_eval")).select(col("g")).distinct()
     val hits = exploded.filter(!col("is_eval"))
       .join(broadcast(evalGrams), Seq("g"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
-    docs.filter(!col("is_eval"))
-      .select(col("doc_id"))
+    trainDocIds(spark, dir)
       .join(hits, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
@@ -1583,19 +1604,7 @@ object Llm {
     * is bitwise the exact pipeline's — the sketch prunes work, never
     * decides membership. Shares q_llm_decontaminate's oracle. */
   val decontamBloom: Q = (spark, dir) => {
-    val docs = tokenized(spark, dir)
-      .withColumn("is_eval",
-        substring(md5(col("doc_id").cast("string")), 1, 1) === "f")
-    val grams5 = expr(
-      """array_distinct(transform(
-           arrays_zip(slice(t, 1, greatest(size(t) - 4, 0)),
-                      slice(t, 2, greatest(size(t) - 4, 0)),
-                      slice(t, 3, greatest(size(t) - 4, 0)),
-                      slice(t, 4, greatest(size(t) - 4, 0)),
-                      slice(t, 5, greatest(size(t) - 4, 0))),
-           p -> concat_ws(' ', p['0'], p['1'], p['2'], p['3'], p['4'])))""")
-    val exploded = docs
-      .select(col("doc_id"), col("is_eval"), explode(grams5).as("g"))
+    val exploded = evalTaggedGrams(spark, dir)
     // THREE consumers (sizing count, sketch treeAggregate, confirm
     // join) — materialize the distinct eval grams once; eager
     // localCheckpoint blocks are freed by the ContextCleaner when the
@@ -1613,8 +1622,7 @@ object Llm {
     val hits = survivors
       .join(evalGrams.hint("shuffle_hash"), Seq("g"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
-    docs.filter(!col("is_eval"))
-      .select(col("doc_id"))
+    trainDocIds(spark, dir)
       .join(hits, Seq("doc_id"), "left")
       .select(
         col("doc_id"),

@@ -413,6 +413,18 @@ object Pipelines {
       .trigger(trigger)
       .start()
 
+  /** Band signatures for EVERY document of a batch: the MinHash bands
+    * for docs with >= 3 tokens, plus a degenerate EXACT band
+    * (band_idx -1, key = xxhash64 of the raw text) for shorter docs —
+    * shingleDocs necessarily drops them, and without any band they
+    * would bypass the gate entirely and re-land on every batch. */
+  private def allBands(batch: DataFrame): DataFrame =
+    graft.ops.Llm.mapOnlyBandedSignatures(graft.ops.Llm.shingleDocs(batch))
+      .unionByName(
+        batch.filter(size(split(col("text"), " ")) < 3)
+          .select(col("doc_id"), lit(-1).as("band_idx"),
+            xxhash64(col("text")).cast("string").as("band_key")))
+
   /** The per-batch gate behind [[runStreamingIncrDedup]].
     *
     * SINGLE-WRITER per snapshot dir (the Delta txn-app-id regime):
@@ -420,16 +432,34 @@ object Pipelines {
     * read-union-commit cycle never races itself. Two concurrent
     * queries sharing one snapshot dir would lose updates (each
     * commits its own old∪new basis) — give each stream its own
-    * snapshot, or serialize them upstream. */
+    * snapshot, or serialize them upstream.
+    *
+    * Snapshot rows carry the EPOCH that admitted them (bootstrap /
+    * externally seeded rows: -1), and the gate only joins bands with
+    * `epoch < epochId`. That closes the replay crash window: a batch
+    * that crashed between the snapshot commit and the epoch marker is
+    * re-delivered with its own signatures already committed at
+    * `epoch == epochId` — the filter excludes them, the gate verdict
+    * reproduces exactly, the epoch-partition overwrite rewrites the
+    * same rows, and the re-commit (built on the `< epochId` base)
+    * re-produces the same snapshot content. Without the filter the
+    * replayed batch would match ITSELF, land an empty overwrite, and
+    * silently destroy the epoch's output. */
   def incrDedupBatch(batch: DataFrame, epochId: Long,
       sigSnapshotDir: String, outDir: String): Unit = {
     val spark = batch.sparkSession
     if (lastEpoch(spark, outDir).exists(_ >= epochId)) return
-    val bands = graft.ops.Llm.mapOnlyBandedSignatures(
-      graft.ops.Llm.shingleDocs(batch))
-    val oldBands = graft.engine.VersionedTable.read(spark, sigSnapshotDir)
+    val bands = allBands(batch)
+    // bootstrap: a fresh snapshot dir means nothing to dedup against
+    val oldBands = graft.engine.VersionedTable
+      .currentVersion(spark, sigSnapshotDir) match {
+      case Some(_) => graft.engine.VersionedTable.read(spark, sigSnapshotDir)
+      case None => bands.limit(0).withColumn("epoch", lit(-1L))
+    }
+    val gateBands = oldBands.filter(col("epoch") < epochId)
+      .select(col("band_idx"), col("band_key"))
     val dupIds = bands
-      .join(oldBands, Seq("band_idx", "band_key"), "left_semi")
+      .join(gateBands, Seq("band_idx", "band_key"), "left_semi")
       .select(col("doc_id")).distinct()
     val survivors = batch.join(dupIds, Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -440,15 +470,15 @@ object Pipelines {
       // partition-discover `epoch=*` under outDir
       survivors.drop("epoch").write.mode("overwrite")
         .parquet(s"$outDir/epoch=$epochId")
-      val newBands = graft.ops.Llm.mapOnlyBandedSignatures(
-        graft.ops.Llm.shingleDocs(survivors))
-      graft.engine.VersionedTable.commit(
-        oldBands.unionByName(newBands), sigSnapshotDir)
-      // marker last: the epoch guard makes a clean replay a no-op; a
-      // replay that crashed between snapshot commit and marker
-      // re-commits the same band keys, which is semantically
-      // idempotent for the gate (duplicate band rows change no
-      // semi-join verdict) and is vacuumed by expireVersions
+      if (!survivors.isEmpty) {
+        // an all-duplicate batch adds no signatures — skip the
+        // full-snapshot rewrite instead of churning a byte-identical
+        // version per mostly-duplicate trigger
+        val newBands = allBands(survivors).withColumn("epoch", lit(epochId))
+        graft.engine.VersionedTable.commit(
+          oldBands.filter(col("epoch") < epochId).unionByName(newBands),
+          sigSnapshotDir)
+      }
       writeEpochMarker(spark, outDir, epochId)
     } finally survivors.unpersist()
   }

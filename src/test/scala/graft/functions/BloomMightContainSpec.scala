@@ -60,6 +60,17 @@ class BloomMightContainSpec extends SparkTestBase {
     }
   }
 
+  test("unregisterAll drops every accreted sketch registration") {
+    BloomMightContain.unregisterAll(spark)
+    val s1 = sketchOf(Seq(1L))
+    val s2 = sketchOf(Seq(2L, 3L))
+    Seq(1L).toDF("h").filter(BloomMightContain(spark, col("h"), s1)).count()
+    Seq(2L).toDF("h").filter(BloomMightContain(spark, col("h"), s2)).count()
+    assert(BloomMightContain.unregisterAll(spark) == 2,
+      "both content-keyed registrations must be dropped")
+    assert(BloomMightContain.unregisterAll(spark) == 0, "idempotent")
+  }
+
   test("null digest yields null (filter drops it), non-long input fails analysis") {
     val sketch = sketchOf(Seq(1L, 2L))
     val withNull = Seq(Some(1L), None).toDF("h")

@@ -269,7 +269,8 @@ class StreamingSpec extends SparkTestBase {
     // persisted as a VersionedTable — the snapshot the stream gates on
     val oldDocs = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
     graft.engine.VersionedTable.commit(
-      graft.ops.Llm.mapOnlyBandedSignatures(graft.ops.Llm.shingleDocs(oldDocs)),
+      graft.ops.Llm.mapOnlyBandedSignatures(graft.ops.Llm.shingleDocs(oldDocs))
+        .withColumn("epoch", lit(-1L)),
       snap)
 
     def docStream = spark.readStream
@@ -313,6 +314,53 @@ class StreamingSpec extends SparkTestBase {
     Pipelines.incrDedupBatch(lastBatch, epochId = 0L, snap, out)
     assert(spark.read.parquet(out).count() == after2.count())
     assert(graft.engine.VersionedTable.versions(spark, snap).size == 3)
+
+    // crash-WINDOW replay: epoch-1 signatures are already committed
+    // but the marker regressed (crash between snapshot commit and
+    // marker write). The epoch-tagged gate must exclude the batch's
+    // own epoch-1 rows — without the filter the batch would match
+    // ITSELF, overwrite epoch=1 with an empty dataset, and silently
+    // destroy the landed docs
+    graft.engine.VersionedTable.atomicWrite(spark, out, "_LAST_EPOCH", "0")
+    Pipelines.incrDedupBatch(lastBatch, epochId = 1L, snap, out)
+    assert(spark.read.parquet(out).select($"doc_id").as[Long]
+      .collect().toSet == Set(11L, 13L),
+      "crash-window replay must reproduce the epoch output, not erase it")
+    assert(graft.engine.VersionedTable.read(spark, snap)
+      .select($"doc_id").distinct().as[Long].collect().toSet ==
+      Set(1L, 2L, 11L, 13L),
+      "replayed commit must rebuild the same snapshot content")
+  }
+
+  test("streaming incremental dedup: bootstraps an empty snapshot and gates short docs exactly") {
+    val src = tmp("graft_sidb_src")
+    val snap = tmp("graft_sidb_snap") // NO pre-committed version
+    val out = tmp("graft_sidb_out")
+    val ckpt = tmp("graft_sidb_ckpt")
+
+    def docStream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("recursiveFileLookup", "true")
+      .parquet(src)
+
+    // batch 1 against the EMPTY snapshot: everything must land,
+    // including the 1-token doc MinHash cannot shingle
+    Seq((1L, "solo"), (2L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text").write.parquet(s"$src/b1")
+    Pipelines.runStreamingIncrDedup(docStream, snap, out, ckpt)
+      .awaitTermination()
+    assert(spark.read.parquet(out).select($"doc_id").as[Long]
+      .collect().toSet == Set(1L, 2L), "bootstrap batch must land whole")
+
+    // batch 2: the short doc reappears — the degenerate exact band
+    // must catch it (it has no shingles to band on); a new doc lands
+    Seq((3L, "solo"), (4L, "eta theta iota kappa lambda mu"))
+      .toDF("doc_id", "text").write.parquet(s"$src/b2")
+    Pipelines.runStreamingIncrDedup(docStream, snap, out, ckpt)
+      .awaitTermination()
+    assert(spark.read.parquet(out).select($"doc_id").as[Long]
+      .collect().toSet == Set(1L, 2L, 4L),
+      "short-doc dup must be gated by its exact band")
   }
 
   test("maxFilesPerTrigger bounds each backfill micro-batch (rate-limited catch-up)") {
