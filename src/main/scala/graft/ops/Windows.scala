@@ -40,10 +40,14 @@ object Windows {
       .orderBy(col("o_totalprice").desc)
     Tables(spark, dir, "orders")
       .withColumn("rnk", rank().over(w))
+      // dense_rank beside rank: same window, no extra shuffle — ties
+      // collapse (no gaps), which is the top-N-PRICES-per-group face
+      // vs rank's top-N-ROWS
+      .withColumn("drnk", dense_rank().over(w))
       .filter(col("rnk") <= 5)
       .select(
         col("o_orderpriority"), col("o_orderkey"),
-        col("o_totalprice"), col("rnk"))
+        col("o_totalprice"), col("rnk"), col("drnk"))
       .orderBy(col("o_orderpriority"), col("rnk"), col("o_orderkey"))
   }
 
@@ -143,10 +147,12 @@ object Windows {
                                      ORDER BY ts DESC, event_id DESC) AS rn
            FROM events) WHERE rn <= 3 ORDER BY user_id, rn""",
     "q_window_rank" ->
-      """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk, drnk FROM (
            SELECT o_orderpriority, o_orderkey, o_totalprice,
                   CAST(rank() OVER (PARTITION BY o_orderpriority
-                               ORDER BY o_totalprice DESC) AS INT) AS rnk
+                               ORDER BY o_totalprice DESC) AS INT) AS rnk,
+                  CAST(dense_rank() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC) AS INT) AS drnk
            FROM orders) WHERE rnk <= 5
          ORDER BY o_orderpriority, rnk, o_orderkey""",
     "q_window_lag" ->

@@ -383,7 +383,9 @@ object Pipelines {
     *    (`Llm.mapOnlyBandedSignatures` — no aggregation state, legal
     *    under append semantics and zero stream-side shuffle);
     *  - the snapshot is READ, never rebuilt (same contract the batch
-    *    op proves via `snapshotSigPath` doctoring);
+    *    op proves via `snapshotSigPath` doctoring), and scanned
+    *    MAP-ONLY: the micro-batch side broadcasts into the gate join,
+    *    so no trigger ever shuffles the corpus-sized band table;
     *  - a band-key match is treated as a duplicate (banding recall at
     *    ingest; the rare false-positive drop is the documented
     *    tradeoff for not re-shingling the old corpus per batch — the
@@ -458,8 +460,14 @@ object Pipelines {
     }
     val gateBands = oldBands.filter(col("epoch") < epochId)
       .select(col("band_idx"), col("band_key"))
-    val dupIds = bands
-      .join(gateBands, Seq("band_idx", "band_key"), "left_semi")
+    // join ORIENTATION is the scale property: a left-semi of batch
+    // bands against the snapshot would build on (i.e. shuffle) the
+    // CORPUS-sized snapshot side every trigger. Inverted, the
+    // micro-batch — small by definition — broadcasts, and the
+    // snapshot is scanned MAP-ONLY: per-batch cost is one snapshot
+    // scan + a match-set shuffle, never a corpus shuffle
+    val dupIds = gateBands
+      .join(broadcast(bands), Seq("band_idx", "band_key"))
       .select(col("doc_id")).distinct()
     val survivors = batch.join(dupIds, Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
