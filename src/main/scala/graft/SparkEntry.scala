@@ -29,7 +29,8 @@ object SparkEntry {
     (StreamingOps.queries, StreamingOps.oracle),
     (Ml.queries, Ml.oracle),
     (Llm.queries, Llm.oracle),
-    (Advanced.queries, Advanced.oracle))
+    (Advanced.queries, Advanced.oracle),
+    (Quality.queries, Quality.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
