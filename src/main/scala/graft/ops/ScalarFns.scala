@@ -208,7 +208,34 @@ object ScalarFns {
       substring(col("c_name"), 1, 8).as("prefix"))
       .orderBy(col("c_custkey"))
 
+  /** Fuzzy entity resolution against a canonical dimension — the
+    * standardization step before any join on human-entered names
+    * (city/vendor/country strings at ingest): nearest canonical value
+    * by Levenshtein edit distance, deterministic tie-break on the
+    * candidate string. Here each nation resolves to its nearest OTHER
+    * nation, exercising the full pairwise matrix. Scale shape: the
+    * canonical dim is small by definition -> broadcast cross product
+    * dim x dim (or input x broadcast-dim at ingest), min-distance via
+    * one window; the INPUT side streams map-only against the
+    * broadcast. Both engines implement classic Levenshtein, so
+    * distances agree exactly. */
+  val fnFuzzyMatch: Q = (spark, dir) => {
+    val nations = Tables(spark, dir, "nation").select(col("n_name"))
+    val cand = nations.as("a")
+      .crossJoin(broadcast(nations.as("b")))
+      .filter(col("a.n_name") =!= col("b.n_name"))
+      .select(col("a.n_name").as("name"), col("b.n_name").as("cand"),
+        levenshtein(col("a.n_name"), col("b.n_name")).as("dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("name")).orderBy(col("dist"), col("cand"))
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("name"), col("cand").as("nearest"), col("dist"))
+      .orderBy(col("name"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_fn_fuzzy_match" -> fnFuzzyMatch,
     "q_fn_regex" -> fnRegex,
     "q_fn_string" -> fnString,
     "q_fn_ts_from_unix" -> fnTsFromUnix,
@@ -226,6 +253,16 @@ object ScalarFns {
     "q_fn_freshness" -> fnFreshness)
 
   val oracle: Map[String, String] = Map(
+    "q_fn_fuzzy_match" ->
+      """SELECT name, nearest, dist FROM (
+           SELECT a.n_name AS name, b.n_name AS nearest,
+                  CAST(levenshtein(a.n_name, b.n_name) AS INT) AS dist,
+                  row_number() OVER (
+                    PARTITION BY a.n_name
+                    ORDER BY levenshtein(a.n_name, b.n_name), b.n_name) AS rn
+           FROM nation a CROSS JOIN nation b
+           WHERE a.n_name <> b.n_name)
+         WHERE rn = 1 ORDER BY name""",
     "q_fn_freshness" ->
       """WITH g AS (SELECT max(ts) AS as_of FROM events),
               t AS (SELECT event_type, max(ts) AS latest
