@@ -1545,10 +1545,15 @@ object Llm {
     * decontamination faces. They share one oracle precisely because
     * this definition is identical; sharing the code makes that true
     * by construction instead of by parallel copies. */
+  /** Eval-slice membership — ONE definition for the gram tagging and
+    * the train spine (a drifted copy would report eval docs as
+    * never-contaminated train rows with no gate to catch it). */
+  private def isEvalExpr: org.apache.spark.sql.Column =
+    substring(md5(col("doc_id").cast("string")), 1, 1) === "f"
+
   private def evalTaggedGrams(spark: SparkSession, dir: String): DataFrame = {
     val docs = tokenized(spark, dir)
-      .withColumn("is_eval",
-        substring(md5(col("doc_id").cast("string")), 1, 1) === "f")
+      .withColumn("is_eval", isEvalExpr)
     val grams5 = expr(
       """array_distinct(transform(
            arrays_zip(slice(t, 1, greatest(size(t) - 4, 0)),
@@ -1563,11 +1568,7 @@ object Llm {
   /** Non-eval doc ids with the eval tag — the join-back spine both
     * decontamination faces report over. */
   private def trainDocIds(spark: SparkSession, dir: String): DataFrame =
-    tokenized(spark, dir)
-      .withColumn("is_eval",
-        substring(md5(col("doc_id").cast("string")), 1, 1) === "f")
-      .filter(!col("is_eval"))
-      .select(col("doc_id"))
+    tokenized(spark, dir).filter(!isEvalExpr).select(col("doc_id"))
 
   val decontaminate: Q = (spark, dir) => {
     val exploded = evalTaggedGrams(spark, dir)
@@ -1658,6 +1659,9 @@ object Llm {
       .agg(collect_list(col("e")).as("evs"))
     emb.filter(col("vec_id") % 10 =!= 0)
       .crossJoin(broadcast(evalRow))
+      // an EMPTY eval slice must yield zero report rows (the oracle's
+      // cross join against an empty relation), not all-null verdicts
+      .filter(size(col("evs")) > 0)
       .withColumn("max_raw",
         expr("array_max(transform(evs, v -> cosine_sim(e, v)))"))
       .select(

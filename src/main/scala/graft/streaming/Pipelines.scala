@@ -406,24 +406,35 @@ object Pipelines {
       sigSnapshotDir: String,
       outDir: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // the writer id scopes epoch tags to THIS checkpoint lineage (the
+    // Delta txn appId): a fresh checkpoint restarts epochs at 0, and
+    // an unscoped `epoch < 0` filter would both re-admit the whole
+    // corpus and drop every accumulated signature on its first commit
+    val writerId = checkpointDir
     newDocs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
-        incrDedupBatch(batch.toDF(), epochId, sigSnapshotDir, outDir)
+        incrDedupBatch(batch.toDF(), epochId, sigSnapshotDir, outDir, writerId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+  }
 
   /** Band signatures for EVERY document of a batch: the MinHash bands
     * for docs with >= 3 tokens, plus a degenerate EXACT band
     * (band_idx -1, key = xxhash64 of the raw text) for shorter docs —
     * shingleDocs necessarily drops them, and without any band they
-    * would bypass the gate entirely and re-land on every batch. */
+    * would bypass the gate entirely and re-land on every batch. The
+    * short filter is null-safe: a NULL-text doc counts as 0 tokens
+    * (xxhash64 folds NULL to its seed, so null-text and empty-text
+    * docs share one exact band — both are "no content" and dedup
+    * together). */
   private def allBands(batch: DataFrame): DataFrame =
     graft.ops.Llm.mapOnlyBandedSignatures(graft.ops.Llm.shingleDocs(batch))
       .unionByName(
-        batch.filter(size(split(col("text"), " ")) < 3)
+        batch.filter(
+          coalesce(size(split(col("text"), " ")), lit(0)) < 3)
           .select(col("doc_id"), lit(-1).as("band_idx"),
             xxhash64(col("text")).cast("string").as("band_key")))
 
@@ -436,29 +447,45 @@ object Pipelines {
     * commits its own old∪new basis) — give each stream its own
     * snapshot, or serialize them upstream.
     *
-    * Snapshot rows carry the EPOCH that admitted them (bootstrap /
-    * externally seeded rows: -1), and the gate only joins bands with
-    * `epoch < epochId`. That closes the replay crash window: a batch
-    * that crashed between the snapshot commit and the epoch marker is
-    * re-delivered with its own signatures already committed at
-    * `epoch == epochId` — the filter excludes them, the gate verdict
-    * reproduces exactly, the epoch-partition overwrite rewrites the
-    * same rows, and the re-commit (built on the `< epochId` base)
-    * re-produces the same snapshot content. Without the filter the
-    * replayed batch would match ITSELF, land an empty overwrite, and
-    * silently destroy the epoch's output. */
+    * Snapshot rows carry the (WRITER, EPOCH) transaction tag that
+    * admitted them — the Delta txn (appId, version) pattern, with the
+    * checkpoint lineage as the writer id; bootstrap / externally
+    * seeded / pre-upgrade rows read as ("seed", -1). The gate and the
+    * commit base exclude ONLY rows this writer tagged at
+    * `epoch >= epochId`. That closes the replay crash window — a
+    * batch re-delivered after a crash between snapshot commit and
+    * epoch marker no longer matches its own committed signatures
+    * (which emptied survivors and erased the landed epoch output) —
+    * WITHOUT the failure an unscoped `epoch < epochId` filter adds: a
+    * fresh checkpoint restarts epochs at 0, and unscoped filtering
+    * would both re-admit the whole corpus and drop every accumulated
+    * signature on its first commit. Another writer's rows are never
+    * excluded, and a new writer id starts with the full snapshot as
+    * its gate. */
   def incrDedupBatch(batch: DataFrame, epochId: Long,
-      sigSnapshotDir: String, outDir: String): Unit = {
+      sigSnapshotDir: String, outDir: String,
+      writerId: String = "default"): Unit = {
     val spark = batch.sparkSession
     if (lastEpoch(spark, outDir).exists(_ >= epochId)) return
     val bands = allBands(batch)
-    // bootstrap: a fresh snapshot dir means nothing to dedup against
+    // bootstrap: a fresh snapshot dir means nothing to dedup against;
+    // pre-upgrade / batch-op-seeded snapshots lack the txn columns
+    // and read as seed rows (never excluded)
     val oldBands = graft.engine.VersionedTable
       .currentVersion(spark, sigSnapshotDir) match {
-      case Some(_) => graft.engine.VersionedTable.read(spark, sigSnapshotDir)
-      case None => bands.limit(0).withColumn("epoch", lit(-1L))
+      case Some(_) =>
+        val read = graft.engine.VersionedTable.read(spark, sigSnapshotDir)
+        val withWriter =
+          if (read.columns.contains("writer")) read
+          else read.withColumn("writer", lit("seed"))
+        if (withWriter.columns.contains("epoch")) withWriter
+        else withWriter.withColumn("epoch", lit(-1L))
+      case None =>
+        bands.withColumn("writer", lit("seed"))
+          .withColumn("epoch", lit(-1L)).limit(0)
     }
-    val gateBands = oldBands.filter(col("epoch") < epochId)
+    val mine = col("writer") === writerId && col("epoch") >= epochId
+    val gateBands = oldBands.filter(!mine)
       .select(col("band_idx"), col("band_key"))
     // join ORIENTATION is the scale property: a left-semi of batch
     // bands against the snapshot would build on (i.e. shuffle) the
@@ -481,11 +508,15 @@ object Pipelines {
       if (!survivors.isEmpty) {
         // an all-duplicate batch adds no signatures — skip the
         // full-snapshot rewrite instead of churning a byte-identical
-        // version per mostly-duplicate trigger
-        val newBands = allBands(survivors).withColumn("epoch", lit(epochId))
+        // version per mostly-duplicate trigger. allowEvolution: the
+        // txn columns are an additive migration over pre-upgrade
+        // snapshots.
+        val newBands = allBands(survivors)
+          .withColumn("writer", lit(writerId))
+          .withColumn("epoch", lit(epochId))
         graft.engine.VersionedTable.commit(
-          oldBands.filter(col("epoch") < epochId).unionByName(newBands),
-          sigSnapshotDir)
+          oldBands.filter(!mine).unionByName(newBands),
+          sigSnapshotDir, allowEvolution = true)
       }
       writeEpochMarker(spark, outDir, epochId)
     } finally survivors.unpersist()

@@ -100,7 +100,7 @@ class PropertiesSpec extends SparkTestBase {
   test("bloom probe admits every member for arbitrary insert sets (no false negatives)") {
     val setGen = Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue))
       .map(_.distinct)
-    check("bloom-no-false-negatives", Prop.forAll(setGen) { vals =>
+    try check("bloom-no-false-negatives", Prop.forAll(setGen) { vals =>
       val f = org.apache.spark.util.sketch.BloomFilter
         .create(math.max(vals.size.toLong, 1L), 0.01)
       vals.foreach(f.putLong)
@@ -111,5 +111,9 @@ class PropertiesSpec extends SparkTestBase {
         .count()
       admitted == vals.size.toLong
     })
+    // each trial registered a content-keyed temp function in the
+    // SHARED session — drop them so the suite doesn't accrete ~100
+    // dead sketch-byte closures (the leak unregisterAll exists for)
+    finally graft.functions.BloomMightContain.unregisterAll(spark)
   }
 }

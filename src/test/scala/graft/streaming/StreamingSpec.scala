@@ -267,10 +267,11 @@ class StreamingSpec extends SparkTestBase {
 
     // yesterday's corpus: docs 1 (textA) and 2 (textB), signatures
     // persisted as a VersionedTable — the snapshot the stream gates on
+    // seed WITHOUT the (writer, epoch) txn columns — the batch-op /
+    // pre-upgrade snapshot shape; the gate must migrate it in place
     val oldDocs = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
     graft.engine.VersionedTable.commit(
-      graft.ops.Llm.mapOnlyBandedSignatures(graft.ops.Llm.shingleDocs(oldDocs))
-        .withColumn("epoch", lit(-1L)),
+      graft.ops.Llm.mapOnlyBandedSignatures(graft.ops.Llm.shingleDocs(oldDocs)),
       snap)
 
     def docStream = spark.readStream
@@ -311,18 +312,19 @@ class StreamingSpec extends SparkTestBase {
     // replay the last epoch against the same out dir: the epoch guard
     // makes it a no-op (no duplicate rows, no new snapshot version)
     val lastBatch = Seq((12L, textC), (13L, textD)).toDF("doc_id", "text")
-    Pipelines.incrDedupBatch(lastBatch, epochId = 0L, snap, out)
+    Pipelines.incrDedupBatch(lastBatch, epochId = 0L, snap, out, ckpt)
     assert(spark.read.parquet(out).count() == after2.count())
     assert(graft.engine.VersionedTable.versions(spark, snap).size == 3)
 
     // crash-WINDOW replay: epoch-1 signatures are already committed
     // but the marker regressed (crash between snapshot commit and
-    // marker write). The epoch-tagged gate must exclude the batch's
-    // own epoch-1 rows — without the filter the batch would match
-    // ITSELF, overwrite epoch=1 with an empty dataset, and silently
-    // destroy the landed docs
+    // marker write). The writer-scoped txn tag must exclude the
+    // batch's OWN epoch-1 rows — without the filter the batch would
+    // match ITSELF, overwrite epoch=1 with an empty dataset, and
+    // silently destroy the landed docs. Same writerId (= checkpoint)
+    // as the stream, exactly what a restarted query presents.
     graft.engine.VersionedTable.atomicWrite(spark, out, "_LAST_EPOCH", "0")
-    Pipelines.incrDedupBatch(lastBatch, epochId = 1L, snap, out)
+    Pipelines.incrDedupBatch(lastBatch, epochId = 1L, snap, out, ckpt)
     assert(spark.read.parquet(out).select($"doc_id").as[Long]
       .collect().toSet == Set(11L, 13L),
       "crash-window replay must reproduce the epoch output, not erase it")
@@ -344,13 +346,15 @@ class StreamingSpec extends SparkTestBase {
       .parquet(src)
 
     // batch 1 against the EMPTY snapshot: everything must land,
-    // including the 1-token doc MinHash cannot shingle
-    Seq((1L, "solo"), (2L, "alpha beta gamma delta epsilon zeta"))
+    // including the 1-token doc MinHash cannot shingle and the
+    // NULL-text doc neither path could band before the null-safe fix
+    Seq((1L, "solo"), (2L, "alpha beta gamma delta epsilon zeta"),
+      (7L, null.asInstanceOf[String]))
       .toDF("doc_id", "text").write.parquet(s"$src/b1")
     Pipelines.runStreamingIncrDedup(docStream, snap, out, ckpt)
       .awaitTermination()
     assert(spark.read.parquet(out).select($"doc_id").as[Long]
-      .collect().toSet == Set(1L, 2L), "bootstrap batch must land whole")
+      .collect().toSet == Set(1L, 2L, 7L), "bootstrap batch must land whole")
 
     // batch 2: the short doc reappears — the degenerate exact band
     // must catch it (it has no shingles to band on); a new doc lands
@@ -359,8 +363,35 @@ class StreamingSpec extends SparkTestBase {
     Pipelines.runStreamingIncrDedup(docStream, snap, out, ckpt)
       .awaitTermination()
     assert(spark.read.parquet(out).select($"doc_id").as[Long]
-      .collect().toSet == Set(1L, 2L, 4L),
+      .collect().toSet == Set(1L, 2L, 4L, 7L),
       "short-doc dup must be gated by its exact band")
+
+    // a FRESH checkpoint against the SAME snapshot — epoch ids restart
+    // at 0. The writer-scoped txn tag must keep every accumulated
+    // signature in the gate (an unscoped `epoch < 0` filter would
+    // re-admit the whole corpus and then DROP all accreted signatures
+    // from its first commit): re-sent docs gate as dups, including a
+    // second null-text doc, and only the genuinely novel doc lands
+    val src2 = tmp("graft_sidb_src2")
+    val out2 = tmp("graft_sidb_out2")
+    val ckpt2 = tmp("graft_sidb_ckpt2")
+    def docStream2 = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("recursiveFileLookup", "true")
+      .parquet(src2)
+    Seq((5L, "solo"), (6L, "nu xi omicron pi rho sigma"),
+      (8L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text").write.parquet(s"$src2/b1")
+    Pipelines.runStreamingIncrDedup(docStream2, snap, out2, ckpt2)
+      .awaitTermination()
+    assert(spark.read.parquet(out2).select($"doc_id").as[Long]
+      .collect().toSet == Set(6L),
+      "a new writer must gate against the full accumulated snapshot")
+    // and the snapshot retained the first writer's signatures: doc 1's
+    // exact band is still present for yet another writer
+    val bands = graft.engine.VersionedTable.read(spark, snap)
+    assert(bands.filter($"band_idx" === -1).count() >= 2,
+      "accreted exact bands must survive the new writer's commit")
   }
 
   test("maxFilesPerTrigger bounds each backfill micro-batch (rate-limited catch-up)") {
