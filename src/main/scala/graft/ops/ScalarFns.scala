@@ -173,6 +173,26 @@ object ScalarFns {
       get_json_object(col("props"), "$.k").cast("int").as("k"))
       .orderBy(col("event_id"))
 
+  /** Spark 4 VARIANT path over the same semi-structured column: parse
+    * once into the binary VARIANT encoding, then typed `variant_get`
+    * extraction — the lakehouse answer to schemaless JSON at scale
+    * (parse cost paid once per row, downstream extractions are
+    * navigation over the binary form, not re-parsing; shredding makes
+    * them column reads). Aggregated per event_type so the oracle
+    * compares the EXTRACTED VALUES' semantics, not the encoding:
+    * variant extraction and DuckDB's JSON operator must agree on
+    * every row for the sums to hash-match. */
+  val fnVariant: Q = (spark, dir) =>
+    Tables(spark, dir, "events")
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_k"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
   /** F7: freshness check. The reference compares `now() - max_date`
     * against a threshold (`app.py:126-137`); wall-clock `now()` can't
     * hash-match an oracle, so the engine face measures each source's
@@ -236,6 +256,7 @@ object ScalarFns {
 
   val queries: Map[String, Q] = Map(
     "q_fn_fuzzy_match" -> fnFuzzyMatch,
+    "q_fn_variant" -> fnVariant,
     "q_fn_regex" -> fnRegex,
     "q_fn_string" -> fnString,
     "q_fn_ts_from_unix" -> fnTsFromUnix,
@@ -253,6 +274,12 @@ object ScalarFns {
     "q_fn_freshness" -> fnFreshness)
 
   val oracle: Map[String, String] = Map(
+    "q_fn_variant" ->
+      """SELECT event_type,
+                CAST(count(CAST(props->>'$.k' AS INT)) AS BIGINT) AS n_k,
+                CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+                CAST(max(CAST(props->>'$.k' AS INT)) AS INT) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_fn_fuzzy_match" ->
       """SELECT name, nearest, dist FROM (
            SELECT a.n_name AS name, b.n_name AS nearest,
