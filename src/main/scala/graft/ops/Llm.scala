@@ -1540,17 +1540,17 @@ object Llm {
     * collide on common phrases (probed 419/469 false flags at 3,
     * 1/469 at 5 on the fixtures), and published decontamination
     * pipelines use 8-13-gram overlap for the same reason. */
-  /** (doc_id, is_eval, g) exploded distinct 5-grams with the
-    * md5-bucket eval tag — THE shared front half of both n-gram
-    * decontamination faces. They share one oracle precisely because
-    * this definition is identical; sharing the code makes that true
-    * by construction instead of by parallel copies. */
   /** Eval-slice membership — ONE definition for the gram tagging and
     * the train spine (a drifted copy would report eval docs as
     * never-contaminated train rows with no gate to catch it). */
   private def isEvalExpr: org.apache.spark.sql.Column =
     substring(md5(col("doc_id").cast("string")), 1, 1) === "f"
 
+  /** (doc_id, is_eval, g) exploded distinct 5-grams with the
+    * md5-bucket eval tag — THE shared front half of both n-gram
+    * decontamination faces. They share one oracle precisely because
+    * this definition is identical; sharing the code makes that true
+    * by construction instead of by parallel copies. */
   private def evalTaggedGrams(spark: SparkSession, dir: String): DataFrame = {
     val docs = tokenized(spark, dir)
       .withColumn("is_eval", isEvalExpr)

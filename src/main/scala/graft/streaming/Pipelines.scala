@@ -352,16 +352,14 @@ object Pipelines {
     writeEpochMarker(spark, servingDir, epochId)
   }
 
-  private def epochPath(dir: String) =
-    new org.apache.hadoop.fs.Path(dir, "_LAST_EPOCH")
-
-  /** Last epoch applied to `servingDir`, if any. */
-  def lastEpoch(spark: SparkSession, servingDir: String): Option[Long] = {
-    val f = epochPath(servingDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(epochPath(servingDir))) None
+  /** Last epoch applied to `servingDir` under `marker`, if any. */
+  def lastEpoch(spark: SparkSession, servingDir: String,
+      marker: String = "_LAST_EPOCH"): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(servingDir, marker)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) None
     else {
-      val in = f.open(epochPath(servingDir))
+      val in = f.open(p)
       try Some(new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
       finally in.close()
@@ -369,9 +367,9 @@ object Pipelines {
   }
 
   private def writeEpochMarker(spark: SparkSession, servingDir: String,
-      epochId: Long): Unit =
+      epochId: Long, marker: String = "_LAST_EPOCH"): Unit =
     graft.engine.VersionedTable.atomicWrite(
-      spark, servingDir, "_LAST_EPOCH", epochId.toString)
+      spark, servingDir, marker, epochId.toString)
 
   /** Streaming incremental near-dup dedup — the ingest-time face of
     * `q_llm_dedup_incremental`: every micro-batch of crawled documents
@@ -410,8 +408,13 @@ object Pipelines {
     // the writer id scopes epoch tags to THIS checkpoint lineage (the
     // Delta txn appId): a fresh checkpoint restarts epochs at 0, and
     // an unscoped `epoch < 0` filter would both re-admit the whole
-    // corpus and drop every accumulated signature on its first commit
-    val writerId = checkpointDir
+    // corpus and drop every accumulated signature on its first commit.
+    // The id is a token PERSISTED INSIDE the checkpoint dir, not the
+    // path string: deleting/recreating the checkpoint mints a new
+    // lineage (path reuse can't collide with the dead one), and two
+    // spellings of the same dir resolve to the same token (a replay
+    // can't dodge its own exclusion filter).
+    val writerId = writerToken(newDocs.sparkSession, checkpointDir)
     newDocs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
         incrDedupBatch(batch.toDF(), epochId, sigSnapshotDir, outDir, writerId)
@@ -421,22 +424,40 @@ object Pipelines {
       .start()
   }
 
+  /** Writer lineage token, persisted inside the checkpoint dir (read
+    * on reuse, minted on first use) — see runStreamingIncrDedup. */
+  def writerToken(spark: SparkSession, checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir, "_GRAFT_WRITER_ID")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) {
+      val in = f.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    } else {
+      val id = java.util.UUID.randomUUID().toString
+      graft.engine.VersionedTable.atomicWrite(
+        spark, checkpointDir, "_GRAFT_WRITER_ID", id)
+      id
+    }
+  }
+
   /** Band signatures for EVERY document of a batch: the MinHash bands
     * for docs with >= 3 tokens, plus a degenerate EXACT band
-    * (band_idx -1, key = xxhash64 of the raw text) for shorter docs —
-    * shingleDocs necessarily drops them, and without any band they
-    * would bypass the gate entirely and re-land on every batch. The
-    * short filter is null-safe: a NULL-text doc counts as 0 tokens
-    * (xxhash64 folds NULL to its seed, so null-text and empty-text
-    * docs share one exact band — both are "no content" and dedup
-    * together). */
+    * (band_idx -1, key = xxhash64 of the COALESCED text) for shorter
+    * docs — shingleDocs necessarily drops them, and without any band
+    * they would bypass the gate entirely and re-land on every batch.
+    * The short filter is null-safe (a NULL-text doc counts as 0
+    * tokens) and the key coalesces NULL to "", so null-text and
+    * empty-text docs genuinely share one "no content" exact band. */
   private def allBands(batch: DataFrame): DataFrame =
     graft.ops.Llm.mapOnlyBandedSignatures(graft.ops.Llm.shingleDocs(batch))
       .unionByName(
         batch.filter(
           coalesce(size(split(col("text"), " ")), lit(0)) < 3)
           .select(col("doc_id"), lit(-1).as("band_idx"),
-            xxhash64(col("text")).cast("string").as("band_key")))
+            xxhash64(coalesce(col("text"), lit("")))
+              .cast("string").as("band_key")))
 
   /** The per-batch gate behind [[runStreamingIncrDedup]].
     *
@@ -466,7 +487,12 @@ object Pipelines {
       sigSnapshotDir: String, outDir: String,
       writerId: String = "default"): Unit = {
     val spark = batch.sparkSession
-    if (lastEpoch(spark, outDir).exists(_ >= epochId)) return
+    // the skip marker AND the output partition are writer-scoped like
+    // the snapshot tags: a new lineage reusing this outDir must not
+    // skip its restarted epochs against the dead lineage's marker,
+    // nor overwrite the dead lineage's epoch partitions
+    if (lastEpoch(spark, outDir, s"_LAST_EPOCH_$writerId")
+        .exists(_ >= epochId)) return
     val bands = allBands(batch)
     // bootstrap: a fresh snapshot dir means nothing to dedup against;
     // pre-upgrade / batch-op-seeded snapshots lack the txn columns
@@ -499,12 +525,12 @@ object Pipelines {
     val survivors = batch.join(dupIds, Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // per-epoch partition dir + overwrite => a replayed epoch
-      // rewrites the SAME rows in the SAME place (idempotent even in
-      // the crash window between this write and the marker); readers
-      // partition-discover `epoch=*` under outDir
-      survivors.drop("epoch").write.mode("overwrite")
-        .parquet(s"$outDir/epoch=$epochId")
+      // per-(writer, epoch) partition dir + overwrite => a replayed
+      // epoch rewrites the SAME rows in the SAME place (idempotent
+      // even in the crash window between this write and the marker);
+      // readers partition-discover `writer=*/epoch=*` under outDir
+      survivors.drop("writer").drop("epoch").write.mode("overwrite")
+        .parquet(s"$outDir/writer=$writerId/epoch=$epochId")
       if (!survivors.isEmpty) {
         // an all-duplicate batch adds no signatures — skip the
         // full-snapshot rewrite instead of churning a byte-identical
@@ -518,7 +544,7 @@ object Pipelines {
           oldBands.filter(!mine).unionByName(newBands),
           sigSnapshotDir, allowEvolution = true)
       }
-      writeEpochMarker(spark, outDir, epochId)
+      writeEpochMarker(spark, outDir, epochId, s"_LAST_EPOCH_$writerId")
     } finally survivors.unpersist()
   }
 

@@ -311,8 +311,9 @@ class StreamingSpec extends SparkTestBase {
 
     // replay the last epoch against the same out dir: the epoch guard
     // makes it a no-op (no duplicate rows, no new snapshot version)
+    val writer = Pipelines.writerToken(spark, ckpt)
     val lastBatch = Seq((12L, textC), (13L, textD)).toDF("doc_id", "text")
-    Pipelines.incrDedupBatch(lastBatch, epochId = 0L, snap, out, ckpt)
+    Pipelines.incrDedupBatch(lastBatch, epochId = 0L, snap, out, writer)
     assert(spark.read.parquet(out).count() == after2.count())
     assert(graft.engine.VersionedTable.versions(spark, snap).size == 3)
 
@@ -321,10 +322,12 @@ class StreamingSpec extends SparkTestBase {
     // marker write). The writer-scoped txn tag must exclude the
     // batch's OWN epoch-1 rows — without the filter the batch would
     // match ITSELF, overwrite epoch=1 with an empty dataset, and
-    // silently destroy the landed docs. Same writerId (= checkpoint)
-    // as the stream, exactly what a restarted query presents.
-    graft.engine.VersionedTable.atomicWrite(spark, out, "_LAST_EPOCH", "0")
-    Pipelines.incrDedupBatch(lastBatch, epochId = 1L, snap, out, ckpt)
+    // silently destroy the landed docs. Same writer token (read from
+    // the checkpoint) as the stream, exactly what a restarted query
+    // presents.
+    graft.engine.VersionedTable.atomicWrite(
+      spark, out, s"_LAST_EPOCH_$writer", "0")
+    Pipelines.incrDedupBatch(lastBatch, epochId = 1L, snap, out, writer)
     assert(spark.read.parquet(out).select($"doc_id").as[Long]
       .collect().toSet == Set(11L, 13L),
       "crash-window replay must reproduce the epoch output, not erase it")
@@ -392,6 +395,24 @@ class StreamingSpec extends SparkTestBase {
     val bands = graft.engine.VersionedTable.read(spark, snap)
     assert(bands.filter($"band_idx" === -1).count() >= 2,
       "accreted exact bands must survive the new writer's commit")
+
+    // fresh checkpoint reusing the SAME outDir: the restarted epoch 0
+    // must neither be skipped against the dead lineage's marker nor
+    // clobber its epoch partitions — writer-scoped markers and
+    // writer=<id>/epoch=<n> output partitions keep lineages disjoint
+    val src3 = tmp("graft_sidb_src3")
+    val ckpt3 = tmp("graft_sidb_ckpt3")
+    def docStream3 = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("recursiveFileLookup", "true")
+      .parquet(src3)
+    Seq((9L, "tau upsilon phi chi psi omega"))
+      .toDF("doc_id", "text").write.parquet(s"$src3/b1")
+    Pipelines.runStreamingIncrDedup(docStream3, snap, out, ckpt3)
+      .awaitTermination()
+    assert(spark.read.parquet(out).select($"doc_id").as[Long]
+      .collect().toSet == Set(1L, 2L, 4L, 7L, 9L),
+      "outDir reuse: old lineage's epochs must survive and the new batch must land")
   }
 
   test("maxFilesPerTrigger bounds each backfill micro-batch (rate-limited catch-up)") {
