@@ -1671,6 +1671,43 @@ object Llm {
       .orderBy(col("vec_id"))
   }
 
+  /** Corpus DISTRIBUTION-DRIFT report — the monitoring step a nightly
+    * crawl refresh runs before admitting a batch: compare the new
+    * batch's unigram distribution against the existing corpus and
+    * surface the tokens whose frequency share moved most. A sudden
+    * drift spike means the crawl frontier changed (new spam cluster,
+    * a site rewrite, an encoding bug) and the batch needs a human
+    * before it trains anything. Slices reuse `incrBatchPred` so the
+    * drift face monitors exactly the batch the incremental-dedup face
+    * admits.
+    *
+    * Scale shape: two map-only token explodes into ONE token-keyed
+    * aggregate each (conditional counts — one shuffle), a token join
+    * of the two SMALL aggregate outputs (vocab-sized, not
+    * corpus-sized), and a top-k. Shares are single integer divisions
+    * and the delta one subtraction — bitwise identical on both
+    * engines, so the top-20 order is stable cross-engine. */
+  val corpusDrift: Q = (spark, dir) => {
+    val toks = tokenized(spark, dir)
+      .select(col("doc_id"), explode(col("t")).as("token"))
+      .withColumn("is_new", incrBatchPred)
+    val counts = toks.groupBy(col("token")).agg(
+      sum(when(!col("is_new"), 1L).otherwise(0L)).as("c_base"),
+      sum(when(col("is_new"), 1L).otherwise(0L)).as("c_new"))
+    val totals = counts.agg(
+      sum(col("c_base")).as("t_base"), sum(col("c_new")).as("t_new"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("share_base", col("c_base") * lit(1.0) / col("t_base"))
+      .withColumn("share_new", col("c_new") * lit(1.0) / col("t_new"))
+      .withColumn("delta", col("share_new") - col("share_base"))
+      .orderBy(abs(col("delta")).desc, col("token"))
+      .limit(20)
+      .select(col("token"),
+        round(col("share_base"), 6).as("share_base"),
+        round(col("share_new"), 6).as("share_new"),
+        round(col("delta"), 6).as("delta"))
+  }
+
   /** Deterministic corpus mixing: per-source keep-rates (the reweight
     * step after source_stats says which sources to up/down-sample).
     * Membership is decided by an md5 bucket of the doc id against a
@@ -1925,6 +1962,7 @@ object Llm {
     "q_llm_decontam_bloom" -> decontamBloom,
     "q_llm_decontam_semantic" -> decontamSemantic,
     "q_llm_curate_pipeline" -> curatePipeline,
+    "q_llm_corpus_drift" -> corpusDrift,
     "q_llm_corpus_mix" -> corpusMix,
     "q_llm_chunk_dedup" -> chunkDedup,
     "q_mm_binary_meta" -> mmBinaryMeta,
@@ -2417,6 +2455,25 @@ object Llm {
     // the bloom prefilter only prunes work — the result contract is
     // bitwise the exact pipeline's, so the SAME oracle gates it
     "q_llm_decontam_bloom" -> decontamOracleSql,
+    "q_llm_corpus_drift" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         c AS (
+           SELECT token,
+                  sum(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END) AS c_base,
+                  sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS c_new
+           FROM toks GROUP BY token),
+         t AS (SELECT sum(c_base) AS t_base, sum(c_new) AS t_new FROM c)
+         SELECT token,
+                round(CAST(c_base AS DOUBLE) / t_base, 6) AS share_base,
+                round(CAST(c_new AS DOUBLE) / t_new, 6) AS share_new,
+                round(CAST(c_new AS DOUBLE) / t_new
+                      - CAST(c_base AS DOUBLE) / t_base, 6) AS delta
+         FROM c CROSS JOIN t
+         ORDER BY abs(CAST(c_new AS DOUBLE) / t_new
+                      - CAST(c_base AS DOUBLE) / t_base) DESC, token
+         LIMIT 20""",
     "q_llm_decontam_semantic" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                     FROM embeddings),
