@@ -231,6 +231,12 @@ object ScaleProbe {
       // shape (fixed benchmark suite) is linear — the probe documents
       // the former, the op doc claims only the latter
       time("decontam semantic") { Llm.decontamSemantic(spark, dst) }
+      // round-5 late batch: the drift report's token aggregate (one
+      // shuffle, vocab-sized join), the DQ report's six independent
+      // scans, and the variant parse — all expected flat-to-linear
+      time("corpus drift") { Llm.corpusDrift(spark, dst) }
+      time("dq report") { graft.ops.Quality.dqReport(spark, dst) }
+      time("variant extract") { graft.ops.ScalarFns.fnVariant(spark, dst) }
 
       // AQE skew-join probe: join the deliberately-skewed
       // events.user_id WITHOUT salting and assert AQE's skew-join
