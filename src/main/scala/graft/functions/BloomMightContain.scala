@@ -73,16 +73,17 @@ object BloomMightContain {
     * bridge is a per-sketch temp-function registration whose builder
     * closes over the bytes, invoked through the public
     * `call_function` — the same registry seam CosineSimilarity/ZOrder
-    * use. The name keys on the sketch content hash, so re-registering
-    * the same sketch is idempotent and two live sketches in one
-    * session never collide (modulo a 32-bit content-hash collision
-    * between simultaneously-live sketches). */
+    * use. The name keys on a 128-bit prefix of the sketch's SHA-256,
+    * so re-registering the same sketch is idempotent and two
+    * simultaneously-live distinct sketches cannot practically
+    * collide. */
   def apply(spark: SparkSession, digest: Column, filter: BloomFilter): Column = {
     val bos = new java.io.ByteArrayOutputStream()
     filter.writeTo(bos)
     val bytes = bos.toByteArray
+    val sha = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
     val name = "graft_bloom_mc_" +
-      java.lang.Integer.toHexString(java.util.Arrays.hashCode(bytes))
+      sha.take(16).map(b => f"$b%02x").mkString
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name,
       { exprs: Seq[Expression] =>

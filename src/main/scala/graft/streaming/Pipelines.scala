@@ -435,10 +435,25 @@ object Pipelines {
         java.nio.charset.StandardCharsets.UTF_8).trim
       finally in.close()
     } else {
+      // create-exclusive claim: two queries racing a fresh checkpoint
+      // dir (Spark forbids this, but misuse shouldn't split a
+      // lineage) both attempt the mint; exactly one create(p, false)
+      // wins, and the loser adopts the winner's token by re-reading.
       val id = java.util.UUID.randomUUID().toString
-      graft.engine.VersionedTable.atomicWrite(
-        spark, checkpointDir, "_GRAFT_WRITER_ID", id)
-      id
+      f.mkdirs(p.getParent)
+      try {
+        val out = f.create(p, false)
+        try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        id
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+            _: java.io.IOException if f.exists(p) =>
+          val in = f.open(p)
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          finally in.close()
+      }
     }
   }
 
@@ -510,7 +525,12 @@ object Pipelines {
         bands.withColumn("writer", lit("seed"))
           .withColumn("epoch", lit(-1L)).limit(0)
     }
-    val mine = col("writer") === writerId && col("epoch") >= epochId
+    // null-safe: an externally seeded snapshot may carry the txn
+    // COLUMNS with null VALUES — those are seed rows, and a raw
+    // three-valued `!mine` would silently drop them from both the
+    // gate and the commit base (losing signatures)
+    val mine = coalesce(col("writer"), lit("seed")) === writerId &&
+      coalesce(col("epoch"), lit(-1L)) >= epochId
     val gateBands = oldBands.filter(!mine)
       .select(col("band_idx"), col("band_key"))
     // join ORIENTATION is the scale property: a left-semi of batch

@@ -48,15 +48,16 @@ class BloomMightContainSpec extends SparkTestBase {
     val df = (0L until 3100L).toDF("h")
     val pred = BloomMightContain(spark, col("h"), sketch)
     val viaCodegen = df.filter(pred).as[Long].collect().toSet
-    val old = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    val oldFactory = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    val oldWhole = spark.conf.get("spark.sql.codegen.wholeStage", "true")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try {
       val viaInterp = df.filter(pred).as[Long].collect().toSet
       assert(viaCodegen == viaInterp)
     } finally {
-      spark.conf.set("spark.sql.codegen.wholeStage", "true")
-      spark.conf.set("spark.sql.codegen.factoryMode", old)
+      spark.conf.set("spark.sql.codegen.wholeStage", oldWhole)
+      spark.conf.set("spark.sql.codegen.factoryMode", oldFactory)
     }
   }
 
