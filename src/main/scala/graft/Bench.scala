@@ -103,7 +103,16 @@ object Bench {
     val rr = reruns.map { case (k, obj) => s"\"" + k + "\":" + obj }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"reruns":$rr,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"reruns":$rr,"sf":"$sfDir","total_s":$total,"n_entries":${ok.size}}"""
+    println(json)
+    // the stdout capture truncates long lines (round 5's BENCH JSON
+    // lost its tail) — persist the full record as its own artifact so
+    // the per-query map survives end-to-end
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"BENCH artifact write failed: $e") }
     spark.stop()
   }
 }

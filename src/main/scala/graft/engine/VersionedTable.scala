@@ -114,14 +114,38 @@ object VersionedTable {
     val f = fs(spark, dir)
     val tmp = new Path(dir,
       s".$name.tmp${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = f.create(tmp, true)
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(
-        f.getUri, spark.sparkContext.hadoopConfiguration)
-      .rename( // throws on failure — no silently-dropped boolean
-        f.makeQualified(tmp), f.makeQualified(new Path(dir, name)),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    f match {
+      case l: org.apache.hadoop.fs.LocalFileSystem =>
+        // RAW local fs, bypassing the checksum layer: ChecksumFs
+        // renames data THEN crc as two steps, so two concurrent
+        // writers of the same metadata file can interleave — one
+        // writer's crc lands over the other's data, and every later
+        // read throws ChecksumException until the next write (the
+        // round-6 soak surfaced exactly this, plus the sidecar's
+        // FileAlreadyExists). The raw rename is one POSIX rename —
+        // atomic replace. These are tiny single-block text files;
+        // crc protection buys nothing here. On HDFS the namenode
+        // serializes the rename and checksums live in the blocks.
+        val raw = l.getRaw
+        val out = raw.create(tmp, true)
+        try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        // heal any legacy checksum sidecar so a ChecksumFs read never
+        // validates fresh raw-written content against a stale crc
+        raw.delete(new Path(dir, s".$name.crc"), false)
+        if (!raw.rename(tmp, new Path(dir, name)))
+          throw new java.io.IOException(
+            s"atomic rename of $tmp -> $name failed")
+      case _ =>
+        val out = f.create(tmp, true)
+        try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        org.apache.hadoop.fs.FileContext.getFileContext(
+            f.getUri, spark.sparkContext.hadoopConfiguration)
+          .rename( // throws on failure — no silently-dropped boolean
+            f.makeQualified(tmp), f.makeQualified(new Path(dir, name)),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
 
   private def writeSummary(spark: SparkSession, dir: String, s: Summary): Unit =
@@ -332,6 +356,34 @@ object VersionedTable {
     -1L // unreachable
   }
 
+  /** Read-modify-write commit: `derive` builds the next snapshot FROM
+    * the current one (None when the table is empty), and a conflict
+    * retries the WHOLE derivation against the freshly-advanced base —
+    * the losing writer's union re-reads the winner's rows instead of
+    * re-committing a stale basis. This is the primitive concurrent
+    * read-union-commit cycles need: `commitRetrying` re-commits the
+    * SAME df, which is exactly the lost-update shape when the df was
+    * derived from a version that just lost the race. The base passed
+    * to `derive` is PINNED to the version read (time travel), so a
+    * committer advancing mid-derivation cannot tear the basis. */
+  def commitMerge(spark: SparkSession, dir: String,
+      maxAttempts: Int = 10, allowEvolution: Boolean = false)(
+      derive: Option[DataFrame] => DataFrame): Long = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = currentVersion(spark, dir)
+      val df = derive(cur.map(v => read(spark, dir, Some(v))))
+      val next = cur.map(_ + 1).getOrElse(0L)
+      try return commitExact(df, dir, next, allowEvolution)
+      catch {
+        case _: ConcurrentCommitException if attempt < maxAttempts =>
+          Thread.sleep(attempt * 100L)
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Newest mtime anywhere in a stage tree, or None if the tree
     * vanished between the caller's listing and this walk — its
     * committer renamed it to v<N> (publish). A vanished stage dir is
@@ -348,7 +400,17 @@ object VersionedTable {
       val it = f.listFiles(p, true)
       while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
       Some(newest)
-    } catch { case _: java.io.FileNotFoundException => None }
+    } catch {
+      case _: java.io.FileNotFoundException => None
+      // local-FS wrinkle: a file vanishing between the listing and
+      // its permission stat surfaces as a shell RuntimeException, not
+      // FileNotFound (the stat shells out to `ls`). Either way the
+      // tree is being actively renamed/deleted — by definition not an
+      // orphan; skip it this cycle rather than crash the vacuum
+      case e: RuntimeException
+          if Option(e.getMessage).exists(_.contains("file permissions")) =>
+        None
+    }
 
   /** Delete orphaned staged snapshots (`.stage_v*`) older than
     * `olderThanMs` — the Delta/Iceberg VACUUM role for this format's

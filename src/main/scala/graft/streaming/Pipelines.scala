@@ -560,9 +560,24 @@ object Pipelines {
         val newBands = allBands(survivors)
           .withColumn("writer", lit(writerId))
           .withColumn("epoch", lit(epochId))
-        graft.engine.VersionedTable.commit(
-          oldBands.filter(!mine).unionByName(newBands),
-          sigSnapshotDir, allowEvolution = true)
+        // read-modify-write with RE-DERIVATION (commitMerge): the
+        // commit base is re-read from the snapshot's latest version
+        // per attempt, so a concurrent writer's rows (another stream,
+        // or the batch face's advanceIncrSnapshot) survive the union
+        // instead of being erased by a base read before they landed.
+        // The GATE legitimately used the trigger-start snapshot —
+        // a doc admitted just before a racing advance is the banding
+        // recall tradeoff, not a lost update.
+        graft.engine.VersionedTable.commitMerge(
+          spark, sigSnapshotDir, allowEvolution = true) { baseOpt =>
+          val base = baseOpt.map { b =>
+            val w = if (b.columns.contains("writer")) b
+              else b.withColumn("writer", lit("seed"))
+            if (w.columns.contains("epoch")) w
+            else w.withColumn("epoch", lit(-1L))
+          }.getOrElse(newBands.limit(0))
+          base.filter(!mine).unionByName(newBands)
+        }
       }
       writeEpochMarker(spark, outDir, epochId, s"_LAST_EPOCH_$writerId")
     } finally survivors.unpersist()

@@ -1,0 +1,247 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Planted-ground-truth recall gates for every approximate operator,
+  * measured against its EXACT in-engine counterpart — the surface the
+  * rows-only correctness entries cannot see. Each gate is a numeric
+  * bound, not a smoke check: an approximate path that silently
+  * degrades to noise fails here even though its row counts look fine.
+  *
+  * Two fixture families:
+  *  - the DOCUMENT gates (MinHash, SimHash) run on the real testdata
+  *    corpora, whose planted text near-dups give a nonempty jaccard
+  *    ground truth at sf0.001 and sf0.01;
+  *  - the EMBEDDING gates run on PLANTED synthetic tables at three
+  *    sizes — probed against DuckDB, the testdata embeddings contain
+  *    ZERO pairs above cosine 0.8 at any scale, so a meaningful
+  *    strong-neighbor recall can only be measured on vectors we
+  *    plant: each anchor gets near-copies at cosine ~0.999, the
+  *    query anchor gets more copies than k so the ENTIRE exact
+  *    top-10 is planted signal, and eval-id anchors give the
+  *    semantic-decontamination path true leaks to find.
+  */
+class ApproxRecallSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sfMid = "/root/testdata/sf0.01"
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(col("d1"), col("d2")).as[(Long, Long)].collect().toSet
+
+  private def recall(truth: Set[(Long, Long)], got: Set[(Long, Long)]): Double =
+    if (truth.isEmpty) 1.0 else truth.count(got.contains).toDouble / truth.size
+
+  /** Synthetic embeddings table with planted near-dup structure,
+    * written as `<tmp>/embeddings.parquet` so every Llm op reads it
+    * through the same catalog seam as the real fixtures. Layout:
+    * unit-normalized 64-dim gaussians (cross-cosine ~N(0, 1/8), so
+    * organic pairs never cross 0.4); ids 1..12 are noisy copies of
+    * anchor 0 (cosine ~0.999 — MORE copies than k, so the exact
+    * top-10 is pure planted signal); every 20th id from 20 up is an
+    * anchor whose next two ids are its copies (multiples of 20 are
+    * eval ids mod 10, giving decontamination true train->eval leaks).
+    * Returns (dir, planted dup pair set, planted dropped-id set). */
+  private def plantEmbeddings(n: Int): (String, Set[(Long, Long)], Set[Long]) = {
+    val dims = 64
+    val rnd = new scala.util.Random(42 + n)
+    def unit(v: Array[Float]): Array[Float] = {
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / norm)
+    }
+    def gauss(): Array[Float] =
+      unit(Array.fill(dims)(rnd.nextGaussian().toFloat))
+    def noisy(a: Array[Float]): Array[Float] =
+      unit(a.zip(Array.fill(dims)(rnd.nextGaussian().toFloat))
+        .map { case (x, e) => x + 0.02f * e })
+    val anchors = scala.collection.mutable.Map[Long, Array[Float]]()
+    val copies = scala.collection.mutable.Map[Long, Long]() // copy -> anchor
+    val rows = (0L until n.toLong).map { id =>
+      val v =
+        if (id == 0L) { val a = gauss(); anchors(id) = a; a }
+        else if (id <= 12L) { copies(id) = 0L; noisy(anchors(0L)) }
+        else if (id % 20 == 0) { val a = gauss(); anchors(id) = a; a }
+        else if (id % 20 <= 2 && anchors.contains(id - id % 20)) {
+          copies(id) = id - id % 20; noisy(anchors(id - id % 20))
+        } else gauss()
+      (id, v.toSeq, (id % 16).toInt)
+    }
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_plant_$n").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val members = (anchors.keys ++ copies.keys).toSeq
+      .groupBy(id => copies.getOrElse(id, id))
+    val pairs = members.values.flatMap { grp =>
+      val s = grp.sorted
+      for (i <- s.indices; j <- (i + 1) until s.size) yield (s(i), s(j))
+    }.toSet
+    val dropped = members.values.flatMap(_.sorted.drop(1)).toSet
+    (dir, pairs, dropped)
+  }
+
+  private def releaseCaches(): Unit = {
+    Llm.invalidateCellCache()
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
+  // ------------------------------------------------------------- MinHash
+
+  test("recall gate: MLlib MinHashLSH vs the exact-verified pair set") {
+    for (sf <- Seq(sfSmoke, sfMid)) {
+      // ground truth: the exact-verified native path (== exhaustive
+      // ngram join, asserted elsewhere); gate on pairs comfortably
+      // above the LSH join's 0.5 distance boundary where banding
+      // theory promises near-total recall
+      val truth = pairSet(Llm.dedupMinhashNative(spark, sf)
+        .filter(col("jaccard") >= 0.7))
+      val got = pairSet(Llm.dedupMinhash(spark, sf))
+      assert(truth.nonEmpty, s"$sf plants near-dups above 0.7")
+      val r = recall(truth, got)
+      assert(r >= 0.95,
+        s"$sf: MLlib MinHash recall $r on ${truth.size} planted pairs")
+      releaseCaches()
+    }
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  test("recall gate: SimHash banded pairs vs exact near-dups") {
+    for (sf <- Seq(sfSmoke, sfMid)) {
+      // planted near-dups share almost all tokens -> tiny Hamming
+      // distance; the 4-band OR-amplified candidate join must surface
+      // them (the single-band form measured 0.43 here)
+      val truth = pairSet(Llm.dedupNgram(spark, sf)
+        .filter(col("jaccard") >= 0.8))
+      val got = pairSet(Llm.simhashPairs(spark, sf, maxHamming = 10))
+      assert(truth.nonEmpty, s"$sf plants near-dups above 0.8")
+      val r = recall(truth, got)
+      assert(r >= 0.9,
+        s"$sf: SimHash recall $r on ${truth.size} planted pairs")
+      releaseCaches()
+    }
+  }
+
+  // ------------------------------------------------------------- ANN top-k
+
+  test("recall gate: annLsh and annIvf recover the planted exact top-10") {
+    for (n <- Seq(200, 800, 2400)) {
+      val (dir, _, _) = plantEmbeddings(n)
+      val exact = Llm.cosineTopk(spark, dir).collect().map(_.getLong(0)).toSet
+      // the 12 planted copies of anchor 0 own the whole top-10: the
+      // gate measures recall of real neighbors, not noise ranking
+      assert(exact.subsetOf((1L to 12L).toSet),
+        s"n=$n: exact top-10 must be planted signal, got $exact")
+      val lsh = Llm.annLsh(spark, dir).collect().map(_.getLong(0)).toSet
+      val ivf = Llm.annIvf(spark, dir).collect().map(_.getLong(0)).toSet
+      val rLsh = (exact & lsh).size
+      val rIvf = (exact & ivf).size
+      assert(rLsh >= 9, s"n=$n: annLsh recall $rLsh/10 on planted neighbors")
+      assert(rIvf >= 9, s"n=$n: annIvf recall $rIvf/10 on planted neighbors")
+      releaseCaches()
+      graft.util.Fs.deleteRecursively(dir)
+    }
+  }
+
+  // ------------------------------------------------------------- SemDeDup
+
+  test("recall gate: SemDeDup cell-bounded drops vs planted ground truth") {
+    for (n <- Seq(200, 800, 2400)) {
+      val (dir, _, plantedDrops) = plantEmbeddings(n)
+      val got = Llm.semDedupDropped(spark, dir).as[Long].collect().toSet
+      // precision 1 by construction: a celled drop implies a real
+      // >=0.8 pair, and only planted copies sit that close
+      assert(got.subsetOf(plantedDrops),
+        s"n=$n: dropped ${got -- plantedDrops} beyond the planted set")
+      val r = plantedDrops.count(got.contains).toDouble / plantedDrops.size
+      assert(r >= 0.9,
+        s"n=$n: SemDeDup drop recall $r on ${plantedDrops.size} planted dups")
+      releaseCaches()
+      graft.util.Fs.deleteRecursively(dir)
+    }
+  }
+
+  // ------------------------------------------- embed_neardup dispatch
+
+  test("embed_neardup: default dispatch is the exact path on small corpora") {
+    val viaDispatch = Llm.embedNeardup(spark, sfSmoke).collect().toSeq
+    val exact = Llm.embedNeardupExact(spark, sfSmoke).collect().toSeq
+    assert(viaDispatch == exact)
+    assert(viaDispatch.nonEmpty)
+  }
+
+  test("embed_neardup: past the bound the LSH path engages, subset + recall") {
+    for (n <- Seq(200, 800, 2400)) {
+      val (dir, plantedPairs, _) = plantEmbeddings(n)
+      val exactRows = Llm.embedNeardupExact(spark, dir)
+        .select(col("d1"), col("d2"), col("cosine"))
+        .as[(Long, Long, Double)].collect()
+        .map { case (d1, d2, c) => (d1, d2) -> c }.toMap
+      // every planted pair is in the exact result (sanity on the plant)
+      assert(plantedPairs.forall(exactRows.contains),
+        s"n=$n: exact path must see every planted pair")
+      // bound 0 forces the big-n path on the small fixture
+      val lsh = Llm.embedNeardupDispatch(spark, dir, 0L)
+        .select(col("d1"), col("d2"), col("cosine"))
+        .as[(Long, Long, Double)].collect()
+      // zero false positives, identical scores: every emitted row is
+      // exactly re-scored, so it must appear verbatim in the exact set
+      lsh.foreach { case (d1, d2, c) =>
+        assert(exactRows.get((d1, d2)).contains(c),
+          s"n=$n: LSH emitted ($d1,$d2,$c) not in the exact result")
+      }
+      val got = lsh.map { case (d1, d2, _) => (d1, d2) }.toSet
+      val r = recall(plantedPairs, got)
+      assert(r >= 0.95,
+        s"n=$n: LSH neardup recall $r on ${plantedPairs.size} planted pairs")
+      releaseCaches()
+      graft.util.Fs.deleteRecursively(dir)
+    }
+  }
+
+  // -------------------------------------- decontam_semantic dispatch
+
+  test("decontam_semantic: default dispatch is the exact path on small evals") {
+    val viaDispatch = Llm.decontamSemantic(spark, sfSmoke).collect().toSeq
+    val exact = Llm.decontamSemanticExact(spark, sfSmoke).collect().toSeq
+    assert(viaDispatch == exact)
+    assert(viaDispatch.nonEmpty)
+  }
+
+  test("decontam_semantic: past the bound the IVF probe path engages") {
+    for (n <- Seq(200, 800, 2400)) {
+      val (dir, _, _) = plantEmbeddings(n)
+      val exact = Llm.decontamSemanticExact(spark, dir)
+        .select(col("vec_id"), col("max_sim"), col("contaminated"))
+        .as[(Long, Double, Boolean)].collect()
+      val exactMax = exact.map(r => r._1 -> r._2).toMap
+      val exactBad = exact.filter(_._3).map(_._1).toSet
+      // the eval-id anchors' planted train copies are true leaks
+      assert(exactBad.nonEmpty, s"n=$n plants semantic leaks")
+      // bound 0 forces the probe path on the small fixture
+      val ivf = Llm.decontamSemanticDispatch(spark, dir, 0L)
+        .select(col("vec_id"), col("max_sim"), col("contaminated"))
+        .collect()
+      assert(ivf.length == exact.length, "one row per train vector")
+      var flagged = Set.empty[Long]
+      ivf.foreach { r =>
+        val id = r.getLong(0)
+        if (!r.isNullAt(1)) {
+          // probed max is a true cosine vs a real eval vector: it can
+          // only UNDERSHOOT the exhaustive max
+          assert(r.getDouble(1) <= exactMax(id) + 1e-9,
+            s"n=$n: probe max ${r.getDouble(1)} exceeds exact ${exactMax(id)}")
+        }
+        if (r.getBoolean(2)) flagged += id
+      }
+      // precision 1: a probed flag is a real >=0.5 eval neighbor
+      assert(flagged.subsetOf(exactBad), s"n=$n: probe flags must be a subset")
+      val r = exactBad.count(flagged.contains).toDouble / exactBad.size
+      assert(r >= 0.95,
+        s"n=$n: probe decontam recall $r on ${exactBad.size} leaks")
+      releaseCaches()
+      graft.util.Fs.deleteRecursively(dir)
+    }
+  }
+}
