@@ -379,6 +379,15 @@ object VersionedTable {
       catch {
         case _: ConcurrentCommitException if attempt < maxAttempts =>
           Thread.sleep(attempt * 100L)
+        // a racing writer can also advance the base between our read
+        // and the commit's own schema check — if it EVOLVED the schema
+        // (e.g. added txn columns), enforcement fires before the claim
+        // conflict would. Same root cause, same remedy: re-derive
+        // against the fresh base, whose columns the derivation adopts.
+        // A genuinely incompatible derivation still throws once the
+        // attempts run out.
+        case _: SchemaMismatchException if attempt < maxAttempts =>
+          Thread.sleep(attempt * 100L)
       }
     }
     -1L // unreachable

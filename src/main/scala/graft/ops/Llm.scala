@@ -504,7 +504,15 @@ object Llm {
     * Returns the new version number. */
   def advanceIncrSnapshot(spark: SparkSession, dir: String): Long = {
     snapshotSigTable(spark, dir) // ensure v0 exists
-    val path = snapshotSigPath(spark, dir).get
+    advanceIncrSnapshotAt(spark, dir, snapshotSigPath(spark, dir).get)
+  }
+
+  /** The explicit-location face of [[advanceIncrSnapshot]] — in a
+    * deployment the signature snapshot is a named lake path shared
+    * with the streaming ingest gate, not this session's memo dir.
+    * Appends the refresh slice's banded signatures to `snapshotPath`. */
+  def advanceIncrSnapshotAt(spark: SparkSession, dir: String,
+      snapshotPath: String): Long = {
     val newSigs = bandedSignatures(
       tokenized(spark, dir)
         .filter(incrBatchPred)
@@ -517,7 +525,7 @@ object Llm {
     // stream-written base carries (writer, epoch) txn columns the
     // batch face doesn't — its rows union in with nulls, which the
     // null-safe gate reads as seed rows.
-    graft.engine.VersionedTable.commitMerge(spark, path,
+    graft.engine.VersionedTable.commitMerge(spark, snapshotPath,
       allowEvolution = true) { base =>
       base.map(_.unionByName(newSigs, allowMissingColumns = true))
         .getOrElse(newSigs)
