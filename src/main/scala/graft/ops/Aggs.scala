@@ -111,6 +111,32 @@ object Aggs {
     Tables(spark, dir, "orders").agg(
       approx_count_distinct(col("o_custkey")).as("n_cust_approx"))
 
+  /** A3-incremental: MERGEABLE count-distinct via DataSketches HLL —
+    * the shape a 100 TB nightly pipeline actually needs. A plain
+    * count-distinct (or approx_count_distinct) re-scans the whole
+    * history per report; here each day aggregates ONCE into a
+    * persistable HLL sketch (`hll_sketch_agg`), and the corpus-wide
+    * distinct estimate is a SKETCH UNION over the daily sketches
+    * (`hll_union_agg`) — yesterday's data is never re-read, and the
+    * union of per-slice sketches is REGISTER-EXACT equal to a single
+    * whole-table sketch (max-merge of registers; AggsSpec asserts the
+    * estimates match to the bit). Output: days summarized, merged
+    * estimate, single-pass estimate, exact count for the error frame.
+    * Rows-only: sketch estimates are engine-specific. */
+  val aggHllMerge: Q = (spark, dir) => {
+    val ev = Tables(spark, dir, "events")
+    val daily = ev
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily.agg(
+      count(lit(1)).as("n_days"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+    val whole = ev.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_single"),
+      countDistinct(col("user_id")).as("exact"))
+    merged.crossJoin(whole)
+  }
+
   /** A9-scale: t-digest approx percentile, the bounded-memory variant
     * of A9 (not oracle-checked: sketch estimates are engine-specific). */
   val aggApproxPercentile: Q = (spark, dir) =>
@@ -239,6 +265,7 @@ object Aggs {
     "q_agg_groupby2" -> aggGroupby2,
     "q_agg_percentile" -> aggPercentile,
     "q_agg_approx_distinct" -> aggApproxDistinct,
+    "q_agg_hll_merge" -> aggHllMerge,
     "q_agg_approx_percentile" -> aggApproxPercentile,
     "q_agg_mode" -> aggMode,
     "q_agg_rollup" -> aggRollup,

@@ -193,12 +193,19 @@ object Llm {
       // one-off memo BUILD, not a per-query cost)
       .localCheckpoint(true)
     // df cap: one gram-keyed aggregate + semi join — rides the same
-    // gram-hash shuffle the self-join needs anyway
+    // gram-hash shuffle the self-join needs anyway. The rare set is
+    // GRAM-CARDINALITY-sized (most grams are rare — that's the point
+    // of the cap), so it must NEVER be a broadcast build: the planner
+    // sees an aggregate with unknown stats and happily broadcasts
+    // what is really a corpus-scale relation — the round-6 capped-heap
+    // probe (SpillProbe, 2 GB) died building exactly that hashed
+    // relation. The merge hint pins a sort-merge semi join: fully
+    // spillable, and the gram shuffle exists anyway.
     val rare = allGrams.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") <= gramDfCap)
       .select(col("g"))
-    val grams = allGrams.join(rare, Seq("g"), "left_semi")
+    val grams = allGrams.join(rare.hint("merge"), Seq("g"), "left_semi")
     val a = grams.as("a")
     val b = grams.as("b")
     val matched = a.join(b,
@@ -307,7 +314,12 @@ object Llm {
     val sizes = tokenized(spark, dir)
       .select(col("doc_id"), size(col("t")).as("n_toks"))
     affected.join(sizes, Seq("doc_id"))
-      .join(kept, Seq("doc_id"), "left") // a fully-excised doc keeps 0 tokens
+      // a fully-excised doc keeps 0 tokens. merge hint: kept carries
+      // the REBUILT FULL TEXT of every affected doc — affected-corpus-
+      // sized, never a safe broadcast build (heavy-dup corpora make
+      // "affected" a large corpus fraction); the doc_id shuffle it
+      // rides is the one the aggregate above already paid
+      .join(kept.hint("merge"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("text_clean"), lit("")).as("text_clean"),
         (col("n_toks") - coalesce(col("kept"), lit(0L))).cast("int")
@@ -1447,6 +1459,34 @@ object Llm {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
       .orderBy(col("split"))
 
+  /** WEIGHTED sampling without replacement, per stratum — the
+    * curation move between uniform subsampling (corpusMix) and hard
+    * top-K: keep K docs per language with probability proportional
+    * to length. Standard distributed formulation (Efraimidis &
+    * Spirakis 2006): each row draws a deterministic hash uniform
+    * u in (0,1] and ranks by priority ln(u)/w — the top-K per
+    * stratum IS a weight-proportional sample, computable as one
+    * window over the stratum-keyed shuffle (no driver-side reservoir,
+    * no multi-pass rejection — the property that makes weighted
+    * sampling distributable at 100 TB). The hash uniform makes
+    * re-runs reproducible row-for-row across engines (same md5), and
+    * the priority is rounded before ranking with a doc_id tie-break
+    * so the selected set is cross-engine deterministic. */
+  val sampleWeighted: Q = (spark, dir) => {
+    val k = 20
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("priority").desc, col("doc_id"))
+    Tables(spark, dir, "documents")
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS DOUBLE)"))
+      .withColumn("u", (col("h") + lit(1.0)) / lit(4294967296.0))
+      .withColumn("priority", round(log(col("u")) / col("n_chars"), 9))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("doc_id"), col("n_chars"), col("priority"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   /** PII redaction (C4/CCNet-style corpus cleaning): scrub emails and
     * phone numbers with typed placeholder tokens, counting the hits.
     * The synthetic corpus carries no PII, so a deterministic
@@ -2113,6 +2153,7 @@ object Llm {
     "q_llm_embed_neardup" -> embedNeardup,
     "q_llm_ann_lsh" -> annLsh,
     "q_llm_split" -> split,
+    "q_llm_sample_weighted" -> sampleWeighted,
     "q_llm_centroids" -> centroids,
     "q_llm_ann_ivf" -> annIvf,
     "q_llm_tokenize_bpe" -> tokenizeBpe,
@@ -2379,6 +2420,19 @@ object Llm {
             FROM v a JOIN v b ON a.vec_id < b.vec_id)
           SELECT d1, d2, round(cos_raw, 6) AS cosine FROM p
           WHERE cos_raw >= 0.4 ORDER BY d1, d2""",
+    "q_llm_sample_weighted" ->
+      """WITH d AS (
+           SELECT lang, doc_id, n_chars,
+                  round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                             + 1.0) / 4294967296.0) / n_chars, 9) AS priority
+           FROM documents),
+         r AS (
+           SELECT lang, doc_id, n_chars, priority,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY priority DESC, doc_id) AS rk
+           FROM d)
+         SELECT lang, doc_id, n_chars, priority
+         FROM r WHERE rk <= 20 ORDER BY lang, doc_id""",
     "q_llm_split" ->
       """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
                        THEN 'train'

@@ -39,51 +39,7 @@ object ScaleProbe {
     def runFactor(factor: Int): Unit = {
       val dst = Files.createTempDirectory(s"graft_scaleprobe_x$factor").toString
       println(s"== inflating sf0.1 x$factor -> $dst")
-
-      def inflate(name: String, keyCols: Seq[String], keySpan: Long): Unit = {
-        val base = graft.engine.Tables(spark, src, name)
-        // dims (no key columns) are written ONCE: fact x N, dim fixed.
-        // Unioning N unshifted copies would duplicate every dim row and
-        // fan every dim join out x N (x N^2 with two dims) — a probe
-        // artifact that masquerades as superlinear engine behavior.
-        val out =
-          if (keyCols.isEmpty) base
-          else (0 until factor).map { i =>
-            keyCols.foldLeft(base) { (df, k) =>
-              df.withColumn(k, col(k) + lit(i * keySpan))
-            }
-          }.reduce(_ unionByName _)
-        out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
-      }
-      // key spans chosen beyond each table's max key so copies don't collide
-      inflate("lineitem", Seq("l_orderkey"), 10000000L)
-      inflate("orders", Seq("o_orderkey"), 10000000L)
-      inflate("customer", Seq(), 0L)
-      inflate("nation", Seq(), 0L)
-      inflate("supplier", Seq(), 0L)
-      inflate("region", Seq(), 0L)
-      inflate("part", Seq(), 0L)
-      inflate("events", Seq("event_id"), 10000000L)
-      // documents: shift the key AND the vocabulary. Copying identical
-      // text would multiply every duplicate-cluster size by N, growing
-      // candidate PAIRS quadratically — that measures the fixture, not
-      // the engine. Prefixing each copy's tokens keeps the dup-rate
-      // constant while the corpus grows x N, which is the real
-      // "bigger corpus" axis. Copy 0 stays verbatim.
-      locally {
-        val base = graft.engine.Tables(spark, src, "documents")
-        (0 until factor).map { i =>
-          val shifted = base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
-          if (i == 0) shifted
-          else shifted.withColumn("text", concat_ws(" ",
-            expr(s"transform(split(text, ' '), w -> concat('c${i}_', w))")))
-        }.reduce(_ unionByName _)
-          .write.mode("overwrite").parquet(s"$dst/documents.parquet")
-      }
-      // embeddings keep identical vectors across copies: embed_neardup
-      // is the documented exact-O(n^2) baseline (its pair space really
-      // does grow quadratically); LSH/IVF are the at-scale paths.
-      inflate("embeddings", Seq("vec_id"), 10000000L)
+      Inflate(spark, src, dst, factor)
 
       // optional probe filter for targeted re-runs (jitter checks):
       // SPARK_GRAFT_PROBE_ONLY=substr1,substr2 runs only matching plans
@@ -296,6 +252,109 @@ object ScaleProbe {
           println(f"== x$factor skewed-join (unsalted, AQE) $dt%8.2f s  skew-split=$skewed")
           assert(skewed,
             "AQE skew-join split did not engage on the skewed user_id join")
+        } finally saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None)    => spark.conf.unset(k)
+        }
+      }
+
+      // skew UNDER FIRE: one user carrying ~20% of all events, joined
+      // three ways with measured TASK-TIME SPREAD (p50 vs max) — the
+      // straggler is a task-level pathology a wall-clock number alone
+      // hides at probe scale. Variants: unsalted with AQE's skew split
+      // OFF (the straggler control), unsalted with the split ON (the
+      // runtime safety net), and the hand-salted form (the preventive
+      // shape `q_join_salted` ships). Expectation across factors: the
+      // control's max-task grows with the hot key while the split and
+      // salted forms hold their spread roughly flat.
+      if (selected("skew-fire")) locally {
+        val keys = Seq(
+          "spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.skewJoin.enabled",
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+        // per-STAGE task times: lumping every stage's tasks together
+        // buries the join straggler under scan/agg tasks — the spread
+        // that matters is within the heaviest stage (the join)
+        class TaskTimes extends org.apache.spark.scheduler.SparkListener {
+          val byStage = scala.collection.mutable.Map[Int,
+            scala.collection.mutable.ArrayBuffer[Long]]()
+          override def onTaskEnd(
+              e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            byStage.synchronized {
+              byStage.getOrElseUpdate(e.stageId,
+                scala.collection.mutable.ArrayBuffer[Long]()) +=
+                e.taskInfo.duration
+            }
+        }
+        def run(name: String, skewOn: Boolean)(df: => DataFrame): Unit = {
+          spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
+          val l = new TaskTimes
+          spark.sparkContext.addSparkListener(l)
+          val t0 = System.nanoTime()
+          df.collect()
+          val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(500L) // listener bus drain
+          spark.sparkContext.removeSparkListener(l)
+          val heaviest = l.byStage.synchronized {
+            l.byStage.values.map(_.sorted.toIndexedSeq)
+              .filter(_.nonEmpty).maxBy(_.sum)
+          }
+          val p50 = heaviest(heaviest.size / 2)
+          val mx = heaviest.last
+          val spread = if (p50 > 0) mx.toDouble / p50 else 0.0
+          println(f"== x$factor skew-fire $name%-24s $dt%7.2f s  " +
+            f"heaviest-stage tasks=${heaviest.size}%4d  p50=${p50}%5d ms  " +
+            f"max=${mx}%6d ms  spread=$spread%5.1f")
+        }
+        try {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+          spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+          spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+          spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+          // ~20% of all rows onto user 10, then the fact FATTENED x8
+          // (shifted event_ids, same user distribution): at probe
+          // scale a 20%-hot partition of the raw events is ~100 ms of
+          // join work — cheaper than one scan task — so no straggler
+          // can form; the x8 union gives the hot reducer seconds of
+          // work, the regime skew handling exists for. 64 round-robin
+          // maps give AQE the map-chunk boundaries a split needs.
+          val evBase = graft.engine.Tables(spark, dst, "events")
+            .withColumn("user_id",
+              when(col("user_id") % 5 === 0, lit(10L))
+                .otherwise(col("user_id")))
+          val ev = (0 until 8).map(i =>
+              evBase.withColumn("event_id",
+                col("event_id") + lit(i * 1000000000L)))
+            .reduce(_ unionByName _)
+            .repartition(64)
+          val dim = graft.engine.Tables(spark, dst, "customer")
+            .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+          def agg(j: DataFrame): DataFrame = j
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("cnt"),
+              round(sum(col("value")), 4).as("sum_value"))
+          def unsalted = agg(ev.join(dim, Seq("user_id")))
+          def salted = {
+            val s = 8
+            val sf = ev.withColumn("salt",
+              pmod(col("event_id"), lit(s)).cast("int"))
+            val sd = dim.withColumn("salt",
+              explode(sequence(lit(0), lit(s - 1))))
+            agg(sf.join(sd.hint("shuffle_hash"), Seq("user_id", "salt")))
+          }
+          // untimed warmup: the first run in a fresh JVM pays codegen
+          // + parquet-footer costs that drown the task-spread signal
+          unsalted.collect()
+          run("unsalted split-OFF", skewOn = false)(unsalted)
+          run("unsalted split-ON", skewOn = true)(unsalted)
+          run("salted (manual)", skewOn = true)(salted)
         } finally saved.foreach {
           case (k, Some(v)) => spark.conf.set(k, v)
           case (k, None)    => spark.conf.unset(k)

@@ -1,0 +1,103 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Memory-bounded realism probe: run the heavy dedup plans at an
+  * inflated factor inside a DELIBERATELY SMALL heap and prove they
+  * SPILL rather than OOM — the property that actually carries to a
+  * 100 TB cluster, where per-task memory is always scarcer than the
+  * data. The trend probes (ScaleProbe) time these plans with a roomy
+  * heap; this one caps it (pass -Xmx on the invoking JVM — the probe
+  * prints what it got) and reports the spill counters that prove the
+  * pressure was real.
+  *
+  * Usage:
+  *   java -Xmx2g <add-opens from build.sbt> \
+  *     -cp target/scala-2.13/classes:/opt/spark/jars/'*' \
+  *     graft.tools.SpillProbe [factor]
+  */
+object SpillProbe {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    // optional: [dstDir] [confKey confVal ...] — reuse an inflated dir
+    // and override SQL confs for diagnosis runs
+    val dstArg = args.lift(1).filter(_.startsWith("/"))
+    val confPairs = args.drop(if (dstArg.isDefined) 2 else 1)
+      .grouped(2).collect { case Array(k, v) => (k, v) }.toSeq
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-spill-probe")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+    println(s"== spill probe: heap ${heapMb} MB, factor x$factor")
+
+    confPairs.foreach { case (k, v) =>
+      println(s"== conf override $k=$v"); spark.conf.set(k, v)
+    }
+    val dst = dstArg.getOrElse {
+      val d = java.nio.file.Files
+        .createTempDirectory(s"graft_spill_x$factor").toString
+      println(s"== inflating sf0.1 x$factor -> $d")
+      Inflate(spark, "/root/testdata/sf0.1", d, factor)
+      d
+    }
+
+    class SpillMeter extends org.apache.spark.scheduler.SparkListener {
+      val mem = new java.util.concurrent.atomic.AtomicLong()
+      val disk = new java.util.concurrent.atomic.AtomicLong()
+      val peak = new java.util.concurrent.atomic.AtomicLong()
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        Option(e.taskMetrics).foreach { m =>
+          mem.addAndGet(m.memoryBytesSpilled)
+          disk.addAndGet(m.diskBytesSpilled)
+          peak.accumulateAndGet(m.peakExecutionMemory, math.max(_, _))
+        }
+    }
+
+    var failed = false
+    def probe(name: String)(df: => DataFrame): Unit = {
+      val meter = new SpillMeter
+      spark.sparkContext.addSparkListener(meter)
+      val t0 = System.nanoTime()
+      val outcome =
+        try { val n = df.count(); Right(n) }
+        catch { case t: Throwable => Left(t) }
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500L)
+      spark.sparkContext.removeSparkListener(meter)
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      graft.ops.Llm.invalidateIslandsCache()
+      graft.ops.Llm.invalidateClusterLabelCache()
+      System.gc()
+      outcome match {
+        case Right(n) =>
+          println(f"== $name%-18s OK    $dt%7.1f s  rows=$n%8d  " +
+            f"spill mem=${meter.mem.get / (1 << 20)}%6d MB  " +
+            f"disk=${meter.disk.get / (1 << 20)}%6d MB  " +
+            f"peakTask=${meter.peak.get / (1 << 20)}%5d MB")
+        case Left(t) =>
+          failed = true
+          println(f"== $name%-18s FAILED $dt%6.1f s  ${t.getClass.getSimpleName}: ${t.getMessage}")
+      }
+    }
+
+    import graft.ops._
+    probe("ngram dedup") { Llm.dedupNgram(spark, dst) }
+    probe("substr removal") { Llm.substrDedupRemove(spark, dst) }
+    probe("dedup clusters") { Llm.dedupClusters(spark, dst) }
+
+    println(if (failed) "== RESULT: FAILURES (see above)"
+      else "== RESULT: all heavy dedup plans completed under the capped heap")
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+}

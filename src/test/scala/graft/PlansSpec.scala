@@ -445,6 +445,65 @@ class PlansSpec extends SparkTestBase {
     }
   }
 
+  test("AQE splits the planted-skew join; the salted form matches it row-for-row") {
+    import org.apache.spark.sql.functions._
+    // one user carrying ~20% of all events — the shape q_join_salted
+    // prevents and AQE's skew split repairs after the fact. Executed
+    // (not planned) assertions: OptimizeSkewedJoin only matches
+    // SMJ(sort(shuffle), sort(shuffle)) and can only split at
+    // MAP-chunk boundaries, hence the plain-join inputs, lowered
+    // thresholds, and the 16-way round-robin repartition standing in
+    // for a 100 TB scan's thousands of map tasks. sf0.01: the hot key
+    // needs enough bytes to cross even a lowered split threshold.
+    val sfMid = "/root/testdata/sf0.01"
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "16",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB") {
+      // HALF the users collapse onto user 10: at spec scale the hot
+      // partition must clear BOTH the 2x-median factor and the byte
+      // threshold, and a 20% hot share over few reducers leaves the
+      // median too fat to double (AQE then merely coalesces). The
+      // x10/x30 ScaleProbe section measures the gentler 20% shape.
+      val ev = graft.engine.Tables(spark, sfMid, "events")
+        .withColumn("user_id",
+          when(col("user_id") % 2 === 0, lit(10L)).otherwise(col("user_id")))
+        .repartition(16)
+      val dim = graft.engine.Tables(spark, sfMid, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      def agg(j: org.apache.spark.sql.DataFrame) = j
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("event_type"))
+      val unsalted = agg(ev.join(dim, Seq("user_id")))
+      val got = unsalted.collect()
+      val p = unsalted.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), p.take(300))
+      assert(p.contains("skew=true"),
+        "AQE skew split must engage on the planted hot key:\n" + p.take(800))
+      // the hand-salted form: same rows, and no oversized partition
+      // for AQE to split — the spread never forms
+      val s = 8
+      val sf = ev.withColumn("salt", pmod(col("event_id"), lit(s)).cast("int"))
+      val sd = dim.withColumn("salt", explode(sequence(lit(0), lit(s - 1))))
+      val salted = agg(sf.join(sd.hint("shuffle_hash"), Seq("user_id", "salt")))
+      val got2 = salted.collect()
+      assert(got.map(_.toString).toSeq == got2.map(_.toString).toSeq,
+        "salted join must be result-identical to the plain join")
+      // the salted form keys the shuffle on (user_id, salt) through
+      // the shuffle-hash hint — the preventive spread. (Under this
+      // test's deliberately hair-trigger thresholds AQE may still
+      // trim the salted partitions too; the production claim is the
+      // key spread + result identity, not that AQE goes idle.)
+      val sp = salted.queryExecution.executedPlan.toString
+      assert(sp.contains("ShuffledHashJoin"), sp.take(400))
+      assert(sp.contains("salt"), "join keys must carry the salt")
+    }
+  }
+
   test("AQE converts a planned shuffle join to broadcast once runtime stats shrink the dim") {
     import org.apache.spark.sql.functions._
     // the 100 TB situation: static stats can't see through a selective

@@ -387,6 +387,35 @@ class LlmSpec extends SparkTestBase {
     assert(grouped == mapOnly)
   }
 
+  test("weighted sampling selects exactly the Efraimidis-Spirakis top-K per stratum") {
+    val got = Llm.sampleWeighted(spark, sfSmoke)
+      .select($"lang", $"doc_id").as[(String, Long)].collect().toSet
+    // independent recompute of the priority formula on the raw table
+    val docs = graft.engine.Tables(spark, sfSmoke, "documents")
+      .select($"lang", $"doc_id", $"n_chars").as[(String, Long, Long)]
+      .collect()
+    def md5hex8(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+      rows.toSeq.map { case (_, id, n) =>
+        val u = (md5hex8(id).toDouble + 1.0) / 4294967296.0
+        val p = BigDecimal(math.log(u) / n)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, p)
+      }.sortBy { case (id, p) => (-p, id) }.take(20)
+        .map { case (id, _) => (lang, id) }
+    }.toSet
+    assert(got == expected, s"diff: ${got.diff(expected)} / ${expected.diff(got)}")
+    // weighting bites: sampled docs skew long relative to the corpus
+    val sampledChars = docs.filter(d => got.contains((d._1, d._2))).map(_._3)
+    assert(sampledChars.sum.toDouble / sampledChars.size >
+      docs.map(_._3).sum.toDouble / docs.size,
+      "length-weighted sample must overrepresent long documents")
+  }
+
   test("multimodal decode recovers header fields from real binary headers") {
     val n = graft.engine.Tables(spark, sfSmoke, "documents").count()
     val got = Llm.mmBinaryMeta(spark, sfSmoke).collect()

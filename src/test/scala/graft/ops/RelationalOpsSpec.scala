@@ -280,4 +280,18 @@ class RelationalOpsSpec extends SparkTestBase {
       got.filter($"k1".isNull && $"k2".isNull)
         .select($"cnt").as[Long].head() == 3L)
   }
+
+  test("HLL merge: union of daily sketches is register-exact vs one pass") {
+    val row = Aggs.aggHllMerge(spark, sfSmoke).head()
+    val (nDays, estMerged, estSingle, exact) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(nDays > 1, "fixture must span multiple days for the merge to mean anything")
+    // the incremental claim: max-merging per-day registers reproduces
+    // the whole-table sketch EXACTLY — not approximately
+    assert(estMerged == estSingle,
+      s"sketch union $estMerged != single-pass $estSingle")
+    // and the sketch is a real estimate of the real cardinality
+    val err = math.abs(estMerged - exact).toDouble / exact
+    assert(err <= 0.05, s"HLL estimate $estMerged vs exact $exact (err $err)")
+  }
 }
