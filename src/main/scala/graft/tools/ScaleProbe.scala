@@ -194,6 +194,16 @@ object ScaleProbe {
       time("dq report") { graft.ops.Quality.dqReport(spark, dst) }
       time("variant extract") { graft.ops.ScalarFns.fnVariant(spark, dst) }
 
+      // round-6: the new ops — weighted sampling (one stratum window),
+      // HLL merge (two aggregate passes), and the DISPATCHED big-n
+      // faces of embed_neardup / decontam_semantic (bound forced to 0
+      // so the probe times the at-scale paths, not the exact
+      // fallbacks the small fixtures would otherwise take)
+      time("weighted sampling") { Llm.sampleWeighted(spark, dst) }
+      time("hll merge") { Aggs.aggHllMerge(spark, dst) }
+      time("embed neardup lsh") { Llm.embedNeardupDispatch(spark, dst, 0L) }
+      time("decontam sem ivf") { Llm.decontamSemanticDispatch(spark, dst, 0L) }
+
       // AQE skew-join probe: join the deliberately-skewed
       // events.user_id WITHOUT salting and assert AQE's skew-join
       // split engages (plan tagged skew=true) — the runtime safety
