@@ -21,6 +21,10 @@ class ConcurrentCommitException(dir: String, version: Long)
   * the commit opts in with `allowEvolution = true` (mergeSchema). */
 class SchemaMismatchException(msg: String) extends RuntimeException(msg)
 
+/** A commit-time CHECK constraint failed — see
+  * [[VersionedTable.commitChecked]]. */
+class CheckConstraintException(msg: String) extends RuntimeException(msg)
+
 /** Minimal copy-on-write versioned table: each commit writes a full
   * parquet snapshot under `dir/v<N>` and atomically advances the
   * `_CURRENT` pointer (write-temp + rename, the classic HDFS commit
@@ -354,6 +358,36 @@ object VersionedTable {
       }
     }
     -1L // unreachable
+  }
+
+  /** Commit-time CHECK constraints — the Delta table-constraints role
+    * beside the schema enforcement commit already performs: every
+    * expression must hold on EVERY row of the snapshot being
+    * committed, with three-valued semantics matching Delta (a NULL
+    * check result is a violation — constraints must prove, not fail
+    * to disprove). Violations REJECT the commit before anything
+    * stages, reporting per-check violation counts; like the schema
+    * gate, failing fast beats discovering a bad snapshot after a
+    * table-sized staging write. Cost is one aggregate pass over the
+    * input (Delta folds this into the write; this format trades one
+    * extra scan for keeping the commit path and the report simple —
+    * at 100 TB run it on the upstream frame that is about to be
+    * written anyway, not a re-read). */
+  def commitChecked(df: DataFrame, dir: String, checks: Seq[String],
+      allowEvolution: Boolean = false): Long = {
+    require(checks.nonEmpty, "commitChecked without checks is commit")
+    import org.apache.spark.sql.functions.{expr, sum, when, lit}
+    val counts = df.select(checks.zipWithIndex.map { case (c, i) =>
+      sum(when(expr(c), 0L).otherwise(1L)).as(s"v$i")
+    }: _*).head()
+    val bad = checks.zipWithIndex.flatMap { case (c, i) =>
+      val n = if (counts.isNullAt(i)) 0L else counts.getLong(i)
+      if (n > 0) Some(s"CHECK ($c): $n violating rows") else None
+    }
+    if (bad.nonEmpty)
+      throw new CheckConstraintException(
+        s"commit to $dir rejected: ${bad.mkString("; ")}")
+    commit(df, dir, allowEvolution)
   }
 
   /** Read-modify-write commit: `derive` builds the next snapshot FROM

@@ -18,6 +18,29 @@ class VersionedTableSpec extends SparkTestBase {
     Files.deleteIfExists(Paths.get(dir, s".$name.crc"))
   }
 
+  test("commitChecked enforces CHECK constraints with null-as-violation, nothing staged on reject") {
+    val dir = tmp("graft_vt_check")
+    val good = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    assert(VersionedTable.commitChecked(good, dir,
+      Seq("v > 0", "k IS NOT NULL")) == 0L)
+    // violating rows (one negative, one NULL — null must count as a
+    // violation, Delta semantics) reject with per-check counts and
+    // leave the table exactly as it was
+    val bad = Seq((3L, -1.0), (4L, Double.NaN), (5L, 30.0))
+      .toDF("k", "v")
+      .withColumn("v", when($"k" === 4L, lit(null)).otherwise($"v"))
+    val e = intercept[CheckConstraintException] {
+      VersionedTable.commitChecked(bad, dir, Seq("v > 0"))
+    }
+    assert(e.getMessage.contains("2 violating rows"), e.getMessage)
+    assert(VersionedTable.currentVersion(spark, dir).contains(0L))
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith(".stage_")), "reject must precede staging")
+    // a later clean commit proceeds normally
+    assert(VersionedTable.commitChecked(
+      Seq((6L, 1.0)).toDF("k", "v"), dir, Seq("v > 0")) == 1L)
+  }
+
   test("commit advances versions; read resolves the pointer; time travel works") {
     val dir = tmp("graft_vt")
     assert(VersionedTable.currentVersion(spark, dir).isEmpty)

@@ -337,6 +337,42 @@ class StreamingSpec extends SparkTestBase {
       "replayed commit must rebuild the same snapshot content")
   }
 
+  test("streaming incremental dedup: NEAR-dup (not byte-identical) batch docs are gated by banding") {
+    // the existing gate tests use exact copies, which collide on EVERY
+    // band; the ingest gate's real recall claim is about NEAR-dups —
+    // high-jaccard variants must still collide on >= 1 of the 6 bands
+    // (at j ~ 0.9 the all-band miss probability is ~5e-5; this fixture
+    // is deterministic, so the collision either holds forever or the
+    // test fails loudly and the banding regressed)
+    val src = tmp("graft_snd_src")
+    val snap = tmp("graft_snd_snap")
+    val out = tmp("graft_snd_out")
+    val ckpt = tmp("graft_snd_ckpt")
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    // variant: two tokens swapped for new ones -> 3-gram jaccard ~0.85
+    val variant = ((1 to 40).map {
+      case 10 => "x10"
+      case 30 => "x30"
+      case i  => s"w$i"
+    }).mkString(" ")
+    val novel = (1 to 40).map(i => s"n$i").mkString(" ")
+    graft.engine.VersionedTable.commit(
+      graft.ops.Llm.mapOnlyBandedSignatures(graft.ops.Llm.shingleDocs(
+        Seq((1L, base)).toDF("doc_id", "text"))), snap)
+    Seq((10L, variant), (11L, novel)).toDF("doc_id", "text")
+      .write.parquet(s"$src/b1")
+    val docStream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("recursiveFileLookup", "true")
+      .parquet(src)
+    Pipelines.runStreamingIncrDedup(docStream, snap, out, ckpt)
+      .awaitTermination()
+    val landed = spark.read.parquet(out)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(landed == Set(11L),
+      s"near-dup 10 must band-collide and drop, novel 11 must land: $landed")
+  }
+
   test("streaming incremental dedup: bootstraps an empty snapshot and gates short docs exactly") {
     val src = tmp("graft_sidb_src")
     val snap = tmp("graft_sidb_snap") // NO pre-committed version
