@@ -109,7 +109,8 @@ object Bench {
     // the stdout capture truncates long lines (round 5's BENCH JSON
     // lost its tail) — persist the full record as its own artifact so
     // the per-query map survives end-to-end
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"${sys.props("user.dir")}/BENCH_FULL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"BENCH artifact write failed: $e") }

@@ -245,6 +245,18 @@ object VersionedTable {
     // successor, and rolls forward again — bounded to this loop's own
     // microsecond window and self-healing, vs. the permanent wedge it
     // repairs.
+    repairWedge(spark, dir)
+    val next = currentVersion(spark, dir).map(_ + 1).getOrElse(0L)
+    commitExact(df, dir, next, allowEvolution)
+  }
+
+  /** The roll-forward loop above, shared with [[commitMerge]] — a
+    * merge-committing path without it would wedge permanently on a
+    * crashed predecessor (every attempt re-targets the published-but-
+    * unpointed version, loses the claim, and retries into the same
+    * wall). */
+  private def repairWedge(spark: SparkSession, dir: String): Unit = {
+    val f = fs(spark, dir)
     var repaired = true
     while (repaired) {
       repaired = false
@@ -255,8 +267,6 @@ object VersionedTable {
         repaired = true
       }
     }
-    val next = currentVersion(spark, dir).map(_ + 1).getOrElse(0L)
-    commitExact(df, dir, next, allowEvolution)
   }
 
   /** Atomic `_CURRENT` advance. */
@@ -376,18 +386,27 @@ object VersionedTable {
   def commitChecked(df: DataFrame, dir: String, checks: Seq[String],
       allowEvolution: Boolean = false): Long = {
     require(checks.nonEmpty, "commitChecked without checks is commit")
-    import org.apache.spark.sql.functions.{expr, sum, when, lit}
-    val counts = df.select(checks.zipWithIndex.map { case (c, i) =>
-      sum(when(expr(c), 0L).otherwise(1L)).as(s"v$i")
-    }: _*).head()
-    val bad = checks.zipWithIndex.flatMap { case (c, i) =>
-      val n = if (counts.isNullAt(i)) 0L else counts.getLong(i)
-      if (n > 0) Some(s"CHECK ($c): $n violating rows") else None
-    }
-    if (bad.nonEmpty)
-      throw new CheckConstraintException(
-        s"commit to $dir rejected: ${bad.mkString("; ")}")
-    commit(df, dir, allowEvolution)
+    import org.apache.spark.sql.functions.{expr, sum, when}
+    // pin the frame: the check aggregate and the staged write are two
+    // evaluations of the plan, and a non-deterministic or live-source
+    // frame could otherwise pass the check with one row set and
+    // commit a different one — the constraint must hold on the
+    // committed bytes, not a sibling evaluation
+    val pinned = df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = pinned.select(checks.zipWithIndex.map { case (c, i) =>
+        sum(when(expr(c), 0L).otherwise(1L)).as(s"v$i")
+      }: _*).head()
+      val bad = checks.zipWithIndex.flatMap { case (c, i) =>
+        val n = if (counts.isNullAt(i)) 0L else counts.getLong(i)
+        if (n > 0) Some(s"CHECK ($c): $n violating rows") else None
+      }
+      if (bad.nonEmpty)
+        throw new CheckConstraintException(
+          s"commit to $dir rejected: ${bad.mkString("; ")}")
+      commit(pinned, dir, allowEvolution)
+    } finally pinned.unpersist()
   }
 
   /** Read-modify-write commit: `derive` builds the next snapshot FROM
@@ -406,6 +425,10 @@ object VersionedTable {
     var attempt = 0
     while (true) {
       attempt += 1
+      // same crash-window repair commit performs: without it a
+      // predecessor that died between snapshot rename and pointer
+      // swap wedges every merge attempt on the already-claimed version
+      repairWedge(spark, dir)
       val cur = currentVersion(spark, dir)
       val df = derive(cur.map(v => read(spark, dir, Some(v))))
       val next = cur.map(_ + 1).getOrElse(0L)

@@ -831,6 +831,14 @@ object Llm {
 
   // ----------------------------------------------------- similarity search
 
+  /** L2 unit normalization of a bound `array<double>` column `e` —
+    * shared by every consumer that feeds cosine-tracking euclidean
+    * machinery (the IVF quantizer and the near-dup LSH path), so a
+    * future zero-norm/NULL guard lands in one place. */
+  private val unitNormE =
+    "transform(e, x -> x / sqrt(aggregate(transform(e, y -> y * y)," +
+      " 0D, (acc, v) -> acc + v)))"
+
   private val cosineE =
     """aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
        / (sqrt(aggregate(transform(e, x -> x * x), 0D, (acc, v) -> acc + v))
@@ -902,13 +910,17 @@ object Llm {
     import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
     import org.apache.spark.ml.functions.array_to_vector
     graft.functions.CosineSimilarity.register(spark)
+    // eager localCheckpoint, not persist: the frame feeds the LSH fit
+    // plus BOTH sides of the similarity join, and a persist here
+    // would pin a corpus-sized cache entry for the session (nothing
+    // ever unpersists an escaped lazy frame); checkpoint blocks are
+    // freed by the ContextCleaner when the result frame drops — the
+    // decontamBloom pattern
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("unit", expr(
-        "transform(e, x -> x / sqrt(aggregate(transform(e, y -> y * y)," +
-          " 0D, (acc, v) -> acc + v)))"))
+      .withColumn("unit", expr(unitNormE))
       .withColumn("features", array_to_vector(col("unit")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("features").setOutputCol("hashes")
       .setBucketLength(1.0).setNumHashTables(6).setSeed(42)
@@ -1276,9 +1288,7 @@ object Llm {
     import org.apache.spark.ml.functions.array_to_vector
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("unit", expr(
-        "transform(e, x -> x / sqrt(aggregate(transform(e, y -> y * y)," +
-          " 0D, (acc, v) -> acc + v)))"))
+      .withColumn("unit", expr(unitNormE))
       .withColumn("features", array_to_vector(col("unit")))
     val fitCap = 100000L
     val total = Tables(spark, dir, "embeddings").count()

@@ -429,30 +429,49 @@ object Pipelines {
   def writerToken(spark: SparkSession, checkpointDir: String): String = {
     val p = new org.apache.hadoop.fs.Path(checkpointDir, "_GRAFT_WRITER_ID")
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (f.exists(p)) {
+    def readToken(): String = {
       val in = f.open(p)
       try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8).trim
       finally in.close()
-    } else {
-      // create-exclusive claim: two queries racing a fresh checkpoint
-      // dir (Spark forbids this, but misuse shouldn't split a
-      // lineage) both attempt the mint; exactly one create(p, false)
-      // wins, and the loser adopts the winner's token by re-reading.
+    }
+    // an EMPTY token can only be a pre-fix crash leftover (the mint
+    // below publishes complete-or-absent); adopting "" as a lineage
+    // id would alias every such crashed checkpoint into one writer —
+    // drop it and re-mint (restart context: single writer by Spark's
+    // own checkpoint rules)
+    val existing = if (f.exists(p)) Some(readToken()).filter(_.nonEmpty) else None
+    if (existing.isDefined) existing.get
+    else {
+      f.delete(p, false)
+      // mint: FULL content to a temp file first, then claim the
+      // canonical name with a NO-OVERWRITE rename — the token file is
+      // therefore either absent or complete, never partial. (The
+      // earlier create-then-write mint exposed an EMPTY token to a
+      // racing reader in the window between create and close, and a
+      // writer crashing inside that window left an empty token that
+      // every later restart silently adopted as its lineage id.) A
+      // crash now leaves only tmp garbage and the next start re-mints
+      // cleanly. On HDFS the no-overwrite rename is atomic at the
+      // namenode; racing queries on one checkpoint are misuse Spark
+      // itself forbids, and the loser adopts the winner's token.
       val id = java.util.UUID.randomUUID().toString
       f.mkdirs(p.getParent)
+      val tmp = new org.apache.hadoop.fs.Path(
+        checkpointDir, s"._writer_id.tmp${id.take(8)}")
+      val out = f.create(tmp, true)
+      try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
       try {
-        val out = f.create(p, false)
-        try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
+        org.apache.hadoop.fs.FileContext.getFileContext(
+            f.getUri, spark.sparkContext.hadoopConfiguration)
+          .rename(f.makeQualified(tmp), f.makeQualified(p))
         id
       } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-            _: java.io.IOException if f.exists(p) =>
-          val in = f.open(p)
-          try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8).trim
-          finally in.close()
+        case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+            _: java.io.IOException) =>
+          f.delete(tmp, false)
+          if (f.exists(p)) readToken() else throw e
       }
     }
   }

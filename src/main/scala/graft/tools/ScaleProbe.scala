@@ -365,6 +365,26 @@ object ScaleProbe {
           run("unsalted split-OFF", skewOn = false)(unsalted)
           run("unsalted split-ON", skewOn = true)(unsalted)
           run("salted (manual)", skewOn = true)(salted)
+          // the AGGREGATION side of the same hot key — expected
+          // (and instructive) NEGATIVE result: map-side partial
+          // aggregation already collapses each partition's hot rows
+          // to one, so an algebraic groupBy(user_id) never sees the
+          // skew the join does; the salted two-phase form
+          // (q_agg_salted) exists for the HOLISTIC aggregates
+          // partials can't collapse. Both should read ~flat here.
+          def aggKey(df: DataFrame) = df
+            .groupBy(col("user_id"))
+            .agg(count(lit(1)).as("cnt"),
+              round(sum(col("value")), 4).as("sum_value"))
+          run("agg unsalted (hot key)", skewOn = true)(aggKey(ev))
+          run("agg salted two-phase", skewOn = true) {
+            ev.withColumn("salt", pmod(col("event_id"), lit(16)))
+              .groupBy(col("user_id"), col("salt"))
+              .agg(count(lit(1)).as("pc"), sum(col("value")).as("ps"))
+              .groupBy(col("user_id"))
+              .agg(sum(col("pc")).as("cnt"),
+                round(sum(col("ps")), 4).as("sum_value"))
+          }
         } finally saved.foreach {
           case (k, Some(v)) => spark.conf.set(k, v)
           case (k, None)    => spark.conf.unset(k)

@@ -30,9 +30,15 @@ object TpchAnchor {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    if (!new java.io.File(s"$dst/lineitem.parquet").exists()) {
+    // reuse gate: a factor-stamped marker written AFTER the full
+    // inflation — gating on the first-written table would happily
+    // "reuse" an interrupted inflation, or a completed one from a
+    // DIFFERENT factor, and time the anchor against wrong-scale data
+    val marker = new java.io.File(s"$dst/_INFLATED_x$factor")
+    if (!marker.exists()) {
       println(s"== inflating sf0.1 x$factor -> $dst")
       Inflate(spark, "/root/testdata/sf0.1", dst, factor)
+      java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
     } else println(s"== reusing inflated tables at $dst")
 
     import graft.ops._

@@ -41,6 +41,25 @@ class VersionedTableSpec extends SparkTestBase {
       Seq((6L, 1.0)).toDF("k", "v"), dir, Seq("v > 0")) == 1L)
   }
 
+  test("commitMerge repairs a crashed predecessor's unpointed version, merging the real head") {
+    val dir = tmp("graft_vt_mergewedge")
+    VersionedTable.commit(Seq((1L, "v0")).toDF("k", "v"), dir)
+    VersionedTable.commit(Seq((1L, "v1")).toDF("k", "v"), dir)
+    // simulate a writer that died between snapshot rename and pointer
+    // swap: v1 + claim exist, pointer regressed to v0
+    clobber(dir, "_CURRENT", "v0")
+    val v = VersionedTable.commitMerge(spark, dir) { base =>
+      base.get.withColumn("v", lit("merged"))
+    }
+    // rolled forward to v1 first (no permanent wedge), THEN merged on
+    // top of the real head — the derivation must see v1, not v0
+    assert(v == 2L)
+    assert(VersionedTable.read(spark, dir)
+      .select($"v").as[String].head() == "merged")
+    assert(VersionedTable.read(spark, dir, Some(1L))
+      .select($"v").as[String].head() == "v1")
+  }
+
   test("commit advances versions; read resolves the pointer; time travel works") {
     val dir = tmp("graft_vt")
     assert(VersionedTable.currentVersion(spark, dir).isEmpty)
