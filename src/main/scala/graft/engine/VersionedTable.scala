@@ -221,7 +221,6 @@ object VersionedTable {
   def commit(df: DataFrame, dir: String,
       allowEvolution: Boolean = false): Long = {
     val spark = df.sparkSession
-    val f = fs(spark, dir)
     // Crash-window repair: a writer that died AFTER renaming its
     // staged snapshot to v<pointer+1> but BEFORE the pointer swap
     // leaves snapshot + claim present with the pointer behind. Without
@@ -378,22 +377,28 @@ object VersionedTable {
     * to disprove). Violations REJECT the commit before anything
     * stages, reporting per-check violation counts; like the schema
     * gate, failing fast beats discovering a bad snapshot after a
-    * table-sized staging write. Cost is one aggregate pass over the
-    * input (Delta folds this into the write; this format trades one
-    * extra scan for keeping the commit path and the report simple —
-    * at 100 TB run it on the upstream frame that is about to be
-    * written anyway, not a re-read). */
+    * table-sized staging write. The frame is PINNED across the check
+    * and the write (the two are separate evaluations, and the
+    * constraint must hold on the committed bytes, not a sibling
+    * evaluation of a non-deterministic plan): a caller-cached frame
+    * is used as-is and left cached; an uncached one is persisted
+    * MEMORY_AND_DISK for the call and released after — at 100 TB
+    * pre-pin the frame yourself (or accept the spill-to-disk
+    * footprint), the way Delta folds validation into the write
+    * itself. */
   def commitChecked(df: DataFrame, dir: String, checks: Seq[String],
       allowEvolution: Boolean = false): Long = {
     require(checks.nonEmpty, "commitChecked without checks is commit")
     import org.apache.spark.sql.functions.{expr, sum, when}
-    // pin the frame: the check aggregate and the staged write are two
-    // evaluations of the plan, and a non-deterministic or live-source
-    // frame could otherwise pass the check with one row set and
-    // commit a different one — the constraint must hold on the
-    // committed bytes, not a sibling evaluation
-    val pinned = df.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pin the frame (see scaladoc). Ownership matters: persist on an
+    // ALREADY-cached plan is a no-op sharing the caller's cache
+    // entry, and unconditionally unpersisting here would evict the
+    // caller's cache out from under them — only release what this
+    // call itself pinned.
+    val callerCached =
+      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val pinned = if (callerCached) df
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val counts = pinned.select(checks.zipWithIndex.map { case (c, i) =>
         sum(when(expr(c), 0L).otherwise(1L)).as(s"v$i")
@@ -406,7 +411,7 @@ object VersionedTable {
         throw new CheckConstraintException(
           s"commit to $dir rejected: ${bad.mkString("; ")}")
       commit(pinned, dir, allowEvolution)
-    } finally pinned.unpersist()
+    } finally if (!callerCached) pinned.unpersist()
   }
 
   /** Read-modify-write commit: `derive` builds the next snapshot FROM

@@ -915,7 +915,10 @@ object Llm {
     // would pin a corpus-sized cache entry for the session (nothing
     // ever unpersists an escaped lazy frame); checkpoint blocks are
     // freed by the ContextCleaner when the result frame drops — the
-    // decontamBloom pattern
+    // decontamBloom pattern. Tradeoff as documented there: local
+    // checkpoint blocks die with their executor (no lineage to
+    // recompute) — under dynamic allocation / preemption substitute
+    // a reliable checkpoint() dir
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("unit", expr(unitNormE))

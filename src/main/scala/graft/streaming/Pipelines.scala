@@ -471,7 +471,12 @@ object Pipelines {
         case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
             _: java.io.IOException) =>
           f.delete(tmp, false)
-          if (f.exists(p)) readToken() else throw e
+          // same nonEmpty guard as the fast path: if the blocking file
+          // is a legacy EMPTY token (whose delete above failed), do
+          // not adopt "" as a lineage id — surface the error instead
+          val winner =
+            if (f.exists(p)) Some(readToken()).filter(_.nonEmpty) else None
+          winner.getOrElse(throw e)
       }
     }
   }

@@ -36,6 +36,11 @@ object TpchAnchor {
     // DIFFERENT factor, and time the anchor against wrong-scale data
     val marker = new java.io.File(s"$dst/_INFLATED_x$factor")
     if (!marker.exists()) {
+      // clear EVERY stale factor marker before inflating: a surviving
+      // _INFLATED_x<other> would let a later run at that factor
+      // "reuse" this factor's data (or a crashed mixed inflation)
+      Option(new java.io.File(dst).listFiles()).foreach(
+        _.filter(_.getName.startsWith("_INFLATED_x")).foreach(_.delete()))
       println(s"== inflating sf0.1 x$factor -> $dst")
       Inflate(spark, "/root/testdata/sf0.1", dst, factor)
       java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
