@@ -533,10 +533,41 @@ object VersionedTable {
     * is what proves the version number was consumed. */
   def expireVersions(spark: SparkSession, dir: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
-    val f = fs(spark, dir)
     val cur = currentVersion(spark, dir)
     val all = versions(spark, dir)
-    val expire = all.dropRight(keepLast).filterNot(cur.contains)
+    dropVersions(spark, dir, all.dropRight(keepLast).filterNot(cur.contains),
+      cur, all)
+  }
+
+  /** TIME-based retention — the form production lakes actually run
+    * (Delta's retention default is an age, not a count): expire every
+    * snapshot whose newest file is older than `olderThanMs`, always
+    * retaining the current pointer. Age uses the newest mtime in the
+    * version dir (a snapshot is as young as its latest write), so the
+    * policy composes with [[compact]]'s rewrites: a freshly-compacted
+    * copy of old data is young. Version mtimes grow with version
+    * number, so like the count form this drops a history PREFIX. */
+  def expireOlderThan(spark: SparkSession, dir: String,
+      olderThanMs: Long): Seq[Long] = {
+    val f = fs(spark, dir)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val cur = currentVersion(spark, dir)
+    val all = versions(spark, dir)
+    val expire = all.filter { v =>
+      !cur.contains(v) &&
+        stagedNewestMtime(f, new Path(dir, s"v$v")).exists(_ < cutoff)
+    }
+    dropVersions(spark, dir, expire, cur, all)
+  }
+
+  /** Shared deletion + summary maintenance behind both retention
+    * forms. Failed deletes throw (a half-expired table is visible,
+    * not silent); the summary is rewritten to the survivors (a crash
+    * mid-way leaves a stale summary; the read path's _CURRENT check
+    * heals it). */
+  private def dropVersions(spark: SparkSession, dir: String,
+      expire: Seq[Long], cur: Option[Long], all: Seq[Long]): Seq[Long] = {
+    val f = fs(spark, dir)
     expire.foreach { v =>
       val p = new Path(dir, s"v$v")
       if (!f.delete(p, true))
@@ -545,8 +576,6 @@ object VersionedTable {
       if (f.exists(m) && !f.delete(m, true))
         throw new java.io.IOException(s"failed to delete expired manifest $m")
     }
-    // keep the summary consistent with what survived (a crash mid-way
-    // leaves a stale summary; the read path's _CURRENT check heals it)
     cur.foreach { c =>
       val survivors = all.filterNot(expire.contains)
       val manifests = readSummary(f, dir) match {
@@ -556,6 +585,18 @@ object VersionedTable {
       writeSummary(spark, dir, Summary(c, survivors, manifests))
     }
     expire
+  }
+
+  /** RESTORE (Delta RESTORE semantics): make an earlier snapshot the
+    * current table state by committing its content as a NEW version —
+    * history is preserved, the rollback itself is auditable in the
+    * version chain, and readers pinned to intermediate versions are
+    * undisturbed. The restored version must still be live (expired
+    * snapshots are gone by design — restore before retention runs). */
+  def restore(spark: SparkSession, dir: String, version: Long): Long = {
+    require(versions(spark, dir).contains(version),
+      s"v$version is not a live version of $dir")
+    commit(read(spark, dir, Some(version)), dir)
   }
 
   /** Small-file compaction (the OPTIMIZE step): rewrite the current

@@ -83,6 +83,26 @@ object Scans {
       .orderBy(col("l_returnflag"))
   }
 
+  /** S8-codec: zstd parquet round-trip — the modern lake default
+    * (better ratio than snappy at comparable scan speed, the codec
+    * most 100 TB archives actually pick); proves the engine
+    * round-trips it with a pushed filter on the read-back. */
+  val sinkZstdRoundtrip: Q = (spark, dir) => {
+    val out = tmpDir("graft_parquet_zstd")
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .parquet(out)
+    spark.read.parquet(out)
+      .filter(col("o_orderkey") % 3 === 0)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 4).as("sum_total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** S5: header CSV sink round-trip (processed-zone write). */
   val sinkCsvRoundtrip: Q = (spark, dir) => {
     val out = tmpDir("graft_csv_processed")
@@ -239,6 +259,7 @@ object Scans {
     "q_scan_csv_projection" -> scanCsvProjection,
     "q_scan_positional_json" -> scanPositionalJson,
     "q_sink_parquet_roundtrip" -> sinkParquetRoundtrip,
+    "q_sink_zstd_roundtrip" -> sinkZstdRoundtrip,
     "q_sink_csv_roundtrip" -> sinkCsvRoundtrip,
     "q_sink_orc_roundtrip" -> sinkOrcRoundtrip,
     "q_scan_schema_evolution" -> scanSchemaEvolution,
@@ -267,6 +288,11 @@ object Scans {
     "q_sink_parquet_roundtrip" ->
       """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 4) AS sum_qty
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_sink_zstd_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+                round(sum(o_totalprice), 4) AS sum_total
+         FROM orders WHERE o_orderkey % 3 = 0
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_sink_csv_roundtrip" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",

@@ -41,6 +41,47 @@ class VersionedTableSpec extends SparkTestBase {
       Seq((6L, 1.0)).toDF("k", "v"), dir, Seq("v > 0")) == 1L)
   }
 
+  test("restore re-commits an old snapshot as a new version; history intact") {
+    val dir = tmp("graft_vt_restore")
+    VersionedTable.commit(Seq((1L, "good")).toDF("k", "v"), dir)
+    VersionedTable.commit(Seq((1L, "bad"), (2L, "bad2")).toDF("k", "v"), dir)
+    val v = VersionedTable.restore(spark, dir, 0L)
+    assert(v == 2L, "restore is a NEW version, not a pointer rollback")
+    assert(VersionedTable.read(spark, dir)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "good")))
+    // the bad intermediate stays time-travelable (the rollback is auditable)
+    assert(VersionedTable.read(spark, dir, Some(1L)).count() == 2)
+    intercept[IllegalArgumentException] {
+      VersionedTable.restore(spark, dir, 99L)
+    }
+  }
+
+  test("time-based retention expires only old-enough snapshots, never the current") {
+    val dir = tmp("graft_vt_age")
+    VersionedTable.commit(Seq((1L, "v0")).toDF("k", "v"), dir)
+    VersionedTable.commit(Seq((1L, "v1")).toDF("k", "v"), dir)
+    VersionedTable.commit(Seq((1L, "v2")).toDF("k", "v"), dir)
+    // nothing is older than an hour yet
+    assert(VersionedTable.expireOlderThan(spark, dir, 3600 * 1000L).isEmpty)
+    // age v0 and v1 behind the cutoff by back-dating every file mtime
+    for (v <- Seq(0L, 1L)) {
+      val d = new java.io.File(s"$dir/v$v")
+      (d +: d.listFiles().toSeq).foreach(
+        _.setLastModified(System.currentTimeMillis() - 7200 * 1000L))
+    }
+    assert(VersionedTable.expireOlderThan(spark, dir, 3600 * 1000L) ==
+      Seq(0L, 1L))
+    assert(VersionedTable.versions(spark, dir) == Seq(2L))
+    assert(VersionedTable.read(spark, dir)
+      .as[(Long, String)].head() == ((1L, "v2")))
+    // even an ancient CURRENT version survives
+    val d2 = new java.io.File(s"$dir/v2")
+    (d2 +: d2.listFiles().toSeq).foreach(
+      _.setLastModified(System.currentTimeMillis() - 7200 * 1000L))
+    assert(VersionedTable.expireOlderThan(spark, dir, 3600 * 1000L).isEmpty)
+    assert(VersionedTable.read(spark, dir).count() == 1)
+  }
+
   test("commitMerge repairs a crashed predecessor's unpointed version, merging the real head") {
     val dir = tmp("graft_vt_mergewedge")
     VersionedTable.commit(Seq((1L, "v0")).toDF("k", "v"), dir)
