@@ -1445,6 +1445,74 @@ object Llm {
         round(log2(col("n")) - col("s") / col("n"), 6).as("entropy"))
       .orderBy(col("doc_id"))
 
+  /** BPE vocabulary induction — TRAINING the tokenizer, not applying
+    * one (tokenizeBpe below is the apply face): the byte-pair-merge
+    * loop (Sennrich et al. 2016) as a distributed iteration, run the
+    * way the reference implementation does — over the WEIGHTED VOCAB
+    * (distinct words x frequency), not the raw corpus, so every
+    * round's state is vocab-sized however large the corpus. Each
+    * round: count adjacent symbol pairs weighted by word frequency
+    * (ONE pair-keyed shuffle with map-side partials), pick the global
+    * argmax (a one-row driver decision — the only driver state is the
+    * merge table itself), and apply the merge MAP-ONLY via a
+    * left-fold higher-order aggregate (greedy leftmost,
+    * non-overlapping — the reference semantics; the just-merged
+    * symbol becomes `prev`, so aa+a never double-merges). Ties break
+    * (count desc, left asc, right asc) — deterministic across
+    * partitionings and engines. Lineage is truncated every 4 rounds
+    * (the cluster-label-loop pattern). Emits the learned merge table
+    * (rank, left, right, merged, n) — rows-only (an iterative argmax
+    * is not SQL-expressible); the spec verifies against an
+    * independent single-threaded reference implementation. */
+  val bpeTrain: Q = (spark, dir) => bpeTrainMerges(spark, dir, 12)
+
+  private[graft] def bpeTrainMerges(spark: SparkSession, dir: String,
+      rounds: Int): DataFrame = {
+    import spark.implicits._
+    val vocab = tokenized(spark, dir)
+      .select(explode(col("t")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .withColumn("s", expr("filter(split(w, ''), c -> c <> '')"))
+      .select(col("s"), col("n"))
+    var v = vocab.localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (round < rounds && !exhausted) {
+      val pairs = v.filter(size(col("s")) >= 2)
+        .select(col("n"), posexplode(expr(
+          """transform(
+               arrays_zip(slice(s, 1, greatest(size(s) - 1, 0)),
+                          slice(s, 2, greatest(size(s) - 1, 0))),
+               p -> struct(p['0'] AS a, p['1'] AS b))"""))
+          .as(Seq("pos", "p")))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .as[(String, String, Long)].collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = top.head
+        merges += ((round, a, b, a + b, cnt))
+        val mergeRow = Seq((a, b, a + b)).toDF("ma", "mb", "mm")
+        v = v.crossJoin(broadcast(mergeRow))
+          .withColumn("s", expr(
+            """aggregate(s, cast(array() as array<string>),
+                 (out, x) -> IF(size(out) > 0
+                     AND element_at(out, -1) = ma AND x = mb,
+                   concat(slice(out, 1, size(out) - 1), array(mm)),
+                   concat(out, array(x))))"""))
+          .select(col("s"), col("n"))
+        if ((round + 1) % 4 == 0) v = v.localCheckpoint(true)
+        round += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "merged", "n")
+      .orderBy(col("rank"))
+  }
+
   /** Token counting, whitespace + BPE-ish regex: runs of letters, runs
     * of digits, single other symbols (the classic pre-tokenizer
     * shape). */
@@ -2170,6 +2238,7 @@ object Llm {
     "q_llm_centroids" -> centroids,
     "q_llm_ann_ivf" -> annIvf,
     "q_llm_tokenize_bpe" -> tokenizeBpe,
+    "q_llm_bpe_train" -> bpeTrain,
     "q_llm_textstats" -> textstats,
     "q_llm_qualityfilter" -> qualityFilter,
     "q_llm_quality_lr" -> qualityLr,

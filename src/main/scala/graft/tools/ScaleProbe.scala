@@ -200,6 +200,10 @@ object ScaleProbe {
       // so the probe times the at-scale paths, not the exact
       // fallbacks the small fixtures would otherwise take)
       time("weighted sampling") { Llm.sampleWeighted(spark, dst) }
+      // BPE training iterates 12 vocab-sized rounds: the corpus only
+      // pays the one vocab aggregate up front, so the trend should
+      // track VOCAB growth (sublinear in corpus), not corpus size
+      time("bpe train (12 merges)") { Llm.bpeTrain(spark, dst) }
       time("hll merge") { Aggs.aggHllMerge(spark, dst) }
       time("embed neardup lsh") { Llm.embedNeardupDispatch(spark, dst, 0L) }
       time("decontam sem ivf") { Llm.decontamSemanticDispatch(spark, dst, 0L) }

@@ -387,6 +387,59 @@ class LlmSpec extends SparkTestBase {
     assert(grouped == mapOnly)
   }
 
+  test("distributed BPE training matches a single-threaded reference merge-for-merge") {
+    // independent reference: classic Sennrich loop over the weighted
+    // vocab, greedy leftmost non-overlapping apply, ties broken
+    // (count desc, left asc, right asc) — written against the paper,
+    // not against the op's code
+    def referenceBpe(words: Seq[(String, Long)], rounds: Int)
+        : Seq[(String, String, String, Long)] = {
+      var vocab = words.map { case (w, n) => (w.toCharArray.map(_.toString).toSeq, n) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Long)]
+      var r = 0
+      var done = false
+      while (r < rounds && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (s, n) =>
+          s.zip(s.drop(1)).foreach(p => counts(p) = counts.getOrElse(p, 0L) + n)
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((a, b), cnt) = counts.toSeq
+            .sortBy { case ((x, y), c) => (-c, x, y) }.head
+          out += ((a, b, a + b, cnt))
+          vocab = vocab.map { case (s, n) =>
+            val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+            s.foreach { x =>
+              if (acc.nonEmpty && acc.last == a && x == b) {
+                acc.remove(acc.size - 1); acc += (a + b)
+              } else acc += x
+            }
+            (acc.toSeq, n)
+          }
+          r += 1
+        }
+      }
+      out.toSeq
+    }
+    val words = graft.engine.Tables(spark, sfSmoke, "documents")
+      .select(explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"w").count()
+      .as[(String, Long)].collect().toSeq
+    val expected = referenceBpe(words, rounds = 8)
+    val got = Llm.bpeTrainMerges(spark, sfSmoke, rounds = 8)
+      .select($"left", $"right", $"merged", $"n")
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(got == expected,
+      s"merge tables diverge:\n got=$got\n exp=$expected")
+    assert(got.size == 8, "fixture vocabulary supports 8 merges")
+    // merged counts are monotone non-increasing only in the greedy
+    // myth — but every count must be positive and every merged token
+    // the concatenation of its parts
+    got.foreach { case (a, b, m, n) => assert(m == a + b && n > 0) }
+  }
+
   test("weighted sampling selects exactly the Efraimidis-Spirakis top-K per stratum") {
     val got = Llm.sampleWeighted(spark, sfSmoke)
       .select($"lang", $"doc_id").as[(String, Long)].collect().toSet
