@@ -277,7 +277,15 @@ object VersionedTable {
     * deterministically exercise the two-committers race: both compute
     * the same `next`, exactly one returns, the other throws. */
   def commitExact(df: DataFrame, dir: String, next: Long,
-      allowEvolution: Boolean = false): Long = {
+      allowEvolution: Boolean = false): Long =
+    commitExactImpl(df, dir, next, allowEvolution, enforceSchema = true)
+
+  /** enforceSchema=false is reserved for [[restore]]: rolling back a
+    * bad schema change is half of what RESTORE exists for, and the
+    * enforcement gate would read that rollback as a dropped-column
+    * violation. Everything else keeps the gate. */
+  private def commitExactImpl(df: DataFrame, dir: String, next: Long,
+      allowEvolution: Boolean, enforceSchema: Boolean): Long = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     // Delta-style schema enforcement, BEFORE the snapshot write (fail
@@ -285,7 +293,7 @@ object VersionedTable {
     // type changes always reject; additions require the explicit
     // allowEvolution opt-in (mergeSchema). The current snapshot's
     // schema is a parquet-footer read — metadata-sized.
-    currentVersion(spark, dir).foreach { cur =>
+    if (enforceSchema) currentVersion(spark, dir).foreach { cur =>
       val have = spark.read.parquet(s"$dir/v$cur").schema
       val haveT = have.map(x => x.name -> x.dataType).toMap
       val inT = df.schema.map(x => x.name -> x.dataType).toMap
@@ -549,12 +557,20 @@ object VersionedTable {
     * number, so like the count form this drops a history PREFIX. */
   def expireOlderThan(spark: SparkSession, dir: String,
       olderThanMs: Long): Seq[Long] = {
+    // the Delta retentionDurationCheck role: 0/negative would expire
+    // every non-current snapshot in one call — demand a real age
+    require(olderThanMs > 0, s"olderThanMs must be > 0, got $olderThanMs")
     val f = fs(spark, dir)
     val cutoff = System.currentTimeMillis() - olderThanMs
     val cur = currentVersion(spark, dir)
     val all = versions(spark, dir)
+    // STRICTLY below the pointer: a published-but-unpointed head (a
+    // crashed writer awaiting repairWedge's roll-forward) must never
+    // be expired — deleting it would destroy committed data AND leave
+    // its claim marker to wedge every future commit. The count form
+    // protects it structurally (dropRight always keeps the newest).
     val expire = all.filter { v =>
-      !cur.contains(v) &&
+      cur.exists(v < _) &&
         stagedNewestMtime(f, new Path(dir, s"v$v")).exists(_ < cutoff)
     }
     dropVersions(spark, dir, expire, cur, all)
@@ -592,11 +608,26 @@ object VersionedTable {
     * history is preserved, the rollback itself is auditable in the
     * version chain, and readers pinned to intermediate versions are
     * undisturbed. The restored version must still be live (expired
-    * snapshots are gone by design — restore before retention runs). */
+    * snapshots are gone by design — restore before retention runs).
+    * Schema enforcement is deliberately BYPASSED: rolling back a bad
+    * schema change is half of what RESTORE is for, and the gate would
+    * read that rollback as a dropped-column violation. */
   def restore(spark: SparkSession, dir: String, version: Long): Long = {
     require(versions(spark, dir).contains(version),
       s"v$version is not a live version of $dir")
-    commit(read(spark, dir, Some(version)), dir)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      repairWedge(spark, dir)
+      val next = currentVersion(spark, dir).map(_ + 1).getOrElse(0L)
+      try return commitExactImpl(read(spark, dir, Some(version)), dir, next,
+        allowEvolution = true, enforceSchema = false)
+      catch {
+        case _: ConcurrentCommitException if attempt < 3 =>
+          Thread.sleep(attempt * 100L)
+      }
+    }
+    -1L // unreachable
   }
 
   /** Small-file compaction (the OPTIMIZE step): rewrite the current

@@ -1457,9 +1457,13 @@ object Llm {
     * merge table itself), and apply the merge MAP-ONLY via a
     * left-fold higher-order aggregate (greedy leftmost,
     * non-overlapping — the reference semantics; the just-merged
-    * symbol becomes `prev`, so aa+a never double-merges). Ties break
-    * (count desc, left asc, right asc) — deterministic across
-    * partitionings and engines. Lineage is truncated every 4 rounds
+    * symbol becomes `prev`, so aa+a never double-merges). Symbols
+    * are Unicode CODE POINTS (Spark's split('') segments by code
+    * point) and ties break (count desc, left asc, right asc) in
+    * Spark's binary string order — which IS code-point order (UTF-8
+    * bytes sort like code points), so the contract is
+    * partitioning- and charset-stable. Lineage is truncated every 4
+    * rounds
     * (the cluster-label-loop pattern). Emits the learned merge table
     * (rank, left, right, merged, n) — rows-only (an iterative argmax
     * is not SQL-expressible); the spec verifies against an
@@ -1482,12 +1486,10 @@ object Llm {
     var exhausted = false
     while (round < rounds && !exhausted) {
       val pairs = v.filter(size(col("s")) >= 2)
-        .select(col("n"), posexplode(expr(
+        .select(col("n"), explode(expr(
           """transform(
-               arrays_zip(slice(s, 1, greatest(size(s) - 1, 0)),
-                          slice(s, 2, greatest(size(s) - 1, 0))),
-               p -> struct(p['0'] AS a, p['1'] AS b))"""))
-          .as(Seq("pos", "p")))
+               arrays_zip(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1)),
+               p -> struct(p['0'] AS a, p['1'] AS b))""")).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("n")).as("cnt"))
       val top = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)

@@ -54,6 +54,44 @@ class VersionedTableSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       VersionedTable.restore(spark, dir, 99L)
     }
+    // restore must roll back ACROSS a schema evolution — the gate
+    // that protects normal commits would read this as a dropped
+    // column, and a RESTORE that can't undo a schema change is
+    // missing half its job
+    VersionedTable.commit(
+      Seq((9L, "evolved", 1.5)).toDF("k", "v", "extra"), dir,
+      allowEvolution = true)
+    val back = VersionedTable.restore(spark, dir, 0L)
+    assert(VersionedTable.read(spark, dir, Some(back)).columns.toSeq ==
+      Seq("k", "v"))
+    assert(VersionedTable.read(spark, dir)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "good")))
+  }
+
+  test("time-based retention validates the age and spares an unpointed head") {
+    val dir = tmp("graft_vt_agehead")
+    VersionedTable.commit(Seq((1L, "v0")).toDF("k", "v"), dir)
+    VersionedTable.commit(Seq((1L, "v1")).toDF("k", "v"), dir)
+    intercept[IllegalArgumentException] {
+      VersionedTable.expireOlderThan(spark, dir, 0L)
+    }
+    // simulate a writer that died between snapshot rename and pointer
+    // swap: v1 published + claimed, pointer regressed to v0 — even
+    // ancient, the unpointed head is committed data awaiting the
+    // roll-forward repair and must never be expired
+    clobber(dir, "_CURRENT", "v0")
+    for (v <- Seq(0L, 1L)) {
+      val d = new java.io.File(s"$dir/v$v")
+      (d +: d.listFiles().toSeq).foreach(
+        _.setLastModified(System.currentTimeMillis() - 7200 * 1000L))
+    }
+    assert(VersionedTable.expireOlderThan(spark, dir, 3600 * 1000L).isEmpty,
+      "neither the pointer nor the unpointed head may expire")
+    // the next commit completes the dead writer's commit on top of v1
+    val v2 = VersionedTable.commit(Seq((1L, "v2")).toDF("k", "v"), dir)
+    assert(v2 == 2L)
+    assert(VersionedTable.read(spark, dir, Some(1L))
+      .as[(Long, String)].head() == ((1L, "v1")))
   }
 
   test("time-based retention expires only old-enough snapshots, never the current") {

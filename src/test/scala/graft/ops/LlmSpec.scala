@@ -391,10 +391,22 @@ class LlmSpec extends SparkTestBase {
     // independent reference: classic Sennrich loop over the weighted
     // vocab, greedy leftmost non-overlapping apply, ties broken
     // (count desc, left asc, right asc) — written against the paper,
-    // not against the op's code
+    // not against the op's code. Symbol/order contract matches the
+    // op's: CODE POINTS (not UTF-16 chars — toCharArray would halve
+    // surrogate pairs) compared in code-point order (Spark's binary
+    // UTF-8 order; plain String.compareTo is code-UNIT order, which
+    // diverges for supplementary-plane text)
+    def cpOrder(x: String, y: String): Boolean = {
+      val c = java.util.Arrays.compareUnsigned(
+        x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+      c < 0
+    }
     def referenceBpe(words: Seq[(String, Long)], rounds: Int)
         : Seq[(String, String, String, Long)] = {
-      var vocab = words.map { case (w, n) => (w.toCharArray.map(_.toString).toSeq, n) }
+      var vocab = words.map { case (w, n) =>
+        (w.codePoints().toArray.toSeq
+          .map(cp => new String(Character.toChars(cp))), n)
+      }
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Long)]
       var r = 0
       var done = false
@@ -405,8 +417,12 @@ class LlmSpec extends SparkTestBase {
         }
         if (counts.isEmpty) done = true
         else {
-          val ((a, b), cnt) = counts.toSeq
-            .sortBy { case ((x, y), c) => (-c, x, y) }.head
+          val ((a, b), cnt) = counts.toSeq.sortWith {
+            case (((x1, y1), c1), ((x2, y2), c2)) =>
+              if (c1 != c2) c1 > c2
+              else if (x1 != x2) cpOrder(x1, x2)
+              else cpOrder(y1, y2)
+          }.head
           out += ((a, b, a + b, cnt))
           vocab = vocab.map { case (s, n) =>
             val acc = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -438,6 +454,35 @@ class LlmSpec extends SparkTestBase {
     // myth — but every count must be positive and every merged token
     // the concatenation of its parts
     got.foreach { case (a, b, m, n) => assert(m == a + b && n > 0) }
+
+    // NON-ASCII contract: supplementary-plane text (surrogate pairs)
+    // must split into whole code points and tie-break in code-point
+    // order on BOTH sides — the divergence a UTF-16 reference (chars
+    // + String.compareTo) would hide on ASCII fixtures
+    val uniDir = java.nio.file.Files.createTempDirectory("graft_bpe_uni").toString
+    val uniDocs = Seq(
+      (0L, "😀😀 😀"),
+      (1L, "😀 😀 😀"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("xx")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", lit(10L))
+    uniDocs.write.mode("overwrite").parquet(s"$uniDir/documents.parquet")
+    val uniWords = uniDocs
+      .select(explode(split($"text", " ")).as("w")).filter($"w" =!= "")
+      .groupBy($"w").count().as[(String, Long)].collect().toSeq
+    val uniExpected = referenceBpe(uniWords, rounds = 3)
+    val uniGot = Llm.bpeTrainMerges(spark, uniDir, rounds = 3)
+      .select($"left", $"right", $"merged", $"n")
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(uniGot == uniExpected,
+      s"non-ASCII merge tables diverge:\n got=$uniGot\n exp=$uniExpected")
+    // every learned symbol is whole code points, never a lone surrogate
+    uniGot.foreach { case (a, b, _, _) =>
+      Seq(a, b).foreach(s => assert(!s.exists(Character.isSurrogate) ||
+        s.codePoints().toArray.forall(Character.isValidCodePoint),
+        s"symbol '$s' carries a torn surrogate"))
+    }
+    graft.util.Fs.deleteRecursively(uniDir)
   }
 
   test("weighted sampling selects exactly the Efraimidis-Spirakis top-K per stratum") {
