@@ -1105,6 +1105,38 @@ object Llm {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** Heavy hitters: tokens holding more than 1/30 of all token
+    * occurrences, found in the two-phase sketch shape (Karp et al.
+    * 2003 / Misra-Gries via `stat.freqItems`, then exact confirm).
+    *
+    * Scale shape — the reason this is not just the oracle's GROUP BY:
+    * phase 1 is a SINGLE map-side pass with bounded state (1/support
+    * = 50 counters per partition, merged driver-side into a
+    * metadata-sized candidate array — the guarantee is a SUPERSET of
+    * every token above support, and 1/50 < 1/30 leaves margin);
+    * phase 2 filters the token stream to candidates BEFORE the
+    * aggregation, so partial aggregation shuffles at most |cand| rows
+    * per partition. A 100 TB corpus with a billion-term vocabulary
+    * never shuffles its vocabulary — only the <=50 candidates — while
+    * the exact confirm keeps the result hash-identical to the full
+    * GROUP BY the oracle runs. Corpus size joins as a broadcast 1-row
+    * frame, same idiom as tfidf. */
+  val heavyHitters: Q = (spark, dir) => {
+    val toks = tokenized(spark, dir).select(explode(col("t")).as("tok"))
+    val cand = toks.stat.freqItems(Seq("tok"), 0.02)
+      .select(col("tok_freqItems").as("cand"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.crossJoin(broadcast(cand))
+      .filter(array_contains(col("cand"), col("tok")))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      // integer-exact threshold (cnt/total > 1/30 with no float
+      // boundary): both engines compare the same two longs
+      .filter(col("cnt") * 30 > col("total"))
+      .select(col("tok"), col("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
   /** Overlapping fixed-token-window chunker (training-sample prep):
     * width-8 windows at stride 4, so every token except the edges
     * appears in exactly two training chunks. Pure generator over the
@@ -2246,6 +2278,7 @@ object Llm {
     "q_llm_quality_lr" -> qualityLr,
     "q_llm_lm_score" -> lmScore,
     "q_llm_tfidf" -> tfidf,
+    "q_llm_heavy_hitters" -> heavyHitters,
     "q_llm_chunk_stride" -> chunkStride,
     "q_llm_semdedup" -> semDedup,
     "q_llm_pack" -> pack,
@@ -2593,6 +2626,14 @@ object Llm {
          JOIN c1 ON b.prev = c1.prev
          CROSS JOIN v
          GROUP BY b.doc_id ORDER BY doc_id""",
+    "q_llm_heavy_hitters" ->
+      """WITH toks AS (
+           SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         total AS (SELECT count(*) AS total FROM toks)
+         SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+         FROM toks, total GROUP BY tok, total
+         HAVING count(*) * 30 > total
+         ORDER BY cnt DESC, tok""",
     "q_llm_tfidf" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS tok

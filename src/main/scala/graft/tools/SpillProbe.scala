@@ -49,41 +49,27 @@ object SpillProbe {
       d
     }
 
-    class SpillMeter extends org.apache.spark.scheduler.SparkListener {
-      val mem = new java.util.concurrent.atomic.AtomicLong()
-      val disk = new java.util.concurrent.atomic.AtomicLong()
-      val peak = new java.util.concurrent.atomic.AtomicLong()
-      override def onTaskEnd(
-          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        Option(e.taskMetrics).foreach { m =>
-          mem.addAndGet(m.memoryBytesSpilled)
-          disk.addAndGet(m.diskBytesSpilled)
-          peak.accumulateAndGet(m.peakExecutionMemory, math.max(_, _))
-        }
-    }
-
     var failed = false
     def probe(name: String)(df: => DataFrame): Unit = {
-      val meter = new SpillMeter
-      spark.sparkContext.addSparkListener(meter)
-      val t0 = System.nanoTime()
-      val outcome =
-        try { val n = df.count(); Right(n) }
+      // scoped listener capture (graft.engine.Metrics) — the same
+      // counters the History Server aggregates on a real cluster
+      val (outcome, m) = graft.engine.Metrics.measure(spark) {
+        try Right(df.count())
         catch { case t: Throwable => Left(t) }
-      val dt = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(500L)
-      spark.sparkContext.removeSparkListener(meter)
+      }
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       graft.ops.Llm.invalidateIslandsCache()
       graft.ops.Llm.invalidateClusterLabelCache()
       System.gc()
+      val dt = m.wallMs / 1000.0
       outcome match {
         case Right(n) =>
           println(f"== $name%-18s OK    $dt%7.1f s  rows=$n%8d  " +
-            f"spill mem=${meter.mem.get / (1 << 20)}%6d MB  " +
-            f"disk=${meter.disk.get / (1 << 20)}%6d MB  " +
-            f"peakTask=${meter.peak.get / (1 << 20)}%5d MB")
+            f"spill mem=${m.memorySpilledBytes / (1 << 20)}%6d MB  " +
+            f"disk=${m.diskSpilledBytes / (1 << 20)}%6d MB  " +
+            f"peakTask=${m.peakTaskMemory / (1 << 20)}%5d MB  " +
+            f"spread=${m.taskSpread}%.1f")
         case Left(t) =>
           failed = true
           println(f"== $name%-18s FAILED $dt%6.1f s  ${t.getClass.getSimpleName}: ${t.getMessage}")

@@ -286,6 +286,29 @@ class LlmSpec extends SparkTestBase {
     }
   }
 
+  test("heavy hitters via sketch candidates equal the exhaustive group-by") {
+    val got = Llm.heavyHitters(spark, sfSmoke)
+      .select($"tok", $"cnt").as[(String, Long)].collect().toSeq
+    // brute force: full vocabulary aggregation, same threshold
+    val toks = graft.engine.Tables(spark, sfSmoke, "documents")
+      .select(explode(split($"text", " ")).as("tok"))
+    val total = toks.count()
+    val exact = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" * 30 > total)
+      .orderBy($"cnt".desc, $"tok")
+      .as[(String, Long)].collect().toSeq
+    assert(got == exact,
+      "the bounded-state candidate phase must lose no true heavy hitter")
+    assert(got.nonEmpty && got.size < 31,
+      "fixture threshold must discriminate (some pass, some fail)")
+    // the phase-1 state bound the scale claim rests on: the candidate
+    // array the plan broadcasts is sketch-sized, never vocabulary-sized
+    val cand = toks.stat.freqItems(Seq("tok"), 0.02)
+      .collect()(0).getSeq[String](0)
+    assert(cand.size <= 50 && got.map(_._1).toSet.subsetOf(cand.toSet),
+      "freqItems must return a <=1/support-sized superset of the hitters")
+  }
+
   test("source stats partition the corpus exactly") {
     val n = graft.engine.Tables(spark, sfSmoke, "documents").count()
     val rows = Llm.sourceStats(spark, sfSmoke).collect()
