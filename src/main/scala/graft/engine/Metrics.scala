@@ -101,13 +101,14 @@ object Metrics {
     try {
       val result = body
       val wallMs = (System.nanoTime() - t0) / 1000000
+      // absolute 5 s cap: a foreign job emitting a steady task stream
+      // must bound the wait, not extend it forever
+      val tEnd = System.nanoTime()
       var last = -1
-      var quietAt = System.nanoTime()
       while (meter.tasks.get != last &&
-          (System.nanoTime() - quietAt) < 5000000000L) {
+          (System.nanoTime() - tEnd) < 5000000000L) {
         last = meter.tasks.get
         Thread.sleep(100)
-        if (meter.tasks.get != last) quietAt = System.nanoTime()
       }
       val durs = {
         val it = meter.durations.iterator()

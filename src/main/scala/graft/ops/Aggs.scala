@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 
@@ -98,12 +99,96 @@ object Aggs {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("event_type"), col("hr"))
 
+  /** EXACT percentile computed distributively — bitwise-identical to
+    * Spark's `percentile` (the interpolation formula is replicated
+    * op-for-op, spec-pinned), but with BOUNDED memory at any scale.
+    *
+    * Why not the built-in: `percentile` buffers a value->count map of
+    * EVERY distinct value into a single final aggregation buffer —
+    * the full-suite anchor measured it at 9.5 s on 6M rows (31x the
+    * single-node engine), and at 100 TB the buffer itself is the OOM.
+    * Here the same result comes from relational algebra that never
+    * concentrates the data:
+    *   1. reduce to (value, count) — one shuffle, distinct-sized;
+    *   2. range-bucket values on approx-quantile split points (a
+    *      metadata-sized driver array, the bloom-sketch idiom) and
+    *      prefix-sum WITHIN each bucket via a window — each task
+    *      sorts only its bucket, spilling, never OOMing;
+    *   3. bucket offsets from a buckets-sized (<=33 row) frame;
+    *   4. the two order statistics around each target rank fall out
+    *      of one conditional aggregate over the cumulative frame, and
+    *      the interpolation is Spark's own `(higher - position) *
+    *      lowerKey + (position - lower) * higherKey` with its
+    *      equal-key and integer-position short-circuits, so the
+    *      result hashes identically to the built-in (and therefore
+    *      to the DuckDB quantile_cont oracle).
+    *
+    * Returns one row with columns `p0..p{k-1}` in `ps` order (null on
+    * an empty input, like the built-in). `counts` is localCheckpointed
+    * once: the split-point probe and the main plan share the
+    * materialization instead of re-scanning the base twice. */
+  def exactPercentiles(df: DataFrame, valueCol: String,
+      ps: Seq[Double], buckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val splits = counts.stat.approxQuantile(
+      "v", (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
+      .distinct.sorted
+    val bucketOf =
+      if (splits.isEmpty) lit(0)
+      else size(org.apache.spark.sql.functions.filter(
+        array(splits.map(lit(_)): _*), s => s <= col("v")))
+    val wIn = Window.partitionBy(col("b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("b", bucketOf)
+      .withColumn("cumIn", sum(col("cnt")).over(wIn))
+    val btot = counts.withColumn("b", bucketOf)
+      .groupBy(col("b")).agg(sum(col("cnt")).as("btot"))
+    // <= buckets+1 rows: the unpartitioned window is metadata-sized
+    val offs = btot.withColumn("off",
+      coalesce(sum(col("btot")).over(Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val nDf = btot.agg(coalesce(sum(col("btot")), lit(0L)).as("n"))
+    val cumEnd = cum
+      .join(broadcast(offs.select(col("b"), col("off"))), Seq("b"))
+      .withColumn("cumEnd", col("off") + col("cumIn"))
+      .crossJoin(broadcast(nDf))
+    val orderStats = ps.indices.flatMap { i =>
+      val pos = lit(ps(i)) * (col("n").cast("double") - 1.0)
+      Seq(
+        min(when(col("cumEnd") >= floor(pos) + 1, col("v"))).as(s"vLo$i"),
+        min(when(col("cumEnd") >= ceil(pos) + 1, col("v"))).as(s"vHi$i"))
+    }
+    cumEnd
+      .agg(max(col("n")).as("n"), orderStats: _*)
+      .select(ps.indices.map { i =>
+        val pos = lit(ps(i)) * (col("n").cast("double") - 1.0)
+        val lower = floor(pos)
+        val higher = ceil(pos)
+        // Spark Percentile.getPercentile, replicated exactly: the two
+        // short-circuits matter because the interpolation on equal
+        // keys is NOT bitwise k (ulp drift), and LONG-DOUBLE
+        // promotion must happen in the same places
+        when(col("n") === 0, lit(null).cast("double"))
+          .when(higher === lower, col(s"vLo$i"))
+          .when(col(s"vHi$i") === col(s"vLo$i"), col(s"vLo$i"))
+          .otherwise((higher - pos) * col(s"vLo$i") +
+            (pos - lower) * col(s"vHi$i"))
+          .as(s"p$i")
+      }: _*)
+  }
+
   /** A9: exact percentile (DuckDB quantile_cont-compatible
-    * interpolation). */
+    * interpolation), via [[exactPercentiles]] — the distributed form;
+    * AggsSpec pins it bitwise to the built-in `percentile`. */
   val aggPercentile: Q = (spark, dir) =>
-    Tables(spark, dir, "lineitem").agg(
-      round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-      round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+    exactPercentiles(Tables(spark, dir, "lineitem"),
+      "l_extendedprice", Seq(0.5, 0.99))
+      .select(round(col("p0"), 4).as("p50"), round(col("p1"), 4).as("p99"))
 
   /** A3-scale: HLL approx distinct, the 100 TB variant of A3 (not
     * oracle-checked: sketch estimates are engine-specific). */

@@ -86,8 +86,11 @@ object Filters {
     * one-row agg joined back by broadcast — distributed end to end. */
   val filterQuantile: Q = (spark, dir) => {
     val li = Tables(spark, dir, "lineitem")
-    val threshold = li.agg(
-      expr("percentile(l_extendedprice, 0.99)").as("p99"))
+    // distributed exact p99 (Aggs.exactPercentiles): bitwise equal to
+    // the built-in `percentile` without its single-buffer value map —
+    // the anchor measured the built-in at 9.5 s on 6M rows
+    val threshold = Aggs.exactPercentiles(li, "l_extendedprice", Seq(0.99))
+      .select(col("p0").as("p99"))
     li.join(broadcast(threshold))
       .filter(col("l_extendedprice") >= col("p99"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))

@@ -1842,6 +1842,34 @@ object Llm {
       .orderBy(col("doc_id"))
   }
 
+  /** Contamination audit from the EVAL side: per eval doc, how much
+    * of it leaked into the training corpus — `n_leaked / n_grams`
+    * over its distinct 5-grams (the report an eval-suite owner reads
+    * before trusting a benchmark score; [[decontaminate]] is the
+    * train-side twin that decides which TRAIN docs to drop).
+    *
+    * Scale shape: the corpus-sized gram stream is filtered by the
+    * BROADCAST eval-gram set before anything shuffles, so the only
+    * wide exchanges are bounded by the eval set (the matched-gram
+    * distinct and the per-eval-doc aggregate) — the corpus is
+    * scanned map-only, never shuffled, at any corpus:eval ratio. */
+  val decontamReport: Q = (spark, dir) => {
+    val exploded = evalTaggedGrams(spark, dir)
+    val evalGrams = exploded.filter(col("is_eval"))
+    val evalGramSet = evalGrams.select(col("g")).distinct()
+    val matched = exploded.filter(!col("is_eval"))
+      .join(broadcast(evalGramSet), Seq("g"))
+      .select(col("g")).distinct()
+    evalGrams
+      .join(broadcast(matched.withColumn("hit", lit(1L))), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_leaked"))
+      .withColumn("overlap",
+        round(col("n_leaked").cast("double") / col("n_grams"), 6))
+      .orderBy(col("doc_id"))
+  }
+
   /** Bloom-prefiltered decontamination: identical result set to
     * [[decontaminate]], different scale regime. `decontaminate`
     * broadcasts the distinct eval grams exactly — right when the
@@ -2294,6 +2322,7 @@ object Llm {
     "q_llm_embed_quantize" -> embedQuantize,
     "q_llm_decontaminate" -> decontaminate,
     "q_llm_decontam_bloom" -> decontamBloom,
+    "q_llm_decontam_report" -> decontamReport,
     "q_llm_decontam_semantic" -> decontamSemantic,
     "q_llm_curate_pipeline" -> curatePipeline,
     "q_llm_corpus_drift" -> corpusDrift,
@@ -2810,6 +2839,30 @@ object Llm {
     // the bloom prefilter only prunes work — the result contract is
     // bitwise the exact pipeline's, so the SAME oracle gates it
     "q_llm_decontam_bloom" -> decontamOracleSql,
+    "q_llm_decontam_report" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         tag AS (
+           SELECT doc_id,
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' AS is_eval
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id,
+                  list_aggregate(t[i:i+4], 'string_agg', ' ') AS g
+           FROM (SELECT doc_id, t,
+                        unnest(generate_series(1, len(t) - 4)) AS i
+                 FROM toks WHERE len(t) >= 5)),
+         ev AS (SELECT sh.doc_id, g FROM sh JOIN tag USING (doc_id)
+                WHERE is_eval),
+         tr AS (SELECT DISTINCT g FROM sh JOIN tag USING (doc_id)
+                WHERE NOT is_eval)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                CAST(sum(CASE WHEN g IN (SELECT g FROM tr)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+                round(CAST(sum(CASE WHEN g IN (SELECT g FROM tr)
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*), 6) AS overlap
+         FROM ev GROUP BY doc_id ORDER BY doc_id""",
     "q_llm_corpus_drift" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -49,4 +49,23 @@ object Inflate {
     // the at-scale paths.
     inflate("embeddings", Seq("vec_id"), 10000000L)
   }
+
+  /** Inflate `src` x `factor` into `dst` unless a completed inflation
+    * at exactly this factor is already there. The marker is written
+    * AFTER the full inflation — gating on the first-written table
+    * would happily "reuse" an interrupted inflation, or a completed
+    * one from a DIFFERENT factor, and time against wrong-scale data;
+    * stale other-factor markers are cleared before inflating. */
+  def ensure(spark: SparkSession, src: String, dst: String,
+      factor: Int): Unit = {
+    val marker = new java.io.File(s"$dst/_INFLATED_x$factor")
+    if (marker.exists()) println(s"== reusing inflated tables at $dst")
+    else {
+      Option(new java.io.File(dst).listFiles()).foreach(
+        _.filter(_.getName.startsWith("_INFLATED_x")).foreach(_.delete()))
+      println(s"== inflating $src x$factor -> $dst")
+      apply(spark, src, dst, factor)
+      java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+    }
+  }
 }

@@ -56,7 +56,7 @@ object ScaleProbe {
       def time(name: String)(df: => DataFrame): Unit = {
         if (!selected(name)) return
         val t0 = System.nanoTime()
-        df.count()
+        graft.util.Exec.drain(df)
         val dt = (System.nanoTime() - t0) / 1e9
         results((name, factor)) = dt
         println(f"== x$factor $name%-24s $dt%8.2f s")
@@ -204,6 +204,8 @@ object ScaleProbe {
       // pays the one vocab aggregate up front, so the trend should
       // track VOCAB growth (sublinear in corpus), not corpus size
       time("bpe train (12 merges)") { Llm.bpeTrain(spark, dst) }
+      time("heavy hitters") { Llm.heavyHitters(spark, dst) }
+      time("decontam report") { Llm.decontamReport(spark, dst) }
       time("hll merge") { Aggs.aggHllMerge(spark, dst) }
       time("embed neardup lsh") { Llm.embedNeardupDispatch(spark, dst, 0L) }
       time("decontam sem ivf") { Llm.decontamSemanticDispatch(spark, dst, 0L) }

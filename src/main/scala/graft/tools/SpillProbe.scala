@@ -53,8 +53,11 @@ object SpillProbe {
     def probe(name: String)(df: => DataFrame): Unit = {
       // scoped listener capture (graft.engine.Metrics) — the same
       // counters the History Server aggregates on a real cluster
+      // full evaluation via the no-op sink: a count() action would let
+      // Catalyst skip final sorts — under a 2 GB heap the sort is
+      // often exactly where the spill is
       val (outcome, m) = graft.engine.Metrics.measure(spark) {
-        try Right(df.count())
+        try { graft.util.Exec.drain(df); Right(()) }
         catch { case t: Throwable => Left(t) }
       }
       spark.sharedState.cacheManager.clearCache()
@@ -64,8 +67,8 @@ object SpillProbe {
       System.gc()
       val dt = m.wallMs / 1000.0
       outcome match {
-        case Right(n) =>
-          println(f"== $name%-18s OK    $dt%7.1f s  rows=$n%8d  " +
+        case Right(_) =>
+          println(f"== $name%-18s OK    $dt%7.1f s  " +
             f"spill mem=${m.memorySpilledBytes / (1 << 20)}%6d MB  " +
             f"disk=${m.diskSpilledBytes / (1 << 20)}%6d MB  " +
             f"peakTask=${m.peakTaskMemory / (1 << 20)}%5d MB  " +

@@ -30,21 +30,7 @@ object TpchAnchor {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // reuse gate: a factor-stamped marker written AFTER the full
-    // inflation — gating on the first-written table would happily
-    // "reuse" an interrupted inflation, or a completed one from a
-    // DIFFERENT factor, and time the anchor against wrong-scale data
-    val marker = new java.io.File(s"$dst/_INFLATED_x$factor")
-    if (!marker.exists()) {
-      // clear EVERY stale factor marker before inflating: a surviving
-      // _INFLATED_x<other> would let a later run at that factor
-      // "reuse" this factor's data (or a crashed mixed inflation)
-      Option(new java.io.File(dst).listFiles()).foreach(
-        _.filter(_.getName.startsWith("_INFLATED_x")).foreach(_.delete()))
-      println(s"== inflating sf0.1 x$factor -> $dst")
-      Inflate(spark, "/root/testdata/sf0.1", dst, factor)
-      java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
-    } else println(s"== reusing inflated tables at $dst")
+    Inflate.ensure(spark, "/root/testdata/sf0.1", dst, factor)
 
     import graft.ops._
     val suite: Seq[(String, graft.ops.Q)] = Seq(
@@ -63,7 +49,7 @@ object TpchAnchor {
     val times = suite.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        fn(spark, dst).count()
+        graft.util.Exec.drain(fn(spark, dst))
         (System.nanoTime() - t0) / 1e9
       }
       val cold = once()

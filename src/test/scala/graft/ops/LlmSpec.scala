@@ -309,6 +309,67 @@ class LlmSpec extends SparkTestBase {
       "freqItems must return a <=1/support-sized superset of the hitters")
   }
 
+  test("heavy hitters shuffle is candidate-sized, not vocabulary-sized") {
+    // the sf fixtures' 31-token vocabulary can't show the mechanism —
+    // plant a corpus whose vocabulary is ~100k tokens but whose heavy
+    // hitters are exactly two, and let the Metrics counters prove the
+    // sketch path never shuffles the vocabulary
+    val dir = java.nio.file.Files.createTempDirectory("graft_hh_vocab").toString
+    val docs = spark.range(4000).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        (0 until 24).map(i => concat(lit(s"u${i}_"), col("id"))) ++
+          Seq.fill(3)(lit("alpha")) ++ Seq.fill(3)(lit("beta")): _*)
+        .as("text"))
+    docs.repartition(4).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+
+    val (got, mSketch) = graft.engine.Metrics.measure(spark) {
+      Llm.heavyHitters(spark, dir).as[(String, Long)].collect().toSeq
+    }
+    assert(got == Seq("alpha" -> 12000L, "beta" -> 12000L))
+
+    val (exact, mFull) = graft.engine.Metrics.measure(spark) {
+      val toks = graft.engine.Tables(spark, dir, "documents")
+        .select(explode(split($"text", " ")).as("tok"))
+      val total = toks.count()
+      toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" * 30 > total).orderBy($"cnt".desc, $"tok")
+        .as[(String, Long)].collect().toSeq
+    }
+    assert(exact == got)
+    assert(mSketch.shuffleWriteBytes * 5 < mFull.shuffleWriteBytes,
+      s"sketch path must shuffle a small fraction of the exhaustive " +
+        s"group-by (got ${mSketch.shuffleWriteBytes} vs " +
+        s"${mFull.shuffleWriteBytes} bytes)")
+  }
+
+  test("decontamination report measures per-eval-doc leaked-gram fraction") {
+    // eval membership is md5(doc_id) starting 'f' — pick ids by the
+    // same rule the operator uses
+    def md5head(id: Long): Char = java.security.MessageDigest
+      .getInstance("MD5").digest(id.toString.getBytes)
+      .map(b => f"$b%02x").mkString.head
+    val ids = (0L to 400L).toSeq
+    val evalIds = ids.filter(md5head(_) == 'f')
+    val trainIds = ids.filterNot(md5head(_) == 'f')
+    assert(evalIds.size >= 3 && trainIds.size >= 1)
+    val Seq(e1, e2, e3) = evalIds.take(3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dreport").toString
+    Seq(
+      (trainIds.head, "a b c d e f g"), // train: grams abcde bcdef cdefg
+      (e1, "a b c d e f g"), // fully leaked -> 1.0
+      (e2, "p q r s t u"), // disjoint -> 0.0
+      (e3, "a b c d e z") // one of two grams leaked -> 0.5
+    ).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = Llm.decontamReport(spark, dir)
+      .select($"doc_id", $"n_grams", $"n_leaked", $"overlap")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((e1, 3L, 3L, 1.0), (e2, 2L, 0L, 0.0),
+      (e3, 2L, 1L, 0.5)).sortBy(_._1))
+  }
+
   test("source stats partition the corpus exactly") {
     val n = graft.engine.Tables(spark, sfSmoke, "documents").count()
     val rows = Llm.sourceStats(spark, sfSmoke).collect()

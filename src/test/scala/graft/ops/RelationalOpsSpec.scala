@@ -93,6 +93,39 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(got == (91 to 100).map(_.toDouble))
   }
 
+  test("distributed exact percentile is bitwise the built-in percentile") {
+    // the interpolation formula and its short-circuits are replicated
+    // from the built-in; this pin is what licenses swapping it into
+    // oracle-checked queries without touching their oracles
+    def builtin(df: org.apache.spark.sql.DataFrame, c: String,
+        ps: Seq[Double]): Seq[Any] =
+      df.agg(expr(s"percentile($c, ${ps.head})"),
+        ps.tail.map(p => expr(s"percentile($c, $p)")): _*).head().toSeq
+    def ours(df: org.apache.spark.sql.DataFrame, c: String,
+        ps: Seq[Double]): Seq[Any] =
+      Aggs.exactPercentiles(df, c, ps, buckets = 4).head().toSeq
+
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+    // fractional positions, duplicates, negatives, tiny inputs
+    val cases = Seq(
+      (1 to 100).map(_.toDouble),
+      Seq(3.0, 1.0, 2.0, 2.0, 2.0, -7.5, 100.25),
+      Seq(42.0),
+      Seq(5.0, 5.0),
+      Seq(-1.0, 1.0))
+    cases.foreach { xs =>
+      val df = xs.toDF("x")
+      assert(ours(df, "x", ps) == builtin(df, "x", ps),
+        s"drift on $xs")
+    }
+    // empty input -> nulls, like the built-in
+    assert(ours(Seq.empty[Double].toDF("x"), "x", Seq(0.5)) == Seq(null))
+    // the real column the oracle-checked queries use
+    val li = graft.engine.Tables(spark, sfSmoke, "lineitem")
+    assert(ours(li, "l_extendedprice", Seq(0.5, 0.99)) ==
+      builtin(li, "l_extendedprice", Seq(0.5, 0.99)))
+  }
+
   test("unionByName tolerates schema drift with missing columns") {
     val a = Seq((1L, "x")).toDF("id", "extra")
     val b = Seq(2L).toDF("id")
