@@ -1808,19 +1808,29 @@ object Llm {
     * decontamination faces. They share one oracle precisely because
     * this definition is identical; sharing the code makes that true
     * by construction instead of by parallel copies. */
-  private def evalTaggedGrams(spark: SparkSession, dir: String): DataFrame = {
-    val docs = tokenized(spark, dir)
+  /** Distinct 5-grams over a PRE-BOUND token column `t` (the shingle
+    * idiom: zipped shifted slices, never element_at lambdas). */
+  private val grams5E = expr(
+    """array_distinct(transform(
+         arrays_zip(slice(t, 1, greatest(size(t) - 4, 0)),
+                    slice(t, 2, greatest(size(t) - 4, 0)),
+                    slice(t, 3, greatest(size(t) - 4, 0)),
+                    slice(t, 4, greatest(size(t) - 4, 0)),
+                    slice(t, 5, greatest(size(t) - 4, 0))),
+         p -> concat_ws(' ', p['0'], p['1'], p['2'], p['3'], p['4'])))""")
+
+  /** (doc_id, g) distinct 5-grams of ARBITRARY (doc_id, text) docs —
+    * the tokenization/gram definition the batch decontamination faces
+    * use, exposed for the streaming ingest gate so both gates agree
+    * by construction. Map-only. */
+  private[graft] def grams5Of(docs: DataFrame): DataFrame =
+    docs.withColumn("t", expr(toksE))
+      .select(col("doc_id"), explode(grams5E).as("g"))
+
+  private def evalTaggedGrams(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
       .withColumn("is_eval", isEvalExpr)
-    val grams5 = expr(
-      """array_distinct(transform(
-           arrays_zip(slice(t, 1, greatest(size(t) - 4, 0)),
-                      slice(t, 2, greatest(size(t) - 4, 0)),
-                      slice(t, 3, greatest(size(t) - 4, 0)),
-                      slice(t, 4, greatest(size(t) - 4, 0)),
-                      slice(t, 5, greatest(size(t) - 4, 0))),
-           p -> concat_ws(' ', p['0'], p['1'], p['2'], p['3'], p['4'])))""")
-    docs.select(col("doc_id"), col("is_eval"), explode(grams5).as("g"))
-  }
+      .select(col("doc_id"), col("is_eval"), explode(grams5E).as("g"))
 
   /** Non-eval doc ids with the eval tag — the join-back spine both
     * decontamination faces report over. */

@@ -607,6 +607,80 @@ object Pipelines {
     } finally survivors.unpersist()
   }
 
+  /** Streaming decontamination gate — the ingest-time sibling of
+    * [[runStreamingIncrDedup]]: documents sharing ANY 5-gram with the
+    * eval/benchmark set are dropped before they land in the training
+    * store (`q_llm_decontaminate` run continuously, with the bloom
+    * regime of `q_llm_decontam_bloom`). Gram definition is
+    * `Llm.grams5Of` — the SAME code the batch faces use, so the gates
+    * agree by construction.
+    *
+    * Scale shape per trigger: the eval-gram BLOOM SKETCH is built
+    * once at stream start (`stat.bloomFilter`'s distributed
+    * treeAggregate; ~MB at any eval cardinality) and probes the
+    * batch's gram stream MAP-ONLY via the codegen'd
+    * [[graft.functions.BloomMightContain]]; only bloom survivors
+    * (true hits + the fpp sliver) pay the exact confirm join against
+    * the eval grams, so false positives die before they can drop a
+    * clean doc — the sketch prunes work, never decides membership.
+    * Docs shorter than 5 tokens carry no 5-gram and pass, exactly as
+    * in the batch op. The eval set is STATIC per stream (an eval
+    * refresh is a restart with a new dir — the gate must be
+    * deterministic per lineage, not drift mid-stream).
+    *
+    * The sink is the writer-scoped idempotent epoch-partition layout
+    * of [[incrDedupBatch]]: a replayed epoch rewrites the same rows
+    * in the same place and skips via the marker. */
+  def runStreamingDecontam(
+      newDocs: DataFrame,
+      evalDocs: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = newDocs.sparkSession
+    val writerId = writerToken(spark, checkpointDir)
+    // THREE consumers at start (count for sizing, sketch aggregate,
+    // per-batch confirm joins) — materialize the eval grams once;
+    // the blocks free when the stream's references drop
+    val evalGrams = graft.ops.Llm.grams5Of(evalDocs)
+      .select(col("g")).distinct()
+      .localCheckpoint(true)
+    val nEval = math.max(evalGrams.count(), 1L)
+    val sketch = evalGrams.select(xxhash64(col("g")).as("h"))
+      .stat.bloomFilter("h", nEval, 0.01)
+    newDocs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        decontamGateBatch(batch.toDF(), epochId, evalGrams, sketch,
+          outDir, writerId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** The per-batch gate behind [[runStreamingDecontam]]. `evalGrams`
+    * and `sketch` are the stream-lifetime eval artifacts. */
+  def decontamGateBatch(batch: DataFrame, epochId: Long,
+      evalGrams: DataFrame,
+      sketch: org.apache.spark.util.sketch.BloomFilter,
+      outDir: String, writerId: String = "default"): Unit = {
+    val spark = batch.sparkSession
+    if (lastEpoch(spark, outDir, s"_LAST_EPOCH_DECONTAM_$writerId")
+        .exists(_ >= epochId)) return
+    val grams = graft.ops.Llm.grams5Of(batch)
+    val suspects = grams.filter(graft.functions.BloomMightContain(
+      spark, xxhash64(col("g")), sketch))
+    // exact confirm: eval-bounded join kills the fpp sliver
+    val contaminated = suspects
+      .join(evalGrams, Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val clean = batch.join(contaminated, Seq("doc_id"), "left_anti")
+    clean.write.mode("overwrite")
+      .parquet(s"$outDir/writer=$writerId/epoch=$epochId")
+    writeEpochMarker(spark, outDir, epochId,
+      s"_LAST_EPOCH_DECONTAM_$writerId")
+  }
+
   /** Gap-based session windows (streaming face of q_stream_session):
     * `session_window` closes a session after `gap` of event-time
     * silence; state is bounded by the watermark. */

@@ -373,6 +373,57 @@ class StreamingSpec extends SparkTestBase {
       s"near-dup 10 must band-collide and drop, novel 11 must land: $landed")
   }
 
+  test("streaming decontamination gate drops eval-gram carriers, passes clean and short docs") {
+    val src = tmp("graft_sdc_src")
+    val out = tmp("graft_sdc_out")
+    val ckpt = tmp("graft_sdc_ckpt")
+    // eval doc: 8 tokens -> 4 distinct 5-grams
+    val evalText = "e1 e2 e3 e4 e5 e6 e7 e8"
+    val evalDocs = Seq((100L, evalText)).toDF("doc_id", "text")
+    // 1: carries an eval 5-gram mid-text -> dropped
+    // 2: clean -> lands;  3: shares only 4 consecutive eval tokens
+    // (no full 5-gram) -> lands;  4: shorter than 5 tokens -> lands
+    Seq(
+      (1L, "a b e3 e4 e5 e6 e7 z"),
+      (2L, "c1 c2 c3 c4 c5 c6"),
+      (3L, "x e1 e2 e3 e4 y z w"),
+      (4L, "t1 t2 t3 t4"))
+      .toDF("doc_id", "text").write.parquet(s"$src/b1")
+
+    def docStream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("recursiveFileLookup", "true")
+      .parquet(src)
+
+    Pipelines.runStreamingDecontam(docStream, evalDocs, out, ckpt)
+      .awaitTermination()
+    val landed = spark.read.parquet(out)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(landed == Set(2L, 3L, 4L),
+      s"only the 5-gram carrier must drop: $landed")
+
+    // the streaming verdict must MATCH the batch gate's on the same
+    // docs — the gates share Llm.grams5Of, this asserts it end-to-end
+    val batchGrams = graft.ops.Llm.grams5Of(
+      Seq((1L, "a b e3 e4 e5 e6 e7 z"), (2L, "c1 c2 c3 c4 c5 c6"),
+        (3L, "x e1 e2 e3 e4 y z w"), (4L, "t1 t2 t3 t4"))
+        .toDF("doc_id", "text"))
+    val evalG = graft.ops.Llm.grams5Of(evalDocs).select($"g")
+    val batchVerdict = batchGrams.join(evalG, Seq("g"), "left_semi")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(batchVerdict == Set(1L), "batch and stream gates agree")
+
+    // replayed epoch (same marker) is a no-op; a second batch passes
+    // through the same lineage idempotently
+    Seq((5L, "n1 n2 n3 n4 n5 n6"), (6L, s"pre $evalText post"))
+      .toDF("doc_id", "text").write.parquet(s"$src/b2")
+    Pipelines.runStreamingDecontam(docStream, evalDocs, out, ckpt)
+      .awaitTermination()
+    assert(spark.read.parquet(out).select($"doc_id").as[Long]
+      .collect().toSet == Set(2L, 3L, 4L, 5L),
+      "batch 2: novel doc lands once, full-eval carrier drops")
+  }
+
   test("streaming incremental dedup: bootstraps an empty snapshot and gates short docs exactly") {
     val src = tmp("graft_sidb_src")
     val snap = tmp("graft_sidb_snap") // NO pre-committed version
