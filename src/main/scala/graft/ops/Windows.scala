@@ -79,10 +79,63 @@ object Windows {
     * at this size; at scale ntile over a global order is a sort —
     * prefer percentile buckets (q_fn_bucketize) when the exact tile
     * boundary doesn't matter. */
+  /** Global 0-based row index by a TOTAL order, computed WITHOUT the
+    * single-partition window a bare `Window.orderBy` compiles to (at
+    * 100 TB that is one task sorting the whole table — the anchor
+    * measured even sf1 losing to a single-node engine on it):
+    * range-bucket rows on approx-quantile split points of the leading
+    * order column (metadata-sized driver array, the exactPercentiles
+    * idiom), row_number WITHIN each bucket (distributed, one shuffle),
+    * and add bucket offsets from a buckets-sized frame. Rows equal on
+    * the leading column always share a bucket, so the concatenated
+    * order is exactly the total order. */
+  private[graft] def withGlobalIndex(df: org.apache.spark.sql.DataFrame,
+      leading: String, tieBreak: Seq[String], out: String,
+      buckets: Int = 32): org.apache.spark.sql.DataFrame = {
+    val splits = df.stat.approxQuantile(
+      leading, (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
+      .distinct.sorted
+    val bucketOf =
+      if (splits.isEmpty) lit(0)
+      else size(org.apache.spark.sql.functions.filter(
+        array(splits.map(lit(_)): _*), s => s <= col(leading)))
+    val wIn = Window.partitionBy(col("__b"))
+      .orderBy((col(leading) +: tieBreak.map(col)): _*)
+    val bucketed = df.withColumn("__b", bucketOf)
+    val offs = bucketed.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+      .withColumn("__off",
+        coalesce(sum(col("__c")).over(Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    bucketed
+      .withColumn("__rn", row_number().over(wIn))
+      .join(broadcast(offs), Seq("__b"))
+      .withColumn(out, col("__off") + col("__rn") - 1)
+      .drop("__b", "__rn", "__off")
+  }
+
+  /** W+: ntile quartiles by order value — re-expressed on
+    * [[withGlobalIndex]] instead of the single-partition global
+    * window, with Spark's NTile bucket arithmetic replicated exactly
+    * (first n%k buckets get one extra row), so the result is bitwise
+    * the built-in's at any scale; WindowsSpec pins the equality. */
   val windowNtile: Q = (spark, dir) => {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables(spark, dir, "orders")
-      .withColumn("quartile", ntile(4).over(w))
+    val k = 4
+    val orders = Tables(spark, dir, "orders")
+    val n = orders.agg(count(lit(1)).as("__n"))
+    withGlobalIndex(orders, "o_totalprice", Seq("o_orderkey"), "__i")
+      .crossJoin(broadcast(n))
+      // NTile: base = n/k rows per bucket, the first n%k buckets take
+      // one extra; `div` keeps every step in integer arithmetic — no
+      // float boundary (DataFrame `/` on longs is DOUBLE division)
+      .withColumn("__base", expr(s"__n div $k"))
+      .withColumn("__rem", col("__n") % k)
+      .withColumn("__cut", col("__rem") * (col("__base") + 1))
+      .withColumn("quartile",
+        when(col("__i") < col("__cut"),
+          expr("(__i div (__base + 1)) + 1"))
+          .otherwise(expr("((__i - __cut) div __base) + __rem + 1"))
+          .cast("int"))
       .select(col("o_orderkey"), col("o_totalprice"), col("quartile"))
       .orderBy(col("o_orderkey"))
   }
@@ -90,14 +143,68 @@ object Windows {
   /** W+: distribution functions — percent_rank / cume_dist of each
     * event's value within its event_type. Both are pure functions of
     * the ORDER BY column, so tie rows carry equal outputs and the
-    * all-column ORDER BY keeps the row stream deterministic. */
+    * all-column ORDER BY keeps the row stream deterministic.
+    *
+    * Re-expressed WITHOUT the giant-group window: `event_type` has a
+    * handful of values, so the windowed form sorts whole types in
+    * single tasks — the straggler/OOM shape at 100 TB. Instead the
+    * rows reduce to (type, value, cnt); cumulative counts come from a
+    * range-bucketed within-type prefix sum (every task sorts only one
+    * (type, bucket) slice); and the rank formulas are Spark's own —
+    * percent_rank = (rank-1)/(n-1) with the n==1 -> 0.0 guard,
+    * cume_dist = cumEnd/n, both on the same longs the window would
+    * produce, so the output is bitwise the windowed form's
+    * (WindowsSpec pins it). Rows rejoin by (type, value): two
+    * bounded-task corpus shuffles in place of one unbounded-task
+    * sort. */
   val windowCume: Q = (spark, dir) => {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
-    Tables(spark, dir, "events")
-      .select(
-        col("event_type"), col("value"),
-        round(percent_rank().over(w), 6).as("pr"),
-        round(cume_dist().over(w), 6).as("cd"))
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_type"), col("value"))
+    // FOUR consumers (split probe, cumsum, offsets, per-type totals):
+    // materialize the reduction once — without this the corpus
+    // aggregation re-runs per consumer (Spark shares no subtrees)
+    val counts = ev.groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint(true)
+    val splits = counts.stat.approxQuantile(
+      "value", (1 until 32).map(_ / 32.0).toArray, 0.01)
+      .distinct.sorted
+    val bucketOf =
+      if (splits.isEmpty) lit(0)
+      else size(org.apache.spark.sql.functions.filter(
+        array(splits.map(lit(_)): _*), s => s <= col("value")))
+    val bucketed = counts.withColumn("__b", bucketOf)
+    val wIn = Window.partitionBy(col("event_type"), col("__b"))
+      .orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = bucketed
+      .groupBy(col("event_type"), col("__b")).agg(sum(col("__cnt")).as("__c"))
+      .withColumn("__off",
+        coalesce(sum(col("__c")).over(
+          Window.partitionBy(col("event_type")).orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("event_type"), col("__b"), col("__off"))
+    val nType = counts.groupBy(col("event_type"))
+      .agg(sum(col("__cnt")).as("__n"))
+    val scored = bucketed
+      .withColumn("__cumIn", sum(col("__cnt")).over(wIn))
+      .join(broadcast(offs), Seq("event_type", "__b"))
+      .withColumn("__cumEnd", col("__off") + col("__cumIn"))
+      .join(broadcast(nType), Seq("event_type"))
+      .withColumn("pr", round(
+        when(col("__n") > 1,
+          (col("__cumEnd") - col("__cnt")).cast("double") /
+            (col("__n") - 1).cast("double"))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("cd", round(
+        col("__cumEnd").cast("double") / col("__n").cast("double"), 6))
+      .select(col("event_type").as("__t"), col("value").as("__v"),
+        col("pr"), col("cd"))
+    // null-safe rejoin: a NULL value groups (and windows) as one key,
+    // so it must also JOIN as one key, not vanish through an EqualTo
+    ev.join(scored,
+      ev("event_type") <=> col("__t") && ev("value") <=> col("__v"))
+      .select(col("event_type"), col("value"), col("pr"), col("cd"))
       .orderBy(col("event_type"), col("value"), col("pr"), col("cd"))
   }
 
