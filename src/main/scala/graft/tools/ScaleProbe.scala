@@ -206,6 +206,10 @@ object ScaleProbe {
       time("bpe train (12 merges)") { Llm.bpeTrain(spark, dst) }
       time("heavy hitters") { Llm.heavyHitters(spark, dst) }
       time("decontam report") { Llm.decontamReport(spark, dst) }
+      // the de-concentrated window rewrites: bucketed global index
+      // (ntile) and reduced prefix-sum (cume) must trend ~linear
+      time("ntile (distributed)") { Windows.windowNtile(spark, dst) }
+      time("cume (distributed)") { Windows.windowCume(spark, dst) }
       time("hll merge") { Aggs.aggHllMerge(spark, dst) }
       time("embed neardup lsh") { Llm.embedNeardupDispatch(spark, dst, 0L) }
       time("decontam sem ivf") { Llm.decontamSemanticDispatch(spark, dst, 0L) }
