@@ -138,10 +138,15 @@ object Aggs {
     val splits = counts.stat.approxQuantile(
       "v", (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
       .distinct.sorted
+    // NaN sorts GREATER than every double (the built-in's ordering),
+    // but `NaN <= split` is false for every split — unguarded it
+    // would land in bucket 0 yet sort last there, corrupting the
+    // concatenated order; pin it to the top bucket explicitly
     val bucketOf =
       if (splits.isEmpty) lit(0)
-      else size(org.apache.spark.sql.functions.filter(
-        array(splits.map(lit(_)): _*), s => s <= col("v")))
+      else when(isnan(col("v")), lit(splits.size))
+        .otherwise(size(org.apache.spark.sql.functions.filter(
+          array(splits.map(lit(_)): _*), s => s <= col("v"))))
     val wIn = Window.partitionBy(col("b")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = counts.withColumn("b", bucketOf)

@@ -95,10 +95,14 @@ object Windows {
     val splits = df.stat.approxQuantile(
       leading, (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
       .distinct.sorted
+    // NaN pins to the top bucket (it sorts greater than every
+    // double, but compares false against every split — see the
+    // exactPercentiles guard)
     val bucketOf =
       if (splits.isEmpty) lit(0)
-      else size(org.apache.spark.sql.functions.filter(
-        array(splits.map(lit(_)): _*), s => s <= col(leading)))
+      else when(isnan(col(leading)), lit(splits.size))
+        .otherwise(size(org.apache.spark.sql.functions.filter(
+          array(splits.map(lit(_)): _*), s => s <= col(leading))))
     val wIn = Window.partitionBy(col("__b"))
       .orderBy((col(leading) +: tieBreak.map(col)): _*)
     val bucketed = df.withColumn("__b", bucketOf)
@@ -169,10 +173,12 @@ object Windows {
     val splits = counts.stat.approxQuantile(
       "value", (1 until 32).map(_ / 32.0).toArray, 0.01)
       .distinct.sorted
+    // NaN pins to the top bucket (see the exactPercentiles guard)
     val bucketOf =
       if (splits.isEmpty) lit(0)
-      else size(org.apache.spark.sql.functions.filter(
-        array(splits.map(lit(_)): _*), s => s <= col("value")))
+      else when(isnan(col("value")), lit(splits.size))
+        .otherwise(size(org.apache.spark.sql.functions.filter(
+          array(splits.map(lit(_)): _*), s => s <= col("value"))))
     val bucketed = counts.withColumn("__b", bucketOf)
     val wIn = Window.partitionBy(col("event_type"), col("__b"))
       .orderBy(col("value"))

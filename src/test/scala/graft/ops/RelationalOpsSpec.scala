@@ -106,16 +106,25 @@ class RelationalOpsSpec extends SparkTestBase {
       Aggs.exactPercentiles(df, c, ps, buckets = 4).head().toSeq
 
     val ps = Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
-    // fractional positions, duplicates, negatives, tiny inputs
+    // fractional positions, duplicates, negatives, tiny inputs, and
+    // NaN (sorts greater than every double — the top-bucket guard)
     val cases = Seq(
       (1 to 100).map(_.toDouble),
       Seq(3.0, 1.0, 2.0, 2.0, 2.0, -7.5, 100.25),
       Seq(42.0),
       Seq(5.0, 5.0),
-      Seq(-1.0, 1.0))
+      Seq(-1.0, 1.0),
+      (1 to 40).map(_.toDouble) ++ Seq(Double.NaN, Double.NaN,
+        Double.PositiveInfinity, Double.NegativeInfinity))
+    // bit-level compare: Seq equality says NaN != NaN, which would
+    // fail exactly the case the NaN guard exists for
+    def bits(vs: Seq[Any]): Seq[Any] = vs.map {
+      case d: Double => java.lang.Double.doubleToLongBits(d)
+      case v => v
+    }
     cases.foreach { xs =>
       val df = xs.toDF("x")
-      assert(ours(df, "x", ps) == builtin(df, "x", ps),
+      assert(bits(ours(df, "x", ps)) == bits(builtin(df, "x", ps)),
         s"drift on $xs")
     }
     // empty input -> nulls, like the built-in
