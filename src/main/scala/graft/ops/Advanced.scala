@@ -268,7 +268,61 @@ object Advanced {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Skyline / Pareto frontier ("Integration of Skyline Queries into
+    * Spark SQL", EDBT 2023 — the operator class, not its
+    * implementation): lineitem rows not DOMINATED in (minimize
+    * l_extendedprice, maximize l_quantity) — no other row is at most
+    * as expensive AND at least as large with one strict.
+    *
+    * The naive form is an O(n^2) dominance self-join (what the
+    * NOT-EXISTS SQL says); in 2-D it collapses to a SWEEP: reduce to
+    * (price -> max quantity), take the running max over strictly
+    * cheaper prices, and a row survives iff it carries its price's
+    * max quantity and beats every cheaper price's best. The running
+    * max rides the same range-bucketed prefix machinery as the
+    * distributed percentile (per-bucket window + prefix over the
+    * buckets-sized maxima frame) — no single-partition sort, no pair
+    * join, two reductions and a join-back at any scale. Ties: equal
+    * (price, quantity) rows never dominate each other, so ALL of
+    * them survive together (the spec plants this). */
+  val skyline: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("p"), col("l_quantity").as("q"))
+    val pa = li.groupBy(col("p")).agg(max(col("q")).as("qmax"))
+      .localCheckpoint(true) // split probe + two plan consumers
+    val splits = pa.stat.approxQuantile(
+      "p", (1 until 32).map(_ / 32.0).toArray, 0.01).distinct.sorted
+    val bucketOf =
+      if (splits.isEmpty) lit(0)
+      else when(isnan(col("p")), lit(splits.size))
+        .otherwise(size(org.apache.spark.sql.functions.filter(
+          array(splits.map(lit(_)): _*), s => s <= col("p"))))
+    val bucketed = pa.withColumn("__b", bucketOf)
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bucketed.groupBy(col("__b")).agg(max(col("qmax")).as("__m"))
+      .withColumn("__off",
+        max(col("__m")).over(Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__b"), col("__off"))
+    val sweep = bucketed
+      .withColumn("__in", max(col("qmax")).over(wIn))
+      .join(broadcast(offs), Seq("__b"))
+      // greatest() skips nulls (first row of first bucket has neither)
+      .withColumn("bestPrev", greatest(col("__in"), col("__off")))
+      .select(col("p"), col("qmax"), col("bestPrev"))
+    li.join(sweep, Seq("p"))
+      .filter(col("q") === col("qmax") &&
+        (col("bestPrev").isNull || col("q") > col("bestPrev")))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("p").as("l_extendedprice"), col("q").as("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_quantity"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_skyline" -> skyline,
     "q_merge_upsert" -> mergeUpsert,
     "q_join_asof" -> joinAsof,
     "q_agg_salted" -> aggSalted,
@@ -281,6 +335,24 @@ object Advanced {
     "q_data_skipping" -> dataSkipping)
 
   val oracle: Map[String, String] = Map(
+    // the sweep construction, not NOT-EXISTS: the dominance self-join
+    // is quadratic and would never finish in the oracle engine either
+    "q_skyline" ->
+      """WITH pa AS (
+           SELECT l_extendedprice AS p, max(l_quantity) AS qmax
+           FROM lineitem GROUP BY 1),
+         sw AS (
+           SELECT p, qmax,
+                  max(qmax) OVER (ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS bestPrev
+           FROM pa)
+         SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+                l.l_quantity
+         FROM lineitem l JOIN sw ON l.l_extendedprice = sw.p
+         WHERE l.l_quantity = sw.qmax
+           AND (sw.bestPrev IS NULL OR l.l_quantity > sw.bestPrev)
+         ORDER BY 1, 2, 3, 4""",
     "q_merge_upsert" ->
       """WITH base AS (
            SELECT c_custkey, c_name, c_mktsegment FROM customer),

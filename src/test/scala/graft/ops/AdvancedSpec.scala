@@ -10,6 +10,42 @@ class AdvancedSpec extends SparkTestBase {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("skyline sweep equals the brute-force dominance filter") {
+    // planted frontier with ties, duplicates, and a dominated chain
+    val dir = java.nio.file.Files.createTempDirectory("graft_sky").toString
+    val rows = Seq(
+      (1L, 1, 10.0, 5.0), // frontier (cheapest)
+      (2L, 1, 10.0, 5.0), // exact duplicate -> also frontier
+      (3L, 1, 10.0, 3.0), // same price, smaller qty -> dominated
+      (4L, 1, 12.0, 7.0), // frontier (pays more, gets more)
+      (5L, 1, 13.0, 7.0), // dominated by 4 (same qty, pricier)
+      (6L, 1, 15.0, 9.0), // frontier
+      (7L, 1, 20.0, 9.0), // dominated by 6
+      (8L, 1, 11.0, 4.0)) // dominated by 1 (pricier, smaller)
+    rows.toDF("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Advanced.skyline(spark, dir)
+      .select($"l_orderkey").as[Long].collect().toSet
+    val brute = rows.filterNot { case (_, _, p, q) =>
+      rows.exists { case (_, _, p2, q2) =>
+        p2 <= p && q2 >= q && (p2 < p || q2 > q) }
+    }.map(_._1).toSet
+    assert(got == brute && got == Set(1L, 2L, 4L, 6L))
+    // fixture sanity: the sweep on real data is non-empty and every
+    // survivor beats every strictly-cheaper price's best quantity
+    val sky = Advanced.skyline(spark, sfSmoke)
+      .select($"l_extendedprice", $"l_quantity")
+      .as[(Double, Double)].collect()
+    assert(sky.nonEmpty)
+    val frontier = sky.distinct.sortBy(_._1)
+    frontier.sliding(2).foreach {
+      case Array((p1, q1), (p2, q2)) =>
+        assert(p1 < p2 && q1 < q2,
+          "frontier must be strictly increasing in both dims")
+      case _ =>
+    }
+  }
+
   test("as-of join matches latest click at-or-before each purchase") {
     val got = Advanced.joinAsof(spark, sfSmoke).limit(0) // shape check
     assert(got.columns.toSeq == Seq("event_id", "user_id", "ts", "click_id"))
