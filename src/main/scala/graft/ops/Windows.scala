@@ -75,10 +75,6 @@ object Windows {
       .orderBy(col("event_id"))
   }
 
-  /** ntile: global quartiles by total price. A single-partition window
-    * at this size; at scale ntile over a global order is a sort —
-    * prefer percentile buckets (q_fn_bucketize) when the exact tile
-    * boundary doesn't matter. */
   /** Global 0-based row index by a TOTAL order, computed WITHOUT the
     * single-partition window a bare `Window.orderBy` compiles to (at
     * 100 TB that is one task sorting the whole table — the anchor

@@ -210,6 +210,7 @@ object ScaleProbe {
       // (ntile) and reduced prefix-sum (cume) must trend ~linear
       time("ntile (distributed)") { Windows.windowNtile(spark, dst) }
       time("cume (distributed)") { Windows.windowCume(spark, dst) }
+      time("skyline sweep") { Advanced.skyline(spark, dst) }
       time("hll merge") { Aggs.aggHllMerge(spark, dst) }
       time("embed neardup lsh") { Llm.embedNeardupDispatch(spark, dst, 0L) }
       time("decontam sem ivf") { Llm.decontamSemanticDispatch(spark, dst, 0L) }
