@@ -321,8 +321,60 @@ object Advanced {
         col("l_extendedprice"), col("l_quantity"))
   }
 
+  /** Ordered funnel analysis (view -> click -> purchase): per step,
+    * how many users completed the funnel IN ORDER — the product-
+    * analytics primitive sessionization feeds. "In order" is the
+    * total (ts, event_id) order, so tie timestamps resolve
+    * identically on both engines.
+    *
+    * Shape: two chained running-max flags over ONE user-keyed window
+    * spec — `prior_view` (a view strictly before this row) and
+    * `prior_qclick` (a click that itself had a prior view) — then a
+    * per-user flag aggregate and a 3-row unpivot. Identical
+    * partitioning/order means Catalyst computes both Window operators
+    * on one exchange + one sort; per-user state is two ints, never a
+    * collected event array, and no group is larger than one user's
+    * history. */
+  val funnel: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prior_view", coalesce(
+        max(when(col("event_type") === "view", 1).otherwise(0)).over(w),
+        lit(0)))
+      .withColumn("prior_qclick", coalesce(
+        max(when(col("event_type") === "click" &&
+          col("prior_view") === 1, 1).otherwise(0)).over(w),
+        lit(0)))
+    val perUser = flagged.groupBy(col("user_id")).agg(
+      max(when(col("event_type") === "view", 1).otherwise(0)).as("f1"),
+      max(when(col("event_type") === "click" &&
+        col("prior_view") === 1, 1).otherwise(0)).as("f2"),
+      max(when(col("event_type") === "purchase" &&
+        col("prior_qclick") === 1, 1).otherwise(0)).as("f3"))
+    val totals = perUser.agg(
+      sum(col("f1")).as("n1"), sum(col("f2")).as("n2"),
+      sum(col("f3")).as("n3"))
+    totals
+      .select(explode(array(
+        struct(lit(1).as("step"), lit("view").as("funnel"),
+          col("n1").cast("long").as("n_users")),
+        struct(lit(2).as("step"), lit("view>click").as("funnel"),
+          col("n2").cast("long").as("n_users")),
+        struct(lit(3).as("step"), lit("view>click>purchase").as("funnel"),
+          col("n3").cast("long").as("n_users")))).as("s"),
+        col("n1"))
+      .select(col("s.step").as("step"), col("s.funnel").as("funnel"),
+        col("s.n_users").as("n_users"),
+        round(col("s.n_users").cast("double") / col("n1"), 6).as("rate"))
+      .orderBy(col("step"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_skyline" -> skyline,
+    "q_funnel" -> funnel,
     "q_merge_upsert" -> mergeUpsert,
     "q_join_asof" -> joinAsof,
     "q_agg_salted" -> aggSalted,
@@ -335,6 +387,45 @@ object Advanced {
     "q_data_skipping" -> dataSkipping)
 
   val oracle: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH w1 AS (
+           SELECT user_id, ts, event_id, event_type,
+                  coalesce(max(CASE WHEN event_type = 'view'
+                               THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS prior_view
+           FROM events),
+         w2 AS (
+           SELECT *,
+                  coalesce(max(CASE WHEN event_type = 'click'
+                               AND prior_view = 1 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS prior_qclick
+           FROM w1),
+         pu AS (
+           SELECT user_id,
+                  max(CASE WHEN event_type = 'view'
+                      THEN 1 ELSE 0 END) AS f1,
+                  max(CASE WHEN event_type = 'click' AND prior_view = 1
+                      THEN 1 ELSE 0 END) AS f2,
+                  max(CASE WHEN event_type = 'purchase'
+                      AND prior_qclick = 1 THEN 1 ELSE 0 END) AS f3
+           FROM w2 GROUP BY 1),
+         t AS (SELECT sum(f1) AS n1, sum(f2) AS n2, sum(f3) AS n3
+               FROM pu)
+         SELECT CAST(1 AS INT) AS step, 'view' AS funnel,
+                CAST(n1 AS BIGINT) AS n_users,
+                round(CAST(n1 AS DOUBLE) / n1, 6) AS rate FROM t
+         UNION ALL
+         SELECT CAST(2 AS INT), 'view>click', CAST(n2 AS BIGINT),
+                round(CAST(n2 AS DOUBLE) / n1, 6) FROM t
+         UNION ALL
+         SELECT CAST(3 AS INT), 'view>click>purchase',
+                CAST(n3 AS BIGINT),
+                round(CAST(n3 AS DOUBLE) / n1, 6) FROM t
+         ORDER BY step""",
     // the sweep construction, not NOT-EXISTS: the dominance self-join
     // is quadratic and would never finish in the oracle engine either
     "q_skyline" ->

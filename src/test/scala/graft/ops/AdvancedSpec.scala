@@ -46,6 +46,30 @@ class AdvancedSpec extends SparkTestBase {
     }
   }
 
+  test("funnel counts only in-order completions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    def t(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:0$s")
+    // A: view->click->purchase in order (full funnel)
+    // B: click BEFORE its view, purchase last -> click never qualifies
+    // C: view->purchase->click -> click qualifies, purchase does not
+    // D: purchase only -> no steps
+    Seq(
+      (1L, "A", "view", t(1)), (2L, "A", "click", t(2)),
+      (3L, "A", "purchase", t(3)),
+      (4L, "B", "click", t(1)), (5L, "B", "view", t(2)),
+      (6L, "B", "purchase", t(3)),
+      (7L, "C", "view", t(1)), (8L, "C", "purchase", t(2)),
+      (9L, "C", "click", t(3)),
+      (10L, "D", "purchase", t(1)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("value", lit(1.0))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Advanced.funnel(spark, dir)
+      .select($"step", $"n_users").as[(Int, Long)].collect().toSeq
+    assert(got == Seq((1, 3L), (2, 2L), (3, 1L)),
+      s"A full, B broken order, C click-after-purchase: $got")
+  }
+
   test("as-of join matches latest click at-or-before each purchase") {
     val got = Advanced.joinAsof(spark, sfSmoke).limit(0) // shape check
     assert(got.columns.toSeq == Seq("event_id", "user_id", "ts", "click_id"))
