@@ -372,9 +372,36 @@ object Advanced {
       .orderBy(col("step"))
   }
 
+  /** Cohort retention (the funnel's longitudinal sibling): users
+    * bucketed by their FIRST active week, counted per week-offset
+    * they return in. Weeks are epoch-day div 7 — calendar-free
+    * integer arithmetic both engines compute identically, dodging
+    * date_trunc('week') locale/ISO edges.
+    *
+    * Shape: events reduce to DISTINCT (user, week) (one shuffle,
+    * map-side combine), each user's cohort is a min-window over the
+    * SAME user key (no second corpus shuffle; groups = one user's
+    * weeks), and because (user, week) rows are unique the final
+    * (cohort, offset) count is a plain count — no count-distinct
+    * state anywhere. */
+  val cohortRetention: Q = (spark, dir) => {
+    val uw = Tables(spark, dir, "events")
+      .select(col("user_id"),
+        expr("CAST(datediff(to_date(ts), DATE'1970-01-01') div 7 AS INT)")
+          .as("w"))
+      .distinct()
+    val wu = Window.partitionBy(col("user_id"))
+    uw.withColumn("c", min(col("w")).over(wu))
+      .groupBy(col("c").as("cohort_week"),
+        (col("w") - col("c")).as("week_offset"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_skyline" -> skyline,
     "q_funnel" -> funnel,
+    "q_cohort_retention" -> cohortRetention,
     "q_merge_upsert" -> mergeUpsert,
     "q_join_asof" -> joinAsof,
     "q_agg_salted" -> aggSalted,
@@ -387,6 +414,17 @@ object Advanced {
     "q_data_skipping" -> dataSkipping)
 
   val oracle: Map[String, String] = Map(
+    "q_cohort_retention" ->
+      """WITH uw AS (
+           SELECT DISTINCT user_id,
+                  CAST(datediff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE)) // 7 AS INT) AS w
+           FROM events),
+         f AS (SELECT user_id, min(w) AS c FROM uw GROUP BY 1)
+         SELECT c AS cohort_week, w - c AS week_offset,
+                CAST(count(*) AS BIGINT) AS n_users
+         FROM uw JOIN f USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_funnel" ->
       """WITH w1 AS (
            SELECT user_id, ts, event_id, event_type,

@@ -70,6 +70,33 @@ class AdvancedSpec extends SparkTestBase {
       s"A full, B broken order, C click-after-purchase: $got")
   }
 
+  test("cohort retention buckets users by first week and dedups within weeks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cohort").toString
+    def t(day: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-${day}%02d 12:00:00")
+    // 2024-01-01 is a Monday; weeks are epoch-day div 7 so any 7-day
+    // stride lands in consecutive buckets
+    // A: week0 twice (dedup), week1, week3;  B: first seen week1, week2
+    Seq(
+      (1L, "A", t(1)), (2L, "A", t(2)), (3L, "A", t(8)), (4L, "A", t(22)),
+      (5L, "B", t(9)), (6L, "B", t(16)))
+      .toDF("event_id", "user_id", "ts")
+      .withColumn("event_type", lit("view")).withColumn("value", lit(1.0))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Advanced.cohortRetention(spark, dir)
+      .select($"week_offset", $"n_users", $"cohort_week")
+      .as[(Int, Long, Int)].collect().toSeq
+    val byCohort = got.groupBy(_._3).view.mapValues(
+      _.map(r => (r._1, r._2)).sorted).toMap
+    assert(byCohort.size == 2)
+    val Seq(c0, c1) = byCohort.keys.toSeq.sorted
+    assert(c1 == c0 + 1)
+    assert(byCohort(c0) == Seq((0, 1L), (1, 1L), (3, 1L)),
+      s"A dedups week0 and returns at offsets 1,3: $got")
+    assert(byCohort(c1) == Seq((0, 1L), (1, 1L)),
+      s"B cohorts at its own first week: $got")
+  }
+
   test("as-of join matches latest click at-or-before each purchase") {
     val got = Advanced.joinAsof(spark, sfSmoke).limit(0) // shape check
     assert(got.columns.toSeq == Seq("event_id", "user_id", "ts", "click_id"))
