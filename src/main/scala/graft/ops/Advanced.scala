@@ -335,11 +335,16 @@ object Advanced {
     * on one exchange + one sort; per-user state is two ints, never a
     * collected event array, and no group is larger than one user's
     * history. */
-  val funnel: Q = (spark, dir) => {
+  /** The chained prior-step flags both funnel faces read: for each
+    * event row, whether a view (resp. a view-qualified click)
+    * occurred STRICTLY BEFORE it in the (ts, event_id) total order.
+    * One exchange + one sort computes both Window operators. */
+  private def funnelFlags(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val flagged = Tables(spark, dir, "events")
+    Tables(spark, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("prior_view", coalesce(
         max(when(col("event_type") === "view", 1).otherwise(0)).over(w),
@@ -348,6 +353,10 @@ object Advanced {
         max(when(col("event_type") === "click" &&
           col("prior_view") === 1, 1).otherwise(0)).over(w),
         lit(0)))
+  }
+
+  val funnel: Q = (spark, dir) => {
+    val flagged = funnelFlags(spark, dir)
     val perUser = flagged.groupBy(col("user_id")).agg(
       max(when(col("event_type") === "view", 1).otherwise(0)).as("f1"),
       max(when(col("event_type") === "click" &&
@@ -398,9 +407,37 @@ object Advanced {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Funnel latency: seconds from first view to first IN-ORDER
+    * purchase, per converting user, summarized as exact p50/p90/p99
+    * via [[Aggs.exactPercentiles]] — the composition the de-
+    * concentration work exists for: the funnel flags, the per-user
+    * reduction, and the bounded-memory percentile are each the
+    * at-scale form, so their composite is too. Deltas are integer
+    * MICROSECONDS (unix_micros / epoch_us on both engines) converted
+    * to seconds only at the end. */
+  val funnelLatency: Q = (spark, dir) => {
+    val perUser = funnelFlags(spark, dir).groupBy(col("user_id")).agg(
+      min(when(col("event_type") === "view", col("ts"))).as("t0"),
+      min(when(col("event_type") === "purchase" &&
+        col("prior_qclick") === 1, col("ts"))).as("t1"))
+      .filter(col("t1").isNotNull)
+    val dt = perUser.select(
+      (unix_micros(col("t1")) - unix_micros(col("t0")))
+        .cast("double").as("dt_us"))
+      .localCheckpoint(true) // count + percentile share one pass
+    val n = dt.agg(count(lit(1)).cast("long").as("n_converted"))
+    Aggs.exactPercentiles(dt, "dt_us", Seq(0.5, 0.9, 0.99))
+      .crossJoin(broadcast(n))
+      .select(col("n_converted"),
+        round(col("p0") / 1e6, 6).as("p50_s"),
+        round(col("p1") / 1e6, 6).as("p90_s"),
+        round(col("p2") / 1e6, 6).as("p99_s"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_skyline" -> skyline,
     "q_funnel" -> funnel,
+    "q_funnel_latency" -> funnelLatency,
     "q_cohort_retention" -> cohortRetention,
     "q_merge_upsert" -> mergeUpsert,
     "q_join_asof" -> joinAsof,
@@ -425,6 +462,37 @@ object Advanced {
                 CAST(count(*) AS BIGINT) AS n_users
          FROM uw JOIN f USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_funnel_latency" ->
+      """WITH w1 AS (
+           SELECT user_id, ts, event_id, event_type,
+                  coalesce(max(CASE WHEN event_type = 'view'
+                               THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS prior_view
+           FROM events),
+         w2 AS (
+           SELECT *,
+                  coalesce(max(CASE WHEN event_type = 'click'
+                               AND prior_view = 1 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS prior_qclick
+           FROM w1),
+         pu AS (
+           SELECT user_id,
+                  min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+                  min(CASE WHEN event_type = 'purchase'
+                      AND prior_qclick = 1 THEN ts END) AS t1
+           FROM w2 GROUP BY 1),
+         c AS (
+           SELECT CAST(epoch_us(t1) - epoch_us(t0) AS DOUBLE) AS dt_us
+           FROM pu WHERE t1 IS NOT NULL)
+         SELECT CAST(count(*) AS BIGINT) AS n_converted,
+                round(quantile_cont(dt_us, 0.5) / 1e6, 6) AS p50_s,
+                round(quantile_cont(dt_us, 0.9) / 1e6, 6) AS p90_s,
+                round(quantile_cont(dt_us, 0.99) / 1e6, 6) AS p99_s
+         FROM c""",
     "q_funnel" ->
       """WITH w1 AS (
            SELECT user_id, ts, event_id, event_type,

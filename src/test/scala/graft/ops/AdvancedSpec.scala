@@ -70,6 +70,26 @@ class AdvancedSpec extends SparkTestBase {
       s"A full, B broken order, C click-after-purchase: $got")
   }
 
+  test("funnel latency interpolates exact percentiles over converters only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_flat").toString
+    def t(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    // A converts in 2 s, E in 10 s; B never converts (broken order)
+    Seq(
+      (1L, "A", "view", t(1)), (2L, "A", "click", t(2)),
+      (3L, "A", "purchase", t(3)),
+      (4L, "E", "view", t(1)), (5L, "E", "click", t(2)),
+      (6L, "E", "purchase", t(11)),
+      (7L, "B", "click", t(1)), (8L, "B", "view", t(2)),
+      (9L, "B", "purchase", t(3)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("value", lit(1.0))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Advanced.funnelLatency(spark, dir)
+      .as[(Long, Double, Double, Double)].collect().head
+    // two samples 2s and 10s: p50 midpoint 6.0, p90 at 9.2, p99 at 9.92
+    assert(got == ((2L, 6.0, 9.2, 9.92)), s"got $got")
+  }
+
   test("cohort retention buckets users by first week and dedups within weeks") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cohort").toString
     def t(day: Int) = java.sql.Timestamp.valueOf(
