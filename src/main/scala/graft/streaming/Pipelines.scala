@@ -210,6 +210,64 @@ object Pipelines {
       }
   }
 
+  /** Streaming funnel — the stateful face of `q_funnel` (view ->
+    * click -> purchase per user): 2 bits of `flatMapGroupsWithState`
+    * state per user (seen a view; seen a view-qualified click), a
+    * transition record emitted each time a user's furthest step
+    * ADVANCES, with event-time TTL eviction for idle users.
+    *
+    * Ordering contract: within each micro-batch a user's events fold
+    * in (ts, event_id) order — identical to the batch op's total
+    * order — and the flags only RATCHET, so in-order delivery per
+    * user reproduces the batch funnel exactly (the spec asserts it).
+    * A cross-batch late-arriving earlier step can only UNDER-count a
+    * conversion (a click folded before its earlier view arrived is
+    * not retroactively qualified), never over-count: the monotone-
+    * state trade every streaming funnel makes, with the batch op as
+    * the exact backfill. State is 2 booleans + a step byte per ACTIVE
+    * user — watermark-evicted, never an event buffer. */
+  def funnelStateful(
+      events: org.apache.spark.sql.Dataset[
+        (Long, java.sql.Timestamp, String, String)],
+      ttl: String = "30 days")
+      : org.apache.spark.sql.Dataset[(String, Int, java.sql.Timestamp)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    // state: furthest step reached (0 none, 1 view, 2 qualified
+    // click, 3 converted)
+    events.toDF("event_id", "ts", "user_id", "event_type")
+      .withWatermark("ts", "1 hour")
+      .as[(Long, java.sql.Timestamp, String, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Int, (String, Int, java.sql.Timestamp)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: String,
+         rows: Iterator[(Long, java.sql.Timestamp, String, String)],
+         state: GroupState[Int]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var step = state.getOption.getOrElse(0)
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(String, Int, java.sql.Timestamp)]
+            var hiTs = Long.MinValue
+            rows.toSeq.sortBy(r => (r._2.getTime, r._1)).foreach { r =>
+              hiTs = math.max(hiTs, r._2.getTime)
+              val next = r._4 match {
+                case "view" if step < 1 => 1
+                case "click" if step == 1 => 2
+                case "purchase" if step == 2 => 3
+                case _ => step
+              }
+              if (next > step) { step = next; out += ((user, step, r._2)) }
+            }
+            state.update(step)
+            if (hiTs != Long.MinValue) state.setTimeoutTimestamp(
+              hiTs, ttl)
+            out.iterator
+          }
+      }
+  }
+
   /** Kafka connector contract — format name and option keys pinned in
     * ONE place and locked by KafkaSeamSpec, so a typo in any of these
     * strings is caught offline instead of surviving to a real cluster

@@ -373,6 +373,57 @@ class StreamingSpec extends SparkTestBase {
       s"near-dup 10 must band-collide and drop, novel 11 must land: $landed")
   }
 
+  test("streaming funnel matches the batch funnel on in-order data and ratchets across batches") {
+    val src = tmp("graft_sfun_src")
+    val out = tmp("graft_sfun_out")
+    val ckpt = tmp("graft_sfun_ckpt")
+    def t(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    // the AdvancedSpec funnel plant: A full funnel, B broken order,
+    // C click-after-purchase, D purchase only
+    val plant = Seq(
+      (1L, t(1), "A", "view"), (2L, t(2), "A", "click"),
+      (3L, t(3), "A", "purchase"),
+      (4L, t(1), "B", "click"), (5L, t(2), "B", "view"),
+      (6L, t(3), "B", "purchase"),
+      (7L, t(1), "C", "view"), (8L, t(2), "C", "purchase"),
+      (9L, t(3), "C", "click"),
+      (10L, t(1), "D", "purchase"))
+    plant.toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$src/b1")
+
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id STRING, event_type STRING")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .as[(Long, java.sql.Timestamp, String, String)]
+      Pipelines.funnelStateful(stream)
+        .toDF("user_id", "step", "ts")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    run()
+    val steps1 = spark.read.parquet(out)
+      .select($"user_id", $"step").as[(String, Int)].collect().toSet
+    // same per-step user sets the batch op counts: n1=3 (A,B,C),
+    // n2=2 (A,C), n3=1 (A)
+    assert(steps1 == Set(("A", 1), ("A", 2), ("A", 3),
+      ("B", 1), ("C", 1), ("C", 2)), s"got $steps1")
+
+    // batch 2: B finally does click->purchase AFTER its view — the
+    // ratcheted state must resume at step 1 and advance to 3
+    Seq((11L, t(4), "B", "click"), (12L, t(5), "B", "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$src/b2")
+    run()
+    val steps2 = spark.read.parquet(out)
+      .select($"user_id", $"step").as[(String, Int)].collect().toSet
+    assert(steps2 == steps1 ++ Set(("B", 2), ("B", 3)),
+      s"B must ratchet from persisted state: $steps2")
+  }
+
   test("streaming decontamination gate drops eval-gram carriers, passes clean and short docs") {
     val src = tmp("graft_sdc_src")
     val out = tmp("graft_sdc_out")
