@@ -213,6 +213,7 @@ object ScaleProbe {
       time("skyline sweep") { Advanced.skyline(spark, dst) }
       time("funnel (two windows)") { Advanced.funnel(spark, dst) }
       time("cohort retention") { Advanced.cohortRetention(spark, dst) }
+      time("funnel latency") { Advanced.funnelLatency(spark, dst) }
       time("hll merge") { Aggs.aggHllMerge(spark, dst) }
       time("embed neardup lsh") { Llm.embedNeardupDispatch(spark, dst, 0L) }
       time("decontam sem ivf") { Llm.decontamSemanticDispatch(spark, dst, 0L) }
