@@ -454,8 +454,8 @@ object Advanced {
     "q_cohort_retention" ->
       """WITH uw AS (
            SELECT DISTINCT user_id,
-                  CAST(datediff('day', DATE '1970-01-01',
-                                CAST(ts AS DATE)) // 7 AS INT) AS w
+                  CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7
+                       AS INT) AS w
            FROM events),
          f AS (SELECT user_id, min(w) AS c FROM uw GROUP BY 1)
          SELECT c AS cohort_week, w - c AS week_offset,
