@@ -40,7 +40,12 @@ object Bench {
       }
       phys(name) = s"""{"shuffle_mb":${m.shuffleWriteBytes / 1048576},""" +
         s""""spill_mb":${(m.memorySpilledBytes + m.diskSpilledBytes) / 1048576},""" +
-        s""""tasks":${m.tasks},"spread":${f"${m.taskSpread}%.1f"}}"""
+        s""""tasks":${m.tasks},"spread":${
+          // JSON requires a dot decimal separator regardless of the
+          // JVM default locale (the f-interpolator would emit "1,5"
+          // under a comma-decimal locale and corrupt the artifact)
+          String.format(java.util.Locale.ROOT, "%.1f",
+            Double.box(m.taskSpread))}}"""
       val dt = m.wallMs / 1e3
       // release per-query caches so later queries aren't charged for
       // earlier queries' cached blocks / GC pressure

@@ -95,6 +95,26 @@ object Metrics {
     * apart, 5 s cap) before detaching — the public-API equivalent of
     * the internal `waitUntilEmpty`. */
   def measure[A](spark: SparkSession)(body: => A): (A, QueryMetrics) = {
+    // Quiesce the async bus BEFORE attaching: task-end events from a
+    // previous query still draining on the listener bus are delivered
+    // to every listener registered at DISPATCH time, so a meter
+    // attached while the backlog drains would absorb the previous
+    // query's tasks (back-to-back measure() calls, as Bench runs).
+    // Same two-stable-reads loop as the tail wait, against a
+    // throwaway counter that sees exactly the backlog.
+    locally {
+      val probe = new Meter
+      spark.sparkContext.addSparkListener(probe)
+      try {
+        val t = System.nanoTime()
+        var last = -1
+        while (probe.tasks.get != last &&
+            (System.nanoTime() - t) < 5000000000L) {
+          last = probe.tasks.get
+          Thread.sleep(100)
+        }
+      } finally spark.sparkContext.removeSparkListener(probe)
+    }
     val meter = new Meter
     spark.sparkContext.addSparkListener(meter)
     val t0 = System.nanoTime()

@@ -396,7 +396,11 @@ object Advanced {
   val cohortRetention: Q = (spark, dir) => {
     val uw = Tables(spark, dir, "events")
       .select(col("user_id"),
-        expr("CAST(datediff(to_date(ts), DATE'1970-01-01') div 7 AS INT)")
+        // FLOOR division, not `div` (truncation toward zero): the
+        // DuckDB oracle's `//` floors, and the two diverge on
+        // pre-epoch timestamps (negative day counts) — div would
+        // round week -1.5 to -1 while the oracle says -2
+        expr("CAST(floor(datediff(to_date(ts), DATE'1970-01-01') / 7.0) AS INT)")
           .as("w"))
       .distinct()
     val wu = Window.partitionBy(col("user_id"))

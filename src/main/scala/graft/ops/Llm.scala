@@ -1111,9 +1111,10 @@ object Llm {
     *
     * Scale shape — the reason this is not just the oracle's GROUP BY:
     * phase 1 is a SINGLE map-side pass with bounded state (1/support
-    * = 50 counters per partition, merged driver-side into a
+    * = 2*minShare counters per partition, merged driver-side into a
     * metadata-sized candidate array — the guarantee is a SUPERSET of
-    * every token above support, and 1/50 < 1/30 leaves margin);
+    * every token above support, and support < 1/minShare by
+    * construction: both thresholds derive from the one constant);
     * phase 2 filters the token stream to candidates BEFORE the
     * aggregation, so partial aggregation shuffles at most |cand| rows
     * per partition. A 100 TB corpus with a billion-term vocabulary
@@ -1122,17 +1123,27 @@ object Llm {
     * GROUP BY the oracle runs. Corpus size joins as a broadcast 1-row
     * frame, same idiom as tfidf. */
   val heavyHitters: Q = (spark, dir) => {
+    // ONE constant drives both phases: the sketch support must stay
+    // strictly below the confirm share or the freqItems superset
+    // guarantee no longer covers true heavy hitters (changing the
+    // threshold without the support would silently drop them). The
+    // support is half the share — comfortably inside the guarantee,
+    // bounded state of 2*minShare counters per partition.
+    val minShare = 30L // heavy hitter = > 1/minShare of occurrences
+    val support = 1.0 / (2L * minShare)
+    require(support < 1.0 / minShare,
+      "freqItems support must undercut the confirm share")
     val toks = tokenized(spark, dir).select(explode(col("t")).as("tok"))
-    val cand = toks.stat.freqItems(Seq("tok"), 0.02)
+    val cand = toks.stat.freqItems(Seq("tok"), support)
       .select(col("tok_freqItems").as("cand"))
     val total = toks.agg(count(lit(1)).as("total"))
     toks.crossJoin(broadcast(cand))
       .filter(array_contains(col("cand"), col("tok")))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(total))
-      // integer-exact threshold (cnt/total > 1/30 with no float
+      // integer-exact threshold (cnt/total > 1/minShare with no float
       // boundary): both engines compare the same two longs
-      .filter(col("cnt") * 30 > col("total"))
+      .filter(col("cnt") * minShare > col("total"))
       .select(col("tok"), col("cnt"))
       .orderBy(col("cnt").desc, col("tok"))
   }

@@ -224,8 +224,12 @@ object Pipelines {
     * conversion (a click folded before its earlier view arrived is
     * not retroactively qualified), never over-count: the monotone-
     * state trade every streaming funnel makes, with the batch op as
-    * the exact backfill. State is 2 booleans + a step byte per ACTIVE
-    * user — watermark-evicted, never an event buffer. */
+    * the exact backfill. PERSISTENT state is one step byte per ACTIVE
+    * user — watermark-evicted, never an event buffer. Per TRIGGER the
+    * fold sorts one key's still-relevant events from that micro-batch
+    * (events at or below the entry step are dropped in the streaming
+    * pass, so a converted user costs O(1)); that transient slice is
+    * trigger-bounded, not history-bounded. */
   def funnelStateful(
       events: org.apache.spark.sql.Dataset[
         (Long, java.sql.Timestamp, String, String)],
@@ -247,18 +251,34 @@ object Pipelines {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             var step = state.getOption.getOrElse(0)
+            val step0 = step
             val out = scala.collection.mutable.ArrayBuffer
               .empty[(String, Int, java.sql.Timestamp)]
             var hiTs = Long.MinValue
-            rows.toSeq.sortBy(r => (r._2.getTime, r._1)).foreach { r =>
+            // A transition needs code == step+1 at fold time and step
+            // only ratchets forward, so an event whose code is not
+            // ABOVE the entry step can never fire — drop it in the
+            // single streaming pass instead of materializing it. A
+            // CONVERTED (step 3) or far-advanced user folds in O(1);
+            // what remains to sort is one key's still-relevant events
+            // in ONE micro-batch (trigger-bounded, never stream
+            // history — the batch op is the exact backfill for the
+            // pathological hot key).
+            val buf = scala.collection.mutable.ArrayBuffer
+              .empty[(java.sql.Timestamp, Long, Int)]
+            rows.foreach { r =>
               hiTs = math.max(hiTs, r._2.getTime)
-              val next = r._4 match {
-                case "view" if step < 1 => 1
-                case "click" if step == 1 => 2
-                case "purchase" if step == 2 => 3
-                case _ => step
+              val code = r._4 match {
+                case "view" => 1
+                case "click" => 2
+                case "purchase" => 3
+                case _ => 0
               }
-              if (next > step) { step = next; out += ((user, step, r._2)) }
+              if (code > step0) buf += ((r._2, r._1, code))
+            }
+            buf.sortInPlaceBy(e => (e._1.getTime, e._2)).foreach {
+              case (ts, _, code) =>
+                if (code == step + 1) { step += 1; out += ((user, step, ts)) }
             }
             state.update(step)
             if (hiTs != Long.MinValue) state.setTimeoutTimestamp(

@@ -117,6 +117,24 @@ class AdvancedSpec extends SparkTestBase {
       s"B cohorts at its own first week: $got")
   }
 
+  test("cohort week floors (not truncates) for pre-epoch timestamps") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cohort_pre").toString
+    // 1969-12-25 = epoch day -7 (week -1 exactly); 1969-12-29 = day -3,
+    // which FLOORS to week -1 but TRUNCATES (div) to week 0 — the
+    // divergence the DuckDB `//` oracle would flag
+    Seq(
+      (1L, "P", java.sql.Timestamp.valueOf("1969-12-29 12:00:00")),
+      (2L, "P", java.sql.Timestamp.valueOf("1970-01-02 12:00:00")))
+      .toDF("event_id", "user_id", "ts")
+      .withColumn("event_type", lit("view")).withColumn("value", lit(1.0))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Advanced.cohortRetention(spark, dir)
+      .select($"cohort_week", $"week_offset", $"n_users")
+      .as[(Int, Int, Long)].collect().toSeq.sorted
+    assert(got == Seq((-1, 0, 1L), (-1, 1, 1L)),
+      s"day -3 must land in week -1 (floor), not week 0 (div): $got")
+  }
+
   test("as-of join matches latest click at-or-before each purchase") {
     val got = Advanced.joinAsof(spark, sfSmoke).limit(0) // shape check
     assert(got.columns.toSeq == Seq("event_id", "user_id", "ts", "click_id"))
