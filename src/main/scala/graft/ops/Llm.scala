@@ -881,10 +881,13 @@ object Llm {
     * DuckDB's list_dot_product, so raw doubles match the oracle
     * bitwise. */
   private[graft] def embedNeardupExact(spark: SparkSession, dir: String)
+      : DataFrame =
+    embedNeardupExactOn(spark, Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
+
+  private[graft] def embedNeardupExactOn(spark: SparkSession, emb: DataFrame)
       : DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
-    val emb = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val a = emb.select(col("vec_id").as("d1"), col("e").as("ea"))
     val b = emb.select(col("vec_id").as("d2"), col("e").as("eb"))
     a.join(broadcast(b), col("d1") < col("d2"))
@@ -906,6 +909,11 @@ object Llm {
     * rounding); recall is the OR-amplified 6-table bound,
     * spec-gated against the exact path on the planted near-dups. */
   private[graft] def embedNeardupLsh(spark: SparkSession, dir: String)
+      : DataFrame =
+    embedNeardupLshOn(spark, Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
+
+  private[graft] def embedNeardupLshOn(spark: SparkSession, embRaw: DataFrame)
       : DataFrame = {
     import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
     import org.apache.spark.ml.functions.array_to_vector
@@ -919,8 +927,7 @@ object Llm {
     // checkpoint blocks die with their executor (no lineage to
     // recompute) — under dynamic allocation / preemption substitute
     // a reliable checkpoint() dir
-    val emb = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val emb = embRaw
       .withColumn("unit", expr(unitNormE))
       .withColumn("features", array_to_vector(col("unit")))
       .localCheckpoint(true)
@@ -956,8 +963,35 @@ object Llm {
     else embedNeardupLsh(spark, dir)
   }
 
+  /** Frame-input dispatch (same regimes, caller-supplied vectors) —
+    * the seam the forced-path oracle entry routes through. */
+  def embedNeardupDispatchOn(spark: SparkSession, emb: DataFrame, bound: Long)
+      : DataFrame =
+    if (emb.count() <= bound) embedNeardupExactOn(spark, emb)
+    else embedNeardupLshOn(spark, emb)
+
   val embedNeardup: Q = (spark, dir) =>
     embedNeardupDispatch(spark, dir, embedNeardupExactBound)
+
+  /** Driver-visible witness for the PAST-THE-BOUND regime: dispatch
+    * with bound 0 forces the LSH-bucketed path on any input, and the
+    * entry plants identical-copy vectors (vec_id + 1,000,000 for the
+    * 20 smallest ids) whose pairs random-hyperplane LSH finds
+    * DETERMINISTICALLY — identical vectors hash identically in every
+    * table, so they always share a bucket. Filtering the output to
+    * cosine >= 0.999 keeps exactly those provably-found planted pairs
+    * (the fixture's real pairs top out near 0.52), so the full LSH
+    * machinery — fit, banding, bucket join, exact re-score — is
+    * HASH-gated against the DuckDB all-pairs oracle, not just
+    * recall-spec-gated. */
+  val embedNeardupForcedLsh: Q = (spark, dir) => {
+    val base = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val planted = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("e"))
+    embedNeardupDispatchOn(spark, base.unionByName(planted), bound = 0L)
+      .filter(col("cosine") >= 0.999)
+  }
 
   /** L3 at scale: LSH-bucketed ANN over L2-normalized vectors
     * (BucketedRandomProjectionLSH; euclidean on the unit sphere tracks
@@ -1329,15 +1363,21 @@ object Llm {
     * O(n^1.5) total instead of O(n^2/8) with a fixed k — the fixed
     * k=8 of round 2 was a latent quadratic at corpus scale. */
   private def fitIvfCells(spark: SparkSession, dir: String)
+      : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) =
+    fitIvfCellsOn(spark, Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
+
+  private[graft] def fitIvfCellsOn(spark: SparkSession, embRaw: DataFrame)
       : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val emb = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val emb = embRaw
       .withColumn("unit", expr(unitNormE))
       .withColumn("features", array_to_vector(col("unit")))
     val fitCap = 100000L
-    val total = Tables(spark, dir, "embeddings").count()
+    // for the parquet-backed catalog frame this count resolves from
+    // footer metadata, not a data scan
+    val total = embRaw.count()
     val k = math.max(8, math.ceil(math.sqrt(total.toDouble)).toInt)
     // persist the fit input: KMeans re-evaluates it once per Lloyd
     // pass (plus kmeans|| init rounds), and the lineage here carries
@@ -1994,9 +2034,20 @@ object Llm {
     * ranking shuffles |train| x k rows of (id, cell, csim) — the same
     * O(n^1.5) envelope as semDedup, never |train| x |eval|. */
   private[graft] def decontamSemanticIvf(spark: SparkSession, dir: String)
+      : DataFrame =
+    decontamSemanticIvfWith(spark, ivfCells(spark, dir))
+
+  /** Frame-input form: fits the cell index on the caller's vectors
+    * (no dir-keyed memo) — the forced-path oracle entry's seam. */
+  private[graft] def decontamSemanticIvfOn(spark: SparkSession, emb: DataFrame)
+      : DataFrame =
+    decontamSemanticIvfWith(spark, fitIvfCellsOn(spark, emb))
+
+  private def decontamSemanticIvfWith(spark: SparkSession,
+      mc: (org.apache.spark.ml.clustering.KMeansModel, DataFrame))
       : DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
-    val (model, cells) = ivfCells(spark, dir)
+    val (model, cells) = mc
     val isEval = col("vec_id") % 10 === 0
     val evalByCell = cells.filter(isEval)
       .groupBy(col("cell")).agg(collect_list(col("e")).as("evs"))
@@ -2050,6 +2101,28 @@ object Llm {
 
   val decontamSemantic: Q = (spark, dir) =>
     decontamSemanticDispatch(spark, dir, decontamSemanticEvalBound)
+
+  /** Driver-visible witness for the PAST-THE-EVAL-BOUND regime (the
+    * embedNeardupForcedLsh pattern applied to decontamination): the
+    * entry plants EVAL copies of selected train vectors (vec_id % 100
+    * == 1, copy id = 10*vec_id + 1,000,000 so the copy lands on the
+    * eval side of the % 10 split) and routes through the IVF-probe
+    * path unconditionally. An identical eval copy quantizes to its
+    * original's own cell, and the probe rule always scans a vector's
+    * own cell, so every planted contamination is found
+    * DETERMINISTICALLY with max_sim = 1.0 — and since the IVF max is
+    * a lower bound of the exhaustive max, filtering both engines to
+    * max_sim >= 0.999 (far above the fixture's ~0.52 organic ceiling)
+    * makes the probe-path output hash-equal to the DuckDB exhaustive
+    * oracle. */
+  val decontamSemanticForcedIvf: Q = (spark, dir) => {
+    val base = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val planted = base.filter(col("vec_id") % 100 === 1)
+      .select((col("vec_id") * 10 + 1000000L).as("vec_id"), col("e"))
+    decontamSemanticIvfOn(spark, base.unionByName(planted))
+      .filter(col("max_sim") >= 0.999)
+  }
 
   /** Corpus DISTRIBUTION-DRIFT report — the monitoring step a nightly
     * crawl refresh runs before admitting a batch: compare the new
@@ -2315,6 +2388,7 @@ object Llm {
     "q_llm_dedup_simhash" -> dedupSimhash,
     "q_llm_cosine_topk" -> cosineTopk,
     "q_llm_embed_neardup" -> embedNeardup,
+    "q_llm_embed_neardup_lsh_forced" -> embedNeardupForcedLsh,
     "q_llm_ann_lsh" -> annLsh,
     "q_llm_split" -> split,
     "q_llm_sample_weighted" -> sampleWeighted,
@@ -2345,6 +2419,7 @@ object Llm {
     "q_llm_decontam_bloom" -> decontamBloom,
     "q_llm_decontam_report" -> decontamReport,
     "q_llm_decontam_semantic" -> decontamSemantic,
+    "q_llm_decontam_ivf_forced" -> decontamSemanticForcedIvf,
     "q_llm_curate_pipeline" -> curatePipeline,
     "q_llm_corpus_drift" -> corpusDrift,
     "q_llm_corpus_mix" -> corpusMix,
@@ -2587,6 +2662,19 @@ object Llm {
             FROM v a JOIN v b ON a.vec_id < b.vec_id)
           SELECT d1, d2, round(cos_raw, 6) AS cosine FROM p
           WHERE cos_raw >= 0.4 ORDER BY d1, d2""",
+    "q_llm_embed_neardup_lsh_forced" ->
+      """WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                     FROM embeddings),
+          v AS (SELECT * FROM v0 UNION ALL
+                SELECT vec_id + 1000000, e FROM v0 WHERE vec_id < 20),
+          p AS (
+            SELECT a.vec_id AS d1, b.vec_id AS d2,
+                   list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e))) AS cos_raw
+            FROM v a JOIN v b ON a.vec_id < b.vec_id)
+          SELECT d1, d2, round(cos_raw, 6) AS cosine FROM p
+          WHERE round(cos_raw, 6) >= 0.999 ORDER BY d1, d2""",
     "q_llm_sample_weighted" ->
       """WITH d AS (
            SELECT lang, doc_id, n_chars,
@@ -2917,6 +3005,23 @@ object Llm {
          SELECT vec_id, round(max_raw, 6) AS max_sim,
                 max_raw >= 0.5 AS contaminated
          FROM m ORDER BY vec_id""",
+    "q_llm_decontam_ivf_forced" ->
+      """WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                     FROM embeddings),
+         v AS (SELECT * FROM v0 UNION ALL
+               SELECT vec_id * 10 + 1000000, e FROM v0
+               WHERE vec_id % 100 = 1),
+         ev AS (SELECT e AS ee FROM v WHERE vec_id % 10 = 0),
+         tr AS (SELECT vec_id, e FROM v WHERE vec_id % 10 <> 0),
+         m AS (
+           SELECT tr.vec_id,
+                  max(list_dot_product(tr.e, ev.ee)
+                      / (sqrt(list_dot_product(tr.e, tr.e))
+                         * sqrt(list_dot_product(ev.ee, ev.ee)))) AS max_raw
+           FROM tr CROSS JOIN ev GROUP BY tr.vec_id)
+         SELECT vec_id, round(max_raw, 6) AS max_sim,
+                max_raw >= 0.5 AS contaminated
+         FROM m WHERE round(max_raw, 6) >= 0.999 ORDER BY vec_id""",
     "q_llm_curate_pipeline" ->
       """WITH f AS (
            SELECT doc_id, source, text, n_chars,

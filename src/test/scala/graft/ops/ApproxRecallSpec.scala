@@ -261,4 +261,24 @@ class ApproxRecallSpec extends SparkTestBase {
       graft.util.Fs.deleteRecursively(dir)
     }
   }
+
+  // ------------------------- forced-path oracle witnesses (driver-visible)
+
+  test("forced-LSH witness finds exactly the 20 planted identical pairs") {
+    val rows = Llm.embedNeardupForcedLsh(spark, sfSmoke)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(rows.size == 20, s"one pair per planted copy: $rows")
+    rows.foreach { case (d1, d2, c) =>
+      assert(d2 == d1 + 1000000L && d1 < 20 && c == 1.0,
+        s"witness pair must be (id, id+1e6, 1.0): ($d1,$d2,$c)")
+    }
+  }
+
+  test("forced-IVF witness flags exactly the planted contaminated ids") {
+    val rows = Llm.decontamSemanticForcedIvf(spark, sfSmoke)
+      .as[(Long, Double, Boolean)].collect().toSeq
+    assert(rows.nonEmpty && rows.forall(r =>
+      r._1 % 100 == 1 && r._2 == 1.0 && r._3),
+      s"witness rows must be the planted %100==1 train ids at 1.0: $rows")
+  }
 }
