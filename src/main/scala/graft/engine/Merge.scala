@@ -1,0 +1,164 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Delta-style MERGE clause matrix over plain DataFrames — the full
+  * `WHEN MATCHED [AND cond] THEN UPDATE/DELETE` / `WHEN NOT MATCHED
+  * [AND cond] THEN INSERT` surface a lakehouse user reaches for
+  * weekly (the reference's refresh jobs express the unconditional
+  * special case; see q_merge_upsert).
+  *
+  * Semantics match the public Delta Lake MERGE contract:
+  *  - target rows matched by the source evaluate the MATCHED clauses
+  *    in declaration order; the FIRST clause whose condition holds
+  *    applies (update or delete), and a matched row no clause claims
+  *    is carried through unchanged;
+  *  - unmatched target rows are always carried through;
+  *  - unmatched source rows evaluate the NOT MATCHED clauses in
+  *    order; the first applicable one inserts, otherwise the source
+  *    row is discarded;
+  *  - more than one source row matching a single target row is
+  *    ambiguous and rejected (same error Delta raises) — checked
+  *    distributedly, no collect.
+  *
+  * Execution shape: ONE equi-join (full outer) on the merge keys plus
+  * per-row CASE expressions — a single key shuffle at any scale, with
+  * Spark free to broadcast the source side when it is dim-sized, and
+  * every clause condition/assignment a codegen'd Column expression.
+  * Clause conditions reference the two sides through the aliases
+  * `t` (target) and `s` (source), e.g. `col("s.op") === "del"`.
+  */
+object Merge {
+
+  sealed trait Clause
+  /** WHEN MATCHED [AND cond] THEN UPDATE SET col -> expr (unlisted
+    * target columns keep their current value). */
+  final case class MatchedUpdate(cond: Option[Column],
+      set: Map[String, Column]) extends Clause
+  /** WHEN MATCHED [AND cond] THEN DELETE. */
+  final case class MatchedDelete(cond: Option[Column]) extends Clause
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT (unlisted target columns
+    * insert as NULL, like Delta's omitted columns). */
+  final case class NotMatchedInsert(cond: Option[Column],
+      values: Map[String, Column]) extends Clause
+
+  /** Marker appended to each side pre-join: after a full outer join
+    * its null-ness is the presence test (key columns can be NULL on
+    * either side, so testing them would misclassify). */
+  private val tMark = "__graft_t_present"
+  private val sMark = "__graft_s_present"
+
+  def merge(target: DataFrame, source: DataFrame, keys: Seq[String],
+      clauses: Seq[Clause]): DataFrame = {
+    require(keys.nonEmpty, "MERGE needs at least one key column")
+    require(clauses.nonEmpty, "MERGE needs at least one clause")
+    val outCols = target.columns.toSeq
+    val matchedClauses = clauses.collect {
+      case c: MatchedUpdate => c: Clause
+      case c: MatchedDelete => c: Clause
+    }
+    val insertClauses = clauses.collect { case c: NotMatchedInsert => c }
+
+    // Delta's ambiguity rule: a target row matched by >1 source row
+    // has no well-defined clause outcome. One aggregation on the
+    // already-shuffled key, fused into the same plan via a join —
+    // never a driver-side check.
+    val dupSourceKeys = source.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .select(keys.map(col): _*)
+
+    val t = target.withColumn(tMark, lit(true)).alias("t")
+    val s = source.withColumn(sMark, lit(true)).alias("s")
+    val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k"))
+      .reduce(_ && _)
+    val j = t.join(s, joinCond, "full_outer")
+
+    val isMatched = col(s"t.$tMark").isNotNull && col(s"s.$sMark").isNotNull
+    val targetOnly = col(s"t.$tMark").isNotNull && col(s"s.$sMark").isNull
+    val sourceOnly = col(s"t.$tMark").isNull && col(s"s.$sMark").isNotNull
+
+    // Action resolution: CASE evaluates in order, so "first applicable
+    // clause wins" is exactly a when-chain per row population.
+    // Encoding: -1 keep (matched, unclaimed / target-only),
+    // -2 drop (delete, or unmatched source no clause wants),
+    // i >= 0: clause index applies.
+    val keep = lit(-1)
+    val drop = lit(-2)
+    val matchedAction = matchedClauses.zipWithIndex
+      .foldLeft(org.apache.spark.sql.functions.when(lit(false), keep)) {
+        case (chain, (c, i)) =>
+          val (cond, act) = c match {
+            case MatchedUpdate(cd, _) => (cd.getOrElse(lit(true)), lit(i))
+            case MatchedDelete(cd) => (cd.getOrElse(lit(true)), drop)
+          }
+          chain.when(cond, act)
+      }.otherwise(keep)
+    val insertAction = insertClauses.zipWithIndex
+      .foldLeft(org.apache.spark.sql.functions.when(lit(false), keep)) {
+        case (chain, (NotMatchedInsert(cd, _), i)) =>
+          chain.when(cd.getOrElse(lit(true)), lit(i))
+      }.otherwise(drop)
+    val action = when(isMatched, matchedAction)
+      .when(targetOnly, keep)
+      .when(sourceOnly, insertAction)
+
+    // Per-column value: keyed off the resolved action, so exactly the
+    // winning clause's assignment applies; everything else falls back
+    // to the target value (NULL for inserts of unlisted columns).
+    def valueOf(cn: String): Column = {
+      val base = when(sourceOnly, lit(null)).otherwise(col(s"t.$cn"))
+      val withUpdates = matchedClauses.zipWithIndex.foldLeft(base) {
+        case (acc, (MatchedUpdate(_, set), i)) if set.contains(cn) =>
+          when(col("__action") === i, set(cn)).otherwise(acc)
+        case (acc, _) => acc
+      }
+      insertClauses.zipWithIndex.foldLeft(withUpdates) {
+        case (acc, (NotMatchedInsert(_, values), i)) if values.contains(cn) =>
+          when(sourceOnly && col("__action") === i, values(cn)).otherwise(acc)
+        case (acc, _) => acc
+      }.as(cn)
+    }
+
+    val resolved = j.withColumn("__action", action)
+      .filter(col("__action") =!= drop)
+      .select(outCols.map(valueOf): _*)
+
+    // Ambiguity enforcement: count duplicated source keys that match
+    // a target row (a key aggregate + semi join, both on the already-
+    // shuffled key), broadcast the 1-row count alongside every output
+    // row, and fail the job through `assert_true` if it is nonzero.
+    // The predicate lives in a filter so column pruning cannot
+    // silently elide the check.
+    val ambCount = dupSourceKeys
+      .join(target.select(keys.map(col): _*), keys, "left_semi")
+      .agg(count(lit(1)).as("__n_amb"))
+    resolved.crossJoin(broadcast(ambCount))
+      .filter(assert_true(col("__n_amb") === 0,
+        lit("MERGE: multiple source rows match one target row")).isNull)
+      .select(outCols.map(col): _*)
+  }
+
+  /** The committed face: merge `source` into the `VersionedTable` at
+    * `dir` and commit the result as a new version. Runs through
+    * [[VersionedTable.commitMerge]], so a concurrent writer landing
+    * between base read and commit triggers a RE-DERIVATION against
+    * the fresh base — the merge is re-evaluated, never blindly
+    * re-committed (the lost-update closure the incremental-dedup
+    * snapshot cycle uses). An absent table bootstraps from the
+    * NOT MATCHED clauses alone (empty target of the source's key
+    * columns + provided value columns). */
+  def mergeVersioned(spark: SparkSession, dir: String, source: DataFrame,
+      keys: Seq[String], clauses: Seq[Clause],
+      bootstrapSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Long =
+    VersionedTable.commitMerge(spark, dir) { baseOpt =>
+      val base = baseOpt.getOrElse {
+        val schema = bootstrapSchema.getOrElse(throw new IllegalArgumentException(
+          "mergeVersioned into an absent table needs bootstrapSchema"))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
+      merge(base, source, keys, clauses)
+    }
+}

@@ -183,6 +183,43 @@ object Advanced {
       .orderBy(col("c_custkey"))
   }
 
+  /** Full Delta-style MERGE clause matrix ([[graft.engine.Merge]]):
+    * conditional DELETE, conditional UPDATE, an unclaimed-match
+    * carry-through, and conditional INSERT, all in one statement —
+    * the surface `q_merge_upsert`'s unconditional form doesn't reach.
+    * The source is derived deterministically from the base so the
+    * DuckDB oracle can rebuild the whole matrix with unions and
+    * anti-joins. Matched keys are base keys % 10 == 0, with op
+    * del/noop/upd by % 20 / % 30; insert candidates are % 100 == 0
+    * shifted past the key space, with % 200 == 0 marked del so the
+    * NOT MATCHED condition provably filters some of them. */
+  val mergeMatrix: Q = (spark, dir) => {
+    import graft.engine.Merge
+    val base = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val src = base.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 20 === 0, "del")
+          .when(col("c_custkey") % 30 === 0, "noop")
+          .otherwise("upd").as("op"),
+        col("c_name").as("name"), lit("UPDATED").as("seg"))
+      .unionByName(base.filter(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          when(col("c_custkey") % 200 === 0, "del")
+            .otherwise("ins").as("op"),
+          concat(lit("NEW-"), col("c_name")).as("name"),
+          lit("INSERTED").as("seg")))
+    Merge.merge(base, src, Seq("c_custkey"), Seq(
+      Merge.MatchedDelete(Some(col("s.op") === "del")),
+      Merge.MatchedUpdate(Some(col("s.op") === "upd"),
+        Map("c_mktsegment" -> col("s.seg"))),
+      Merge.NotMatchedInsert(Some(col("s.op") =!= "del"), Map(
+        "c_custkey" -> col("s.c_custkey"),
+        "c_name" -> col("s.name"),
+        "c_mktsegment" -> col("s.seg")))))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Z-order (Morton) layout key: the native `zorder2` expression
     * (graft.functions.ZOrder) over two bucketed dimensions. The oracle
     * recomputes the interleave arithmetically — bit-exact, so the
@@ -444,6 +481,7 @@ object Advanced {
     "q_funnel_latency" -> funnelLatency,
     "q_cohort_retention" -> cohortRetention,
     "q_merge_upsert" -> mergeUpsert,
+    "q_merge_matrix" -> mergeMatrix,
     "q_join_asof" -> joinAsof,
     "q_agg_salted" -> aggSalted,
     "q_stream_session" -> streamSession,
@@ -569,6 +607,39 @@ object Advanced {
          UNION ALL
          SELECT * FROM base
          WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+         ORDER BY c_custkey""",
+    "q_merge_matrix" ->
+      """WITH base AS (
+           SELECT c_custkey, c_name, c_mktsegment FROM customer),
+         src AS (
+           SELECT c_custkey,
+                  CASE WHEN c_custkey % 20 = 0 THEN 'del'
+                       WHEN c_custkey % 30 = 0 THEN 'noop'
+                       ELSE 'upd' END AS op,
+                  c_name AS name, 'UPDATED' AS seg
+           FROM base WHERE c_custkey % 10 = 0
+           UNION ALL
+           SELECT c_custkey + 1000000,
+                  CASE WHEN c_custkey % 200 = 0 THEN 'del'
+                       ELSE 'ins' END AS op,
+                  'NEW-' || c_name AS name, 'INSERTED' AS seg
+           FROM base WHERE c_custkey % 100 = 0),
+         updated AS (
+           SELECT b.c_custkey, b.c_name, s.seg AS c_mktsegment
+           FROM base b JOIN src s USING (c_custkey)
+           WHERE s.op = 'upd'),
+         carried AS (
+           SELECT b.* FROM base b LEFT JOIN src s USING (c_custkey)
+           WHERE s.op IS NULL OR s.op = 'noop'),
+         inserted AS (
+           SELECT s.c_custkey, s.name AS c_name, s.seg AS c_mktsegment
+           FROM src s
+           WHERE s.op <> 'del'
+             AND NOT EXISTS (SELECT 1 FROM base b
+                             WHERE b.c_custkey = s.c_custkey))
+         SELECT * FROM updated
+         UNION ALL SELECT * FROM carried
+         UNION ALL SELECT * FROM inserted
          ORDER BY c_custkey""",
     "q_join_asof" ->
       """WITH u AS (

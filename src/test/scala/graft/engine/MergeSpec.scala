@@ -1,0 +1,113 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Clause-matrix semantics and the committed (versioned) face of
+  * [[Merge]]. The oracle entry `q_merge_matrix` hash-gates the matrix
+  * on the customer fixture; this spec pins the semantic corners the
+  * fixture can't reach — clause ORDER, unclaimed-match carry-through,
+  * conditional-insert rejection, ambiguity failure, and the
+  * concurrent-writer re-derivation through commitMerge. */
+class MergeSpec extends SparkTestBase {
+  import spark.implicits._
+  import Merge._
+
+  private def target = Seq(
+    (1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, "d", 40))
+    .toDF("k", "name", "v")
+
+  test("first applicable clause wins, unclaimed matches carry through") {
+    val src = Seq(
+      (1L, "del"), (2L, "upd"), (3L, "noop"), (9L, "ins"), (8L, "skip"))
+      .toDF("k", "op")
+    val out = merge(target, src, Seq("k"), Seq(
+      MatchedDelete(Some(col("s.op") === "del")),
+      MatchedUpdate(Some(col("s.op") === "upd"),
+        Map("v" -> lit(999))),
+      NotMatchedInsert(Some(col("s.op") === "ins"),
+        Map("k" -> col("s.k"), "name" -> lit("new")))))
+      .orderBy("k").as[(Long, String, Option[Int])].collect().toSeq
+    assert(out == Seq(
+      (2L, "b", Some(999)),   // matched, delete cond false, update fires
+      (3L, "c", Some(30)),    // matched, no clause fires -> unchanged
+      (4L, "d", Some(40)),    // unmatched target -> carried
+      (9L, "new", None)))     // insert fires; v unlisted -> NULL
+    // k=1 deleted, k=8 rejected by the insert condition
+  }
+
+  test("clause order matters: update-before-delete shields the row") {
+    val src = Seq((1L, "both")).toDF("k", "op")
+    // both clauses applicable; declaration order decides
+    val updFirst = merge(target, src, Seq("k"), Seq(
+      MatchedUpdate(Some(col("s.op") === "both"), Map("v" -> lit(1))),
+      MatchedDelete(None)))
+      .orderBy("k").as[(Long, String, Int)].collect().toSeq
+    assert(updFirst.head == ((1L, "a", 1)), s"update shields: $updFirst")
+    val delFirst = merge(target, src, Seq("k"), Seq(
+      MatchedDelete(None),
+      MatchedUpdate(None, Map("v" -> lit(1)))))
+      .orderBy("k").as[(Long, String, Int)].collect().toSeq
+    assert(!delFirst.exists(_._1 == 1L), s"delete first removes: $delFirst")
+  }
+
+  test("multiple source rows matching one target row fail the merge") {
+    val src = Seq((1L, "upd"), (1L, "del"), (5L, "ins")).toDF("k", "op")
+    val ex = intercept[Exception] {
+      merge(target, src, Seq("k"), Seq(
+        MatchedUpdate(None, Map("v" -> lit(0))))).collect()
+    }
+    assert(ex.getMessage != null)
+    // duplicates that DON'T match the target are fine (insert side)
+    val okSrc = Seq((5L, "ins"), (5L, "ins2")).toDF("k", "op")
+    val ok = merge(target, okSrc, Seq("k"), Seq(
+      MatchedUpdate(None, Map("v" -> lit(0))),
+      NotMatchedInsert(None, Map("k" -> col("s.k")))))
+      .orderBy("k").collect()
+    assert(ok.length == target.count() + 2)
+  }
+
+  test("mergeVersioned re-derives under a concurrent-writer race") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_vt").toString
+    val schema = target.schema
+    VersionedTable.commit(target, dir)
+    // two writers merge DISJOINT key sets concurrently; re-derivation
+    // must apply both (a lost update would drop one writer's rows)
+    val srcA = Seq((1L, 111)).toDF("k", "nv")
+    val srcB = Seq((2L, 222)).toDF("k", "nv")
+    def clausesOf(): Seq[Clause] = Seq(
+      MatchedUpdate(None, Map("v" -> col("s.nv"))))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long =
+          mergeVersioned(spark, dir, srcA, Seq("k"), clausesOf(), Some(schema))
+      })
+      val fb = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long =
+          mergeVersioned(spark, dir, srcB, Seq("k"), clausesOf(), Some(schema))
+      })
+      fa.get(); fb.get()
+    } finally pool.shutdown()
+    val fin = VersionedTable.read(spark, dir)
+      .orderBy("k").as[(Long, String, Int)].collect().toSeq
+    assert(fin == Seq((1L, "a", 111), (2L, "b", 222),
+      (3L, "c", 30), (4L, "d", 40)),
+      s"both concurrent merges must land: $fin")
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("mergeVersioned bootstraps an absent table from inserts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_bs").toString
+    graft.util.Fs.deleteRecursively(dir)
+    val src = Seq((7L, "x")).toDF("k", "nm")
+    mergeVersioned(spark, dir, src, Seq("k"), Seq(
+      NotMatchedInsert(None, Map(
+        "k" -> col("s.k"), "name" -> col("s.nm"), "v" -> lit(0)))),
+      Some(target.schema))
+    val fin = VersionedTable.read(spark, dir)
+      .as[(Long, String, Int)].collect().toSeq
+    assert(fin == Seq((7L, "x", 0)), s"bootstrap insert: $fin")
+    graft.util.Fs.deleteRecursively(dir)
+  }
+}
