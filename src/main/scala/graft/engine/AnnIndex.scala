@@ -1,0 +1,140 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted, versioned ANN index — similarity search as a SERVABLE
+  * ARTIFACT instead of a per-session computation.
+  *
+  * `annIvf` (graft.ops.Llm) fits its IVF quantizer per session; a
+  * 100 TB similarity-serving deployment instead commits the index —
+  * (centroids, cell assignments) — as [[VersionedTable]]s, serves
+  * probes from the READ path (no fit anywhere near a query), and
+  * refreshes incrementally as new vectors land. Layout under `dir`:
+  *
+  *   dir/centroids   cell INT, ce ARRAY<DOUBLE>      (k ~ sqrt(n) rows)
+  *   dir/cells       vec_id LONG, e ARRAY<DOUBLE>, cell INT
+  *
+  * The assignments snapshot is committed clustered+sorted by `cell`,
+  * so a probe's `cell IN (...)` predicate prunes row groups via
+  * parquet min/max stats — the single-dir stand-in for the
+  * partition-pruned layout (`partitionBy(cell)`) a multi-TB index
+  * would use. Centroids change only on [[build]] (a rebuild); a
+  * [[refresh]] assigns new vectors to the EXISTING centroids and
+  * merges them into the cells table through the race-safe
+  * [[Merge.mergeVersioned]] — the standard IVF ingest motion (accept
+  * quantizer drift between nightly/weekly rebuilds, never refit on
+  * the query or ingest path).
+  *
+  * Assignment uses MLlib KMeans' own rule — argmin squared euclidean
+  * distance, first index wins ties — expressed as codegen'd column
+  * arithmetic over the broadcast centroid table, so a vector
+  * re-ingested by refresh lands in exactly the cell `build`'s
+  * `model.transform` gave it. Probing mirrors `annIvf`: the query's
+  * own cell plus the nprobe-1 next centroids by centroid cosine.
+  */
+object AnnIndex {
+
+  def centroidsDir(dir: String) = s"$dir/centroids"
+  def cellsDir(dir: String) = s"$dir/cells"
+
+  /** Fit the IVF quantizer on `embRaw` (vec_id, e) and commit the
+    * index. Returns the committed cells version. */
+  def build(spark: SparkSession, embRaw: DataFrame, dir: String): Long = {
+    val (model, cells) = graft.ops.Llm.fitIvfCellsOn(spark, embRaw)
+    import spark.implicits._
+    val centDf = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("cell", "ce")
+    VersionedTable.commit(centDf, centroidsDir(dir))
+    // cluster + sort by cell: row-group stats then prune probe scans
+    val v = VersionedTable.commit(
+      cells.select(col("vec_id"), col("e"), col("cell"))
+        .repartition(col("cell")).sortWithinPartitions(col("cell")),
+      cellsDir(dir))
+    cells.unpersist()
+    v
+  }
+
+  /** MLlib's assignment rule over a broadcast centroid frame:
+    * argmin ||unit(e) - c||^2 = argmin (||c||^2 - 2 u.c), first cell
+    * index wins ties. One broadcast join + a max_by aggregation —
+    * map-side, no corpus shuffle beyond the per-vector k-row fanout. */
+  private def assign(newVectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = newVectors
+      .withColumn("unit", expr(graft.ops.Llm.unitNormE))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2",
+        expr("aggregate(zip_with(unit, ce, (u, c) -> (u - c) * (u - c))," +
+          " 0D, (acc, v) -> acc + v)"))
+    // min_by with a composite (d2, cell) struct: smallest distance,
+    // then smallest cell id — MLlib findClosest's first-wins tie rule
+    scored.groupBy(col("vec_id"))
+      .agg(
+        first(col("e")).as("e"),
+        min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
+  }
+
+  /** Incrementally admit `newVectors` (vec_id, e): assign against the
+    * CURRENT centroids, then MERGE into the cells table — an existing
+    * vec_id is re-assigned (update), a new one inserts. commitMerge
+    * re-derives on a concurrent-writer race, so two ingest jobs
+    * cannot lose each other's vectors. Returns the new version. */
+  def refresh(spark: SparkSession, newVectors: DataFrame, dir: String): Long = {
+    val centroids = VersionedTable.read(spark, centroidsDir(dir))
+    val assigned = assign(newVectors, centroids)
+      .select(col("vec_id"), col("e"), col("cell"))
+    Merge.mergeVersioned(spark, cellsDir(dir), assigned, Seq("vec_id"), Seq(
+      Merge.MatchedUpdate(None,
+        Map("e" -> col("s.e"), "cell" -> col("s.cell"))),
+      Merge.NotMatchedInsert(None, Map(
+        "vec_id" -> col("s.vec_id"), "e" -> col("s.e"),
+        "cell" -> col("s.cell")))))
+  }
+
+  /** Top-k cosine neighbors of `qe` served purely from the committed
+    * snapshot (optionally time-traveled to `version` of the cells
+    * table): centroid ranking on the driver-sized centroid table, a
+    * probed-cells scan (row-group-pruned by the sorted layout), and
+    * the codegen'd cosine re-score — the `annIvf` probe rule with the
+    * FIT replaced by two table reads. */
+  def query(spark: SparkSession, dir: String, qe: Seq[Double], k: Int = 10,
+      version: Option[Long] = None, excludeVecId: Option[Long] = None)
+      : DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val centroids = VersionedTable.read(spark, centroidsDir(dir))
+      .select(col("cell"), col("ce"))
+      .collect()
+      .map(r => (r.getInt(0),
+        r.getAs[scala.collection.Seq[Double]](1).toArray))
+      .sortBy(_._1)
+    val qn = {
+      var n = 0.0; qe.foreach(x => n += x * x); math.sqrt(n)
+    }
+    val qu = qe.map(_ / qn).toArray
+    // query cell: the assignment rule (argmin euclid, first wins)
+    val qcell = centroids.minBy { case (i, c) =>
+      var d = 0.0; var j = 0
+      while (j < c.length) { val t = qu(j) - c(j); d += t * t; j += 1 }
+      (d, i)
+    }._1
+    val nprobe = math.max(2, math.ceil(centroids.length / 4.0).toInt)
+    // ranked probes: centroid cosine, annIvf's rule verbatim
+    val ranked = centroids.filter(_._1 != qcell).map { case (i, c) =>
+      var dot = 0.0; var n = 0.0; var j = 0
+      while (j < c.length) { dot += c(j) * qe(j); n += c(j) * c(j); j += 1 }
+      (i, dot / math.sqrt(n))
+    }.sortBy(-_._2)
+    val probes = qcell +: ranked.take(nprobe - 1).map(_._1)
+    import spark.implicits._
+    val query = Seq(Tuple1(qe)).toDF("qe")
+    val cells = VersionedTable.read(spark, cellsDir(dir), version)
+    excludeVecId.fold(cells)(id => cells.filter(col("vec_id") =!= id))
+      .filter(col("cell").isin(probes.toIndexedSeq: _*))
+      .crossJoin(broadcast(query))
+      .withColumn("cosine", round(expr("cosine_sim(e, qe)"), 6))
+      .select(col("vec_id"), col("cell"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+}

@@ -835,7 +835,7 @@ object Llm {
     * shared by every consumer that feeds cosine-tracking euclidean
     * machinery (the IVF quantizer and the near-dup LSH path), so a
     * future zero-norm/NULL guard lands in one place. */
-  private val unitNormE =
+  private[graft] val unitNormE =
     "transform(e, x -> x / sqrt(aggregate(transform(e, y -> y * y)," +
       " 0D, (acc, v) -> acc + v)))"
 
@@ -1438,6 +1438,66 @@ object Llm {
       .select(col("vec_id"), col("cell"), col("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(10)
+  }
+
+  /** Memoized persisted ANN index per (session, dir): the build is a
+    * one-time index-maintenance step (a nightly job in a real
+    * deployment) — repeat invocations pay only the snapshot READ.
+    * Same lifecycle idiom as Advanced.skipTableCache; values are
+    * plain path strings so the weak session key stays collectable. */
+  private val annIndexCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]])
+
+  /** Explicit invalidation (regenerated fixtures in-session), deleting
+    * the committed index dirs so invalidation reclaims disk too. */
+  def invalidateAnnIndexCache(): Unit = {
+    val paths = annIndexCache.synchronized {
+      val ps = scala.jdk.CollectionConverters.CollectionHasAsScala(
+        annIndexCache.values).asScala.flatMap(_.values).toList
+      annIndexCache.clear()
+      ps
+    }
+    paths.foreach(graft.util.Fs.deleteRecursively)
+  }
+
+  private def annIndexPath(spark: SparkSession, dir: String): String = {
+    val per = annIndexCache.synchronized {
+      val m = annIndexCache.get(spark)
+      if (m != null) m else {
+        val fresh = scala.collection.concurrent.TrieMap.empty[String, String]
+        annIndexCache.put(spark, fresh)
+        fresh
+      }
+    }
+    per.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ann_index")
+        .toString
+      graft.engine.AnnIndex.build(spark,
+        Tables(spark, dir, "embeddings").select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e")), tmp)
+      tmp
+    })
+  }
+
+  /** L3 as a SERVABLE ARTIFACT ([[graft.engine.AnnIndex]]): the IVF
+    * index committed as VersionedTables (centroids + cell-clustered
+    * assignments), with the probe served entirely from the committed
+    * snapshot — no quantizer fit on the query path, which is what a
+    * 100 TB similarity-serving deployment actually operates (build
+    * nightly, refresh incrementally via the race-safe MERGE, probe
+    * forever). Same query vector and probe rule as `q_llm_ann_ivf`;
+    * AnnIndexSpec pins probe-from-snapshot == probe-from-fit and the
+    * recall gate covers the persisted path. Rows-only check (cell
+    * assignment is not SQL-expressible — the annIvf scope note). */
+  val annIndexServe: Q = (spark, dir) => {
+    val idx = annIndexPath(spark, dir)
+    val qe = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getAs[scala.collection.Seq[Double]](0).toSeq
+    graft.engine.AnnIndex.query(spark, idx, qe, k = 10,
+      excludeVecId = Some(0L))
   }
 
   /** SemDeDup (semantic dedup, Abbas et al. 2023 shape): coarse-cluster
@@ -2394,6 +2454,7 @@ object Llm {
     "q_llm_sample_weighted" -> sampleWeighted,
     "q_llm_centroids" -> centroids,
     "q_llm_ann_ivf" -> annIvf,
+    "q_llm_ann_index" -> annIndexServe,
     "q_llm_tokenize_bpe" -> tokenizeBpe,
     "q_llm_bpe_train" -> bpeTrain,
     "q_llm_textstats" -> textstats,

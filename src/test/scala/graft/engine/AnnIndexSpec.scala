@@ -1,0 +1,108 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.ops.Llm
+
+/** The persisted-index contract: probing the committed snapshot must
+  * reproduce the per-session fit (`annIvf`), a refresh must admit new
+  * vectors through the race-safe merge WITHOUT refitting, and time
+  * travel must serve yesterday's index unchanged. */
+class AnnIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("probe-from-snapshot equals probe-from-fit (q_llm_ann_ivf)") {
+    val fromFit = Llm.queries("q_llm_ann_ivf")(spark, sfSmoke)
+      .as[(Long, Int, Double)].collect().toSeq
+    val fromSnapshot = Llm.queries("q_llm_ann_index")(spark, sfSmoke)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(fromSnapshot == fromFit,
+      s"snapshot probe diverged:\nfit  $fromFit\nsnap $fromSnapshot")
+  }
+
+  test("refresh admits new vectors incrementally; time travel serves the old index") {
+    val dim = 8
+    // anchor + spread-out noise vectors: the anchor's neighbors are
+    // unambiguous, so probe results are deterministic
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian())
+    }
+    val anchor = vec(1)
+    def nearAnchor(seed: Int, eps: Double): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      anchor.map(x => x + eps * r.nextGaussian())
+    }
+    val base = (0 until 40).map(i => (i.toLong, vec(100 + i))) :+
+      (900L, nearAnchor(2, 0.01))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_idx").toString
+    val v0 = AnnIndex.build(spark, base.toDF("vec_id", "e"), dir)
+
+    val before = AnnIndex.query(spark, dir, anchor, k = 3)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(before.head._1 == 900L && before.head._3 > 0.999,
+      s"planted near-anchor must rank first: $before")
+
+    // refresh: one NEW vector even closer to the anchor, plus a
+    // RE-INGEST of 900 moved far away (matched-update path)
+    val news = Seq(
+      (901L, nearAnchor(3, 0.001)),
+      (900L, vec(999))).toDF("vec_id", "e")
+    val v1 = AnnIndex.refresh(spark, news, dir)
+    assert(v1 == v0 + 1)
+
+    val after = AnnIndex.query(spark, dir, anchor, k = 3)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(after.head._1 == 901L && after.head._3 > 0.999,
+      s"refreshed vector must be servable: $after")
+    assert(!after.exists(r => r._1 == 900L && r._3 > 0.999),
+      s"re-ingested 900 must carry its NEW position: $after")
+
+    // time travel: the pre-refresh snapshot still answers as before
+    val old = AnnIndex.query(spark, dir, anchor, k = 3, version = Some(v0))
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(old == before, s"time travel must serve v$v0 unchanged: $old")
+
+    // refresh assignment rule == build assignment rule: rebuilding
+    // from the merged vector set puts every vector in the same cell
+    // the incremental path chose
+    val merged = VersionedTable.read(spark, AnnIndex.cellsDir(dir))
+      .select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toMap
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ann_idx2").toString
+    AnnIndex.build(spark,
+      VersionedTable.read(spark, AnnIndex.cellsDir(dir))
+        .select(col("vec_id"), col("e")), dir2)
+    val rebuilt = VersionedTable.read(spark, AnnIndex.cellsDir(dir2))
+      .select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toMap
+    // cell IDs are fit-dependent; compare the PARTITION structure:
+    // vectors sharing a cell incrementally must share one on rebuild
+    // only if the quantizers agree — which a same-data same-seed
+    // refit guarantees for the build inputs. Instead pin the direct
+    // contract: the incremental assignment of 901 matches what a
+    // fresh MLlib transform of the SAME centroids gives.
+    assert(merged.contains(901L) && rebuilt.contains(901L))
+    graft.util.Fs.deleteRecursively(dir)
+    graft.util.Fs.deleteRecursively(dir2)
+  }
+
+  test("refresh assignment matches MLlib transform on the same centroids") {
+    val dim = 8
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian())
+    }
+    val base = (0 until 60).map(i => (i.toLong, vec(500 + i)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_asg").toString
+    AnnIndex.build(spark, base.toDF("vec_id", "e"), dir)
+    // re-ingest the SAME vectors through refresh: every matched-update
+    // must land in the cell build's model.transform already chose
+    val builtCells = VersionedTable.read(spark, AnnIndex.cellsDir(dir))
+      .select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toMap
+    AnnIndex.refresh(spark, base.toDF("vec_id", "e"), dir)
+    val refreshed = VersionedTable.read(spark, AnnIndex.cellsDir(dir))
+      .select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toMap
+    assert(refreshed == builtCells,
+      "incremental assignment must reproduce MLlib's cell for every vector")
+    graft.util.Fs.deleteRecursively(dir)
+  }
+}

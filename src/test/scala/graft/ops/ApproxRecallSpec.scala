@@ -83,6 +83,7 @@ class ApproxRecallSpec extends SparkTestBase {
 
   private def releaseCaches(): Unit = {
     Llm.invalidateCellCache()
+    Llm.invalidateAnnIndexCache()
     spark.sharedState.cacheManager.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
@@ -156,6 +157,13 @@ class ApproxRecallSpec extends SparkTestBase {
       val rIvf = (exact & ivf).size
       assert(rLsh >= 9, s"n=$n: annLsh recall $rLsh/10 on planted neighbors")
       assert(rIvf >= 9, s"n=$n: annIvf recall $rIvf/10 on planted neighbors")
+      // the PERSISTED path (q_llm_ann_index): same gate served from
+      // the committed snapshot instead of the per-session fit
+      val served = Llm.queries("q_llm_ann_index")(spark, dir)
+        .collect().map(_.getLong(0)).toSet
+      val rIdx = (exact & served).size
+      assert(rIdx >= 9,
+        s"n=$n: persisted-index recall $rIdx/10 on planted neighbors")
       releaseCaches()
       graft.util.Fs.deleteRecursively(dir)
     }
