@@ -1658,6 +1658,177 @@ object Llm {
       .orderBy(col("rank"))
   }
 
+  /** Batched BPE training — the real-vocab regime. The sequential
+    * trainer above is one Spark job PER MERGE (fine at 12; a 32k-merge
+    * production vocab would be 32k sequential jobs), so this variant
+    * learns a BATCH of merges per round — the public SentencePiece /
+    * tokenizers batching practice — while staying MERGE-FOR-MERGE
+    * IDENTICAL to the sequential algorithm by construction, not by
+    * luck:
+    *
+    * per round, candidates are taken in global (count desc, left,
+    * right) rank order and accepted as the longest PREFIX in which
+    * each pair (1) shares no symbol with an earlier accepted pair
+    * (its occurrences are then provably untouched by those merges)
+    * and (2) has count strictly above every earlier accepted pair's
+    * INTERFERENCE BOUND — the largest weighted count of any symbol
+    * triple (x, a_i, b_i) / (a_i, b_i, y), which upper-bounds the
+    * count of every pair a merge can CREATE (a new (x, m_i) pair
+    * needs an original (x, a_i, b_i) context). Under (1)+(2) the
+    * sequential argmax at step j is exactly candidate j, so applying
+    * the batch in rank order replays the sequential trace. The first
+    * candidate that fails either test ENDS the batch (skipping it
+    * would let it outrank a later accepted pair), and the round's
+    * merges apply as one nested higher-order fold — one map stage —
+    * so a round costs one pair-count shuffle + one candidate-filtered
+    * triple count instead of a shuffle per merge.
+    *
+    * Two modes, because STRICT sequential equality fundamentally caps
+    * batch size on natural text: a merge's own product routinely
+    * becomes the next argmax (th + e -> the), so the sound prefix
+    * rule measures ~1-4 accepts/round on the fixtures — real
+    * interference, not conservatism. `strictPrefix = true` (the
+    * default) keeps that provable-equality contract for any input;
+    * `strictPrefix = false` is the public SentencePiece / tokenizers
+    * practice — take the top-N, SKIP symbol-conflicting candidates
+    * instead of stopping, no interference test — which reaches
+    * production batch sizes at the cost of a bounded, measured
+    * divergence from the sequential trace (LlmSpec proves the fast
+    * mode exactly sequential on an interference-free planted corpus,
+    * and measures merge-set overlap on the real fixture).
+    *
+    * Emits (rank, round, left, right, merged, n); LlmSpec proves
+    * strict mode == the independent single-threaded reference
+    * merge-for-merge on real data. */
+  private[graft] def bpeTrainMergesBatched(spark: SparkSession, dir: String,
+      target: Int, maxPerRound: Int = 48,
+      strictPrefix: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val vocab = tokenized(spark, dir)
+      .select(explode(col("t")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .withColumn("s", expr("filter(split(w, ''), c -> c <> '')"))
+      .select(col("s"), col("n"))
+    var v = vocab.localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, String, String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (merges.size < target && !exhausted) {
+      val pairs = v.filter(size(col("s")) >= 2)
+        .select(col("n"), explode(expr(
+          """transform(
+               arrays_zip(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1)),
+               p -> struct(p['0'] AS a, p['1'] AS b))""")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+      val want = math.min(maxPerRound, target - merges.size)
+      // the fast mode skips conflicting candidates, so it scans a
+      // wider pool to fill the batch; strict mode stops at the first
+      // failure and never looks past `want`
+      val pool = if (strictPrefix) want else want * 4
+      val cand = pairs.orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(pool).as[(String, String, Long)].collect()
+      if (cand.isEmpty) exhausted = true
+      else {
+        // interference bounds for the candidate set: max weighted
+        // triple count with the candidate pair on either side
+        // (strict mode only — the fast mode skips the triple pass)
+        lazy val candDf = cand.toSeq.map(c => (c._1, c._2)).toDF("ca", "cb")
+        lazy val triples = v.filter(size(col("s")) >= 3)
+          .select(col("n"), explode(expr(
+            """transform(
+                 arrays_zip(slice(s, 1, size(s) - 2),
+                            slice(s, 2, size(s) - 2),
+                            slice(s, 3, size(s) - 2)),
+                 t -> struct(t['0'] AS x, t['1'] AS y, t['2'] AS z))"""))
+            .as("t"))
+          .select(col("n"), col("t.x").as("x"), col("t.y").as("y"),
+            col("t.z").as("z"))
+        lazy val bounds = {
+          val leftB = triples.join(broadcast(candDf),
+              col("y") === col("ca") && col("z") === col("cb"))
+            .groupBy(col("ca"), col("cb"), col("x"))
+            .agg(sum(col("n")).as("w"))
+          val rightB = triples.join(broadcast(candDf),
+              col("x") === col("ca") && col("y") === col("cb"))
+            .groupBy(col("ca"), col("cb"), col("z").as("x"))
+            .agg(sum(col("n")).as("w"))
+          leftB.unionByName(rightB)
+            .groupBy(col("ca"), col("cb")).agg(max(col("w")).as("bound"))
+            .as[(String, String, Long)].collect()
+            .map(r => (r._1, r._2) -> r._3).toMap
+        }
+        val used = scala.collection.mutable.Set.empty[String]
+        var maxI = Long.MinValue
+        val accepted = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        if (strictPrefix) {
+          // longest sound prefix: the first failing candidate ends
+          // the batch (skipping it would let it outrank later ones)
+          var stop = false
+          cand.foreach { case (a, b, cnt) =>
+            if (!stop) {
+              val ok = accepted.isEmpty ||
+                (!used(a) && !used(b) && cnt > maxI)
+              if (!ok) stop = true
+              else {
+                accepted += ((a, b, cnt))
+                used += a; used += b
+                maxI = math.max(maxI, bounds.getOrElse((a, b), 0L))
+              }
+            }
+          }
+        } else {
+          // practice mode: skip conflicting candidates, keep scanning
+          cand.foreach { case (a, b, cnt) =>
+            if (accepted.size < want && !used(a) && !used(b)) {
+              accepted += ((a, b, cnt))
+              used += a; used += b
+            }
+          }
+        }
+        accepted.foreach { case (a, b, cnt) =>
+          merges += ((merges.size, round, a, b, a + b, cnt))
+        }
+        // apply the batch in rank order as ONE nested fold: the outer
+        // aggregate walks the merge list, the inner replays the
+        // sequential greedy-leftmost merge — exactly the one-merge
+        // expression above, once per accepted pair, in one map stage
+        // sort_array on the leading rank pins application order —
+        // collect_list alone has no ordering contract
+        val mseq = accepted.toSeq.zipWithIndex
+          .map { case ((a, b, _), i) => (i, a, b, a + b) }
+          .toDF("rk", "ma", "mb", "mm")
+          .agg(sort_array(collect_list(
+            struct(col("rk"), col("ma"), col("mb"), col("mm")))).as("mseq"))
+        v = v.crossJoin(broadcast(mseq))
+          .withColumn("s", expr(
+            """aggregate(mseq, s,
+                 (cur, mg) -> aggregate(cur, cast(array() as array<string>),
+                   (out, x) -> IF(size(out) > 0
+                       AND element_at(out, -1) = mg.ma AND x = mg.mb,
+                     concat(slice(out, 1, size(out) - 1), array(mg.mm)),
+                     concat(out, array(x)))))"""))
+          .select(col("s"), col("n"))
+        v = v.localCheckpoint(true)
+        round += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "round", "left", "right", "merged", "n")
+      .orderBy(col("rank"))
+  }
+
+  /** Driver-visible face of the batched trainer: a 256-merge vocab —
+    * the scale the 1-job-per-merge sequential loop cannot reach — in
+    * the practice (fast) mode, capped by vocabulary exhaustion on
+    * small fixtures. Rows-only like q_llm_bpe_train (iterative argmax
+    * is not SQL-expressible); the `round` column documents the
+    * batching factor. */
+  val bpeTrainBatched: Q = (spark, dir) =>
+    bpeTrainMergesBatched(spark, dir, 256, strictPrefix = false)
+
   /** Token counting, whitespace + BPE-ish regex: runs of letters, runs
     * of digits, single other symbols (the classic pre-tokenizer
     * shape). */
@@ -2457,6 +2628,7 @@ object Llm {
     "q_llm_ann_index" -> annIndexServe,
     "q_llm_tokenize_bpe" -> tokenizeBpe,
     "q_llm_bpe_train" -> bpeTrain,
+    "q_llm_bpe_train_batched" -> bpeTrainBatched,
     "q_llm_textstats" -> textstats,
     "q_llm_qualityfilter" -> qualityFilter,
     "q_llm_quality_lr" -> qualityLr,

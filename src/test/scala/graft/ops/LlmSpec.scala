@@ -471,22 +471,22 @@ class LlmSpec extends SparkTestBase {
     assert(grouped == mapOnly)
   }
 
-  test("distributed BPE training matches a single-threaded reference merge-for-merge") {
-    // independent reference: classic Sennrich loop over the weighted
-    // vocab, greedy leftmost non-overlapping apply, ties broken
-    // (count desc, left asc, right asc) — written against the paper,
-    // not against the op's code. Symbol/order contract matches the
-    // op's: CODE POINTS (not UTF-16 chars — toCharArray would halve
-    // surrogate pairs) compared in code-point order (Spark's binary
-    // UTF-8 order; plain String.compareTo is code-UNIT order, which
-    // diverges for supplementary-plane text)
-    def cpOrder(x: String, y: String): Boolean = {
-      val c = java.util.Arrays.compareUnsigned(
-        x.getBytes("UTF-8"), y.getBytes("UTF-8"))
-      c < 0
-    }
-    def referenceBpe(words: Seq[(String, Long)], rounds: Int)
-        : Seq[(String, String, String, Long)] = {
+  // independent reference: classic Sennrich loop over the weighted
+  // vocab, greedy leftmost non-overlapping apply, ties broken
+  // (count desc, left asc, right asc) — written against the paper,
+  // not against the op's code. Symbol/order contract matches the
+  // op's: CODE POINTS (not UTF-16 chars — toCharArray would halve
+  // surrogate pairs) compared in code-point order (Spark's binary
+  // UTF-8 order; plain String.compareTo is code-UNIT order, which
+  // diverges for supplementary-plane text). Shared by the sequential,
+  // strict-batched, and fast-batched equality tests.
+  private def cpOrder(x: String, y: String): Boolean = {
+    val c = java.util.Arrays.compareUnsigned(
+      x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+    c < 0
+  }
+  private def referenceBpe(words: Seq[(String, Long)], rounds: Int)
+      : Seq[(String, String, String, Long)] = {
       var vocab = words.map { case (w, n) =>
         (w.codePoints().toArray.toSeq
           .map(cp => new String(Character.toChars(cp))), n)
@@ -521,12 +521,17 @@ class LlmSpec extends SparkTestBase {
         }
       }
       out.toSeq
-    }
-    val words = graft.engine.Tables(spark, sfSmoke, "documents")
+  }
+
+  private def fixtureWords(dir: String): Seq[(String, Long)] =
+    graft.engine.Tables(spark, dir, "documents")
       .select(explode(split($"text", " ")).as("w"))
       .filter($"w" =!= "")
       .groupBy($"w").count()
       .as[(String, Long)].collect().toSeq
+
+  test("distributed BPE training matches a single-threaded reference merge-for-merge") {
+    val words = fixtureWords(sfSmoke)
     val expected = referenceBpe(words, rounds = 8)
     val got = Llm.bpeTrainMerges(spark, sfSmoke, rounds = 8)
       .select($"left", $"right", $"merged", $"n")
@@ -567,6 +572,99 @@ class LlmSpec extends SparkTestBase {
         s"symbol '$s' carries a torn surrogate"))
     }
     graft.util.Fs.deleteRecursively(uniDir)
+  }
+
+  test("strict-batched BPE replays the sequential trace merge-for-merge") {
+    val expected = referenceBpe(fixtureWords(sfSmoke), rounds = 8)
+    val got = Llm.bpeTrainMergesBatched(spark, sfSmoke, target = 8,
+        strictPrefix = true)
+      .select($"left", $"right", $"merged", $"n")
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(got == expected,
+      s"strict batching must equal sequential:\n got=$got\n exp=$expected")
+  }
+
+  test("fast-batched BPE: 256 merges within 20 rounds, exact on an interference-free corpus") {
+    // 256 planted 2-symbol words over DISJOINT alphabets with strictly
+    // decreasing counts: every word fully merges in one step, no merge
+    // creates or destroys any other pair, so the sequential trace IS
+    // count order and the practice-mode batcher must reproduce it
+    // exactly — the regime where batched == sequential is well-defined
+    val words = (0 until 256).map { i =>
+      val a = new String(Character.toChars(0x100 + 2 * i))
+      val b = new String(Character.toChars(0x100 + 2 * i + 1))
+      (a + b, 2000L - i)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_fast").toString
+    words.zipWithIndex.map { case ((w, n), id) =>
+      (id.toLong, (w + " ") * n.toInt) }
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("xx")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Llm.bpeTrainMergesBatched(spark, dir, target = 256,
+        strictPrefix = false)
+      .select($"round", $"left", $"right", $"merged", $"n")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    val expected = referenceBpe(words, rounds = 256)
+    assert(got.map(r => (r._2, r._3, r._4, r._5)) == expected,
+      "fast batching must equal sequential on an interference-free corpus")
+    assert(got.size == 256, s"full 256-merge vocab, got ${got.size}")
+    val rounds = got.map(_._1).max + 1
+    assert(rounds <= 20, s"256 merges must fit 20 rounds, took $rounds")
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("fast-batched BPE on real text: bounded divergence from the sequential trace") {
+    // natural text has real merge chains (th+e -> the outranks the
+    // next original candidate), so practice-mode batching diverges
+    // from sequential BY DESIGN; the divergence must stay bounded —
+    // the learned merge SET overlaps the sequential vocabulary — and
+    // the round count must show real batching, not 1-merge rounds
+    val sfMid = "/root/testdata/sf0.01"
+    val words = fixtureWords(sfMid)
+    val fast = Llm.bpeTrainMergesBatched(spark, sfMid, target = 256,
+        strictPrefix = false)
+      .select($"round", $"left", $"right")
+      .as[(Int, String, String)].collect().toSeq
+    val seq = referenceBpe(words, rounds = fast.size)
+    // the metric that matters for a tokenizer: corpus compression.
+    // Apply each learned merge list greedily and compare total token
+    // counts — the practice-mode vocab must compress within 5% of the
+    // sequential one (merge-ORDER drift compounds on this tiny
+    // 89-merge-ceiling vocab, so raw set overlap is the wrong gate;
+    // a catastrophic-drift floor still guards it)
+    def tokensAfter(merges: Seq[(String, String)]): Long = {
+      var vocab = words.map { case (w, n) =>
+        (w.codePoints().toArray.toSeq
+          .map(cp => new String(Character.toChars(cp))), n)
+      }
+      merges.foreach { case (a, b) =>
+        vocab = vocab.map { case (s, n) =>
+          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+          s.foreach { x =>
+            if (acc.nonEmpty && acc.last == a && x == b) {
+              acc.remove(acc.size - 1); acc += (a + b)
+            } else acc += x
+          }
+          (acc.toSeq, n)
+        }
+      }
+      vocab.map { case (s, n) => s.size * n }.sum
+    }
+    val fastTokens = tokensAfter(fast.map(r => (r._2, r._3)))
+    val seqTokens = tokensAfter(seq.map(r => (r._1, r._2)))
+    assert(fastTokens <= (seqTokens * 1.05).toLong,
+      s"fast vocab compresses $fastTokens vs sequential $seqTokens")
+    val fastSet = fast.map(r => (r._2, r._3)).toSet
+    val seqSet = seq.map(r => (r._1, r._2)).toSet
+    val overlap = (fastSet & seqSet).size.toDouble / seqSet.size
+    assert(overlap >= 0.5,
+      s"fast-batched merge set drifted catastrophically: overlap $overlap")
+    val rounds = fast.map(_._1).max + 1
+    assert(rounds <= 20, s"vocab-exhaustion fixture must batch: $rounds rounds")
+    assert(fast.map(_._1).distinct.size < fast.size,
+      "at least one round must carry more than one merge")
   }
 
   test("weighted sampling selects exactly the Efraimidis-Spirakis top-K per stratum") {
