@@ -288,6 +288,158 @@ object Pipelines {
       }
   }
 
+  /** Streaming funnel LATENCY — the stateful face of
+    * `q_funnel_latency`'s per-user reduction: one conversion record
+    * (user, first view ts, first qualified-purchase ts) emitted the
+    * moment a user converts, folded with the batch op's exact
+    * strictly-before flag semantics (a click qualifies after a view
+    * in (ts, event_id) order; a purchase converts after a qualified
+    * click). The batch op's percentile summary is a finishing
+    * aggregation over these records.
+    *
+    * State is 3 scalars + 2 bits per ACTIVE user (first-view ts,
+    * flags), TTL-evicted; the per-trigger fold reuses the
+    * funnelStateful shape — drop no-longer-relevant events in the
+    * streaming pass, sort only the remaining trigger slice. Same
+    * monotone trade as every streaming funnel: a cross-batch
+    * late-arriving earlier step can only UNDER-count (never
+    * over-count), with the batch `q_funnel_latency` as the exact
+    * backfill — StreamingSpec asserts stream == batch on in-order
+    * planted matrices. */
+  def funnelLatencyStateful(
+      events: org.apache.spark.sql.Dataset[
+        (Long, java.sql.Timestamp, String, String)],
+      ttl: String = "30 days")
+      : org.apache.spark.sql.Dataset[
+        (String, java.sql.Timestamp, java.sql.Timestamp)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    // t0 crosses micro-batches through the state as epoch MICROS —
+    // getTime alone would truncate to millis and diverge from the
+    // batch op's unix_micros deltas on sub-milli event times
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    def fromMicros(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    // state: (hasView, t0 epoch-micros, hasQClick, converted)
+    events.toDF("event_id", "ts", "user_id", "event_type")
+      .withWatermark("ts", "1 hour")
+      .as[(Long, java.sql.Timestamp, String, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[(Boolean, Long, Boolean, Boolean),
+        (String, java.sql.Timestamp, java.sql.Timestamp)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: String,
+         rows: Iterator[(Long, java.sql.Timestamp, String, String)],
+         state: GroupState[(Boolean, Long, Boolean, Boolean)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var (hasView, t0, hasQClick, converted) =
+              state.getOption.getOrElse((false, 0L, false, false))
+            var hiTs = Long.MinValue
+            val buf = scala.collection.mutable.ArrayBuffer
+              .empty[(java.sql.Timestamp, Long, Int)]
+            rows.foreach { r =>
+              hiTs = math.max(hiTs, r._2.getTime)
+              if (!converted) {
+                val code = r._4 match {
+                  case "view" => if (hasView) 0 else 1
+                  case "click" => if (hasQClick) 0 else 2
+                  case "purchase" => 3
+                  case _ => 0
+                }
+                if (code > 0) buf += ((r._2, r._1, code))
+              }
+            }
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(String, java.sql.Timestamp, java.sql.Timestamp)]
+            buf.sortInPlaceBy(e => (micros(e._1), e._2)).foreach {
+              case (ts, _, code) =>
+                code match {
+                  // STRICTLY-before semantics hold because flags only
+                  // flip after the current event is classified
+                  case 1 if !hasView =>
+                    hasView = true; t0 = micros(ts)
+                  case 2 if hasView && !hasQClick => hasQClick = true
+                  case 3 if hasQClick && !converted =>
+                    converted = true
+                    out += ((user, fromMicros(t0), ts))
+                  case _ => ()
+                }
+            }
+            state.update((hasView, t0, hasQClick, converted))
+            if (hiTs != Long.MinValue) state.setTimeoutTimestamp(hiTs, ttl)
+            out.iterator
+          }
+      }
+  }
+
+  /** Streaming cohort retention — the stateful face of
+    * `q_cohort_retention`: per user, the FIRST active epoch-week seen
+    * becomes the cohort, and every newly seen week emits one
+    * (cohort_week, week_offset) increment; summing increments per
+    * (cohort, offset) downstream reproduces the batch op's n_users
+    * counts (each (user, week) is emitted at most once — exactly the
+    * DISTINCT the batch op takes).
+    *
+    * State per ACTIVE user: the cohort int plus one int per distinct
+    * active week — the same cardinality the batch (user, week)
+    * dedup carries, TTL-evicted. Monotone trade, documented: a LATE
+    * event from a week EARLIER than the pinned cohort is ignored
+    * (re-cohorting would invalidate already-emitted offsets), so
+    * streams under-count exactly where every streaming cohort does;
+    * the batch op is the exact backfill. */
+  def cohortStateful(
+      events: org.apache.spark.sql.Dataset[
+        (Long, java.sql.Timestamp, String)],
+      ttl: String = "365 days")
+      : org.apache.spark.sql.Dataset[(Int, Int)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    // state: (cohort week, weeks already emitted)
+    events.toDF("event_id", "ts", "user_id")
+      .withWatermark("ts", "1 hour")
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[(Int, Seq[Int]), (Int, Int)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String,
+         rows: Iterator[(Long, java.sql.Timestamp, String)],
+         state: GroupState[(Int, Seq[Int])]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // FLOOR division over epoch days — the batch op's week
+            val weeksInOrder = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Int)]
+            var hiTs = Long.MinValue
+            rows.foreach { r =>
+              val ms = r._2.getTime
+              hiTs = math.max(hiTs, ms)
+              weeksInOrder += ((ms, r._1,
+                math.floorDiv(math.floorDiv(ms, 86400000L), 7L).toInt))
+            }
+            var (cohort, seen) = state.getOption.getOrElse((Int.MinValue,
+              Seq.empty[Int]))
+            val seenSet = scala.collection.mutable.Set(seen: _*)
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+            weeksInOrder.sortInPlaceBy(e => (e._1, e._2)).foreach {
+              case (_, _, w) =>
+                if (cohort == Int.MinValue) cohort = w
+                if (w >= cohort && !seenSet(w)) {
+                  seenSet += w
+                  out += ((cohort, w - cohort))
+                }
+            }
+            state.update((cohort, seenSet.toSeq))
+            if (hiTs != Long.MinValue) state.setTimeoutTimestamp(hiTs, ttl)
+            out.iterator
+          }
+      }
+  }
+
   /** Kafka connector contract — format name and option keys pinned in
     * ONE place and locked by KafkaSeamSpec, so a typo in any of these
     * strings is caught offline instead of surviving to a real cluster

@@ -694,4 +694,126 @@ class StreamingSpec extends SparkTestBase {
       .as[(Long, String)].collect().toMap
       == Map(1L -> "a", 2L -> "B2", 3L -> "c"))
   }
+
+  test("streaming funnel latency matches the batch op's conversions on in-order data") {
+    val src = tmp("graft_sflat_src")
+    val out = tmp("graft_sflat_out")
+    val ckpt = tmp("graft_sflat_ckpt")
+    def t(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    // A converts (t0=1, t1=3); B's purchase precedes its qualified
+    // click (no conversion); C converts late (t0=1, t1=9, click ties
+    // handled by event_id order); D never views
+    val plant = Seq(
+      (1L, t(1), "A", "view"), (2L, t(2), "A", "click"),
+      (3L, t(3), "A", "purchase"), (4L, t(9), "A", "purchase"),
+      (5L, t(1), "B", "click"), (6L, t(2), "B", "view"),
+      (7L, t(3), "B", "purchase"),
+      (8L, t(1), "C", "view"), (9L, t(2), "C", "click"),
+      (10L, t(9), "C", "purchase"),
+      (11L, t(1), "D", "purchase"), (12L, t(2), "D", "click"))
+    plant.toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$src/b1")
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id STRING, event_type STRING")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .as[(Long, java.sql.Timestamp, String, String)]
+      Pipelines.funnelLatencyStateful(stream)
+        .toDF("user_id", "t0", "t1")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    run()
+    val got = spark.read.parquet(out)
+      .select($"user_id", $"t0", $"t1")
+      .as[(String, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().toSet
+    assert(got == Set(("A", t(1), t(3)), ("C", t(1), t(9))), s"got $got")
+    // batch parity on the same matrix: the batch op's per-user
+    // (t0, t1) reduction over the planted events dir must agree
+    val dir = tmp("graft_sflat_batch")
+    plant.map { case (id, ts, u, e) => (id, u, e, ts) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("value", lit(1.0))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.ops.Advanced.funnelLatency(spark, dir)
+      .as[(Long, Double, Double, Double)].collect().head
+    // two conversions, 2s and 8s: p50 midpoint 5.0, p90 at 7.4
+    assert(batch._1 == got.size.toLong,
+      s"stream conversion count must equal the batch op: $batch vs ${got.size}")
+    val streamDt = got.toSeq.map(r =>
+      (r._3.getTime - r._2.getTime) / 1000.0).sorted
+    assert(streamDt == Seq(2.0, 8.0) && batch._2 == 5.0,
+      s"stream deltas $streamDt must be the batch op's sample: $batch")
+    // cross-batch ratchet: B's click->purchase arrives AFTER its view
+    // was folded — the persisted flags qualify it and B converts with
+    // t0 carried across batches (epoch-micros state)
+    Seq((13L, t(4), "B", "click"), (14L, t(5), "B", "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$src/b2")
+    run()
+    val got2 = spark.read.parquet(out)
+      .select($"user_id", $"t0", $"t1")
+      .as[(String, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().toSet
+    assert(got2 == got + (("B", t(2), t(5))),
+      s"B must convert from persisted state with its original t0: $got2")
+  }
+
+  test("streaming cohort increments aggregate to the batch cohort retention") {
+    val src = tmp("graft_scoh_src")
+    val out = tmp("graft_scoh_out")
+    val ckpt = tmp("graft_scoh_ckpt")
+    def d(day: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-${day}%02d 12:00:00")
+    // the AdvancedSpec cohort plant: A week0 twice (dedup), week1,
+    // week3; B first seen week1, week2
+    val plant = Seq(
+      (1L, d(1), "A"), (2L, d(2), "A"), (3L, d(8), "A"), (4L, d(22), "A"),
+      (5L, d(9), "B"), (6L, d(16), "B"))
+    plant.toDF("event_id", "ts", "user_id").write.parquet(s"$src/b1")
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id STRING")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .as[(Long, java.sql.Timestamp, String)]
+      Pipelines.cohortStateful(stream)
+        .toDF("cohort_week", "week_offset")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    run()
+    def aggregated() = spark.read.parquet(out)
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .as[(Int, Int, Long)].collect().toSet
+    val dir = tmp("graft_scoh_batch")
+    plant.map { case (id, ts, u) => (id, u, ts) }
+      .toDF("event_id", "user_id", "ts")
+      .withColumn("event_type", lit("view")).withColumn("value", lit(1.0))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.ops.Advanced.cohortRetention(spark, dir)
+      .select($"cohort_week", $"week_offset", $"n_users")
+      .as[(Int, Int, Long)].collect().toSet
+    assert(aggregated() == batch,
+      s"stream increments must aggregate to the batch op:\n" +
+        s" stream=${aggregated()}\n batch=$batch")
+    // incremental batch 2: A returns in week 5, a NEW user C starts —
+    // increments stay exactly-once per (user, week) across restarts
+    Seq((7L, d(2), "A"), (8L, java.sql.Timestamp.valueOf(
+      "2024-02-05 12:00:00"), "A"), (9L, d(23), "C"))
+      .toDF("event_id", "ts", "user_id").write.parquet(s"$src/b2")
+    run()
+    val expected2 = batch ++ Set(
+      (batch.map(_._1).min, 5, 1L), // A's 2024-02-05 lands at offset 5
+      (batch.map(_._1).min + 3, 0, 1L)) // C cohorts alone at week3+
+    assert(aggregated() == expected2,
+      s"dedup must hold across batches: ${aggregated()} vs $expected2")
+  }
 }
