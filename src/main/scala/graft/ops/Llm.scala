@@ -898,51 +898,66 @@ object Llm {
   }
 
   /** Past-the-broadcast-bound form of [[embedNeardupExact]]:
-    * LSH-BUCKETED candidate generation + exact verification. Unit
-    * vectors hash through BucketedRandomProjectionLSH (euclidean on
-    * the unit sphere tracks cosine: cos >= 0.4 <=> ||a-b|| <=
-    * sqrt(2 - 2*0.4)), so candidate pairs form inside hash buckets —
-    * never corpus x corpus — and every candidate is re-scored with
-    * the codegen'd `cosine_sim` on the RAW vectors, the same
-    * expression the exact path uses. Emitted rows are therefore a
-    * SUBSET of the exact op's rows (zero false positives, identical
-    * rounding); recall is the OR-amplified 6-table bound,
-    * spec-gated against the exact path on the planted near-dups. */
+    * CELL-BUCKETED candidate generation + exact verification, on the
+    * shared IVF quantizer (ivfCells — the same index annIvf, semDedup
+    * and the decontam probe path ride). Each vector probes its own
+    * cell plus its two nearest other centroids; candidate pairs form
+    * only inside probed cells — shuffle keyed by cell id, never
+    * corpus x corpus — and every candidate is re-scored with the
+    * codegen'd `cosine_sim` on the RAW vectors, the exact path's
+    * expression. Emitted rows are therefore a SUBSET of the exact
+    * op's rows (zero false positives, identical rounding); recall on
+    * near-identical pairs is the own-cell guarantee (identical
+    * vectors quantize identically — the forced-path oracle witness
+    * rides exactly this), mid-band recall is the probe-coverage
+    * bound, spec-gated on planted near-dups. With k ~ sqrt(n) cells
+    * and a constant probe count the candidate envelope is the
+    * SemDeDup O(n^1.5), replacing the round-6 MLlib
+    * BucketedRandomProjectionLSH whose bucketLength-1.0 buckets were
+    * DEGENERATE on unit vectors (projections span [-1,1], so every
+    * table collapsed to ~2 buckets and the "bucketed" join was
+    * near-quadratic — the honest-inflater x10 probe measured 8.1x
+    * and flushed it out). */
   private[graft] def embedNeardupLsh(spark: SparkSession, dir: String)
       : DataFrame =
-    embedNeardupLshOn(spark, Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
+    embedNeardupBucketedWith(spark, ivfCells(spark, dir))
 
   private[graft] def embedNeardupLshOn(spark: SparkSession, embRaw: DataFrame)
+      : DataFrame =
+    embedNeardupBucketedWith(spark, fitIvfCellsOn(spark, embRaw))
+
+  private def embedNeardupBucketedWith(spark: SparkSession,
+      mc: (org.apache.spark.ml.clustering.KMeansModel, DataFrame))
       : DataFrame = {
-    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-    import org.apache.spark.ml.functions.array_to_vector
     graft.functions.CosineSimilarity.register(spark)
-    // eager localCheckpoint, not persist: the frame feeds the LSH fit
-    // plus BOTH sides of the similarity join, and a persist here
-    // would pin a corpus-sized cache entry for the session (nothing
-    // ever unpersists an escaped lazy frame); checkpoint blocks are
-    // freed by the ContextCleaner when the result frame drops — the
-    // decontamBloom pattern. Tradeoff as documented there: local
-    // checkpoint blocks die with their executor (no lineage to
-    // recompute) — under dynamic allocation / preemption substitute
-    // a reliable checkpoint() dir
-    val emb = embRaw
-      .withColumn("unit", expr(unitNormE))
-      .withColumn("features", array_to_vector(col("unit")))
-      .localCheckpoint(true)
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("features").setOutputCol("hashes")
-      .setBucketLength(1.0).setNumHashTables(6).setSeed(42)
-    val model = lsh.fit(emb)
-    val radius = math.sqrt(2.0 - 2.0 * 0.4)
-    model.approxSimilarityJoin(emb, emb, radius, "dist")
-      .select(col("datasetA.vec_id").as("d1"), col("datasetB.vec_id").as("d2"),
-        col("datasetA.e").as("ea"), col("datasetB.e").as("eb"))
+    val (model, cells) = mc
+    import spark.implicits._
+    val centDf = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq.toDF("pcell", "ce")
+    // own cell + 2 nearest other centroids per vector — a CONSTANT
+    // probe count (unlike the decontam probe rule's k/4, which is
+    // fine when only the metadata-sized eval side fans out but would
+    // push a self-join's candidate envelope past n^1.5)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("pcell"))
+    val probes = cells
+      .crossJoin(broadcast(centDf))
+      .withColumn("csim", expr("cosine_sim(unit, ce)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2 || col("pcell") === col("cell"))
+      .select(col("vec_id"), col("e"), col("pcell"))
+    val a = probes.select(col("pcell"), col("vec_id").as("d1"),
+      col("e").as("ea"))
+    val b = probes.select(col("pcell"), col("vec_id").as("d2"),
+      col("e").as("eb"))
+    a.join(b, Seq("pcell"))
       .filter(col("d1") < col("d2"))
       .withColumn("cos_raw", expr("cosine_sim(ea, eb)"))
       .filter(col("cos_raw") >= 0.4)
       .select(col("d1"), col("d2"), round(col("cos_raw"), 6).as("cosine"))
+      // a pair can share more than one probed cell — dedup AFTER the
+      // threshold filter, when only surviving 24-byte rows shuffle
+      .distinct()
       .orderBy(col("d1"), col("d2"))
   }
 
@@ -974,17 +989,17 @@ object Llm {
     embedNeardupDispatch(spark, dir, embedNeardupExactBound)
 
   /** Driver-visible witness for the PAST-THE-BOUND regime: dispatch
-    * with bound 0 forces the LSH-bucketed path on any input, and the
+    * with bound 0 forces the cell-bucketed path on any input, and the
     * entry plants identical-copy vectors (vec_id + 1,000,000 for the
-    * 20 smallest ids) whose pairs random-hyperplane LSH finds
-    * DETERMINISTICALLY — identical vectors hash identically in every
-    * table, so they always share a bucket. Filtering the output to
-    * cosine >= 0.999 keeps exactly those provably-found planted pairs
-    * (the fixture's real pairs top out near 0.52), so the full LSH
-    * machinery — fit, banding, bucket join, exact re-score — is
-    * HASH-gated against the DuckDB all-pairs oracle, not just
-    * recall-spec-gated. */
-  val embedNeardupForcedLsh: Q = (spark, dir) => {
+    * 20 smallest ids) whose pairs the bucketing finds
+    * DETERMINISTICALLY — identical vectors quantize to the same cell,
+    * and every vector's own cell is always probed. Filtering the
+    * output to cosine >= 0.999 keeps exactly those provably-found
+    * planted pairs (the fixture's real pairs top out near 0.52), so
+    * the full scale machinery — quantizer fit, cell assignment,
+    * probed-cell pair join, exact re-score — is HASH-gated against
+    * the DuckDB all-pairs oracle, not just recall-spec-gated. */
+  val embedNeardupForcedScale: Q = (spark, dir) => {
     val base = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val planted = base.filter(col("vec_id") < 20)
@@ -2334,7 +2349,7 @@ object Llm {
     decontamSemanticDispatch(spark, dir, decontamSemanticEvalBound)
 
   /** Driver-visible witness for the PAST-THE-EVAL-BOUND regime (the
-    * embedNeardupForcedLsh pattern applied to decontamination): the
+    * embedNeardupForcedScale pattern applied to decontamination): the
     * entry plants EVAL copies of selected train vectors (vec_id % 100
     * == 1, copy id = 10*vec_id + 1,000,000 so the copy lands on the
     * eval side of the % 10 split) and routes through the IVF-probe
@@ -2619,7 +2634,7 @@ object Llm {
     "q_llm_dedup_simhash" -> dedupSimhash,
     "q_llm_cosine_topk" -> cosineTopk,
     "q_llm_embed_neardup" -> embedNeardup,
-    "q_llm_embed_neardup_lsh_forced" -> embedNeardupForcedLsh,
+    "q_llm_embed_neardup_scale_forced" -> embedNeardupForcedScale,
     "q_llm_ann_lsh" -> annLsh,
     "q_llm_split" -> split,
     "q_llm_sample_weighted" -> sampleWeighted,
@@ -2895,7 +2910,7 @@ object Llm {
             FROM v a JOIN v b ON a.vec_id < b.vec_id)
           SELECT d1, d2, round(cos_raw, 6) AS cosine FROM p
           WHERE cos_raw >= 0.4 ORDER BY d1, d2""",
-    "q_llm_embed_neardup_lsh_forced" ->
+    "q_llm_embed_neardup_scale_forced" ->
       """WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                      FROM embeddings),
           v AS (SELECT * FROM v0 UNION ALL

@@ -44,10 +44,32 @@ object Inflate {
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dst/documents.parquet")
     }
-    // embeddings keep identical vectors across copies: embed_neardup's
-    // exact baseline has a genuinely quadratic pair space; LSH/IVF are
-    // the at-scale paths.
-    inflate("embeddings", Seq("vec_id"), 10000000L)
+    // embeddings: copies are PERTURBED, not identical — identical
+    // copies would make every original a near-dup clique with its
+    // factor-1 copies, growing the pair space quadratically with the
+    // factor (the same fixture artifact the per-copy document
+    // vocabulary prefix prevents for text; round-6 probe ratios up to
+    // 9.4x at x10 measured exactly this). Deterministic per-copy
+    // hash noise at beta=0.84 on unit vectors pushes original-copy
+    // cosine to ~0.25 (copy-copy ~0.1), safely below the 0.4 near-dup
+    // threshold, and the renormalized copies keep the unit-norm
+    // distribution the base fixture has.
+    locally {
+      val base = graft.engine.Tables(spark, src, "embeddings")
+      (0 until factor).map { i =>
+        val shifted = base.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+        if (i == 0) shifted
+        else shifted
+          .withColumn("embedding", expr(
+            s"""transform(embedding, (x, j) -> CAST(x
+                 + 0.84D * (hash(vec_id, j, $i) / 2147483648.0D) AS FLOAT))"""))
+          .withColumn("embedding", expr(
+            """CAST(transform(embedding, x -> x / sqrt(aggregate(
+                 transform(embedding, y -> CAST(y AS DOUBLE) * y),
+                 0D, (a, v) -> a + v))) AS ARRAY<FLOAT>)"""))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    }
   }
 
   /** Inflate `src` x `factor` into `dst` unless a completed inflation

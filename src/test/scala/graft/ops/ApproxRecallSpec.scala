@@ -272,8 +272,8 @@ class ApproxRecallSpec extends SparkTestBase {
 
   // ------------------------- forced-path oracle witnesses (driver-visible)
 
-  test("forced-LSH witness finds exactly the 20 planted identical pairs") {
-    val rows = Llm.embedNeardupForcedLsh(spark, sfSmoke)
+  test("forced-scale witness finds exactly the 20 planted identical pairs") {
+    val rows = Llm.embedNeardupForcedScale(spark, sfSmoke)
       .as[(Long, Long, Double)].collect().toSeq
     assert(rows.size == 20, s"one pair per planted copy: $rows")
     rows.foreach { case (d1, d2, c) =>
