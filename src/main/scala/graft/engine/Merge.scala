@@ -14,7 +14,10 @@ import org.apache.spark.sql.functions._
   *    in declaration order; the FIRST clause whose condition holds
   *    applies (update or delete), and a matched row no clause claims
   *    is carried through unchanged;
-  *  - unmatched target rows are always carried through;
+  *  - unmatched target rows evaluate the NOT MATCHED BY SOURCE
+  *    clauses in order (Delta's third clause family — the
+  *    sync-deletion / aging surface); the first applicable one
+  *    updates or deletes, otherwise the row carries through;
   *  - unmatched source rows evaluate the NOT MATCHED clauses in
   *    order; the first applicable one inserts, otherwise the source
   *    row is discarded;
@@ -42,6 +45,15 @@ object Merge {
     * insert as NULL, like Delta's omitted columns). */
   final case class NotMatchedInsert(cond: Option[Column],
       values: Map[String, Column]) extends Clause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE — conditions
+    * and assignments may reference only the `t` side (no source row
+    * exists for these). */
+  final case class NotMatchedBySourceUpdate(cond: Option[Column],
+      set: Map[String, Column]) extends Clause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE — the
+    * "remove rows the source no longer carries" sync motion. */
+  final case class NotMatchedBySourceDelete(cond: Option[Column])
+      extends Clause
 
   /** Marker appended to each side pre-join: after a full outer join
     * its null-ness is the presence test (key columns can be NULL on
@@ -59,6 +71,10 @@ object Merge {
       case c: MatchedDelete => c: Clause
     }
     val insertClauses = clauses.collect { case c: NotMatchedInsert => c }
+    val bySourceClauses = clauses.collect {
+      case c: NotMatchedBySourceUpdate => c: Clause
+      case c: NotMatchedBySourceDelete => c: Clause
+    }
 
     // Delta's ambiguity rule: a target row matched by >1 source row
     // has no well-defined clause outcome. One aggregation on the
@@ -80,27 +96,45 @@ object Merge {
 
     // Action resolution: CASE evaluates in order, so "first applicable
     // clause wins" is exactly a when-chain per row population.
-    // Encoding: -1 keep (matched, unclaimed / target-only),
-    // -2 drop (delete, or unmatched source no clause wants),
-    // i >= 0: clause index applies.
+    // Encoding: -1 keep (unclaimed match / unclaimed target-only),
+    // -2 drop (delete, or unmatched source no clause wants), and
+    // DISJOINT index ranges per clause family — matched updates at i,
+    // inserts at 1000+i, by-source updates at 2000+i — so a value
+    // expression can never fire for the wrong population (same-index
+    // clauses from different families collide otherwise).
     val keep = lit(-1)
     val drop = lit(-2)
+    val insertBase = 1000
+    val bySourceBase = 2000
     val matchedAction = matchedClauses.zipWithIndex
       .foldLeft(org.apache.spark.sql.functions.when(lit(false), keep)) {
         case (chain, (c, i)) =>
           val (cond, act) = c match {
             case MatchedUpdate(cd, _) => (cd.getOrElse(lit(true)), lit(i))
             case MatchedDelete(cd) => (cd.getOrElse(lit(true)), drop)
+            case _ => (lit(false), keep)
           }
           chain.when(cond, act)
       }.otherwise(keep)
     val insertAction = insertClauses.zipWithIndex
       .foldLeft(org.apache.spark.sql.functions.when(lit(false), keep)) {
         case (chain, (NotMatchedInsert(cd, _), i)) =>
-          chain.when(cd.getOrElse(lit(true)), lit(i))
+          chain.when(cd.getOrElse(lit(true)), lit(insertBase + i))
       }.otherwise(drop)
+    val bySourceAction = bySourceClauses.zipWithIndex
+      .foldLeft(org.apache.spark.sql.functions.when(lit(false), keep)) {
+        case (chain, (c, i)) =>
+          val (cond, act) = c match {
+            case NotMatchedBySourceUpdate(cd, _) =>
+              (cd.getOrElse(lit(true)), lit(bySourceBase + i))
+            case NotMatchedBySourceDelete(cd) =>
+              (cd.getOrElse(lit(true)), drop)
+            case _ => (lit(false), keep)
+          }
+          chain.when(cond, act)
+      }.otherwise(keep)
     val action = when(isMatched, matchedAction)
-      .when(targetOnly, keep)
+      .when(targetOnly, bySourceAction)
       .when(sourceOnly, insertAction)
 
     // Per-column value: keyed off the resolved action, so exactly the
@@ -113,9 +147,14 @@ object Merge {
           when(col("__action") === i, set(cn)).otherwise(acc)
         case (acc, _) => acc
       }
-      insertClauses.zipWithIndex.foldLeft(withUpdates) {
+      val withBySource = bySourceClauses.zipWithIndex.foldLeft(withUpdates) {
+        case (acc, (NotMatchedBySourceUpdate(_, set), i)) if set.contains(cn) =>
+          when(col("__action") === (bySourceBase + i), set(cn)).otherwise(acc)
+        case (acc, _) => acc
+      }
+      insertClauses.zipWithIndex.foldLeft(withBySource) {
         case (acc, (NotMatchedInsert(_, values), i)) if values.contains(cn) =>
-          when(sourceOnly && col("__action") === i, values(cn)).otherwise(acc)
+          when(col("__action") === (insertBase + i), values(cn)).otherwise(acc)
         case (acc, _) => acc
       }.as(cn)
     }

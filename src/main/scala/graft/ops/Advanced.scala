@@ -220,6 +220,25 @@ object Advanced {
       .orderBy(col("c_custkey"))
   }
 
+  /** Delta's third MERGE clause family, `WHEN NOT MATCHED BY SOURCE`
+    * — the sync-deletion / aging motion (mirror a feed: refresh rows
+    * the source still carries, age or remove the ones it dropped).
+    * Matched rows re-sync; unmatched EVEN keys delete; remaining
+    * unmatched rows mark STALE. */
+  val mergeSync: Q = (spark, dir) => {
+    import graft.engine.Merge
+    val base = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val src = base.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"))
+    Merge.merge(base, src, Seq("c_custkey"), Seq(
+      Merge.MatchedUpdate(None, Map("c_mktsegment" -> lit("SYNCED"))),
+      Merge.NotMatchedBySourceDelete(Some(col("t.c_custkey") % 2 === 0)),
+      Merge.NotMatchedBySourceUpdate(None,
+        Map("c_mktsegment" -> lit("STALE")))))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Z-order (Morton) layout key: the native `zorder2` expression
     * (graft.functions.ZOrder) over two bucketed dimensions. The oracle
     * recomputes the interleave arithmetically — bit-exact, so the
@@ -482,6 +501,7 @@ object Advanced {
     "q_cohort_retention" -> cohortRetention,
     "q_merge_upsert" -> mergeUpsert,
     "q_merge_matrix" -> mergeMatrix,
+    "q_merge_sync" -> mergeSync,
     "q_join_asof" -> joinAsof,
     "q_agg_salted" -> aggSalted,
     "q_stream_session" -> streamSession,
@@ -640,6 +660,16 @@ object Advanced {
          SELECT * FROM updated
          UNION ALL SELECT * FROM carried
          UNION ALL SELECT * FROM inserted
+         ORDER BY c_custkey""",
+    "q_merge_sync" ->
+      """WITH base AS (
+           SELECT c_custkey, c_name, c_mktsegment FROM customer),
+         src AS (SELECT c_custkey FROM base WHERE c_custkey % 3 = 0)
+         SELECT b.c_custkey, b.c_name,
+                CASE WHEN s.c_custkey IS NOT NULL THEN 'SYNCED'
+                     ELSE 'STALE' END AS c_mktsegment
+         FROM base b LEFT JOIN src s USING (c_custkey)
+         WHERE s.c_custkey IS NOT NULL OR b.c_custkey % 2 <> 0
          ORDER BY c_custkey""",
     "q_join_asof" ->
       """WITH u AS (

@@ -67,6 +67,37 @@ class MergeSpec extends SparkTestBase {
     assert(ok.length == target.count() + 2)
   }
 
+  test("NOT MATCHED BY SOURCE updates and deletes unmatched target rows in order") {
+    val src = Seq((1L, "x")).toDF("k", "op")
+    val out = merge(target, src, Seq("k"), Seq(
+      MatchedUpdate(None, Map("v" -> lit(0))),
+      // delete unmatched evens, age the rest
+      NotMatchedBySourceDelete(Some(col("t.k") % 2 === 0)),
+      NotMatchedBySourceUpdate(None, Map("name" -> lit("stale")))))
+      .orderBy("k").as[(Long, String, Int)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a", 0),        // matched -> update
+      (3L, "stale", 30)),  // unmatched odd -> aged; 2 and 4 deleted
+      s"by-source family: $out")
+  }
+
+  test("same-index clauses from different families cannot cross-fire") {
+    // matched update index 0 and insert index 0 both set different
+    // values; by-source update index 0 sets a third — the disjoint
+    // action ranges must route each population to its own clause
+    val src = Seq((1L, "m"), (9L, "i")).toDF("k", "op")
+    val out = merge(target, src, Seq("k"), Seq(
+      MatchedUpdate(None, Map("v" -> lit(100))),
+      NotMatchedInsert(None, Map("k" -> col("s.k"))),  // v unlisted -> NULL
+      NotMatchedBySourceUpdate(None, Map("v" -> lit(300)))))
+      .orderBy("k").as[(Long, String, Option[Int])].collect().toSeq
+    assert(out == Seq(
+      (1L, "a", Some(100)),
+      (2L, "b", Some(300)), (3L, "c", Some(300)), (4L, "d", Some(300)),
+      (9L, null, None)),
+      s"families must not cross-fire: $out")
+  }
+
   test("mergeVersioned re-derives under a concurrent-writer race") {
     val dir = java.nio.file.Files.createTempDirectory("graft_merge_vt").toString
     val schema = target.schema
