@@ -189,9 +189,9 @@ object Merge {
     * columns + provided value columns). */
   def mergeVersioned(spark: SparkSession, dir: String, source: DataFrame,
       keys: Seq[String], clauses: Seq[Clause],
-      bootstrapSchema: Option[org.apache.spark.sql.types.StructType] = None)
-      : Long =
-    VersionedTable.commitMerge(spark, dir) { baseOpt =>
+      bootstrapSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      maxAttempts: Int = 10): Long =
+    VersionedTable.commitMerge(spark, dir, maxAttempts = maxAttempts) { baseOpt =>
       val base = baseOpt.getOrElse {
         val schema = bootstrapSchema.getOrElse(throw new IllegalArgumentException(
           "mergeVersioned into an absent table needs bootstrapSchema"))

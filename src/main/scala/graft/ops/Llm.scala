@@ -1008,9 +1008,15 @@ object Llm {
       .filter(col("cosine") >= 0.999)
   }
 
-  /** L3 at scale: LSH-bucketed ANN over L2-normalized vectors
-    * (BucketedRandomProjectionLSH; euclidean on the unit sphere tracks
-    * cosine). Rows-only check. */
+  /** L3, LSH face: single-query ANN over L2-normalized vectors via
+    * BucketedRandomProjectionLSH (euclidean on the unit sphere tracks
+    * cosine). Rows-only check. Honest caveat (the round-7 degenerate-
+    * bucket find): single random projections of unit vectors span
+    * [-1, 1], so bucketLength 0.5 gives ~4 buckets per table — the
+    * multi-probe scan still answers correctly (recall gate green) but
+    * prunes weakly in high dimensions; the engine's real
+    * similarity-at-scale paths are `annIvf` and the persisted
+    * `q_llm_ann_index`, whose cell pruning the probes measure linear. */
   val annLsh: Q = (spark, dir) => {
     import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
     import org.apache.spark.ml.functions.array_to_vector

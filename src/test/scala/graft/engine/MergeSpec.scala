@@ -110,13 +110,16 @@ class MergeSpec extends SparkTestBase {
       MatchedUpdate(None, Map("v" -> col("s.nv"))))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     try {
+      // generous attempt budget: under a fully loaded test JVM a
+      // conflicted derivation can take long enough that the default
+      // 10-attempt budget flakes
       val fa = pool.submit(new java.util.concurrent.Callable[Long] {
-        def call(): Long =
-          mergeVersioned(spark, dir, srcA, Seq("k"), clausesOf(), Some(schema))
+        def call(): Long = mergeVersioned(spark, dir, srcA, Seq("k"),
+          clausesOf(), Some(schema), maxAttempts = 40)
       })
       val fb = pool.submit(new java.util.concurrent.Callable[Long] {
-        def call(): Long =
-          mergeVersioned(spark, dir, srcB, Seq("k"), clausesOf(), Some(schema))
+        def call(): Long = mergeVersioned(spark, dir, srcB, Seq("k"),
+          clausesOf(), Some(schema), maxAttempts = 40)
       })
       fa.get(); fb.get()
     } finally pool.shutdown()
