@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, lit, when}
 
 /** Thrown when a concurrent committer claimed the version this commit
   * targeted. RETRYABLE: re-read `currentVersion` (the winner advanced
@@ -641,6 +641,78 @@ object VersionedTable {
   def compact(spark: SparkSession, dir: String, targetFiles: Int): Long = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     commit(read(spark, dir).coalesce(targetFiles), dir)
+  }
+
+  /** DELETE FROM ... WHERE `cond` — Delta DML as a versioned commit.
+    * Rows where `cond` is TRUE are removed; FALSE and NULL survive
+    * (SQL DELETE's three-valued semantics). Runs through
+    * [[commitMerge]], so a concurrent writer triggers re-derivation
+    * against the fresh base instead of resurrecting its rows with a
+    * stale snapshot. Returns the committed version. */
+  def deleteWhere(spark: SparkSession, dir: String,
+      cond: org.apache.spark.sql.Column): Long =
+    commitMerge(spark, dir) { baseOpt =>
+      val base = baseOpt.getOrElse(
+        throw new IllegalStateException(s"no committed version in $dir"))
+      base.filter(!coalesce(cond, lit(false)))
+    }
+
+  /** UPDATE ... SET col = expr WHERE `cond` — rows where `cond` is
+    * TRUE take the assignments, everything else carries through
+    * unchanged. Same commitMerge re-derivation contract as
+    * [[deleteWhere]]. */
+  def updateWhere(spark: SparkSession, dir: String,
+      cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long =
+    commitMerge(spark, dir) { baseOpt =>
+      val base = baseOpt.getOrElse(
+        throw new IllegalStateException(s"no committed version in $dir"))
+      val c = coalesce(cond, lit(false))
+      set.foldLeft(base) { case (df, (cn, v)) =>
+        df.withColumn(cn, when(c, v).otherwise(col(cn)))
+      }
+    }
+
+  /** Row-level CHANGELOG between two committed versions — change data
+    * feed ON READ (the Iceberg changelog-scan shape: nothing extra is
+    * stored; the diff is computed from the two immutable snapshots,
+    * so it works for ANY version pair, including history written
+    * before this feature existed). Keyed by `keys`; emits
+    *   _change_type ∈ insert | delete | update_preimage |
+    *                  update_postimage
+    * with the full row for each. A keyed row whose non-key columns
+    * are unchanged emits nothing. Shape: one full-outer key join of
+    * the two snapshots (single key shuffle) + a codegen'd struct
+    * comparison — no row-by-row driver work at any table size. */
+  def changesBetween(spark: SparkSession, dir: String,
+      fromVersion: Long, toVersion: Long, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "changesBetween needs key columns")
+    val pre = read(spark, dir, Some(fromVersion))
+    val post = read(spark, dir, Some(toVersion))
+    val cols = pre.columns.toSeq
+    val nonKey = cols.filterNot(keys.contains)
+    val a = pre.withColumn("__a", lit(true)).alias("a")
+    val b = post.withColumn("__b", lit(true)).alias("b")
+    val j = a.join(b,
+      keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _),
+      "full_outer")
+    val inA = col("a.__a").isNotNull
+    val inB = col("b.__b").isNotNull
+    // null-safe struct equality over the non-key columns
+    val unchanged =
+      if (nonKey.isEmpty) lit(true)
+      else nonKey.map(c => col(s"a.$c") <=> col(s"b.$c")).reduce(_ && _)
+    def side(p: String) = cols.map(c => col(s"$p.$c").as(c))
+    val deletes = j.filter(inA && !inB)
+      .select(side("a") :+ lit("delete").as("_change_type"): _*)
+    val inserts = j.filter(!inA && inB)
+      .select(side("b") :+ lit("insert").as("_change_type"): _*)
+    val updatedPairs = j.filter(inA && inB && !unchanged)
+    val preImg = updatedPairs
+      .select(side("a") :+ lit("update_preimage").as("_change_type"): _*)
+    val postImg = updatedPairs
+      .select(side("b") :+ lit("update_postimage").as("_change_type"): _*)
+    deletes.unionByName(inserts).unionByName(preImg).unionByName(postImg)
   }
 
   /** Read the current snapshot, or a pinned `version` (time travel). */

@@ -239,6 +239,68 @@ object Advanced {
       .orderBy(col("c_custkey"))
   }
 
+  /** Memoized DML-roundtrip table per (session, dir): customer
+    * committed as a VersionedTable, then DELETE WHERE key%7=0 and
+    * UPDATE WHERE key%5=0 applied as separate versioned commits —
+    * the Delta DML surface exercised through the REAL table path, not
+    * re-expressed as a plain query. Two driver entries read it: the
+    * final state (q_table_dml) and the v0->v2 changelog
+    * (q_table_changes). Lifecycle idiom = skipTableCache. */
+  private val dmlTableCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]])
+
+  def invalidateDmlTableCache(): Unit = {
+    val paths = dmlTableCache.synchronized {
+      val ps = scala.jdk.CollectionConverters.CollectionHasAsScala(
+        dmlTableCache.values).asScala.flatMap(_.values).toList
+      dmlTableCache.clear()
+      ps
+    }
+    paths.foreach(graft.util.Fs.deleteRecursively)
+  }
+
+  private def dmlTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val per = dmlTableCache.synchronized {
+      val m = dmlTableCache.get(spark)
+      if (m != null) m else {
+        val fresh = scala.collection.concurrent.TrieMap.empty[String, String]
+        dmlTableCache.put(spark, fresh)
+        fresh
+      }
+    }
+    per.getOrElseUpdate(dir, {
+      import graft.engine.VersionedTable
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dml").toString
+      VersionedTable.commit(Tables(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment")), tmp)
+      VersionedTable.deleteWhere(spark, tmp, col("c_custkey") % 7 === 0)
+      VersionedTable.updateWhere(spark, tmp, col("c_custkey") % 5 === 0,
+        Map("c_mktsegment" -> lit("UPDATED")))
+      tmp
+    })
+  }
+
+  /** Delta-style DELETE + UPDATE DML against a committed
+    * VersionedTable (three versions: base, post-delete, post-update),
+    * read back from the final snapshot — hash-gated against plain SQL
+    * on the base table. */
+  val tableDml: Q = (spark, dir) =>
+    graft.engine.VersionedTable.read(spark, dmlTable(spark, dir))
+      .orderBy(col("c_custkey"))
+
+  /** Change data feed ON READ: the row-level changelog between the
+    * DML table's base version and its final version
+    * ([[graft.engine.VersionedTable.changesBetween]]) — deletes carry
+    * the removed row, updates carry pre- and post-images, computed
+    * from the immutable snapshots with one key join (no stored CDF
+    * files, works on any historical pair). */
+  val tableChanges: Q = (spark, dir) =>
+    graft.engine.VersionedTable.changesBetween(
+      spark, dmlTable(spark, dir), 0L, 2L, Seq("c_custkey"))
+      .orderBy(col("c_custkey"), col("_change_type"))
+
   /** Z-order (Morton) layout key: the native `zorder2` expression
     * (graft.functions.ZOrder) over two bucketed dimensions. The oracle
     * recomputes the interleave arithmetically — bit-exact, so the
@@ -502,6 +564,8 @@ object Advanced {
     "q_merge_upsert" -> mergeUpsert,
     "q_merge_matrix" -> mergeMatrix,
     "q_merge_sync" -> mergeSync,
+    "q_table_dml" -> tableDml,
+    "q_table_changes" -> tableChanges,
     "q_join_asof" -> joinAsof,
     "q_agg_salted" -> aggSalted,
     "q_stream_session" -> streamSession,
@@ -671,6 +735,25 @@ object Advanced {
          FROM base b LEFT JOIN src s USING (c_custkey)
          WHERE s.c_custkey IS NOT NULL OR b.c_custkey % 2 <> 0
          ORDER BY c_custkey""",
+    "q_table_dml" ->
+      """SELECT c_custkey, c_name,
+                CASE WHEN c_custkey % 5 = 0 THEN 'UPDATED'
+                     ELSE c_mktsegment END AS c_mktsegment
+         FROM customer WHERE c_custkey % 7 <> 0
+         ORDER BY c_custkey""",
+    "q_table_changes" ->
+      """WITH base AS (
+           SELECT c_custkey, c_name, c_mktsegment FROM customer)
+         SELECT c_custkey, c_name, c_mktsegment,
+                'delete' AS _change_type
+         FROM base WHERE c_custkey % 7 = 0
+         UNION ALL
+         SELECT c_custkey, c_name, c_mktsegment, 'update_preimage'
+         FROM base WHERE c_custkey % 7 <> 0 AND c_custkey % 5 = 0
+         UNION ALL
+         SELECT c_custkey, c_name, 'UPDATED', 'update_postimage'
+         FROM base WHERE c_custkey % 7 <> 0 AND c_custkey % 5 = 0
+         ORDER BY c_custkey, _change_type""",
     "q_join_asof" ->
       """WITH u AS (
            SELECT user_id, ts, event_id, 0 AS kind, event_id AS click_id

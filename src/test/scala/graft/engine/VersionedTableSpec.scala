@@ -508,4 +508,52 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.read(spark, dir)
       .as[(Long, String)].head() == ((1L, "mine")))
   }
+
+  test("deleteWhere removes only TRUE rows; NULL predicate rows survive") {
+    val dir = Files.createTempDirectory("vt_del").toString
+    VersionedTable.commit(
+      Seq((1L, Some(1)), (2L, Some(2)), (3L, None))
+        .toDF("k", "v"), dir)
+    // v > 1: TRUE for k=2, FALSE for k=1, NULL for k=3 — SQL DELETE
+    // removes only the TRUE row
+    val ver = VersionedTable.deleteWhere(spark, dir, col("v") > 1)
+    assert(ver == 1L)
+    assert(VersionedTable.read(spark, dir)
+      .select($"k").as[Long].collect().toSet == Set(1L, 3L))
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("updateWhere assigns only TRUE rows and versions the change") {
+    val dir = Files.createTempDirectory("vt_upd").toString
+    VersionedTable.commit(
+      Seq((1L, Some(1), "a"), (2L, Some(2), "b"), (3L, None, "c"))
+        .toDF("k", "v", "s"), dir)
+    VersionedTable.updateWhere(spark, dir, col("v") > 1,
+      Map("s" -> lit("X"), "v" -> (col("v") + 10)))
+    assert(VersionedTable.read(spark, dir)
+      .orderBy($"k").as[(Long, Option[Int], String)].collect().toSeq ==
+      Seq((1L, Some(1), "a"), (2L, Some(12), "X"), (3L, None, "c")))
+    // time travel still serves the pre-update state
+    assert(VersionedTable.read(spark, dir, Some(0L))
+      .filter($"k" === 2L).as[(Long, Option[Int], String)].head() ==
+      ((2L, Some(2), "b")))
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("changesBetween emits insert/delete/update images and skips unchanged rows") {
+    val dir = Files.createTempDirectory("vt_cdf").toString
+    VersionedTable.commit(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"), dir)
+    VersionedTable.commit(
+      Seq((2L, "B2"), (3L, "c"), (4L, "d")).toDF("k", "s"), dir)
+    val got = VersionedTable.changesBetween(spark, dir, 0L, 1L, Seq("k"))
+      .select($"k", $"s", $"_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set(
+      (1L, "a", "delete"),
+      (2L, "b", "update_preimage"), (2L, "B2", "update_postimage"),
+      (4L, "d", "insert")),
+      s"k=3 unchanged must emit nothing: $got")
+    graft.util.Fs.deleteRecursively(dir)
+  }
 }
