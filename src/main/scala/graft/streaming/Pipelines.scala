@@ -440,6 +440,51 @@ object Pipelines {
       }
   }
 
+  /** Streaming ANN-index refresh — the ingest-time face of the
+    * persisted index ([[graft.engine.AnnIndex]]): every micro-batch
+    * of newly embedded vectors is assigned against the CURRENT
+    * committed centroids and merged into the cells table, so the
+    * servable index trails the embedding stream by one trigger with
+    * NO quantizer fit anywhere on the ingest path (rebuilds stay a
+    * scheduled batch `AnnIndex.build`).
+    *
+    * Epoch handling is the incrDedupBatch pattern: a writer-scoped
+    * epoch marker under the index dir skips replayed batches, so a
+    * crash-replay neither re-merges nor bumps versions; the merge
+    * itself is also VALUE-idempotent (re-assigning an identical
+    * vector updates it to the same cell and bytes), so even a lost
+    * marker degrades to a redundant-but-equal version, never a wrong
+    * index. Batch shape: one broadcast of the metadata-sized centroid
+    * table + the mergeVersioned key join — the micro-batch never
+    * shuffles the index-sized cells table on its own. */
+  def runStreamingAnnRefresh(
+      newVectors: DataFrame,
+      indexDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val writerId = writerToken(newVectors.sparkSession, checkpointDir)
+    newVectors.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        annRefreshBatch(batch.toDF(), epochId, indexDir, writerId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** The per-batch gate behind [[runStreamingAnnRefresh]] — exposed
+    * for direct batch-mode use and the spec. */
+  def annRefreshBatch(batch: DataFrame, epochId: Long, indexDir: String,
+      writerId: String = "default"): Unit = {
+    val spark = batch.sparkSession
+    val marker = s"_LAST_EPOCH_$writerId"
+    if (lastEpoch(spark, indexDir, marker).exists(_ >= epochId)) return
+    if (!batch.isEmpty)
+      graft.engine.AnnIndex.refresh(spark,
+        batch.select(col("vec_id"), col("e")), indexDir)
+    writeEpochMarker(spark, indexDir, epochId, marker)
+  }
+
   /** Kafka connector contract — format name and option keys pinned in
     * ONE place and locked by KafkaSeamSpec, so a typo in any of these
     * strings is caught offline instead of surviving to a real cluster

@@ -85,6 +85,53 @@ class AnnIndexSpec extends SparkTestBase {
     graft.util.Fs.deleteRecursively(dir2)
   }
 
+  test("streaming refresh trails the vector stream; replay bumps nothing") {
+    val dim = 8
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian())
+    }
+    val anchor = vec(1)
+    val base = (0 until 40).map(i => (i.toLong, vec(200 + i)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_str").toString
+    val src = java.nio.file.Files.createTempDirectory("graft_ann_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ann_ck").toString
+    AnnIndex.build(spark, base.toDF("vec_id", "e"), dir)
+    // batch 1: a near-anchor vector lands through the stream
+    Seq((800L, anchor.map(_ + 0.001))).toDF("vec_id", "e")
+      .write.parquet(s"$src/b1")
+    def run(): Unit =
+      graft.streaming.Pipelines.runStreamingAnnRefresh(
+        spark.readStream.schema("vec_id LONG, e ARRAY<DOUBLE>")
+          .option("recursiveFileLookup", "true").parquet(src),
+        dir, ckpt).awaitTermination()
+    run()
+    val top = AnnIndex.query(spark, dir, anchor, k = 1)
+      .as[(Long, Int, Double)].collect().head
+    assert(top._1 == 800L && top._3 > 0.999,
+      s"streamed vector must be servable: $top")
+    val vAfter = VersionedTable.currentVersion(spark, AnnIndex.cellsDir(dir))
+    // replay: a fresh run over the same files (new checkpoint, same
+    // writer marker semantics) must not re-merge the landed epoch
+    graft.util.Fs.deleteRecursively(ckpt)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(ckpt))
+    run()
+    // new lineage, marker is writer-scoped: version MAY bump once but
+    // the index content must be unchanged (value idempotence)
+    val again = AnnIndex.query(spark, dir, anchor, k = 1)
+      .as[(Long, Int, Double)].collect().head
+    assert(again == top, s"replayed refresh must not change answers: $again")
+    // same-lineage replay: the epoch marker short-circuits entirely
+    val vNow = VersionedTable.currentVersion(spark, AnnIndex.cellsDir(dir))
+    graft.streaming.Pipelines.annRefreshBatch(
+      Seq((800L, anchor.map(_ + 0.001))).toDF("vec_id", "e"), 0L, dir,
+      graft.streaming.Pipelines.writerToken(spark, ckpt))
+    assert(VersionedTable.currentVersion(spark, AnnIndex.cellsDir(dir)) == vNow,
+      "an already-landed epoch must not commit a new version")
+    assert(vAfter.nonEmpty)
+    Seq(dir, src, ckpt).foreach(graft.util.Fs.deleteRecursively)
+  }
+
   test("refresh assignment matches MLlib transform on the same centroids") {
     val dim = 8
     def vec(seed: Int): Seq[Double] = {
