@@ -715,6 +715,52 @@ object VersionedTable {
     deletes.unionByName(inserts).unionByName(preImg).unionByName(postImg)
   }
 
+  /** Incremental-consumption primitive: the changelog from
+    * `sinceVersion` (exclusive, -1 for "everything") to the CURRENT
+    * version, plus the version the caller should persist as its new
+    * cursor — the read side of a downstream ETL that catches up on
+    * each run instead of rescanning the table. Cursor semantics match
+    * streaming offsets: process the frame, then durably store the
+    * returned version; a crash before storing re-reads the same
+    * window (at-least-once), and the diff is deterministic so
+    * reprocessing is idempotent for idempotent sinks. When
+    * `sinceVersion` is -1 the whole current snapshot reads as
+    * inserts. */
+  def readChangesSince(spark: SparkSession, dir: String,
+      sinceVersion: Long, keys: Seq[String]): (DataFrame, Long) = {
+    val cur = currentVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version in $dir"))
+    val df =
+      if (sinceVersion < 0)
+        read(spark, dir, Some(cur))
+          .withColumn("_change_type", lit("insert"))
+      else if (sinceVersion >= cur)
+        read(spark, dir, Some(cur)).limit(0)
+          .withColumn("_change_type", lit("insert"))
+      else changesBetween(spark, dir, sinceVersion, cur, keys)
+    (df, cur)
+  }
+
+  /** Commit with a UNIQUE-KEY constraint (the table-level sibling of
+    * [[commitChecked]]'s row-local CHECKs): rejects — before any
+    * staging — when more than one input row carries the same key
+    * tuple. One aggregate pass on the key columns. */
+  def commitUnique(df: DataFrame, dir: String, keys: Seq[String],
+      allowEvolution: Boolean = false): Long = {
+    require(keys.nonEmpty, "commitUnique needs key columns")
+    val dups = df.groupBy(keys.map(col): _*)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+    val offenders = dups.limit(3).collect()
+    if (offenders.nonEmpty)
+      throw new IllegalArgumentException(
+        s"commitUnique to $dir rejected: duplicate keys " +
+          offenders.map(_.toString).mkString(", ") +
+          (if (offenders.length == 3) ", ..." else ""))
+    commit(df, dir, allowEvolution)
+  }
+
   /** Read the current snapshot, or a pinned `version` (time travel). */
   def read(spark: SparkSession, dir: String, version: Option[Long] = None): DataFrame = {
     val v = version.orElse(currentVersion(spark, dir)).getOrElse(

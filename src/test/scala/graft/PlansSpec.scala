@@ -634,4 +634,33 @@ class PlansSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       "packing is window + aggregate, no join")
   }
+
+  test("MERGE matrix plans one outer key join, no cartesian") {
+    val p = plan("q_merge_matrix")
+    assert(p.contains("FullOuter") || p.contains("full_outer") ||
+      p.toLowerCase.contains("fullouter"),
+      "merge resolves through one full-outer key join:\n" + p.take(600))
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row ambiguity count must broadcast, never cartesian-shuffle")
+    // exactly one join carries the merge; the only other joins are the
+    // broadcast ambiguity probe (semi) + the 1-row count attach
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), "ambiguity count attaches via broadcast")
+  }
+
+  test("cell-bucketed embed neardup keys pairs by cell, never corpus x corpus") {
+    val p = Llm4Plans.forcedScale(spark, sfSmoke)
+    assert(p.contains("pcell"), "pair join must key on the probed cell:\n" +
+      p.take(600))
+    assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
+  }
+}
+
+/** Helper giving PlansSpec a handle on the forced-scale path's plan
+  * without exporting more Llm internals. */
+private object Llm4Plans {
+  def forcedScale(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    ops.Llm.queries("q_llm_embed_neardup_scale_forced")(spark, dir)
+      .queryExecution.executedPlan.toString
 }

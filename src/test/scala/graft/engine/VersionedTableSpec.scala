@@ -540,6 +540,42 @@ class VersionedTableSpec extends SparkTestBase {
     graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("readChangesSince hands an incremental consumer its next cursor") {
+    val dir = Files.createTempDirectory("vt_inc").toString
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "s"), dir)
+    // bootstrap: everything reads as inserts
+    val (boot, c0) = VersionedTable.readChangesSince(spark, dir, -1L, Seq("k"))
+    assert(c0 == 0L && boot.select($"k", $"_change_type")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "insert")))
+    // caught up: empty window, cursor unchanged
+    val (idle, c1) = VersionedTable.readChangesSince(spark, dir, c0, Seq("k"))
+    assert(c1 == 0L && idle.count() == 0)
+    // two more commits; one catch-up read spans both
+    VersionedTable.commit(Seq((1L, "a2"), (2L, "b")).toDF("k", "s"), dir)
+    VersionedTable.commit(Seq((2L, "b")).toDF("k", "s"), dir)
+    val (win, c2) = VersionedTable.readChangesSince(spark, dir, c0, Seq("k"))
+    assert(c2 == 2L)
+    val got = win.select($"k", $"s", $"_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set((1L, "a", "delete"), (2L, "b", "insert")),
+      s"net change across the window: $got")
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("commitUnique rejects duplicate keys before staging anything") {
+    val dir = Files.createTempDirectory("vt_uniq").toString
+    VersionedTable.commitUnique(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir, Seq("k"))
+    val ex = intercept[IllegalArgumentException] {
+      VersionedTable.commitUnique(
+        Seq((1L, "x"), (1L, "y")).toDF("k", "s"), dir, Seq("k"))
+    }
+    assert(ex.getMessage.contains("duplicate keys"))
+    assert(VersionedTable.currentVersion(spark, dir).contains(0L),
+      "rejected commit must leave the table at v0")
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("changesBetween emits insert/delete/update images and skips unchanged rows") {
     val dir = Files.createTempDirectory("vt_cdf").toString
     VersionedTable.commit(
