@@ -691,13 +691,13 @@ object VersionedTable {
     val post = read(spark, dir, Some(toVersion))
     val cols = pre.columns.toSeq
     val nonKey = cols.filterNot(keys.contains)
-    val a = pre.withColumn("__a", lit(true)).alias("a")
-    val b = post.withColumn("__b", lit(true)).alias("b")
+    val a = pre.withColumn("__graft_cdf_a", lit(true)).alias("a")
+    val b = post.withColumn("__graft_cdf_b", lit(true)).alias("b")
     val j = a.join(b,
       keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _),
       "full_outer")
-    val inA = col("a.__a").isNotNull
-    val inB = col("b.__b").isNotNull
+    val inA = col("a.__graft_cdf_a").isNotNull
+    val inB = col("b.__graft_cdf_b").isNotNull
     // null-safe struct equality over the non-key columns
     val unchanged =
       if (nonKey.isEmpty) lit(true)

@@ -38,7 +38,10 @@ object SuiteAnchor {
     "q_zorder_layout", "q_llm_dedup_incremental",
     "q_scan_schema_evolution", "q_scan_corrupt_quarantine",
     "q_llm_dedup_substr_rm", "q_llm_dedup_substr",
-    "q_llm_dedup_clusters", "q_llm_cluster_rep")
+    "q_llm_dedup_clusters", "q_llm_cluster_rep",
+    // round-7 write-shaped: the DML entries commit a three-version
+    // VersionedTable; the ANN entry builds and commits the index
+    "q_table_dml", "q_table_changes", "q_llm_ann_index")
 
   private def invalidateMemos(): Unit = {
     graft.ops.Ml.invalidateFitCache()
@@ -46,7 +49,9 @@ object SuiteAnchor {
     graft.ops.Llm.invalidateClusterLabelCache()
     graft.ops.Llm.invalidateIslandsCache()
     graft.ops.Llm.invalidateSnapshotSigCache()
+    graft.ops.Llm.invalidateAnnIndexCache()
     graft.ops.Advanced.invalidateSkipTableCache()
+    graft.ops.Advanced.invalidateDmlTableCache()
   }
 
   def main(args: Array[String]): Unit = {
