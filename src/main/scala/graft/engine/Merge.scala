@@ -190,8 +190,9 @@ object Merge {
   def mergeVersioned(spark: SparkSession, dir: String, source: DataFrame,
       keys: Seq[String], clauses: Seq[Clause],
       bootstrapSchema: Option[org.apache.spark.sql.types.StructType] = None,
-      maxAttempts: Int = 10): Long =
-    VersionedTable.commitMerge(spark, dir, maxAttempts = maxAttempts) { baseOpt =>
+      maxAttempts: Int = 10, allowEvolution: Boolean = false): Long =
+    VersionedTable.commitMerge(spark, dir, maxAttempts = maxAttempts,
+        allowEvolution = allowEvolution) { baseOpt =>
       val base = baseOpt.getOrElse {
         val schema = bootstrapSchema.getOrElse(throw new IllegalArgumentException(
           "mergeVersioned into an absent table needs bootstrapSchema"))
@@ -200,4 +201,54 @@ object Merge {
       }
       merge(base, source, keys, clauses)
     }
+
+  /** Incremental MIRROR sync — the changelog consumer the CDF
+    * primitives exist for, composed entirely from the engine's own
+    * parts: read the source table's changes past the mirror's stored
+    * cursor ([[VersionedTable.readChangesSince]]), apply them as ONE
+    * MERGE (delete rows the changelog deleted, upsert inserts and
+    * post-images), commit the mirror, then advance the cursor. Each
+    * run costs one changelog diff + one key-join merge, however much
+    * history accumulated — never a full source rescan after
+    * bootstrap.
+    *
+    * Crash contract: the cursor advances AFTER the mirror commit, so
+    * a crash between them re-applies the same window on the next run
+    * — which is idempotent by construction (re-deleting an absent key
+    * matches no clause; re-upserting lands identical values).
+    * Returns the source version the mirror now reflects. */
+  def syncMirror(spark: SparkSession, srcDir: String, dstDir: String,
+      keys: Seq[String]): Long = {
+    val cursorName = "_SYNC_CURSOR"
+    val f = new org.apache.hadoop.fs.Path(dstDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cp = new org.apache.hadoop.fs.Path(dstDir, cursorName)
+    val since =
+      if (!f.exists(cp)) -1L
+      else {
+        val in = f.open(cp)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      }
+    val (changes, newCur) = VersionedTable.readChangesSince(
+      spark, srcDir, since, keys)
+    if (since < 0L) {
+      // bootstrap: the whole snapshot reads as inserts
+      VersionedTable.commit(changes.drop("_change_type"), dstDir)
+    } else if (newCur != since) {
+      val net = changes.filter(col("_change_type") =!= "update_preimage")
+      val dataCols = changes.columns.filterNot(_ == "_change_type").toSeq
+      val nonDelete = col("s._change_type") =!= "delete"
+      mergeVersioned(spark, dstDir, net, keys, Seq(
+        MatchedDelete(Some(col("s._change_type") === "delete")),
+        MatchedUpdate(Some(nonDelete),
+          dataCols.filterNot(keys.contains)
+            .map(c => c -> col(s"s.$c")).toMap),
+        NotMatchedInsert(Some(nonDelete),
+          dataCols.map(c => c -> col(s"s.$c")).toMap)))
+    }
+    VersionedTable.atomicWrite(spark, dstDir, cursorName, newCur.toString)
+    newCur
+  }
 }

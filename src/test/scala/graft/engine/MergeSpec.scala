@@ -131,6 +131,39 @@ class MergeSpec extends SparkTestBase {
     graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("syncMirror replays source DML incrementally and idempotently") {
+    val src = java.nio.file.Files.createTempDirectory("graft_sync_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_sync_dst").toString
+    graft.util.Fs.deleteRecursively(dst)
+    def srcRows = VersionedTable.read(spark, src)
+      .orderBy("k").as[(Long, String, Int)].collect().toSeq
+    def dstRows = VersionedTable.read(spark, dst)
+      .orderBy("k").as[(Long, String, Int)].collect().toSeq
+    VersionedTable.commit(target, src)
+    // bootstrap
+    assert(Merge.syncMirror(spark, src, dst, Seq("k")) == 0L)
+    assert(dstRows == srcRows)
+    // DML on the source: delete, update, insert — then one sync
+    VersionedTable.deleteWhere(spark, src, col("k") === 2L)
+    VersionedTable.updateWhere(spark, src, col("k") === 3L,
+      Map("v" -> lit(333)))
+    VersionedTable.commit(VersionedTable.read(spark, src)
+      .unionByName(Seq((9L, "i", 90)).toDF("k", "name", "v")), src)
+    assert(Merge.syncMirror(spark, src, dst, Seq("k")) == 3L)
+    assert(dstRows == srcRows, s"mirror must track: $dstRows vs $srcRows")
+    // caught up: a re-sync commits nothing
+    val vBefore = VersionedTable.currentVersion(spark, dst)
+    assert(Merge.syncMirror(spark, src, dst, Seq("k")) == 3L)
+    assert(VersionedTable.currentVersion(spark, dst) == vBefore,
+      "caught-up sync must not commit")
+    // crash window: cursor lost after apply — re-running re-applies
+    // the same changes idempotently
+    VersionedTable.atomicWrite(spark, dst, "_SYNC_CURSOR", "0")
+    Merge.syncMirror(spark, src, dst, Seq("k"))
+    assert(dstRows == srcRows, "re-applied window must be idempotent")
+    Seq(src, dst).foreach(graft.util.Fs.deleteRecursively)
+  }
+
   test("mergeVersioned bootstraps an absent table from inserts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_merge_bs").toString
     graft.util.Fs.deleteRecursively(dir)
