@@ -845,7 +845,66 @@ object Joins {
       .orderBy(col("s_name"))
   }
 
+  /** String-similarity JOIN: all customer-name pairs within
+    * Levenshtein distance 1, found WITHOUT the quadratic all-pairs
+    * scan — q-gram PREFIX FILTERING (Chaudhuri et al. 2006 /
+    * Xiao et al. 2008 line; the ICDE 2022 compressed-index work is
+    * the modern face of the same family): under a global gram order
+    * (document frequency asc, gram asc), two strings within edit
+    * distance k must share at least one of their k*q+1 smallest
+    * DISTINCT q-grams — one edit disturbs at most q distinct gram
+    * types, so disjoint prefixes force a gram-set difference > k*q.
+    * Candidates therefore form a join keyed by PREFIX grams only
+    * (rare by construction — the frequency order pushes boilerplate
+    * grams out of prefixes), then exact-verify with the codegen'd
+    * `levenshtein`. The shape is gram-keyed like every dedup join in
+    * the engine: never name x name, and the df ranking rides the
+    * same gram shuffle the candidate join needs. Output is
+    * hash-gated against DuckDB's exhaustive levenshtein scan — the
+    * oracle pays the quadratic cost the operator exists to avoid. */
+  val joinEditDist: Q = (spark, dir) => {
+    val k = 1
+    val q = 2
+    val pref = k * q + 1
+    val names = Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+    val grams = names.select(col("id"), col("s"), explode(expr(
+      s"array_distinct(transform(sequence(1, length(s) - ${q - 1})," +
+        s" i -> substring(s, i, $q)))")).as("g"))
+    val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("df"), col("g"))
+    // eager localCheckpoint: the prefix table feeds BOTH self-join
+    // sides — without materialization the planner rebuilds the
+    // explode + df join + ranking window per consumer (the
+    // matchedIslands lesson); blocks are freed with the result frame
+    val prefix = grams.join(dfreq, Seq("g"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= pref)
+      .select(col("g"), col("id"))
+      .localCheckpoint(true)
+    // candidates carry IDS ONLY through the join + distinct (16-byte
+    // rows instead of name pairs — the dedup shuffle is the volume
+    // term here); names re-attach afterwards with two keyed joins
+    // against the name table (AQE broadcasts the dim-sized side at
+    // test scale, sort-merges past the broadcast bound), then the
+    // codegen'd levenshtein verifies exactly
+    val a = prefix.select(col("g"), col("id").as("d1"))
+    val b = prefix.select(col("g"), col("id").as("d2"))
+    a.join(b, Seq("g"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+      .distinct()
+      .join(names.select(col("id").as("d1"), col("s").as("s1")), Seq("d1"))
+      .join(names.select(col("id").as("d2"), col("s").as("s2")), Seq("d2"))
+      .withColumn("dist", levenshtein(col("s1"), col("s2")))
+      .filter(col("dist") <= k)
+      .select(col("d1"), col("d2"), col("dist"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_join_editdist" -> joinEditDist,
     "q_join_left_enrich" -> joinLeftEnrich,
     "q_join_inner" -> joinInner,
     "q_join_semi" -> joinSemi,
@@ -875,6 +934,13 @@ object Joins {
     "q_tpch_q20" -> tpchQ20)
 
   val oracle: Map[String, String] = Map(
+    "q_join_editdist" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer)
+         SELECT a.id AS d1, b.id AS d2,
+                CAST(levenshtein(a.s, b.s) AS INT) AS dist
+         FROM c a JOIN c b ON a.id < b.id
+         WHERE levenshtein(a.s, b.s) <= 1
+         ORDER BY d1, d2""",
     "q_join_left_enrich" ->
       """SELECT o_orderkey, o_custkey,
                 coalesce(c_name, 'Unknown') AS c_name,
