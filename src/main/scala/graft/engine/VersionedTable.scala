@@ -327,20 +327,47 @@ object VersionedTable {
       f.delete(staged, true)
       throw new ConcurrentCommitException(dir, next)
     }
-    try f.create(claimPath(dir, next), false).close()
-    catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => loseClaim()
-      case e: java.io.IOException =>
-        // local FS reports an existing file as a plain IOException —
-        // re-check existence before deciding conflict vs real failure
-        if (f.exists(claimPath(dir, next))) loseClaim()
-        else { f.delete(staged, true); throw e }
+    f match {
+      case l: org.apache.hadoop.fs.LocalFileSystem =>
+        // Hadoop's LocalFileSystem create(..., overwrite=false) is
+        // CHECK-THEN-CREATE — two loaded writers can both "win" the
+        // claim and the loser later dies on the publish rename (a
+        // suite-load flake caught exactly this). NIO createFile is a
+        // single O_CREAT|O_EXCL syscall — genuinely atomic.
+        try java.nio.file.Files.createFile(java.nio.file.Paths.get(
+          claimPath(dir, next).toUri.getPath))
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => loseClaim()
+        }
+        // keep a ChecksumFs reader from validating against a stale crc
+        l.getRaw.delete(new Path(dir, s".${claimPath(dir, next).getName}.crc"),
+          false)
+      case _ =>
+        try f.create(claimPath(dir, next), false).close()
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => loseClaim()
+          case e: java.io.IOException =>
+            // some FSs report an existing file as a plain IOException —
+            // re-check existence before deciding conflict vs real failure
+            if (f.exists(claimPath(dir, next))) loseClaim()
+            else { f.delete(staged, true); throw e }
+        }
     }
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       f.getUri, spark.sparkContext.hadoopConfiguration)
-    // we own v<next> now: move the staged snapshot into place
-    fc.rename(f.makeQualified(staged),
+    // we own v<next> now: move the staged snapshot into place. A
+    // FileAlreadyExists here means a racing writer published v<next>
+    // despite the claim (only reachable on filesystems whose
+    // create-exclusive is weaker than POSIX) — surface it as the
+    // CONFLICT it is so retry loops re-derive instead of crashing,
+    // but leave the claim in place: it belongs to the winner.
+    try fc.rename(f.makeQualified(staged),
       f.makeQualified(new Path(dir, s"v$next")))
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        f.delete(staged, true)
+        throw new ConcurrentCommitException(dir, next)
+    }
     swapPointer(spark, dir, next)
     // summary checkpoint: extend the prior summary when it is fresh
     // (O(1)); list once when it is stale/absent (pre-summary tables).
