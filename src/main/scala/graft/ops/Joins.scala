@@ -847,22 +847,63 @@ object Joins {
 
   /** String-similarity JOIN: all customer-name pairs within
     * Levenshtein distance 1, found WITHOUT the quadratic all-pairs
-    * scan — q-gram PREFIX FILTERING (Chaudhuri et al. 2006 /
-    * Xiao et al. 2008 line; the ICDE 2022 compressed-index work is
-    * the modern face of the same family): under a global gram order
-    * (document frequency asc, gram asc), two strings within edit
-    * distance k must share at least one of their k*q+1 smallest
-    * DISTINCT q-grams — one edit disturbs at most q distinct gram
-    * types, so disjoint prefixes force a gram-set difference > k*q.
-    * Candidates therefore form a join keyed by PREFIX grams only
-    * (rare by construction — the frequency order pushes boilerplate
-    * grams out of prefixes), then exact-verify with the codegen'd
-    * `levenshtein`. The shape is gram-keyed like every dedup join in
-    * the engine: never name x name, and the df ranking rides the
-    * same gram shuffle the candidate join needs. Output is
-    * hash-gated against DuckDB's exhaustive levenshtein scan — the
-    * oracle pays the quadratic cost the operator exists to avoid. */
+    * scan. Two sound candidate generators, spec-pinned equal:
+    *
+    *  - [[joinEditDist]] (the driver entry) uses the DELETION
+    *    NEIGHBORHOOD (FastSS, Bocek et al. 2007): each string's
+    *    variant set is itself plus every delete-one-character form;
+    *    any two strings within ONE edit share a variant VERBATIM
+    *    (substitution: both drop the edited position; indel: the
+    *    longer side's deletion at the edit point IS the shorter
+    *    string), so candidates form an exact-match equi-join on the
+    *    variant key with buckets that are near-duplicate groups —
+    *    candidate volume tracks the OUTPUT, not the corpus pair
+    *    space. The method is k-exact but its neighborhood grows
+    *    C(len, k), so it is the small-k regime (k <= 2 in practice);
+    *  - [[joinEditDistPrefix]] is the general-k form — q-gram PREFIX
+    *    FILTERING (Chaudhuri et al. 2006 / Xiao et al. 2008; the
+    *    ICDE 2022 compressed-index work modernizes the family; the
+    *    distributed shape is Vernica et al. SIGMOD 2010): under a
+    *    global (df, gram) order, strings within edit distance k
+    *    share one of their k*q+1 smallest distinct q-grams, so
+    *    candidates join on prefix grams only.
+    *
+    * Both verify exactly with the codegen'd `levenshtein` and are
+    * hash-gated against DuckDB's exhaustive scan — the oracle pays
+    * the quadratic cost the operator exists to avoid. On the
+    * gram-poor fixture names the prefix form generates ~10M
+    * candidates where the deletion form generates ~output-sized
+    * (bench 11.5 s -> ~2 s at sf0.1), which is exactly the published
+    * tradeoff between the two families. */
   val joinEditDist: Q = (spark, dir) => {
+    val k = 1 // deletion-neighborhood regime
+    val names = Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+    // variant set: the string + each delete-one form, deduped (edge
+    // deletions of a doubled character coincide)
+    val vars = names.select(col("id"), explode(expr(
+      """array_distinct(concat(array(s),
+           transform(sequence(1, length(s)),
+             i -> concat(substring(s, 1, i - 1),
+                         substring(s, i + 1, length(s))))))""")).as("v"))
+      .localCheckpoint(true)
+    val a = vars.select(col("v"), col("id").as("d1"))
+    val b = vars.select(col("v"), col("id").as("d2"))
+    a.join(b, Seq("v"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+      .distinct()
+      .join(names.select(col("id").as("d1"), col("s").as("s1")), Seq("d1"))
+      .join(names.select(col("id").as("d2"), col("s").as("s2")), Seq("d2"))
+      .withColumn("dist", levenshtein(col("s1"), col("s2")))
+      .filter(col("dist") <= k)
+      .select(col("d1"), col("d2"), col("dist"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** General-k prefix-filtered form — see [[joinEditDist]]'s scaladoc;
+    * spec-pinned result-equal to the deletion-neighborhood entry. */
+  private[graft] val joinEditDistPrefix: Q = (spark, dir) => {
     val k = 1
     val q = 2
     val pref = k * q + 1

@@ -336,4 +336,19 @@ class RelationalOpsSpec extends SparkTestBase {
     val err = math.abs(estMerged - exact).toDouble / exact
     assert(err <= 0.05, s"HLL estimate $estMerged vs exact $exact (err $err)")
   }
+
+  test("edit-distance join: deletion-neighborhood == prefix-filter, both nonempty") {
+    import spark.implicits._
+    val fast = Joins.joinEditDist(spark, sfSmoke)
+      .as[(Long, Long, Int)].collect().toSeq
+    val prefix = Joins.joinEditDistPrefix(spark, sfSmoke)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(fast.nonEmpty, "fixture names carry distance-1 pairs")
+    assert(fast == prefix,
+      s"the two sound candidate generators must agree:\n" +
+        s" fastss=${fast.take(5)}...\n prefix=${prefix.take(5)}...")
+    // sound = no misses: a planted within-1 pair must surface, and
+    // every reported pair really is within 1
+    fast.foreach { case (_, _, d) => assert(d <= 1) }
+  }
 }
