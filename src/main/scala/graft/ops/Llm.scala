@@ -1850,6 +1850,49 @@ object Llm {
   val bpeTrainBatched: Q = (spark, dir) =>
     bpeTrainMergesBatched(spark, dir, 256, strictPrefix = false)
 
+  /** BPE APPLY — tokenize the corpus with a TRAINED merge table (the
+    * missing half of the train/apply pair: q_llm_tokenize_bpe is a
+    * regex proxy, this is the real merge-table tokenizer). Trains 64
+    * practice-mode merges, then applies them in rank order with the
+    * same greedy-leftmost fold the trainer uses — but over the
+    * DISTINCT WORD VOCABULARY, not the raw corpus: each distinct word
+    * tokenizes once (the merge fold is per-word by construction; BPE
+    * never merges across words), and documents join their per-word
+    * token cost back by word key. A 100 TB corpus pays the
+    * interpreted fold only vocab-many times, and the doc-side work is
+    * one explode + one word-keyed join + one doc-keyed sum. Output:
+    * (doc_id, n_words, n_bpe_tok); rows-only (merge-table application
+    * is not SQL-expressible), spec-checked against a single-threaded
+    * reference apply. */
+  val bpeApply: Q = (spark, dir) => {
+    import spark.implicits._
+    val mseq = bpeTrainMergesBatched(spark, dir, 64, strictPrefix = false)
+      .orderBy(col("rank"))
+      .select(col("rank").cast("int").as("rk"), col("left").as("ma"),
+        col("right").as("mb"), col("merged").as("mm"))
+      .agg(sort_array(collect_list(
+        struct(col("rk"), col("ma"), col("mb"), col("mm")))).as("mseq"))
+    val words = tokenized(spark, dir)
+      .select(explode(col("t")).as("w")).filter(col("w") =!= "")
+    val wordCost = words.distinct()
+      .crossJoin(broadcast(mseq))
+      .select(col("w"), expr(
+        """size(aggregate(mseq, filter(split(w, ''), c -> c <> ''),
+             (cur, mg) -> aggregate(cur, cast(array() as array<string>),
+               (out, x) -> IF(size(out) > 0
+                   AND element_at(out, -1) = mg.ma AND x = mg.mb,
+                 concat(slice(out, 1, size(out) - 1), array(mg.mm)),
+                 concat(out, array(x))))))""").as("n_tok"))
+    tokenized(spark, dir)
+      .select(col("doc_id"), explode(col("t")).as("w"))
+      .filter(col("w") =!= "")
+      .join(wordCost, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("n_tok")).cast("long").as("n_bpe_tok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token counting, whitespace + BPE-ish regex: runs of letters, runs
     * of digits, single other symbols (the classic pre-tokenizer
     * shape). */
@@ -2650,6 +2693,7 @@ object Llm {
     "q_llm_tokenize_bpe" -> tokenizeBpe,
     "q_llm_bpe_train" -> bpeTrain,
     "q_llm_bpe_train_batched" -> bpeTrainBatched,
+    "q_llm_bpe_apply" -> bpeApply,
     "q_llm_textstats" -> textstats,
     "q_llm_qualityfilter" -> qualityFilter,
     "q_llm_quality_lr" -> qualityLr,

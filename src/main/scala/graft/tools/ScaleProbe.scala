@@ -217,6 +217,23 @@ object ScaleProbe {
       time("hll merge") { Aggs.aggHllMerge(spark, dst) }
       time("embed neardup lsh") { Llm.embedNeardupDispatch(spark, dst, 0L) }
       time("decontam sem ivf") { Llm.decontamSemanticDispatch(spark, dst, 0L) }
+      // round-7 operators: the MERGE matrix (one outer key join), the
+      // table-path DML roundtrip + changelog (write-shaped, so their
+      // trend prices commits too), the snapshot-served ANN probe
+      // (build memoized per dir — the marginal read is the product),
+      // the deletion-neighborhood similarity join, and batched BPE
+      time("merge matrix") { Advanced.mergeMatrix(spark, dst) }
+      time("merge by-source sync") { Advanced.mergeSync(spark, dst) }
+      time("table dml roundtrip") {
+        Advanced.invalidateDmlTableCache()
+        Advanced.tableDml(spark, dst)
+      }
+      time("table changelog") { Advanced.tableChanges(spark, dst) }
+      time("ann index serve") { Llm.annIndexServe(spark, dst) }
+      time("editdist join (fastss)") { Joins.joinEditDist(spark, dst) }
+      time("bpe train batched") {
+        Llm.bpeTrainMergesBatched(spark, dst, 256, strictPrefix = false)
+      }
 
       // AQE skew-join probe: join the deliberately-skewed
       // events.user_id WITHOUT salting and assert AQE's skew-join

@@ -667,6 +667,39 @@ class LlmSpec extends SparkTestBase {
       "at least one round must carry more than one merge")
   }
 
+  test("BPE apply tokenizes with the trained merges, matching a reference apply") {
+    val merges = Llm.bpeTrainMergesBatched(spark, sfSmoke, 64,
+        strictPrefix = false)
+      .orderBy($"rank").select($"left", $"right")
+      .as[(String, String)].collect().toSeq
+    def applyWord(w: String): Int = {
+      var s: Seq[String] = w.codePoints().toArray.toSeq
+        .map(cp => new String(Character.toChars(cp)))
+      merges.foreach { case (a, b) =>
+        val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+        s.foreach { x =>
+          if (acc.nonEmpty && acc.last == a && x == b) {
+            acc.remove(acc.size - 1); acc += (a + b)
+          } else acc += x
+        }
+        s = acc.toSeq
+      }
+      s.size
+    }
+    val docs = graft.engine.Tables(spark, sfSmoke, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val expected = docs.map { case (id, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      (id, ws.length.toLong, ws.map(applyWord).map(_.toLong).sum)
+    }.filter(_._2 > 0).sortBy(_._1)
+    val got = Llm.bpeApply(spark, sfSmoke)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expected,
+      s"apply diverges: got ${got.take(3)} exp ${expected.take(3)}")
+    // merging strictly compresses: token count in [n_words, total chars]
+    got.foreach { case (_, nw, nb) => assert(nb >= nw) }
+  }
+
   test("weighted sampling selects exactly the Efraimidis-Spirakis top-K per stratum") {
     val got = Llm.sampleWeighted(spark, sfSmoke)
       .select($"lang", $"doc_id").as[(String, Long)].collect().toSet
