@@ -875,10 +875,14 @@ object Joins {
     * candidates where the deletion form generates ~output-sized
     * (bench 11.5 s -> ~2 s at sf0.1), which is exactly the published
     * tradeoff between the two families. */
-  val joinEditDist: Q = (spark, dir) => {
+  val joinEditDist: Q = (spark, dir) =>
+    joinEditDistOn(Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("s")))
+
+  /** Frame-input deletion-neighborhood form: `names` = (id, s). */
+  private[graft] def joinEditDistOn(names: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val k = 1 // deletion-neighborhood regime
-    val names = Tables(spark, dir, "customer")
-      .select(col("c_custkey").as("id"), col("c_name").as("s"))
     // variant set: the string + each delete-one form, deduped (edge
     // deletions of a doubled character coincide)
     val vars = names.select(col("id"), explode(expr(

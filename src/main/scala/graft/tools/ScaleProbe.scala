@@ -231,6 +231,20 @@ object ScaleProbe {
       time("table changelog") { Advanced.tableChanges(spark, dst) }
       time("ann index serve") { Llm.annIndexServe(spark, dst) }
       time("editdist join (fastss)") { Joins.joinEditDist(spark, dst) }
+      // the entry reads the customer DIM, which the inflater keeps
+      // fixed — for a real trend, inflate the NAME TABLE itself:
+      // per-copy "ii_" prefixes (two chars, so cross-copy pairs sit
+      // at distance 2 and the within-copy pair structure replicates
+      // exactly x factor)
+      if (selected("editdist join x-names")) locally {
+        val base = graft.engine.Tables(spark, dst, "customer")
+          .select(col("c_custkey").as("id"), col("c_name").as("s"))
+        val inflated = (0 until factor).map { i =>
+          base.select((col("id") + lit(i * 10000000L)).as("id"),
+            concat(lit(s"$i$i"), lit("_"), col("s")).as("s"))
+        }.reduce(_ unionByName _)
+        time("editdist join x-names") { Joins.joinEditDistOn(inflated) }
+      }
       time("bpe train batched") {
         Llm.bpeTrainMergesBatched(spark, dst, 256, strictPrefix = false)
       }
