@@ -39,7 +39,15 @@ object AnnIndex {
   def cellsDir(dir: String) = s"$dir/cells"
 
   /** Fit the IVF quantizer on `embRaw` (vec_id, e) and commit the
-    * index. Returns the committed cells version. */
+    * index. Returns the committed cells version.
+    *
+    * Rebuild visibility window: centroids commit BEFORE cells, so a
+    * probe landing between the two commits ranks against the new
+    * centroids while scanning the previous quantizer's cell ids —
+    * degraded recall for that instant, never an error, and the next
+    * cells commit closes it. A deployment that cannot tolerate the
+    * window serves probes from PINNED versions (query's `version`
+    * arg) and flips the pin after both commits land. */
   def build(spark: SparkSession, embRaw: DataFrame, dir: String): Long = {
     val (model, cells) = graft.ops.Llm.fitIvfCellsOn(spark, embRaw)
     import spark.implicits._
@@ -48,12 +56,12 @@ object AnnIndex {
       .toDF("cell", "ce")
     VersionedTable.commit(centDf, centroidsDir(dir))
     // cluster + sort by cell: row-group stats then prune probe scans
-    val v = VersionedTable.commit(
+    // cells is an eager local checkpoint — its blocks free with the
+    // frame, no unpersist needed
+    VersionedTable.commit(
       cells.select(col("vec_id"), col("e"), col("cell"))
         .repartition(col("cell")).sortWithinPartitions(col("cell")),
       cellsDir(dir))
-    cells.unpersist()
-    v
   }
 
   /** MLlib's assignment rule over a broadcast centroid frame:

@@ -1415,9 +1415,17 @@ object Llm {
         .setFeaturesCol("features").setPredictionCol("cell")
         .fit(fitInput)
       finally fitInput.unpersist()
+    // eager localCheckpoint, not persist: the frame is shared by
+    // multiple consumers (memoized per dir, or the frame-input ops'
+    // whole pipelines), and checkpoint blocks are FREED by the
+    // ContextCleaner when the last referencing frame drops — a
+    // persist here leaked one corpus-sized cache entry per
+    // frame-input invocation (nothing ever unpersists an escaped
+    // frame). Same executor-loss tradeoff as documented on the
+    // other checkpoint sites.
     val cells = model.transform(emb)
       .select(col("vec_id"), col("e"), col("unit"), col("cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     (model, cells)
   }
 

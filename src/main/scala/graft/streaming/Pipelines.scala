@@ -317,8 +317,11 @@ object Pipelines {
     // t0 crosses micro-batches through the state as epoch MICROS —
     // getTime alone would truncate to millis and diverge from the
     // batch op's unix_micros deltas on sub-milli event times
+    // FLOOR the seconds part: getTime/1000 truncates toward zero, so
+    // a pre-epoch timestamp with sub-second nanos would land a full
+    // second late (the cohort-week `div` bug class, at micros grain)
     def micros(t: java.sql.Timestamp): Long =
-      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
     def fromMicros(us: Long): java.sql.Timestamp = {
       val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
       t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
