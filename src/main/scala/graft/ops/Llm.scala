@@ -1415,17 +1415,20 @@ object Llm {
         .setFeaturesCol("features").setPredictionCol("cell")
         .fit(fitInput)
       finally fitInput.unpersist()
-    // eager localCheckpoint, not persist: the frame is shared by
-    // multiple consumers (memoized per dir, or the frame-input ops'
-    // whole pipelines), and checkpoint blocks are FREED by the
-    // ContextCleaner when the last referencing frame drops — a
-    // persist here leaked one corpus-sized cache entry per
-    // frame-input invocation (nothing ever unpersists an escaped
-    // frame). Same executor-loss tradeoff as documented on the
-    // other checkpoint sites.
+    // persist, NOT localCheckpoint — and that distinction is
+    // load-bearing: the dir-keyed memo (cellCache) holds this frame
+    // across queries, and the bench/anchor harnesses unpersist every
+    // persistent RDD between timed queries. A persisted frame
+    // survives that purge (lineage recomputes on next use); a
+    // localCheckpoint does NOT (lineage is severed, its blocks are
+    // its only copy — the round-7 attempt produced exactly that
+    // SparkException on the post-purge annIvf read). Frame-input
+    // invocations that bypass the memo pin one cache entry until
+    // invalidateCellCache()/the session's cache cleanup — the lesser
+    // evil, and the recall spec releases caches per fixture.
     val cells = model.transform(emb)
       .select(col("vec_id"), col("e"), col("unit"), col("cell"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (model, cells)
   }
 
