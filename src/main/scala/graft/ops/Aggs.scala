@@ -343,7 +343,28 @@ object Aggs {
       .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
         .as("revenue"))
 
+  /** Statistical aggregates — stddev/variance (sample), correlation
+    * and covariance per group: the descriptive-statistics surface an
+    * analytics engine owes beside counts and percentiles. All four
+    * are single-pass mergeable moment aggregates (Welford/Chan
+    * partial merge — the same partial+final hash-aggregate shape as
+    * sum/avg, no extra shuffle). Rounded at 4: both engines merge
+    * partials in different orders, and the ~1e-12 relative wobble of
+    * parallel moment merging must stay below the comparison grain. */
+  val aggStats: Q = (spark, dir) =>
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("corr_qty_price"),
+        round(covar_samp(col("l_discount"), col("l_tax")), 4)
+          .as("covar_disc_tax"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, Q] = Map(
+    "q_agg_stats" -> aggStats,
     "q_agg_cube" -> aggCube,
     "q_agg_count" -> aggCount,
     "q_agg_count_if" -> aggCountIf,
@@ -365,6 +386,15 @@ object Aggs {
     "q_agg_collect_set" -> aggCollectSet)
 
   val oracle: Map[String, String] = Map(
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+                round(stddev_samp(l_quantity), 4) AS sd_qty,
+                round(var_samp(l_quantity), 4) AS var_qty,
+                round(corr(l_quantity, l_extendedprice), 4)
+                  AS corr_qty_price,
+                round(covar_samp(l_discount, l_tax), 4)
+                  AS covar_disc_tax
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q_agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
