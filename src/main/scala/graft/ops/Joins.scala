@@ -899,8 +899,10 @@ object Joins {
       .distinct()
       .join(names.select(col("id").as("d1"), col("s").as("s1")), Seq("d1"))
       .join(names.select(col("id").as("d2"), col("s").as("s2")), Seq("d2"))
-      .withColumn("dist", levenshtein(col("s1"), col("s2")))
-      .filter(col("dist") <= k)
+      // thresholded (banded-DP) levenshtein: cost O(len * k) per pair
+      // instead of O(len^2), returning -1 past the threshold
+      .withColumn("dist", levenshtein(col("s1"), col("s2"), k))
+      .filter(col("dist").between(0, k))
       .select(col("d1"), col("d2"), col("dist"))
       .orderBy(col("d1"), col("d2"))
   }
@@ -942,8 +944,10 @@ object Joins {
       .distinct()
       .join(names.select(col("id").as("d1"), col("s").as("s1")), Seq("d1"))
       .join(names.select(col("id").as("d2"), col("s").as("s2")), Seq("d2"))
-      .withColumn("dist", levenshtein(col("s1"), col("s2")))
-      .filter(col("dist") <= k)
+      // thresholded (banded-DP) levenshtein: cost O(len * k) per pair
+      // instead of O(len^2), returning -1 past the threshold
+      .withColumn("dist", levenshtein(col("s1"), col("s2"), k))
+      .filter(col("dist").between(0, k))
       .select(col("d1"), col("d2"), col("dist"))
       .orderBy(col("d1"), col("d2"))
   }
