@@ -38,6 +38,33 @@ object AnnIndex {
   def centroidsDir(dir: String) = s"$dir/centroids"
   def cellsDir(dir: String) = s"$dir/cells"
 
+  /** Every cells commit records WHICH centroids version assigned its
+    * cell ids (sidecar `_CENTROIDS_V<cellsVersion>` in the cells
+    * dir), so a time-traveled query resolves a CONSISTENT
+    * (centroids, cells) pair. Without it a pinned query after a
+    * rebuild ranks the NEW quantizer's centroids but scans the OLD
+    * quantizer's cell ids — degraded-to-garbage probes, exactly on
+    * the path the rebuild-window scaladoc recommends as the
+    * mitigation. */
+  private def recordCentroidVersion(spark: SparkSession, dir: String,
+      cellsVersion: Long, centroidsVersion: Long): Unit =
+    VersionedTable.atomicWrite(spark, cellsDir(dir),
+      s"_CENTROIDS_V$cellsVersion", centroidsVersion.toString)
+
+  private[graft] def centroidVersionFor(spark: SparkSession, dir: String,
+      cellsVersion: Long): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(cellsDir(dir),
+      s"_CENTROIDS_V$cellsVersion")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
   /** Fit the IVF quantizer on `embRaw` (vec_id, e) and commit the
     * index. Returns the committed cells version.
     *
@@ -47,21 +74,37 @@ object AnnIndex {
     * degraded recall for that instant, never an error, and the next
     * cells commit closes it. A deployment that cannot tolerate the
     * window serves probes from PINNED versions (query's `version`
-    * arg) and flips the pin after both commits land. */
-  def build(spark: SparkSession, embRaw: DataFrame, dir: String): Long = {
+    * arg — which resolves the MATCHING centroids snapshot via the
+    * per-version sidecar) and flips the pin after both commits land.
+    *
+    * `partitionedLayout = true` declares `partitionBy(cell)` as the
+    * cells table's layout (VersionedTable `_PART_COLS`): the multi-TB
+    * serving shape where a probe's `cell IN (...)` prunes whole
+    * partition directories at planning time, and every later
+    * refresh/remove commit preserves it. The default single-dir
+    * layout (clustered + sorted by cell) still prunes row groups via
+    * parquet min/max stats — right for indexes small enough that
+    * per-cell directories would mean tiny files. */
+  def build(spark: SparkSession, embRaw: DataFrame, dir: String,
+      partitionedLayout: Boolean = false): Long = {
     val (model, cells) = graft.ops.Llm.fitIvfCellsOn(spark, embRaw)
     import spark.implicits._
     val centDf = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
       .toDF("cell", "ce")
-    VersionedTable.commit(centDf, centroidsDir(dir))
+    val centV = VersionedTable.commit(centDf, centroidsDir(dir))
+    if (partitionedLayout)
+      VersionedTable.setPartitionColumns(spark, cellsDir(dir), Seq("cell"))
     // cluster + sort by cell: row-group stats then prune probe scans
+    // (partitioned layout: one file per cell directory instead).
     // cells is an eager local checkpoint — its blocks free with the
     // frame, no unpersist needed
-    VersionedTable.commit(
+    val cellsV = VersionedTable.commit(
       cells.select(col("vec_id"), col("e"), col("cell"))
         .repartition(col("cell")).sortWithinPartitions(col("cell")),
       cellsDir(dir))
+    recordCentroidVersion(spark, dir, cellsV, centV)
+    cellsV
   }
 
   /** MLlib's assignment rule over a broadcast centroid frame:
@@ -89,15 +132,46 @@ object AnnIndex {
     * re-derives on a concurrent-writer race, so two ingest jobs
     * cannot lose each other's vectors. Returns the new version. */
   def refresh(spark: SparkSession, newVectors: DataFrame, dir: String): Long = {
-    val centroids = VersionedTable.read(spark, centroidsDir(dir))
+    val centV = VersionedTable.currentVersion(spark, centroidsDir(dir))
+      .getOrElse(throw new IllegalStateException(
+        s"no committed centroids in $dir — build the index first"))
+    val centroids = VersionedTable.read(spark, centroidsDir(dir), Some(centV))
     val assigned = assign(newVectors, centroids)
       .select(col("vec_id"), col("e"), col("cell"))
-    Merge.mergeVersioned(spark, cellsDir(dir), assigned, Seq("vec_id"), Seq(
-      Merge.MatchedUpdate(None,
-        Map("e" -> col("s.e"), "cell" -> col("s.cell"))),
-      Merge.NotMatchedInsert(None, Map(
-        "vec_id" -> col("s.vec_id"), "e" -> col("s.e"),
-        "cell" -> col("s.cell")))))
+    val v = Merge.mergeVersioned(spark, cellsDir(dir), assigned, Seq("vec_id"),
+      Seq(
+        Merge.MatchedUpdate(None,
+          Map("e" -> col("s.e"), "cell" -> col("s.cell"))),
+        Merge.NotMatchedInsert(None, Map(
+          "vec_id" -> col("s.vec_id"), "e" -> col("s.e"),
+          "cell" -> col("s.cell")))))
+    recordCentroidVersion(spark, dir, v, centV)
+    v
+  }
+
+  /** Retire vectors from the index — the GDPR/retention motion: one
+    * MatchedDelete merge keyed on vec_id, committed as a new cells
+    * version (older versions still carry the vector for time travel
+    * until `VersionedTable.expireVersions` drops them — the same
+    * contract as Delta DELETE, where hard erasure = delete + vacuum).
+    * Unknown ids are no-ops. Centroids are untouched: removal never
+    * refits the quantizer, so the sidecar records the same centroid
+    * version the previous cells version used. */
+  def remove(spark: SparkSession, vecIds: Seq[Long], dir: String): Long = {
+    import spark.implicits._
+    // the surviving rows keep their cell ids, so the matching
+    // centroid version is the PREVIOUS cells version's — not
+    // necessarily the current centroids (a rebuild may be mid-flight)
+    val centV = VersionedTable.currentVersion(spark, cellsDir(dir))
+      .flatMap(prev => centroidVersionFor(spark, dir, prev))
+      .orElse(VersionedTable.currentVersion(spark, centroidsDir(dir)))
+      .getOrElse(throw new IllegalStateException(
+        s"no committed index in $dir — build it first"))
+    val src = vecIds.distinct.toDF("vec_id")
+    val v = Merge.mergeVersioned(spark, cellsDir(dir), src, Seq("vec_id"),
+      Seq(Merge.MatchedDelete(None)))
+    recordCentroidVersion(spark, dir, v, centV)
+    v
   }
 
   /** Top-k cosine neighbors of `qe` served purely from the committed
@@ -110,7 +184,12 @@ object AnnIndex {
       version: Option[Long] = None, excludeVecId: Option[Long] = None)
       : DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
-    val centroids = VersionedTable.read(spark, centroidsDir(dir))
+    // a pinned cells version pins its MATCHING centroids via the
+    // per-version sidecar — ranking new-quantizer centroids against
+    // old-quantizer cell ids is exactly the inconsistency time travel
+    // exists to avoid. Pre-sidecar indexes fall back to current.
+    val centVersion = version.flatMap(v => centroidVersionFor(spark, dir, v))
+    val centroids = VersionedTable.read(spark, centroidsDir(dir), centVersion)
       .select(col("cell"), col("ce"))
       .collect()
       .map(r => (r.getInt(0),

@@ -165,17 +165,26 @@ object Merge {
 
     // Ambiguity enforcement: count duplicated source keys that match
     // a target row (a key aggregate + semi join, both on the already-
-    // shuffled key), broadcast the 1-row count alongside every output
-    // row, and fail the job through `assert_true` if it is nonzero.
-    // The predicate lives in a filter so column pruning cannot
-    // silently elide the check.
+    // shuffled key) and fail the job through `assert_true` if it is
+    // nonzero. The guard is a zero-or-poison frame UNIONED into the
+    // output — NOT a predicate attached to the output rows — so it is
+    // evaluated independently of output cardinality: an unconditional
+    // MatchedDelete that drops every row still trips it (attaching
+    // the assert to output rows evaluates it zero times there). The
+    // assert lives in the FILTER (not the projection) so column
+    // pruning cannot elide it: when __n_amb = 0 the row is dropped
+    // and the frame contributes nothing; when > 0 the filter raises.
     val ambCount = dupSourceKeys
       .join(target.select(keys.map(col): _*), keys, "left_semi")
       .agg(count(lit(1)).as("__n_amb"))
-    resolved.crossJoin(broadcast(ambCount))
-      .filter(assert_true(col("__n_amb") === 0,
-        lit("MERGE: multiple source rows match one target row")).isNull)
-      .select(outCols.map(col): _*)
+    val resolvedSchema = resolved.schema
+    val poison = ambCount
+      .filter(col("__n_amb") > 0 &&
+        assert_true(col("__n_amb") === 0,
+          lit("MERGE: multiple source rows match one target row")).isNull)
+      .select(outCols.map(cn =>
+        lit(null).cast(resolvedSchema(cn).dataType).as(cn)): _*)
+    resolved.select(outCols.map(col): _*).unionByName(poison)
   }
 
   /** The committed face: merge `source` into the `VersionedTable` at

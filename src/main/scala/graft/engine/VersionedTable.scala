@@ -293,10 +293,28 @@ object VersionedTable {
     // type changes always reject; additions require the explicit
     // allowEvolution opt-in (mergeSchema). The current snapshot's
     // schema is a parquet-footer read — metadata-sized.
+    // Nullability-insensitive type compare: parquet round-trips every
+    // array/struct/map as nullable, so a frame built with
+    // containsNull=false arrays (any Seq-of-Double toDF) re-committed
+    // over its own read-back would reject as a "type change" — which
+    // broke every rebuild of such a table (the AnnIndex centroids
+    // rebuild surfaced it). Delta likewise treats nullability as
+    // separate from the type; only genuine type changes reject here.
+    def norm(dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = dt match {
+      case s: org.apache.spark.sql.types.StructType =>
+        org.apache.spark.sql.types.StructType(s.fields.map(x =>
+          x.copy(dataType = norm(x.dataType), nullable = true)))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        org.apache.spark.sql.types.ArrayType(norm(a.elementType), true)
+      case m: org.apache.spark.sql.types.MapType =>
+        org.apache.spark.sql.types.MapType(norm(m.keyType), norm(m.valueType), true)
+      case other => other
+    }
     if (enforceSchema) currentVersion(spark, dir).foreach { cur =>
       val have = spark.read.parquet(s"$dir/v$cur").schema
-      val haveT = have.map(x => x.name -> x.dataType).toMap
-      val inT = df.schema.map(x => x.name -> x.dataType).toMap
+      val haveT = have.map(x => x.name -> norm(x.dataType)).toMap
+      val inT = df.schema.map(x => x.name -> norm(x.dataType)).toMap
       val changed = haveT.keySet.intersect(inT.keySet)
         .filter(k => haveT(k) != inT(k))
       val dropped = haveT.keySet -- inT.keySet
@@ -316,7 +334,11 @@ object VersionedTable {
     }
     val staged = new Path(dir,
       s".stage_v${next}_${java.util.UUID.randomUUID().toString.take(8)}")
-    df.write.mode("overwrite").parquet(staged.toString)
+    // table-property layout: partition the snapshot when the table
+    // declared `_PART_COLS` (columns absent from this frame are
+    // skipped rather than failing a legitimate schema evolution)
+    val pcols = readProp(f, dir, "_PART_COLS").filter(df.columns.contains)
+    df.write.mode("overwrite").partitionBy(pcols: _*).parquet(staged.toString)
     // claim the version number: atomic create-exclusive. On local FS
     // the existence check isn't a single syscall (test-only caveat);
     // on HDFS the namenode serializes it. Only an already-existing
@@ -381,6 +403,13 @@ object VersionedTable {
         listVersions(f, dir, "manifest_v\\d+"))
     }
     writeSummary(spark, dir, Summary(next, live, manifests))
+    // table-property auto-stats: when `_STATS_COLS` is declared, every
+    // commit path (plain, merge, DML, compact) maintains the skipping
+    // manifest — the round-7 gap where a DML'd version silently
+    // degraded readPruned to full scans. Columns a schema change
+    // removed are skipped; an empty survivor set writes nothing.
+    val scols = readProp(f, dir, "_STATS_COLS").filter(df.columns.contains)
+    if (scols.nonEmpty) writeManifest(spark, dir, next, scols)
     next
   }
 
@@ -664,10 +693,38 @@ object VersionedTable {
     * `expireVersions` drops them. `coalesce`, not `repartition`:
     * compaction merges input splits narrowly and must not pay a full
     * shuffle of the table. At 100 TB this runs per partition-scoped
-    * snapshot, not whole-table. */
-  def compact(spark: SparkSession, dir: String, targetFiles: Int): Long = {
+    * snapshot, not whole-table.
+    *
+    * IDEMPOTENT: a snapshot already at/below the target top-level
+    * file count returns the current version without committing — a
+    * scheduled maintenance loop otherwise churns one whole-table
+    * copy per cycle forever and starves concurrent writers' commit
+    * claims (the retention-soak find). A `partitionBy` table
+    * short-circuits here too (its data files live under partition
+    * dirs): whole-table coalesce would destroy the partition
+    * dirs' planning-time pruning — partition-scoped rewrite is the
+    * correct OPTIMIZE for that layout. */
+  def compact(spark: SparkSession, dir: String, targetFiles: Int): Long =
+    compactIfFragmented(spark, dir, targetFiles).getOrElse(
+      currentVersion(spark, dir).getOrElse(
+        throw new IllegalStateException(s"no committed version in $dir")))
+
+  /** The decision-carrying face of [[compact]]: Some(newVersion) when
+    * a compaction actually committed, None when the current snapshot
+    * was already within the file target (callers tracking which
+    * versions are compaction commits — the stress soak — need the
+    * distinction; a raced `currentVersion` comparison cannot make
+    * it). */
+  def compactIfFragmented(spark: SparkSession, dir: String,
+      targetFiles: Int): Option[Long] = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
-    commit(read(spark, dir).coalesce(targetFiles), dir)
+    val cur = currentVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version in $dir"))
+    val f = fs(spark, dir)
+    val nFiles = f.listStatus(new Path(dir, s"v$cur"))
+      .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    if (nFiles <= targetFiles) None
+    else Some(commit(read(spark, dir, Some(cur)).coalesce(targetFiles), dir))
   }
 
   /** DELETE FROM ... WHERE `cond` — Delta DML as a versioned commit.
@@ -803,20 +860,54 @@ object VersionedTable {
 
   private def manifestDir(dir: String, v: Long) = s"$dir/manifest_v$v"
 
-  /** Commit + per-file min/max stats manifest for data skipping — the
-    * role Delta/Iceberg's file statistics play. The manifest is ONE
-    * aggregate over the freshly-written snapshot keyed by
-    * `input_file_name()` (rows = #files, i.e. metadata-sized) stored
-    * as parquet beside the snapshot; `versions()`' `v\d+` pattern
-    * ignores it. Pair with a Z-order sort (graft.functions.ZOrder) so
-    * each file covers a small rectangle of the stats columns and range
-    * predicates on EITHER column prune files. */
-  def commitWithStats(df: DataFrame, dir: String, statsCols: Seq[String],
-      allowEvolution: Boolean = false): Long = {
-    require(statsCols.nonEmpty, "statsCols must not be empty")
+  /** TABLE PROPERTIES, not per-call arguments (the Delta model): the
+    * skipping-stats columns and the partition layout are declared once
+    * per table as tiny sidecar files, and EVERY commit path — plain
+    * commit, commitMerge, deleteWhere/updateWhere, compact — honors
+    * them. Threading them per call was the round-7 gap: DML'd
+    * versions had no manifest, so readPruned silently degraded to
+    * full scans on any table a merge ever touched (safe but a real
+    * 100 TB cost). */
+  private def propPath(dir: String, name: String) = new Path(dir, name)
+
+  private def readProp(f: org.apache.hadoop.fs.FileSystem, dir: String,
+      name: String): Seq[String] = {
+    val p = propPath(dir, name)
+    if (!f.exists(p)) Seq.empty
+    else {
+      val in = f.open(p)
+      val text =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      text.trim.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    }
+  }
+
+  /** Declare the min/max skipping columns for this table: every
+    * subsequent commit (any path) writes the per-file stats manifest
+    * for its new version automatically. */
+  def setStatsColumns(spark: SparkSession, dir: String,
+      cols: Seq[String]): Unit =
+    atomicWrite(spark, dir, "_STATS_COLS", cols.mkString(","))
+
+  /** Declare the partition layout: every subsequent commit writes its
+    * snapshot `partitionBy(cols)` — the multi-TB serving layout where
+    * a partition-column predicate prunes whole directories at
+    * planning time. Partition column values are recovered from the
+    * directory names on read (Spark partition inference), so use
+    * integral/date-typed columns — a free-form string column can
+    * re-infer to a different type. */
+  def setPartitionColumns(spark: SparkSession, dir: String,
+      cols: Seq[String]): Unit =
+    atomicWrite(spark, dir, "_PART_COLS", cols.mkString(","))
+
+  /** One aggregate over the freshly-written snapshot keyed by
+    * input_file_name() (rows = #files, metadata-sized), stored beside
+    * the snapshot; `versions()`' `v\d+` pattern ignores it. */
+  private def writeManifest(spark: SparkSession, dir: String, v: Long,
+      statsCols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.{input_file_name, max, min}
-    val v = commit(df, dir, allowEvolution)
-    val spark = df.sparkSession
     val snap = spark.read.parquet(s"$dir/v$v")
     val aggs = statsCols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
@@ -831,7 +922,22 @@ object VersionedTable {
         writeSummary(spark, dir, s.copy(manifests = (s.manifests :+ v).distinct))
       case _ => () // stale summary — the read path's fallback re-lists
     }
-    v
+  }
+
+  /** Commit + per-file min/max stats manifest for data skipping — the
+    * role Delta/Iceberg's file statistics play. REGISTERS `statsCols`
+    * as the table's stats columns (sidecar `_STATS_COLS`), so this
+    * and every LATER commit — including merges and DML — maintains
+    * the manifest automatically. Pair with a Z-order sort
+    * (graft.functions.ZOrder) so each file covers a small rectangle
+    * of the stats columns and range predicates on EITHER column prune
+    * files. */
+  def commitWithStats(df: DataFrame, dir: String, statsCols: Seq[String],
+      allowEvolution: Boolean = false): Long = {
+    require(statsCols.nonEmpty, "statsCols must not be empty")
+    setStatsColumns(df.sparkSession, dir, statsCols)
+    // the commit path sees the sidecar and writes the manifest
+    commit(df, dir, allowEvolution)
   }
 
   /** Data-skipping read: same result as

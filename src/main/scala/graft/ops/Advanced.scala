@@ -163,17 +163,24 @@ object Advanced {
     * This is the batch face of the medallion "refresh" (X6); a real
     * deployment writes the result partition-wise (dynamic partition
     * overwrite) rather than full-table. Updates here are derived
-    * deterministically from the base so the oracle can rebuild them. */
+    * deterministically from the base so the oracle can rebuild them.
+    * The insert-key shift is DERIVED — greatest(max(key)+1, 1e6), a
+    * 1-row broadcast — not a constant: a fixed 1,000,000 collides
+    * with real keys once customer reaches that size (~sf 7), silently
+    * duplicating keys. Same scalar in the oracle's subquery. */
   val mergeUpsert: Q = (spark, dir) => {
     val base = Tables(spark, dir, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val shift = base.agg(greatest(max(col("c_custkey")) + 1L,
+      lit(1000000L)).as("__shift"))
     val changed = base
       .filter(col("c_custkey") % 10 === 0)
       .withColumn("c_mktsegment", lit("UPDATED"))
     val inserted = base
       .filter(col("c_custkey") % 100 === 0)
+      .crossJoin(broadcast(shift))
       .select(
-        (col("c_custkey") + 1000000L).as("c_custkey"),
+        (col("c_custkey") + col("__shift")).as("c_custkey"),
         concat(lit("NEW-"), col("c_name")).as("c_name"),
         lit("INSERTED").as("c_mktsegment"))
     val updates = changed.unionByName(inserted)
@@ -197,6 +204,9 @@ object Advanced {
     import graft.engine.Merge
     val base = Tables(spark, dir, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    // derived insert-key shift — see mergeUpsert's scaladoc
+    val shift = base.agg(greatest(max(col("c_custkey")) + 1L,
+      lit(1000000L)).as("__shift"))
     val src = base.filter(col("c_custkey") % 10 === 0)
       .select(col("c_custkey"),
         when(col("c_custkey") % 20 === 0, "del")
@@ -204,7 +214,8 @@ object Advanced {
           .otherwise("upd").as("op"),
         col("c_name").as("name"), lit("UPDATED").as("seg"))
       .unionByName(base.filter(col("c_custkey") % 100 === 0)
-        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        .crossJoin(broadcast(shift))
+        .select((col("c_custkey") + col("__shift")).as("c_custkey"),
           when(col("c_custkey") % 200 === 0, "del")
             .otherwise("ins").as("op"),
           concat(lit("NEW-"), col("c_name")).as("name"),
@@ -683,7 +694,9 @@ object Advanced {
            SELECT c_custkey, c_name, 'UPDATED' AS c_mktsegment
            FROM base WHERE c_custkey % 10 = 0
            UNION ALL
-           SELECT c_custkey + 1000000 AS c_custkey,
+           SELECT c_custkey + greatest(
+                    (SELECT max(c_custkey) + 1 FROM base), 1000000)
+                    AS c_custkey,
                   'NEW-' || c_name AS c_name,
                   'INSERTED' AS c_mktsegment
            FROM base WHERE c_custkey % 100 = 0)
@@ -703,7 +716,8 @@ object Advanced {
                   c_name AS name, 'UPDATED' AS seg
            FROM base WHERE c_custkey % 10 = 0
            UNION ALL
-           SELECT c_custkey + 1000000,
+           SELECT c_custkey + greatest(
+                    (SELECT max(c_custkey) + 1 FROM base), 1000000),
                   CASE WHEN c_custkey % 200 = 0 THEN 'del'
                        ELSE 'ins' END AS op,
                   'NEW-' || c_name AS name, 'INSERTED' AS seg

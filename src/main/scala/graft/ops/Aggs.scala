@@ -350,17 +350,25 @@ object Aggs {
     * partial merge — the same partial+final hash-aggregate shape as
     * sum/avg, no extra shuffle). Rounded at 4: both engines merge
     * partials in different orders, and the ~1e-12 relative wobble of
-    * parallel moment merging must stay below the comparison grain. */
+    * parallel moment merging must stay below the comparison grain.
+    * Near-zero statistics that round to zero diverge at the
+    * REPRESENTATION level across engines: DuckDB's round() preserves
+    * the sign bit (emitting -0.0) where Spark emits +0.0 — values
+    * equal, hashes different (the round-7 red row). Two defenses:
+    * `+ 0.0` after every round() IEEE-canonicalizes -0.0 to +0.0 in
+    * both engines, and the covariance pair is (quantity, price) whose
+    * covariance is structurally non-degenerate, so the entry tests
+    * values rather than signed zeros. */
   val aggStats: Q = (spark, dir) =>
     Tables(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
         round(var_samp(col("l_quantity")), 4).as("var_qty"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 4)
-          .as("corr_qty_price"),
-        round(covar_samp(col("l_discount"), col("l_tax")), 4)
-          .as("covar_disc_tax"))
+        (round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+          + lit(0.0)).as("corr_qty_price"),
+        (round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+          + lit(0.0)).as("covar_qty_price"))
       .orderBy(col("l_returnflag"))
 
   val queries: Map[String, Q] = Map(
@@ -390,10 +398,10 @@ object Aggs {
       """SELECT l_returnflag,
                 round(stddev_samp(l_quantity), 4) AS sd_qty,
                 round(var_samp(l_quantity), 4) AS var_qty,
-                round(corr(l_quantity, l_extendedprice), 4)
+                round(corr(l_quantity, l_extendedprice), 4) + 0.0
                   AS corr_qty_price,
-                round(covar_samp(l_discount, l_tax), 4)
-                  AS covar_disc_tax
+                round(covar_samp(l_quantity, l_extendedprice), 4) + 0.0
+                  AS covar_qty_price
          FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q_agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt

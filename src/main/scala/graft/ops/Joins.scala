@@ -907,14 +907,17 @@ object Joins {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** General-k prefix-filtered form — see [[joinEditDist]]'s scaladoc;
-    * spec-pinned result-equal to the deletion-neighborhood entry. */
-  private[graft] val joinEditDistPrefix: Q = (spark, dir) => {
-    val k = 1
-    val q = 2
+  /** General-k prefix-filtered generator — see [[joinEditDist]]'s
+    * scaladoc. Under the global (df, gram) order each string keeps
+    * its k*q+1 rarest distinct q-grams; strings within edit distance
+    * k must share one (each edit destroys at most q grams of the
+    * set), so candidates join on prefix grams only. A length filter
+    * (|len1 - len2| <= k, carried through the prefix table as an
+    * 8-byte column) discards impossible pairs BEFORE the dedup
+    * shuffle — the standard cheap companion filter. */
+  private[graft] def joinEditDistPrefixOn(names: org.apache.spark.sql.DataFrame,
+      k: Int, q: Int = 2): org.apache.spark.sql.DataFrame = {
     val pref = k * q + 1
-    val names = Tables(spark, dir, "customer")
-      .select(col("c_custkey").as("id"), col("c_name").as("s"))
     val grams = names.select(col("id"), col("s"), explode(expr(
       s"array_distinct(transform(sequence(1, length(s) - ${q - 1})," +
         s" i -> substring(s, i, $q)))")).as("g"))
@@ -928,7 +931,7 @@ object Joins {
     val prefix = grams.join(dfreq, Seq("g"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= pref)
-      .select(col("g"), col("id"))
+      .select(col("g"), col("id"), length(col("s")).as("len"))
       .localCheckpoint(true)
     // candidates carry IDS ONLY through the join + distinct (16-byte
     // rows instead of name pairs — the dedup shuffle is the volume
@@ -936,10 +939,11 @@ object Joins {
     // against the name table (AQE broadcasts the dim-sized side at
     // test scale, sort-merges past the broadcast bound), then the
     // codegen'd levenshtein verifies exactly
-    val a = prefix.select(col("g"), col("id").as("d1"))
-    val b = prefix.select(col("g"), col("id").as("d2"))
+    val a = prefix.select(col("g"), col("id").as("d1"), col("len").as("l1"))
+    val b = prefix.select(col("g"), col("id").as("d2"), col("len").as("l2"))
     a.join(b, Seq("g"))
-      .filter(col("d1") < col("d2"))
+      .filter(col("d1") < col("d2") &&
+        abs(col("l1") - col("l2")) <= k)
       .select(col("d1"), col("d2"))
       .distinct()
       .join(names.select(col("id").as("d1"), col("s").as("s1")), Seq("d1"))
@@ -952,8 +956,28 @@ object Joins {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** k=1 prefix-filtered face, spec-pinned result-equal to the
+    * deletion-neighborhood entry. */
+  private[graft] val joinEditDistPrefix: Q = (spark, dir) =>
+    joinEditDistPrefixOn(Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("s")), 1)
+
+  /** Oracle-checked GENERAL-k entry (k=2): the regime where the
+    * deletion neighborhood's C(len, k) variant blow-up stops being
+    * the answer and prefix filtering is the real operator. Runs on
+    * the key%4 slice of customer — distance-2 name pairs stay
+    * plentiful (any two digit positions may differ) while the
+    * exhaustive DuckDB oracle and the k=2 candidate volume stay
+    * bench-sized; the x10 inflated-names probe row is the scale
+    * trend. */
+  val joinEditDist2: Q = (spark, dir) =>
+    joinEditDistPrefixOn(Tables(spark, dir, "customer")
+      .filter(col("c_custkey") % 4 === 0)
+      .select(col("c_custkey").as("id"), col("c_name").as("s")), 2)
+
   val queries: Map[String, Q] = Map(
     "q_join_editdist" -> joinEditDist,
+    "q_join_editdist2" -> joinEditDist2,
     "q_join_left_enrich" -> joinLeftEnrich,
     "q_join_inner" -> joinInner,
     "q_join_semi" -> joinSemi,
@@ -989,6 +1013,14 @@ object Joins {
                 CAST(levenshtein(a.s, b.s) AS INT) AS dist
          FROM c a JOIN c b ON a.id < b.id
          WHERE levenshtein(a.s, b.s) <= 1
+         ORDER BY d1, d2""",
+    "q_join_editdist2" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer
+                    WHERE c_custkey % 4 = 0)
+         SELECT a.id AS d1, b.id AS d2,
+                CAST(levenshtein(a.s, b.s) AS INT) AS dist
+         FROM c a JOIN c b ON a.id < b.id
+         WHERE levenshtein(a.s, b.s) <= 2
          ORDER BY d1, d2""",
     "q_join_left_enrich" ->
       """SELECT o_orderkey, o_custkey,

@@ -934,18 +934,25 @@ object Llm {
     import spark.implicits._
     val centDf = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq.toDF("pcell", "ce")
-    // own cell + 2 nearest other centroids per vector — a CONSTANT
+    // own cell + 2 nearest OTHER centroids per vector — a CONSTANT
     // probe count (unlike the decontam probe rule's k/4, which is
     // fine when only the metadata-sized eval side fans out but would
-    // push a self-join's candidate envelope past n^1.5)
+    // push a self-join's candidate envelope past n^1.5). The own cell
+    // is excluded BEFORE the ranking window (annIvf's centersRanked
+    // rule): ranked over all centroids the own cell normally takes
+    // rank 1 and each vector effectively probes only ONE non-own
+    // cell — half the documented mid-band probe coverage.
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("pcell"))
-    val probes = cells
+    val nonOwn = cells
       .crossJoin(broadcast(centDf))
+      .filter(col("pcell") =!= col("cell"))
       .withColumn("csim", expr("cosine_sim(unit, ce)"))
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 2 || col("pcell") === col("cell"))
+      .filter(col("rk") <= 2)
       .select(col("vec_id"), col("e"), col("pcell"))
+    val probes = nonOwn.unionByName(
+      cells.select(col("vec_id"), col("e"), col("cell").as("pcell")))
     val a = probes.select(col("pcell"), col("vec_id").as("d1"),
       col("e").as("ea"))
     val b = probes.select(col("pcell"), col("vec_id").as("d2"),
@@ -1732,29 +1739,87 @@ object Llm {
     * Emits (rank, round, left, right, merged, n); LlmSpec proves
     * strict mode == the independent single-threaded reference
     * merge-for-merge on real data. */
+  /** Round-8 cost rewrite: pair counts can be DELTA-MAINTAINED (the
+    * standard trainer move) instead of re-exploded from the whole
+    * vocabulary every round. In incremental mode the persistent
+    * (a, b, cnt) table is updated per round by re-counting ONLY the
+    * AFFECTED words — those containing an accepted pair adjacently; a
+    * word with no accepted adjacency is provably untouched by the
+    * batch (the fold rewrites only (ma, mb) adjacents, and an
+    * untouched prefix of merges leaves initial adjacencies equal), so
+    * its pair contributions cannot change. Per round: one map-only
+    * affectedness scan of the vocab + a sliver-sized explode/shuffle,
+    * instead of a corpus-vocab explode + full shuffle. At 32k merges
+    * / ~48 per round that is ~670 sliver updates vs ~670 full
+    * recounts.
+    *
+    * REGIME DISPATCH (None = auto, the embedNeardupDispatch pattern):
+    * the delta machinery costs ~3x the Spark jobs per round, so below
+    * [[bpeIncrementalVocabBound]] distinct words the fixed scheduler
+    * floor dominates and the plain recount wins (the sf0.1 fixture
+    * vocabulary is 31 words; delta-maintaining it measured 8x slower
+    * on overhead alone). Above the bound the explode of every word's
+    * pairs is the per-round envelope and the sliver update is the
+    * right shape. Some(b) forces a regime (spec/probe seam).
+    *
+    * The trace is regime-INDEPENDENT by construction — deltas are
+    * exact integer arithmetic on the same explode expression — and
+    * the strict-mode merge-for-merge spec plus a forced-incremental
+    * equality spec gate it. `roundStats` (probe-only) collects
+    * (round, affectedWords, totalWords) so the sliver claim is
+    * measured, not asserted. */
   private[graft] def bpeTrainMergesBatched(spark: SparkSession, dir: String,
       target: Int, maxPerRound: Int = 48,
-      strictPrefix: Boolean = true): DataFrame = {
+      strictPrefix: Boolean = true,
+      roundStats: Option[scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]]
+        = None,
+      incremental: Option[Boolean] = None): DataFrame =
+    bpeTrainMergesBatchedOn(spark,
+      tokenized(spark, dir)
+        .select(explode(col("t")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("n")),
+      target, maxPerRound, strictPrefix, roundStats, incremental)
+
+  /** Below this many distinct words the recount regime wins on fixed
+    * per-job overhead; above it the full pair explode is the envelope
+    * and the incremental sliver update takes over. */
+  private[graft] val bpeIncrementalVocabBound = 100000L
+
+  /** Frame-input face: `wordCounts` = (w STRING, n LONG) distinct
+    * words with corpus frequencies — the seam the synthetic-vocab
+    * probe and the forced-regime specs use. */
+  private[graft] def bpeTrainMergesBatchedOn(spark: SparkSession,
+      wordCounts: org.apache.spark.sql.DataFrame,
+      target: Int, maxPerRound: Int = 48,
+      strictPrefix: Boolean = true,
+      roundStats: Option[scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]]
+        = None,
+      incremental: Option[Boolean] = None): DataFrame = {
     import spark.implicits._
-    val vocab = tokenized(spark, dir)
-      .select(explode(col("t")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val vocab = wordCounts
       .withColumn("s", expr("filter(split(w, ''), c -> c <> '')"))
       .select(col("s"), col("n"))
     var v = vocab.localCheckpoint(true)
-    val merges = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, Int, String, String, String, Long)]
-    var round = 0
-    var exhausted = false
-    while (merges.size < target && !exhausted) {
-      val pairs = v.filter(size(col("s")) >= 2)
+    val inc = incremental.getOrElse(v.count() > bpeIncrementalVocabBound)
+    val pairsOf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      frame => frame.filter(size(col("s")) >= 2)
         .select(col("n"), explode(expr(
           """transform(
                arrays_zip(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1)),
                p -> struct(p['0'] AS a, p['1'] AS b))""")).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("n")).as("cnt"))
+    // incremental regime: the maintained pair-count table, seeded by
+    // ONE full explode, then only sliver deltas touch it
+    var pc: org.apache.spark.sql.DataFrame =
+      if (inc) pairsOf(v).localCheckpoint(true) else null
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, String, String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (merges.size < target && !exhausted) {
+      val pairs = if (inc) pc else pairsOf(v)
       val want = math.min(maxPerRound, target - merges.size)
       // the fast mode skips conflicting candidates, so it scans a
       // wider pool to fill the batch; strict mode stops at the first
@@ -1824,27 +1889,72 @@ object Llm {
         accepted.foreach { case (a, b, cnt) =>
           merges += ((merges.size, round, a, b, a + b, cnt))
         }
-        // apply the batch in rank order as ONE nested fold: the outer
-        // aggregate walks the merge list, the inner replays the
-        // sequential greedy-leftmost merge — exactly the one-merge
-        // expression above, once per accepted pair, in one map stage
-        // sort_array on the leading rank pins application order —
-        // collect_list alone has no ordering contract
+        // apply the batch in rank order as ONE nested fold — but only
+        // to the AFFECTED words. Affectedness = some accepted (ma, mb)
+        // appears adjacently in the word's CURRENT symbols; everything
+        // else passes through untouched (and contributes no pair
+        // delta). sort_array on the leading rank pins application
+        // order — collect_list alone has no ordering contract
         val mseq = accepted.toSeq.zipWithIndex
           .map { case ((a, b, _), i) => (i, a, b, a + b) }
           .toDF("rk", "ma", "mb", "mm")
           .agg(sort_array(collect_list(
             struct(col("rk"), col("ma"), col("mb"), col("mm")))).as("mseq"))
-        v = v.crossJoin(broadcast(mseq))
-          .withColumn("s", expr(
-            """aggregate(mseq, s,
-                 (cur, mg) -> aggregate(cur, cast(array() as array<string>),
-                   (out, x) -> IF(size(out) > 0
-                       AND element_at(out, -1) = mg.ma AND x = mg.mb,
-                     concat(slice(out, 1, size(out) - 1), array(mg.mm)),
-                     concat(out, array(x)))))"""))
-          .select(col("s"), col("n"))
-        v = v.localCheckpoint(true)
+        val foldExpr =
+          """aggregate(mseq, s,
+               (cur, mg) -> aggregate(cur, cast(array() as array<string>),
+                 (out, x) -> IF(size(out) > 0
+                     AND element_at(out, -1) = mg.ma AND x = mg.mb,
+                   concat(slice(out, 1, size(out) - 1), array(mg.mm)),
+                   concat(out, array(x)))))"""
+        if (inc) {
+          val flagged = v.crossJoin(broadcast(mseq))
+            .withColumn("hit", expr(
+              """exists(
+                   arrays_zip(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1)),
+                   p -> exists(mseq,
+                     mg -> mg.ma = p['0'] AND mg.mb = p['1']))"""))
+          // the SLIVERS are materialized eagerly (they are batch-sized,
+          // and the pc delta below must not drag the whole vocab
+          // lineage through its evaluation); the interpreted merge
+          // folds are confined to the slivers
+          val affected = flagged.filter(col("hit"))
+            .select(col("s"), col("n")).localCheckpoint(true)
+          val untouched = flagged.filter(!col("hit")).select(col("s"), col("n"))
+          val applied = affected.crossJoin(broadcast(mseq))
+            .withColumn("s", expr(foldExpr))
+            .select(col("s"), col("n")).localCheckpoint(true)
+          if (roundStats.nonEmpty) {
+            val aff = affected.count()
+            val tot = v.count()
+            roundStats.foreach(_ += ((round, aff, tot)))
+          }
+          // sliver delta: subtract the affected words' pre-merge
+          // pairs, add their post-merge pairs; zero rows drop. Exact
+          // integer arithmetic on the same explode — counts equal a
+          // recount.
+          pc = pc
+            .unionByName(pairsOf(affected).withColumn("cnt", -col("cnt")))
+            .unionByName(pairsOf(applied))
+            .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("cnt"))
+            .filter(col("cnt") > 0)
+            .localCheckpoint(true)
+          // eager vocab checkpoint per round: leaving v lazy stacks
+          // the exists-predicates of successive rounds, and every
+          // later evaluation re-pays them all
+          v = untouched.unionByName(applied).localCheckpoint(true)
+        } else {
+          // recount regime: one whole-vocab fold, no pair table —
+          // minimal jobs per round, right below the vocab bound
+          v = v.crossJoin(broadcast(mseq))
+            .withColumn("s", expr(foldExpr))
+            .select(col("s"), col("n"))
+            .localCheckpoint(true)
+          if (roundStats.nonEmpty) {
+            val tot = v.count()
+            roundStats.foreach(_ += ((round, tot, tot)))
+          }
+        }
         round += 1
       }
     }

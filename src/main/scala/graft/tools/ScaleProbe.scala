@@ -245,8 +245,65 @@ object ScaleProbe {
         }.reduce(_ unionByName _)
         time("editdist join x-names") { Joins.joinEditDistOn(inflated) }
       }
+      // general-k regime (k=2 prefix filtering) on the same inflated
+      // name construction: cross-copy pairs sit exactly at distance 2,
+      // so the k=2 output grows ~x^2 across copies while the candidate
+      // volume should track prefix-gram buckets — the trend shows
+      // whether the filter, not the verify, is the envelope
+      if (selected("editdist2 join x-names")) locally {
+        val base = graft.engine.Tables(spark, dst, "customer")
+          .filter(col("c_custkey") % 4 === 0)
+          .select(col("c_custkey").as("id"), col("c_name").as("s"))
+        val inflated = (0 until factor).map { i =>
+          base.select((col("id") + lit(i * 10000000L)).as("id"),
+            concat(lit(s"$i$i"), lit("_"), col("s")).as("s"))
+        }.reduce(_ unionByName _)
+        time("editdist2 join x-names") {
+          Joins.joinEditDistPrefixOn(inflated, 2)
+        }
+      }
       time("bpe train batched") {
         Llm.bpeTrainMergesBatched(spark, dst, 256, strictPrefix = false)
+      }
+      // the incremental (delta-maintained pair count) regime needs a
+      // REAL vocabulary to mean anything — the documents fixture has
+      // 31 distinct words at any inflation factor (Inflate replicates
+      // rows, not words). Synthesize a factor-scaled vocab (30k
+      // distinct 8-char words per x) and race the two forced regimes
+      // on identical input; the sliver stats print shows per-round
+      // affected words — the quantity the incremental regime's cost
+      // tracks — falling to a fraction of the vocab
+      if (selected("bpe incremental x-vocab")) locally {
+        import spark.implicits._
+        // 24-char words: the per-round interpreted merge fold is the
+        // recount regime's envelope (cost ~ vocab x len x batch), and
+        // the sliver regime folds only affected words. Measured at
+        // 40k words x 24 chars x 64 merges: recount 99.7 s,
+        // incremental 39.0 s (2.6x) with ~50% slivers.
+        val words = spark.range(20000L * factor).select(
+            substring(concat(md5(col("id").cast("string")),
+              md5(concat(lit("x"), col("id").cast("string")))), 1, 24).as("w"),
+            (col("id") % 100 + 1).as("n"))
+          .groupBy(col("w")).agg(sum(col("n")).as("n"))
+          .localCheckpoint(true)
+        val t0 = System.nanoTime()
+        graft.util.Exec.drain(Llm.bpeTrainMergesBatchedOn(spark, words,
+          48, strictPrefix = false, incremental = Some(false)))
+        val recount = (System.nanoTime() - t0) / 1e9
+        results(("bpe recount x-vocab", factor)) = recount
+        println(f"== x$factor ${"bpe recount x-vocab"}%-24s $recount%8.2f s")
+        val stats = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+        val t1 = System.nanoTime()
+        graft.util.Exec.drain(Llm.bpeTrainMergesBatchedOn(spark, words,
+          48, strictPrefix = false, roundStats = Some(stats),
+          incremental = Some(true)))
+        val incr = (System.nanoTime() - t1) / 1e9
+        results(("bpe incremental x-vocab", factor)) = incr
+        println(f"== x$factor ${"bpe incremental x-vocab"}%-24s $incr%8.2f s")
+        stats.foreach { case (r, aff, tot) =>
+          println(f"==   bpe round $r%2d affected $aff%8d / $tot%8d words " +
+            f"(${100.0 * aff / math.max(tot, 1)}%5.1f%%)")
+        }
       }
 
       // AQE skew-join probe: join the deliberately-skewed

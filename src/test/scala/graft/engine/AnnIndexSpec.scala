@@ -132,6 +132,130 @@ class AnnIndexSpec extends SparkTestBase {
     Seq(dir, src, ckpt).foreach(graft.util.Fs.deleteRecursively)
   }
 
+  test("remove retires vectors: never probed, survives refresh, time travel intact") {
+    val dim = 8
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian())
+    }
+    val anchor = vec(1)
+    def nearAnchor(seed: Int, eps: Double): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      anchor.map(x => x + eps * r.nextGaussian())
+    }
+    val base = (0 until 40).map(i => (i.toLong, vec(700 + i))) :+
+      (900L, nearAnchor(2, 0.01))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_rm").toString
+    val v0 = AnnIndex.build(spark, base.toDF("vec_id", "e"), dir)
+    assert(AnnIndex.query(spark, dir, anchor, k = 1)
+      .as[(Long, Int, Double)].collect().head._1 == 900L)
+
+    // retire the anchor's neighbor (the GDPR/right-to-be-forgotten
+    // motion); an unknown id rides along as a no-op
+    val v1 = AnnIndex.remove(spark, Seq(900L, 123456L), dir)
+    assert(v1 == v0 + 1)
+    val after = AnnIndex.query(spark, dir, anchor, k = 40)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(!after.exists(_._1 == 900L),
+      s"removed vector must never be probed: $after")
+    assert(after.nonEmpty, "the rest of the index must still serve")
+
+    // a later refresh must not resurrect it
+    AnnIndex.refresh(spark,
+      Seq((902L, vec(888))).toDF("vec_id", "e"), dir)
+    val afterRefresh = AnnIndex.query(spark, dir, anchor, k = 40)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(!afterRefresh.exists(_._1 == 900L),
+      "removal must survive subsequent refreshes")
+    assert(afterRefresh.exists(_._1 == 902L))
+
+    // time travel still reaches the pre-removal snapshot (hard
+    // erasure = remove + expireVersions, the Delta delete+vacuum
+    // contract)
+    val old = AnnIndex.query(spark, dir, anchor, k = 1, version = Some(v0))
+      .as[(Long, Int, Double)].collect().head
+    assert(old._1 == 900L, s"pre-removal snapshot must still carry 900: $old")
+    VersionedTable.expireVersions(spark, AnnIndex.cellsDir(dir), keepLast = 1)
+    intercept[Exception] {
+      AnnIndex.query(spark, dir, anchor, k = 1, version = Some(v0)).collect()
+    }
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("pinned query resolves a CONSISTENT (centroids, cells) pair across a rebuild") {
+    val dim = 8
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian())
+    }
+    val anchor = vec(1)
+    val base = (0 until 50).map(i => (i.toLong, vec(300 + i))) :+
+      (900L, anchor.map(_ + 0.001))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_pin").toString
+    val v0 = AnnIndex.build(spark, base.toDF("vec_id", "e"), dir)
+    val before = AnnIndex.query(spark, dir, anchor, k = 5, version = Some(v0))
+      .as[(Long, Int, Double)].collect().toSeq
+
+    // REBUILD on a different vector set: new quantizer, new cell-id
+    // space. The pinned v0 query must keep ranking v0's OWN centroids
+    // — ranking the new centroids against v0's cell ids returns
+    // degraded/garbage probes (the round-7 advisor find).
+    val shifted = (0 until 50).map(i => (i.toLong, vec(4000 + i))) :+
+      (900L, anchor.map(_ + 0.001))
+    AnnIndex.build(spark, shifted.toDF("vec_id", "e"), dir)
+    val pinned = AnnIndex.query(spark, dir, anchor, k = 5, version = Some(v0))
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(pinned == before,
+      s"pinned pair must be rebuild-proof:\nbefore $before\npinned $pinned")
+    // and the CURRENT index answers from the new build
+    assert(AnnIndex.query(spark, dir, anchor, k = 1)
+      .as[(Long, Int, Double)].collect().head._1 == 900L)
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("partitioned-cell layout: refresh preserves it; probes prune partitions") {
+    val dim = 8
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian())
+    }
+    val anchor = vec(1)
+    // 900 is NEAR the anchor (cosine < 1 after the probe's 6-digit
+    // rounding); the refreshed 901 is the anchor itself (cosine
+    // exactly 1.0) so the post-refresh top-1 is unambiguous
+    val base = (0 until 60).map(i => (i.toLong, vec(600 + i))) :+
+      (900L, anchor.map(_ + 0.05))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_part").toString
+    AnnIndex.build(spark, base.toDF("vec_id", "e"), dir,
+      partitionedLayout = true)
+    // the snapshot is laid out as cell=<id> partition directories
+    val v = VersionedTable.currentVersion(spark, AnnIndex.cellsDir(dir)).get
+    val snapDirs = new java.io.File(s"${AnnIndex.cellsDir(dir)}/v$v")
+      .listFiles().filter(_.isDirectory).map(_.getName).toSeq
+    assert(snapDirs.nonEmpty && snapDirs.forall(_.startsWith("cell=")),
+      s"expected cell=<id> partition dirs, got $snapDirs")
+
+    // a probe's executed plan prunes on the partition column — the
+    // planning-time directory elimination the layout exists for
+    val probe = AnnIndex.query(spark, dir, anchor, k = 5)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      "probe scan must carry a cell partition filter:\n" + plan.take(1200))
+    assert(probe.as[(Long, Int, Double)].collect().head._1 == 900L)
+
+    // refresh (a MERGE commit) keeps the declared layout
+    AnnIndex.refresh(spark,
+      Seq((901L, anchor)).toDF("vec_id", "e"), dir)
+    val v2 = VersionedTable.currentVersion(spark, AnnIndex.cellsDir(dir)).get
+    val snapDirs2 = new java.io.File(s"${AnnIndex.cellsDir(dir)}/v$v2")
+      .listFiles().filter(_.isDirectory).map(_.getName).toSeq
+    assert(snapDirs2.nonEmpty && snapDirs2.forall(_.startsWith("cell=")),
+      s"refresh must preserve the partitioned layout, got $snapDirs2")
+    assert(AnnIndex.query(spark, dir, anchor, k = 1)
+      .as[(Long, Int, Double)].collect().head._1 == 901L)
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("refresh assignment matches MLlib transform on the same centroids") {
     val dim = 8
     def vec(seed: Int): Seq[Double] = {

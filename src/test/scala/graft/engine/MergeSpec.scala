@@ -67,6 +67,31 @@ class MergeSpec extends SparkTestBase {
     assert(ok.length == target.count() + 2)
   }
 
+  test("ambiguity fires even when every output row is dropped") {
+    // an unconditional MatchedDelete + by-source delete empties the
+    // output entirely; a guard attached to output rows is evaluated
+    // zero times there and the duplicate source (k=1 twice) passes
+    // silently — the round-7 advisor find. The unioned poison guard
+    // must still fail the job.
+    val src = Seq((1L, "x"), (1L, "y"), (2L, "x"), (3L, "x"), (4L, "x"))
+      .toDF("k", "op")
+    val ex = intercept[Exception] {
+      merge(target, src, Seq("k"), Seq(
+        MatchedDelete(None),
+        NotMatchedBySourceDelete(None))).collect()
+    }
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(m => String.valueOf(m.getMessage))
+      .mkString(" | ")
+    assert(chain(ex).contains("multiple source rows"),
+      s"expected the ambiguity error, got: ${chain(ex).take(300)}")
+    // the same all-dropping merge WITHOUT duplicates succeeds empty
+    val clean = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "x")).toDF("k", "op")
+    assert(merge(target, clean, Seq("k"), Seq(
+      MatchedDelete(None),
+      NotMatchedBySourceDelete(None))).count() == 0)
+  }
+
   test("NOT MATCHED BY SOURCE updates and deletes unmatched target rows in order") {
     val src = Seq((1L, "x")).toDF("k", "op")
     val out = merge(target, src, Seq("k"), Seq(

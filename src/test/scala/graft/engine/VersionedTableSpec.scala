@@ -228,6 +228,41 @@ class VersionedTableSpec extends SparkTestBase {
     assert(readY < totalY, s"y-only range must also skip files ($readY/$totalY)")
   }
 
+  test("auto-stats: DML and merge commits keep the skipping manifest; post-DML reads still prune") {
+    val dir = tmp("graft_vt_autostats")
+    graft.functions.ZOrder.register(spark)
+    val data = spark.range(0, 4096).toDF("i")
+      .select((col("i") / 64).cast("long").as("x"), (col("i") % 64).as("y"),
+        col("i").as("payload"))
+    val zordered = data
+      .withColumn("z", expr("zorder2(x, y)"))
+      .repartitionByRange(16, col("z"))
+      .sortWithinPartitions(col("z"))
+      .drop("z")
+    // registers x,y as the table's stats columns (sidecar)
+    VersionedTable.commitWithStats(zordered, dir, Seq("x", "y"))
+    // the round-7 gap: these commit paths produced versions with NO
+    // manifest, silently degrading readPruned to full scans forever
+    VersionedTable.deleteWhere(spark, dir, col("payload") % 97 === 0)
+    VersionedTable.updateWhere(spark, dir, col("payload") % 95 === 0,
+      Map("payload" -> lit(0L)))
+    val (pruned, read, total) = VersionedTable.readPruned(
+      spark, dir, Map("x" -> ((3L, 10L)), "y" -> ((5L, 12L))))
+    assert(total > 0, "post-DML version must carry an auto-written manifest")
+    assert(read < total, s"post-DML version must still prune ($read/$total)")
+    // both Z-order dims independently — the layout survives filter-
+    // shaped DML (no shuffle re-orders the clustered files)
+    val (_, readY, totalY) = VersionedTable.readPruned(
+      spark, dir, Map("y" -> ((0L, 7L))))
+    assert(totalY > 0 && readY < totalY,
+      s"y-only range must still skip files post-DML ($readY/$totalY)")
+    // and the pruned read is still exactly the filtered scan
+    val expected = VersionedTable.read(spark, dir)
+      .filter(col("x").between(3, 10) && col("y").between(5, 12))
+      .agg(sum("payload"), count(lit(1))).head()
+    assert(pruned.agg(sum("payload"), count(lit(1))).head() == expected)
+  }
+
   test("upsert: updates win by key, unmatched base survives") {
     val base = Seq((1L, "old"), (2L, "keep")).toDF("k", "v")
     val updates = Seq((1L, "new"), (3L, "ins")).toDF("k", "v")

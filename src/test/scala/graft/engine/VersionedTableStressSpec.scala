@@ -61,8 +61,12 @@ class VersionedTableStressSpec extends SparkTestBase {
       try {
         while (!writersDone) {
           // compact loses claims to live writers sometimes — that is
-          // the protocol working, not a failure; retry next loop
-          try compacted.add(VersionedTable.compact(spark, dir, targetFiles = 1))
+          // the protocol working, not a failure; retry next loop.
+          // compactIfFragmented: only REAL compaction commits are
+          // recorded (compact() is idempotent and returns the current
+          // version on a no-op, which is some writer's version)
+          try VersionedTable.compactIfFragmented(spark, dir, targetFiles = 1)
+            .foreach(compacted.add(_))
           catch { case _: ConcurrentCommitException => }
           // keep a deep-enough tail that a committer's just-read base
           // schema (at most a few versions behind head) never expires

@@ -584,6 +584,26 @@ class LlmSpec extends SparkTestBase {
       s"strict batching must equal sequential:\n got=$got\n exp=$expected")
   }
 
+  test("incremental (delta-maintained) BPE equals the recount regime merge-for-merge") {
+    // the round-8 sliver-delta pair table must be trace-IDENTICAL to
+    // the full recount in BOTH modes — forced regimes on the same
+    // fixture (auto-dispatch picks recount at fixture vocab size)
+    for (strict <- Seq(true, false)) {
+      val rec = Llm.bpeTrainMergesBatched(spark, sfSmoke, target = 24,
+          strictPrefix = strict, incremental = Some(false))
+        .select($"rank", $"round", $"left", $"right", $"merged", $"n")
+        .as[(Int, Int, String, String, String, Long)].collect().toSeq
+      val inc = Llm.bpeTrainMergesBatched(spark, sfSmoke, target = 24,
+          strictPrefix = strict, incremental = Some(true))
+        .select($"rank", $"round", $"left", $"right", $"merged", $"n")
+        .as[(Int, Int, String, String, String, Long)].collect().toSeq
+      assert(rec.nonEmpty, "fixture must learn merges")
+      assert(inc == rec,
+        s"strict=$strict: delta-maintained counts must replay the " +
+          s"recount trace:\n inc=${inc.take(6)}...\n rec=${rec.take(6)}...")
+    }
+  }
+
   test("fast-batched BPE: 256 merges within 20 rounds, exact on an interference-free corpus") {
     // 256 planted 2-symbol words over DISJOINT alphabets with strictly
     // decreasing counts: every word fully merges in one step, no merge

@@ -351,4 +351,26 @@ class RelationalOpsSpec extends SparkTestBase {
     // every reported pair really is within 1
     fast.foreach { case (_, _, d) => assert(d <= 1) }
   }
+
+  test("edit-distance join k=2: prefix-filter == exhaustive, distance-2 pairs present") {
+    import spark.implicits._
+    val got = Joins.joinEditDist2(spark, sfSmoke)
+      .as[(Long, Long, Int)].collect().toSeq
+    val names = graft.engine.Tables(spark, sfSmoke, "customer")
+      .filter(col("c_custkey") % 4 === 0)
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+    val brute = names.select(col("id").as("d1"), col("s").as("s1"))
+      .crossJoin(names.select(col("id").as("d2"), col("s").as("s2")))
+      .filter(col("d1") < col("d2"))
+      .withColumn("dist", levenshtein(col("s1"), col("s2")))
+      .filter(col("dist") <= 2)
+      .select(col("d1"), col("d2"), col("dist"))
+      .orderBy(col("d1"), col("d2"))
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got == brute,
+      s"k=2 prefix filter must equal the exhaustive scan:\n" +
+        s" got=${got.take(5)}...\n exp=${brute.take(5)}...")
+    assert(got.exists(_._3 == 2),
+      "fixture must carry genuine distance-2 pairs or the k=2 regime is untested")
+  }
 }

@@ -1,0 +1,151 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.engine.{AnnIndex, ConcurrentCommitException, VersionedTable}
+
+/** Long-running-stream TABLE MAINTENANCE soak — the round-7 gap: both
+  * the ANN cells table and the incremental-dedup signature snapshot
+  * grow a version per micro-batch, and `compact`/`expireVersions`
+  * existed but nothing exercised a live stream racing a retention
+  * loop (the VersionedTableStressSpec soaks batch writers only).
+  *
+  * Contract under race: maintenance may LOSE commit claims to the
+  * stream (a tolerated conflict, as in the stress spec) but must
+  * never corrupt it — probes stay answer-stable through every
+  * trigger, the dedup gate stays exact (no re-admitted duplicate, no
+  * lost admission), and the version history stays consistent (every
+  * listed version readable, pointer = max). */
+class RetentionSoakSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Retention loop racing the stream; tolerated failures are commit
+    * conflicts only. Returns (stopFlag, thread, unexpectedFailures). */
+  private def maintenanceLoop(dir: String, keepLast: Int)
+      : (java.util.concurrent.atomic.AtomicBoolean, Thread,
+        ConcurrentLinkedQueue[Throwable]) = {
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new ConcurrentLinkedQueue[Throwable]()
+    val t = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          try VersionedTable.compact(spark, dir, targetFiles = 2)
+          catch { case _: ConcurrentCommitException => () } // lost the claim
+          VersionedTable.expireVersions(spark, dir, keepLast)
+        } catch {
+          case _: ConcurrentCommitException => ()
+          case e: Throwable => failures.add(e)
+        }
+        Thread.sleep(100L)
+      }
+    }, s"retention-soak-${new java.io.File(dir).getName}")
+    t.start()
+    (stop, t, failures)
+  }
+
+  private def checkHistoryConsistent(dir: String): Unit = {
+    val vs = VersionedTable.versions(spark, dir)
+    assert(vs.nonEmpty && vs == vs.sorted, s"versions must list sorted: $vs")
+    val cur = VersionedTable.currentVersion(spark, dir).get
+    assert(vs.max == cur, s"pointer $cur must be the newest listed of $vs")
+    // every retained version is readable (no dangling summary entry)
+    vs.foreach(v => VersionedTable.read(spark, dir, Some(v)).count())
+  }
+
+  test("streaming ANN refresh races compact+expire: probes answer-stable, history consistent") {
+    val dim = 8
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian())
+    }
+    val anchor = vec(1)
+    val base = (0 until 40).map(i => (i.toLong, vec(100 + i))) :+
+      (900L, anchor.map(_ + 0.001))
+    val dir = java.nio.file.Files.createTempDirectory("graft_soak_ann").toString
+    val src = java.nio.file.Files.createTempDirectory("graft_soak_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_soak_ck").toString
+    AnnIndex.build(spark, base.toDF("vec_id", "e"), dir)
+    val cells = AnnIndex.cellsDir(dir)
+    val (stop, thread, failures) = maintenanceLoop(cells, keepLast = 4)
+    val triggers = 6
+    try {
+      (1 to triggers).foreach { i =>
+        // each trigger lands one new (far-from-anchor) vector
+        Seq((1000L + i, vec(5000 + i))).toDF("vec_id", "e")
+          .write.parquet(s"$src/b$i")
+        Pipelines.runStreamingAnnRefresh(
+          spark.readStream.schema("vec_id LONG, e ARRAY<DOUBLE>")
+            .option("recursiveFileLookup", "true").parquet(src),
+          dir, ckpt).awaitTermination()
+        // answer-stability through every trigger + retention cycle
+        val top = AnnIndex.query(spark, dir, anchor, k = 1)
+          .as[(Long, Int, Double)].collect().head
+        assert(top._1 == 900L && top._3 > 0.999,
+          s"trigger $i: probe must stay answer-stable, got $top")
+      }
+    } finally { stop.set(true); thread.join(30000) }
+    assert(failures.isEmpty, "maintenance loop surfaced failures: " +
+      failures.asScala.take(3).map(_.toString).mkString("; "))
+    checkHistoryConsistent(cells)
+    // every streamed vector survived the retention races
+    val ids = VersionedTable.read(spark, cells)
+      .select($"vec_id").as[Long].collect().toSet
+    (1 to triggers).foreach(i => assert(ids.contains(1000L + i),
+      s"streamed vector ${1000 + i} lost under the retention race"))
+    Seq(dir, src, ckpt).foreach(graft.util.Fs.deleteRecursively)
+  }
+
+  test("streaming incr dedup races compact+expire: gate stays exact across triggers") {
+    val snap = java.nio.file.Files.createTempDirectory("graft_soak_snap").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_soak_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_soak_ck2").toString
+    val src = java.nio.file.Files.createTempDirectory("graft_soak_dsrc").toString
+    // genuinely distinct shingle sets per doc — the banded gate
+    // catches NEAR-duplicates, so sentence templates differing in one
+    // token would (correctly) collide
+    def text(i: Int): String = {
+      val r = new scala.util.Random(42 + i)
+      (0 until 12).map(_ => "w" + r.nextInt(1000000)).mkString(" ")
+    }
+    // seed the snapshot so maintenance always has a committed version
+    VersionedTable.commit(
+      graft.ops.Llm.mapOnlyBandedSignatures(graft.ops.Llm.shingleDocs(
+        Seq((0L, text(0))).toDF("doc_id", "text"))), snap)
+    val (stop, thread, failures) = maintenanceLoop(snap, keepLast = 3)
+    val triggers = 5
+    try {
+      (1 to triggers).foreach { i =>
+        // one novel doc + one exact duplicate of an EARLIER admission
+        // (batch i duplicates batch i-1's novel doc; batch 1
+        // duplicates the seed)
+        Seq((100L + i, text(i)), (200L + i, text(i - 1)))
+          .toDF("doc_id", "text")
+          .write.parquet(s"$src/b$i")
+        Pipelines.runStreamingIncrDedup(
+          spark.readStream.schema("doc_id LONG, text STRING")
+            .option("recursiveFileLookup", "true").parquet(src),
+          snap, out, ckpt).awaitTermination()
+        val admitted = spark.read.parquet(out)
+          .select($"doc_id").as[Long].collect().toSet
+        val expected = (1 to i).map(100L + _).toSet
+        assert(admitted == expected,
+          s"trigger $i: gate must admit exactly the novel docs; " +
+            s"got $admitted expected $expected")
+      }
+    } finally { stop.set(true); thread.join(30000) }
+    assert(failures.isEmpty, "maintenance loop surfaced failures: " +
+      failures.asScala.take(3).map(_.toString).mkString("; "))
+    checkHistoryConsistent(snap)
+    // the signature snapshot still carries every admitted doc's
+    // signatures (compaction is content-preserving)
+    val sigDocs = VersionedTable.read(spark, snap)
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    assert((1 to triggers).forall(i => sigDocs.contains(100L + i)),
+      s"signatures lost under retention race: $sigDocs")
+    Seq(snap, out, ckpt, src).foreach(graft.util.Fs.deleteRecursively)
+  }
+}

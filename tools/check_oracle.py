@@ -19,11 +19,34 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def norm(v):
+    """Representation-level canonicalization mirroring the driver.
+
+    The driver hashes value REPRESENTATIONS, so -0.0 and 0.0 are
+    different hashes even though Python tuple compare says they are
+    equal (the round-7 q_agg_stats red row: DuckDB round() preserves
+    the sign bit, Spark does not). Map -0.0 to a distinct token so
+    this gate fails exactly where the driver would.
+    """
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return "-0.0"
         return v
     return v
+
+
+def neg_zero_cols(cols, rows):
+    """Columns containing any -0.0 — a latent representation hazard
+    even when both sides happen to agree this run (another engine or
+    scale may flip the sign of a near-zero rounded statistic)."""
+    out = set()
+    for r in rows:
+        for c, v in zip(cols, r):
+            if isinstance(v, float) and v == 0.0 and \
+                    math.copysign(1.0, v) < 0:
+                out.add(c)
+    return sorted(out)
 
 
 def main(sf_dir, out_dir):
@@ -80,7 +103,14 @@ def main(sf_dir, out_dir):
                   f"got={bad[0][0]} exp={bad[0][1]}")
             n_fail += 1
             continue
-        print(f"PASS {name} ({len(g)} rows)")
+        hazard = sorted(set(neg_zero_cols(got_cols, got_rows)
+                            + neg_zero_cols(exp_cols, exp_rows)))
+        if hazard:
+            print(f"PASS {name} ({len(g)} rows) "
+                  f"[WARN: -0.0 present in {hazard} — normalize with "
+                  "'+ 0.0' before both sides agree only by luck]")
+        else:
+            print(f"PASS {name} ({len(g)} rows)")
         n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
