@@ -174,6 +174,42 @@ object AnnIndex {
     v
   }
 
+  /** Index-coherent retention: expire cells history down to
+    * `keepLast` versions, drop the dropped versions' centroid-pair
+    * sidecars, and expire every centroids version no RETAINED cells
+    * version references (pre-sidecar cells versions conservatively
+    * pin everything). This is the hard-erasure half of [[remove]] —
+    * after it, a removed vector is gone from every reachable
+    * snapshot — and the maintenance face a weekly-rebuild deployment
+    * schedules beside [[VersionedTable.compactPartitioned]]. */
+  def expire(spark: SparkSession, dir: String, keepLast: Int): Unit = {
+    VersionedTable.expireVersions(spark, cellsDir(dir), keepLast)
+    val retained = VersionedTable.versions(spark, cellsDir(dir))
+    val refs = retained.map(v => centroidVersionFor(spark, dir, v))
+    val f = new org.apache.hadoop.fs.Path(cellsDir(dir))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // drop sidecars whose cells version no longer exists
+    f.listStatus(new org.apache.hadoop.fs.Path(cellsDir(dir))).toSeq
+      .map(_.getPath)
+      .filter(_.getName.startsWith("_CENTROIDS_V"))
+      .filter(p => !retained.contains(
+        p.getName.stripPrefix("_CENTROIDS_V").toLong))
+      .foreach(p => f.delete(p, false))
+    // a retained pre-sidecar cells version gives no reference — keep
+    // all centroid history rather than guess. expireVersions keeps a
+    // COUNT from the newest and referenced versions may interleave
+    // with unreferenced ones, so drop only the maximal PREFIX older
+    // than every still-needed centroid version.
+    if (refs.nonEmpty && refs.forall(_.isDefined)) {
+      val oldestNeeded = refs.flatten.min
+      val centVs = VersionedTable.versions(spark, centroidsDir(dir))
+      val dropPrefix = centVs.takeWhile(_ < oldestNeeded)
+      if (dropPrefix.nonEmpty)
+        VersionedTable.expireVersions(spark, centroidsDir(dir),
+          keepLast = centVs.size - dropPrefix.size)
+    }
+  }
+
   /** Top-k cosine neighbors of `qe` served purely from the committed
     * snapshot (optionally time-traveled to `version` of the cells
     * table): centroid ranking on the driver-sized centroid table, a

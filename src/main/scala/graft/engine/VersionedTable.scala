@@ -727,6 +727,48 @@ object VersionedTable {
     else Some(commit(read(spark, dir, Some(cur)).coalesce(targetFiles), dir))
   }
 
+  /** Partition-scoped OPTIMIZE for `partitionBy` tables — the layout
+    * [[compact]] deliberately short-circuits on. A MERGE/DML commit's
+    * output is shuffled by its join keys, so each partition
+    * directory's rows scatter across up to shuffle-partitions many
+    * tasks: one refresh turns a 1-file-per-partition serving layout
+    * into a 32-file one. This rewrite clusters rows back to one task
+    * per partition value (`repartition(partCols)` — the write path's
+    * `partitionBy` then emits one file per directory) and commits the
+    * result as a new version; the declared `_PART_COLS` layout is
+    * preserved by the commit path itself. Some(newVersion) when any
+    * partition exceeded `maxFilesPerPartition`, None when the layout
+    * was already tight. Copy-on-write like every commit: pinned
+    * readers and time travel are undisturbed. */
+  def compactPartitioned(spark: SparkSession, dir: String,
+      maxFilesPerPartition: Int = 1): Option[Long] = {
+    require(maxFilesPerPartition >= 1,
+      s"maxFilesPerPartition must be >= 1, got $maxFilesPerPartition")
+    val cur = currentVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version in $dir"))
+    val f = fs(spark, dir)
+    val pcols = readProp(f, dir, "_PART_COLS")
+    require(pcols.nonEmpty,
+      s"$dir declares no _PART_COLS — use compact() for flat layouts")
+    // recursive walk, counting data files per LEAF directory — a
+    // multi-column layout nests partition dirs, so a one-level
+    // listStatus would see only directories and report "tight"
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    val it = f.listFiles(new Path(dir, s"v$cur"), true)
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.getPath.getName.startsWith("part-")) {
+        val parent = s.getPath.getParent.toString
+        counts(parent) = counts.getOrElse(parent, 0) + 1
+      }
+    }
+    val fragmented = counts.exists { case (parent, n) =>
+      parent.contains("=") && n > maxFilesPerPartition }
+    if (!fragmented) None
+    else Some(commit(
+      read(spark, dir, Some(cur)).repartition(pcols.map(col): _*), dir))
+  }
+
   /** DELETE FROM ... WHERE `cond` — Delta DML as a versioned commit.
     * Rows where `cond` is TRUE are removed; FALSE and NULL survive
     * (SQL DELETE's three-valued semantics). Runs through

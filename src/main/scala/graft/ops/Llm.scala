@@ -1908,6 +1908,13 @@ object Llm {
                    concat(slice(out, 1, size(out) - 1), array(mg.mm)),
                    concat(out, array(x)))))"""
         if (inc) {
+          // partition discipline: filter/union preserve parent
+          // partitioning, so untouched(P) ∪ applied(P) DOUBLES the
+          // partition count every round — exponential task explosion
+          // (a 12-round training hit 16384 tasks per stage before
+          // this narrow coalesce pinned every frame back to the
+          // vocab's own partition count)
+          val nPart = v.rdd.getNumPartitions
           val flagged = v.crossJoin(broadcast(mseq))
             .withColumn("hit", expr(
               """exists(
@@ -1919,7 +1926,7 @@ object Llm {
           // lineage through its evaluation); the interpreted merge
           // folds are confined to the slivers
           val affected = flagged.filter(col("hit"))
-            .select(col("s"), col("n")).localCheckpoint(true)
+            .select(col("s"), col("n")).coalesce(nPart).localCheckpoint(true)
           val untouched = flagged.filter(!col("hit")).select(col("s"), col("n"))
           val applied = affected.crossJoin(broadcast(mseq))
             .withColumn("s", expr(foldExpr))
@@ -1942,7 +1949,8 @@ object Llm {
           // eager vocab checkpoint per round: leaving v lazy stacks
           // the exists-predicates of successive rounds, and every
           // later evaluation re-pays them all
-          v = untouched.unionByName(applied).localCheckpoint(true)
+          v = untouched.unionByName(applied).coalesce(nPart)
+            .localCheckpoint(true)
         } else {
           // recount regime: one whole-vocab fold, no pair table —
           // minimal jobs per round, right below the vocab bound

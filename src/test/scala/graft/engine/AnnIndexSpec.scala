@@ -256,6 +256,103 @@ class AnnIndexSpec extends SparkTestBase {
     graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("expire retires index history coherently: sidecars pruned, referenced centroids kept") {
+    val dim = 8
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian())
+    }
+    val anchor = vec(1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_exp").toString
+    val baseA = (0 until 40).map(i => (i.toLong, vec(100 + i))) :+
+      (900L, anchor.map(_ + 0.001))
+    val v0 = AnnIndex.build(spark, baseA.toDF("vec_id", "e"), dir)     // cent v0
+    AnnIndex.refresh(spark, Seq((50L, vec(777))).toDF("vec_id", "e"), dir)
+    val baseB = (0 until 40).map(i => (i.toLong, vec(3000 + i))) :+
+      (900L, anchor.map(_ + 0.001))
+    val v2 = AnnIndex.build(spark, baseB.toDF("vec_id", "e"), dir)     // cent v1
+    val v3 = AnnIndex.refresh(spark,
+      Seq((51L, vec(888))).toDF("vec_id", "e"), dir)
+    val cells = AnnIndex.cellsDir(dir)
+    assert(Seq(v0, v2, v3) == Seq(0L, 2L, 3L))
+
+    AnnIndex.expire(spark, dir, keepLast = 2)
+    // cells history = the two newest versions, both of the SECOND
+    // quantizer; their sidecars survive, the dropped ones are gone
+    assert(VersionedTable.versions(spark, cells) == Seq(v2, v3))
+    val sidecars = new java.io.File(cells).listFiles()
+      .map(_.getName).filter(_.startsWith("_CENTROIDS_V")).toSeq.sorted
+    assert(sidecars == Seq(s"_CENTROIDS_V$v2", s"_CENTROIDS_V$v3"),
+      s"dropped versions' sidecars must go with them: $sidecars")
+    // the first quantizer is referenced by no retained cells version
+    // and expires; the second survives
+    assert(VersionedTable.versions(spark, AnnIndex.centroidsDir(dir)) == Seq(1L),
+      "unreferenced centroid history must expire")
+    // retained pinned pairs still serve consistently
+    val pinned = AnnIndex.query(spark, dir, anchor, k = 1, version = Some(v2))
+      .as[(Long, Int, Double)].collect().head
+    assert(pinned._1 == 900L && pinned._3 > 0.999, s"pinned pair broken: $pinned")
+    assert(AnnIndex.query(spark, dir, anchor, k = 1)
+      .as[(Long, Int, Double)].collect().head._1 == 900L)
+    // dropped history is genuinely unreachable (the hard-erasure half)
+    intercept[Exception] {
+      AnnIndex.query(spark, dir, anchor, k = 1, version = Some(v0)).collect()
+    }
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("compactPartitioned restores one-file-per-cell after a fragmenting refresh") {
+    val dim = 8
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian())
+    }
+    val anchor = vec(1)
+    val base = (0 until 60).map(i => (i.toLong, vec(900 + i))) :+
+      (900L, anchor.map(_ + 0.05))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_cp").toString
+    AnnIndex.build(spark, base.toDF("vec_id", "e"), dir,
+      partitionedLayout = true)
+    val cells = AnnIndex.cellsDir(dir)
+    def filesPerCell(v: Long): Map[String, Int] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$cells/v$v"))
+        .filter(_.getName.startsWith("part-"))
+        .groupBy(_.getParentFile.getName).view.mapValues(_.size).toMap
+    }
+    // a tight layout is a no-op
+    assert(VersionedTable.compactPartitioned(spark, cells).isEmpty,
+      "fresh build is one file per cell — nothing to compact")
+    // a refresh's merge output is shuffled by vec_id: cells scatter
+    // across tasks and the partition dirs fragment. At test scale AQE
+    // coalesces the tiny merge to one task, so reproduce the at-scale
+    // commit shape explicitly: a snapshot arriving hash-scattered by
+    // vec_id across 4 tasks (exactly what a real merge commit hands
+    // the writer once its output exceeds one AQE partition)
+    AnnIndex.refresh(spark,
+      (200 until 260).map(i => (i.toLong, vec(2000 + i)))
+        .toDF("vec_id", "e"), dir)
+    VersionedTable.commit(
+      VersionedTable.read(spark, cells).repartition(4, col("vec_id")), cells)
+    val vFrag = VersionedTable.currentVersion(spark, cells).get
+    assert(filesPerCell(vFrag).values.exists(_ > 1),
+      s"refresh must fragment the layout to justify the op: ${filesPerCell(vFrag)}")
+    val answerBefore = AnnIndex.query(spark, dir, anchor, k = 5)
+      .as[(Long, Int, Double)].collect().toSeq
+    val vOpt = VersionedTable.compactPartitioned(spark, cells)
+    assert(vOpt.nonEmpty, "fragmented layout must trigger a rewrite")
+    assert(filesPerCell(vOpt.get).values.forall(_ == 1),
+      s"compaction must restore one file per cell: ${filesPerCell(vOpt.get)}")
+    // answers unchanged, layout preserved, pruning still engages
+    val after = AnnIndex.query(spark, dir, anchor, k = 5)
+    assert(after.as[(Long, Int, Double)].collect().toSeq == answerBefore)
+    assert(after.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    // and a second run is a no-op (idempotent like compact())
+    assert(VersionedTable.compactPartitioned(spark, cells).isEmpty)
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("refresh assignment matches MLlib transform on the same centroids") {
     val dim = 8
     def vec(seed: Int): Seq[Double] = {

@@ -352,7 +352,7 @@ class RelationalOpsSpec extends SparkTestBase {
     fast.foreach { case (_, _, d) => assert(d <= 1) }
   }
 
-  test("edit-distance join k=2: prefix-filter == exhaustive, distance-2 pairs present") {
+  test("edit-distance join k=2: prefix, deletion-neighborhood and auto all equal exhaustive") {
     import spark.implicits._
     val got = Joins.joinEditDist2(spark, sfSmoke)
       .as[(Long, Long, Int)].collect().toSeq
@@ -372,5 +372,14 @@ class RelationalOpsSpec extends SparkTestBase {
         s" got=${got.take(5)}...\n exp=${brute.take(5)}...")
     assert(got.exists(_._3 == 2),
       "fixture must carry genuine distance-2 pairs or the k=2 regime is untested")
+    // the k=2 deletion neighborhood (nested delete-one levels) is the
+    // short-string generator — result-equal to both
+    val fastss = Joins.joinEditDistOn(names, 2)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(fastss == brute, "k=2 deletion neighborhood must equal exhaustive")
+    // dispatch picks it here (names are short) and must change nothing
+    val auto = Joins.joinEditDistAuto(names, 2)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(auto == brute, "regime dispatch must be result-invisible")
   }
 }
