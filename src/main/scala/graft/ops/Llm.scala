@@ -1104,7 +1104,11 @@ object Llm {
           log((col("ca") + 1) / (col("na") + col("v")))).as("w"))
     toks.join(broadcast(weights), Seq("tok"))
       .groupBy(col("doc_id"))
-      .agg(round(avg(col("w")), 6).as("score"))
+      // + 0.0: a doc whose mean LR weight rounds to a negative zero
+      // diverges at the representation level (DuckDB -0.0 vs Spark
+      // +0.0 — the q_agg_stats class; the sf0.1 signed-zero sweep
+      // caught it latent here on doc 1275)
+      .agg((round(avg(col("w")), 6) + lit(0.0)).as("score"))
       .orderBy(col("doc_id"))
   }
 
@@ -1331,13 +1335,17 @@ object Llm {
   /** Per-label embedding centroids, relational form: posexplode ->
     * groupBy (label, position) -> avg. One shuffle keyed by
     * (label, pos); the typed single-pass form is
-    * graft.functions.VectorAvg (spec-checked equal). */
+    * graft.functions.VectorAvg (spec-checked equal). `+ 0.0` after
+    * the round: a centroid coordinate averaging to a small negative
+    * rounds to -0.0 in DuckDB (sign bit preserved) and +0.0 in Spark
+    * — the q_agg_stats representation-hash class, which the sf0.001
+    * sweep's signed-zero canonicalization caught latent here. */
   val centroids: Q = (spark, dir) =>
     Tables(spark, dir, "embeddings")
       .select(col("label"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
       .groupBy(col("label"), (col("pos") + 1).as("i"))
-      .agg(round(avg(col("v")), 4).as("c"))
+      .agg((round(avg(col("v")), 4) + lit(0.0)).as("c"))
       .orderBy(col("label"), col("i"))
 
   /** Memoized IVF cell index — unit vectors + KMeans(k ~ sqrt(n),
@@ -2582,7 +2590,11 @@ object Llm {
       .select(col("token"),
         round(col("share_base"), 6).as("share_base"),
         round(col("share_new"), 6).as("share_new"),
-        round(col("delta"), 6).as("delta"))
+        // + 0.0: delta is SIGNED and can round to a negative zero —
+        // the representation-hash class the signed-zero sweep keeps
+        // finding (q_agg_stats, centroids, quality_lr); canonicalize
+        // proactively rather than wait for a fixture to land on it
+        (round(col("delta"), 6) + lit(0.0)).as("delta"))
   }
 
   /** Deterministic corpus mixing: per-source keep-rates (the reweight
@@ -3129,7 +3141,7 @@ object Llm {
                     FROM embeddings),
           x AS (SELECT label, i, emb[i] AS v
                 FROM e, (SELECT unnest(generate_series(1, 64)) AS i) g)
-          SELECT label, CAST(i AS INT) AS i, round(avg(v), 4) AS c
+          SELECT label, CAST(i AS INT) AS i, round(avg(v), 4) + 0.0 AS c
           FROM x GROUP BY label, i ORDER BY label, i""",
     "q_llm_tokenize_bpe" ->
       """SELECT doc_id,
@@ -3166,7 +3178,7 @@ object Llm {
          weights AS (
            SELECT tok, ln((cg + 1) / (ng + v)) - ln((ca + 1) / (na + v)) AS w
            FROM stats, totals)
-         SELECT doc_id, round(avg(w), 6) AS score
+         SELECT doc_id, round(avg(w), 6) + 0.0 AS score
          FROM toks JOIN weights USING (tok)
          GROUP BY doc_id ORDER BY doc_id""",
     // add-one-smoothed bigram conditionals; V = corpus unigram vocab
@@ -3413,7 +3425,7 @@ object Llm {
                 round(CAST(c_base AS DOUBLE) / t_base, 6) AS share_base,
                 round(CAST(c_new AS DOUBLE) / t_new, 6) AS share_new,
                 round(CAST(c_new AS DOUBLE) / t_new
-                      - CAST(c_base AS DOUBLE) / t_base, 6) AS delta
+                      - CAST(c_base AS DOUBLE) / t_base, 6) + 0.0 AS delta
          FROM c CROSS JOIN t
          ORDER BY abs(CAST(c_new AS DOUBLE) / t_new
                       - CAST(c_base AS DOUBLE) / t_base) DESC, token
