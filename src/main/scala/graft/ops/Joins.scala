@@ -939,21 +939,32 @@ object Joins {
 
   /** General-k prefix-filtered generator — see [[joinEditDist]]'s
     * scaladoc. Under the global (df, gram) order each string keeps
-    * its k*q+1 rarest distinct q-grams; strings within edit distance
-    * k must share one (each edit destroys at most q grams of the
-    * set), so candidates join on prefix grams only. A length filter
-    * (|len1 - len2| <= k, carried through the prefix table as an
-    * 8-byte column) discards impossible pairs BEFORE the dedup
-    * shuffle — the standard cheap companion filter. */
+    * its k*q+1 rarest POSITIONAL q-grams; strings within edit
+    * distance k must share one with positions within k (ED-Join —
+    * Xiao, Wang, Lin, VLDB 2008: an alignment with <= k edits
+    * destroys at most q grams per edit and shifts every surviving
+    * gram by at most k positions; the alignment matching is
+    * order-consistent under the (df, gram, pos) order, so the
+    * classic prefix argument goes through with the location
+    * constraint attached). The position constraint joins as a
+    * BUCKET KEY, not a post-filter: side A keys each gram by
+    * floor(p / (k+1)); side B emits the (at most two) band ids its
+    * +-k window can fall in — so dense buckets of a frequent gram
+    * split into per-band sub-buckets and the candidate volume drops
+    * BEFORE the shuffle. A length filter (|len1 - len2| <= k,
+    * carried through the prefix table as an 8-byte column) discards
+    * the remaining impossible pairs before the dedup shuffle. */
   private[graft] def joinEditDistPrefixOn(names: org.apache.spark.sql.DataFrame,
       k: Int, q: Int = 2): org.apache.spark.sql.DataFrame = {
     val pref = k * q + 1
+    val band = k + 1
     val grams = names.select(col("id"), col("s"), explode(expr(
-      s"array_distinct(transform(sequence(1, length(s) - ${q - 1})," +
-        s" i -> substring(s, i, $q)))")).as("g"))
+      s"transform(sequence(1, length(s) - ${q - 1})," +
+        s" i -> struct(substring(s, i, $q) AS g, i AS p))")).as("gp"))
+      .select(col("id"), col("s"), col("gp.g").as("g"), col("gp.p").as("p"))
     val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("id"))
-      .orderBy(col("df"), col("g"))
+      .orderBy(col("df"), col("g"), col("p"))
     // eager localCheckpoint: the prefix table feeds BOTH self-join
     // sides — without materialization the planner rebuilds the
     // explode + df join + ranking window per consumer (the
@@ -961,28 +972,46 @@ object Joins {
     val prefix = grams.join(dfreq, Seq("g"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= pref)
-      .select(col("g"), col("id"), length(col("s")).as("len"))
+      .select(col("g"), col("p"), col("id"), col("s"))
       .localCheckpoint(true)
-    // candidates carry IDS ONLY through the join + distinct (16-byte
-    // rows instead of name pairs — the dedup shuffle is the volume
-    // term here); names re-attach afterwards with two keyed joins
-    // against the name table (AQE broadcasts the dim-sized side at
-    // test scale, sort-merges past the broadcast bound), then the
-    // codegen'd levenshtein verifies exactly
-    val a = prefix.select(col("g"), col("id").as("d1"), col("len").as("l1"))
-    val b = prefix.select(col("g"), col("id").as("d2"), col("len").as("l2"))
-    a.join(b, Seq("g"))
+    // the prefix table carries the STRING itself ((k*q+1) * len
+    // bytes per input string), so the thresholded (banded-DP,
+    // O(len * k)) levenshtein verify runs INSIDE the candidate
+    // stage: candidate pairs stream from the bucket join straight
+    // through the verify filter and never hit a shuffle — on
+    // gram-poor corpora where the filter is weak (candidates >>
+    // output) this turns the dominant dedup shuffle from
+    // candidate-sized into OUTPUT-sized (~11x smaller on the
+    // fixture names), at the cost of re-verifying the small
+    // per-pair gram multiplicity (banded lev is codegen'd and
+    // len-bounded, so the evals are the cheap side of the trade)
+    // the bucket join broadcasts the (tiny) prefix table, so side
+    // A's partitioning IS the stage's task grid — and per-row fanout
+    // is wildly skewed (dense-gram rows emit thousands of pairs,
+    // rare-gram rows a handful). Round-robin the probe side wide so
+    // the stream-through verify actually parallelizes; the
+    // repartition shuffles only prefix-table rows, not candidates
+    val fanoutParts = 8 * prefix.sparkSession.sessionState.conf.numShufflePartitions
+    val a = prefix.repartition(fanoutParts)
+      .select(col("g"), floor(col("p") / band).as("bkt"),
+        col("p").as("p1"), col("id").as("d1"), col("s").as("s1"))
+    // any p1 within k of p2 has band id in the contiguous interval
+    // [floor((p2-k)/(k+1)), floor((p2+k)/(k+1))] — width 2k spans up
+    // to THREE adjacent bands (2k >= k+1 for k >= 1), so side B
+    // emits the full sequence (avg replication ~2.3 at k=2), which
+    // is what buys the per-band sub-bucket split on side A
+    val b = prefix.select(col("g"), col("p").as("p2"),
+        col("id").as("d2"), col("s").as("s2"))
+      .withColumn("bkt", explode(sequence(
+        floor((col("p2") - k) / band), floor((col("p2") + k) / band))))
+    a.join(b, Seq("g", "bkt"))
       .filter(col("d1") < col("d2") &&
-        abs(col("l1") - col("l2")) <= k)
-      .select(col("d1"), col("d2"))
-      .distinct()
-      .join(names.select(col("id").as("d1"), col("s").as("s1")), Seq("d1"))
-      .join(names.select(col("id").as("d2"), col("s").as("s2")), Seq("d2"))
-      // thresholded (banded-DP) levenshtein: cost O(len * k) per pair
-      // instead of O(len^2), returning -1 past the threshold
+        abs(length(col("s1")) - length(col("s2"))) <= k &&
+        abs(col("p1") - col("p2")) <= k)
       .withColumn("dist", levenshtein(col("s1"), col("s2"), k))
       .filter(col("dist").between(0, k))
       .select(col("d1"), col("d2"), col("dist"))
+      .distinct()
       .orderBy(col("d1"), col("d2"))
   }
 
