@@ -921,19 +921,22 @@ object Joins {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** Regime dispatch between the two sound generators, on the
-    * dimension the published tradeoff actually turns on: the
-    * deletion neighborhood costs C(len, k) variants per string
-    * (explodes with LENGTH), the prefix filter costs gram-bucket
-    * candidate pairs (explodes with shared-gram DENSITY, immune to
-    * length). Short strings → deletion neighborhood; long strings →
-    * prefix filter. The length cut keeps the per-string variant
-    * count bounded by ~C(bound, k). */
+  /** Regime dispatch between the two sound generators. Since the
+    * prefix filter went positional with the verify piggybacked into
+    * the candidate stage, the measured map is: k=1 short strings —
+    * dead heat (15k names: deletion 2.92 s, prefix 2.90 s warm);
+    * k=2 short strings — prefix wins 3.4x (9.6 s vs 32.8 s: the k=2
+    * deletion variant buckets go dense, so its candidate PAIRS blow
+    * up even though per-string variants stay C(len, k)); long
+    * strings at any k — prefix structurally (variant count C(len, k)
+    * explodes with length, gram buckets don't). Deletion keeps only
+    * its classic FastSS home turf: k=1 on short keys, where its
+    * single-level variant buckets are near-output-sized. */
   private[graft] def joinEditDistAuto(names: org.apache.spark.sql.DataFrame,
       k: Int, maxLenForDeletion: Int = 40)
       : org.apache.spark.sql.DataFrame = {
     val maxLen = names.agg(max(length(col("s")))).head().getInt(0)
-    if (maxLen <= maxLenForDeletion) joinEditDistOn(names, k)
+    if (k == 1 && maxLen <= maxLenForDeletion) joinEditDistOn(names, k)
     else joinEditDistPrefixOn(names, k)
   }
 

@@ -1487,6 +1487,202 @@ object Llm {
       .limit(10)
   }
 
+  // --------------------------------------------------------- IVF-PQ
+
+  /** Driver-side Lloyd over a bounded sample — PQ codebook training
+    * (the FAISS idiom: codebooks are METADATA-sized, m*ks*(D/m)
+    * doubles total, and converge on a small subsample; only encoding
+    * is corpus-sized and that stays distributed). Deterministic:
+    * seeded init picks ks spread sample points per subspace, ties in
+    * assignment break to the lowest centroid id, an emptied cluster
+    * keeps its previous centroid. Returns the FLAT codebook laid out
+    * as cb[(j*ks + c)*sub + t] for subspace j, centroid c, dim t. */
+  private[graft] def fitPqCodebooks(sample: Array[Array[Double]],
+      m: Int, ks: Int, iters: Int, seed: Long): Array[Double] = {
+    val dim = sample.head.length
+    val sub = dim / m
+    val cb = new Array[Double](m * ks * sub)
+    val rnd = new scala.util.Random(seed)
+    val n = sample.length
+    for (j <- 0 until m) {
+      val off = j * sub
+      // init: ks distinct sample rows (with replacement only if n < ks)
+      val picks = if (n >= ks) rnd.shuffle((0 until n).toVector).take(ks)
+        else Vector.tabulate(ks)(i => i % n)
+      for (c <- 0 until ks; t <- 0 until sub)
+        cb((j * ks + c) * sub + t) = sample(picks(c))(off + t)
+      val assign = new Array[Int](n)
+      for (_ <- 0 until iters) {
+        // assignment
+        var i = 0
+        while (i < n) {
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < ks) {
+            var d = 0.0; var t = 0
+            while (t < sub) {
+              val diff = sample(i)(off + t) - cb((j * ks + c) * sub + t)
+              d += diff * diff; t += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          assign(i) = best; i += 1
+        }
+        // update (emptied cluster keeps its centroid)
+        val sums = Array.ofDim[Double](ks, sub)
+        val cnt = new Array[Long](ks)
+        i = 0
+        while (i < n) {
+          val c = assign(i); cnt(c) += 1
+          var t = 0
+          while (t < sub) { sums(c)(t) += sample(i)(off + t); t += 1 }
+          i += 1
+        }
+        for (c <- 0 until ks if cnt(c) > 0; t <- 0 until sub)
+          cb((j * ks + c) * sub + t) = sums(c)(t) / cnt(c)
+      }
+    }
+    cb
+  }
+
+  /** PQ geometry for a given dimensionality: m = most subspaces from
+    * the preferred ladder that divide D evenly (dim 64 -> 8 subspaces
+    * of 8 dims; a prime D degrades to m=1, i.e. plain VQ). */
+  private[graft] def pqGeometry(dim: Int): (Int, Int) = {
+    val m = Seq(8, 4, 2, 1).find(dim % _ == 0).get
+    (m, dim / m)
+  }
+
+  private val pqFitCap = 4096
+  private val pqKs = 16
+  private val pqIters = 12
+
+  /** Memoized PQ-encoded corpus per (session, dir) — same lifecycle
+    * idiom as cellCache (weak session key, soft value, persist NOT
+    * localCheckpoint so the memo survives the harnesses' cache
+    * purges via lineage recompute). Value: (flat codebook, m, ks,
+    * sub, codes frame (vec_id, cell, unit, codes array<int>)). */
+  private val pqCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[
+      String, java.lang.ref.SoftReference[
+        (Array[Double], Int, Int, Int, DataFrame)]]])
+
+  def invalidatePqCache(): Unit = pqCache.clear()
+
+  /** Product-quantization encoding of the embeddings corpus (Jégou,
+    * Douze, Schmid: "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011), layered on the SHARED IVF coarse cells:
+    * each unit vector's D dims split into m subspaces; each subspace
+    * quantizes to one of ks codebook centroids; the stored record is
+    * (cell, m byte-sized codes) — 64 float dims (256 B) compress to
+    * 8 codes + cell id (~10 B), the factor that lets a 100 TB
+    * corpus's ANN index live in cluster RAM. Codebooks train
+    * driver-side on a seeded sample (metadata-sized, see
+    * fitPqCodebooks); encoding is one distributed map over the cells
+    * frame: per subspace, argmin over the broadcast-literal codebook
+    * (each candidate distance computed once via a struct-array
+    * aggregate, first-minimum tie-break — deterministic). */
+  private[graft] def pqCodes(spark: SparkSession, dir: String)
+      : (Array[Double], Int, Int, Int, DataFrame) = {
+    val perSession = pqCache
+      .computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
+    perSession.get(dir).flatMap(r => Option(r.get())) match {
+      case Some(v) => v
+      case None =>
+        val (_, cells) = ivfCells(spark, dir)
+        val dim = cells.select(size(col("unit"))).head().getInt(0)
+        val (m, sub) = pqGeometry(dim)
+        val total = cells.count()
+        val sample = (if (total > pqFitCap)
+            cells.sample(withReplacement = false,
+              fraction = pqFitCap.toDouble / total, seed = 42L)
+          else cells)
+          .select(col("unit")).limit(pqFitCap).collect()
+          .map(_.getAs[scala.collection.Seq[Double]](0).toArray)
+        val ks = math.min(pqKs, sample.length)
+        val cb = fitPqCodebooks(sample, m, ks, pqIters, seed = 42L)
+        val codesE =
+          s"""transform(sequence(0, ${m - 1}), j ->
+                aggregate(
+                  transform(sequence(0, ${ks - 1}), c -> named_struct(
+                    'c', c,
+                    'd', aggregate(sequence(1, $sub), cast(0 as double),
+                      (s, t) -> s + pow(element_at(unit, j * $sub + t)
+                        - element_at(cb, (j * $ks + c) * $sub + t), 2)))),
+                  named_struct('c', -1, 'd', cast('Infinity' as double)),
+                  (acc, x) -> IF(x.d < acc.d, x, acc)).c)"""
+        val codes = cells
+          .withColumn("cb", typedLit(cb.toSeq))
+          .withColumn("codes", expr(codesE))
+          .select(col("vec_id"), col("cell"), col("unit"), col("codes"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val v = (cb, m, ks, sub, codes)
+        perSession.put(dir, new java.lang.ref.SoftReference(v))
+        v
+    }
+  }
+
+  /** IVF-PQ ANN (IVFADC with exact re-ranking): probe the same
+    * coarse cells as annIvf, score every probed vector with the
+    * ASYMMETRIC distance — a per-query lookup table lut[j][c] =
+    * ||q_j - cb_j[c]||^2 computed driver-side (m*ks entries) and
+    * broadcast, so the per-vector score is m array lookups + adds
+    * over the byte codes, never touching the float vectors — then
+    * re-rank only the ADC shortlist exactly with the codegen'd
+    * cosine. On unit vectors squared L2 is 2 - 2*cos, so ADC
+    * ascending tracks cosine descending. The 100 TB shape: the float
+    * vectors page in for the ~shortlist rows only; the scan over
+    * probed cells reads (cell, codes) — ~10 B/vector. Rows-only
+    * (codebook fit is not SQL-expressible); recall gated in
+    * ApproxRecallSpec against the planted exact top-10. */
+  val annIvfPq: Q = (spark, dir) => {
+    graft.functions.CosineSimilarity.register(spark)
+    val (model, _) = ivfCells(spark, dir)
+    val (cb, m, ks, sub, codes) = pqCodes(spark, dir)
+    val query = codes.filter(col("vec_id") === 0)
+      .select(col("unit").as("qunit"), col("cell").as("qcell"))
+    val qRow = query.head()
+    val qe = qRow.getAs[scala.collection.Seq[Double]](0)
+    val qcell = qRow.getInt(1)
+    val nprobe = math.max(2, math.ceil(model.getK / 4.0).toInt)
+    val centersRanked = model.clusterCenters.zipWithIndex
+      .filter(_._2 != qcell)
+      .map { case (c, i) =>
+        val ca = c.toArray
+        var dot = 0.0; var n = 0.0
+        var k = 0
+        while (k < ca.length) { dot += ca(k) * qe(k); n += ca(k) * ca(k); k += 1 }
+        (i, dot / math.sqrt(n))
+      }
+      .sortBy(-_._2)
+    val probes = qcell +: centersRanked.take(nprobe - 1).map(_._1)
+    val lut = new Array[Double](m * ks)
+    for (j <- 0 until m; c <- 0 until ks) {
+      var d = 0.0; var t = 0
+      while (t < sub) {
+        val diff = qe(j * sub + t) - cb((j * ks + c) * sub + t)
+        d += diff * diff; t += 1
+      }
+      lut(j * ks + c) = d
+    }
+    val shortlist = codes
+      .filter(col("vec_id") =!= 0 && col("cell").isin(probes: _*))
+      .withColumn("lut", typedLit(lut.toSeq))
+      .withColumn("adc", expr(
+        s"""aggregate(sequence(0, ${m - 1}), cast(0 as double),
+              (acc, j) -> acc + element_at(lut,
+                j * $ks + element_at(codes, j + 1) + 1))"""))
+      .orderBy(col("adc").asc, col("vec_id"))
+      .limit(50)
+    shortlist
+      .crossJoin(broadcast(query.select(col("qunit"))))
+      .withColumn("cosine", round(expr("cosine_sim(unit, qunit)"), 6))
+      .select(col("vec_id"), col("cell"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** Memoized persisted ANN index per (session, dir): the build is a
     * one-time index-maintenance step (a nightly job in a real
     * deployment) — repeat invocations pay only the snapshot READ.
@@ -2830,6 +3026,7 @@ object Llm {
     "q_llm_sample_weighted" -> sampleWeighted,
     "q_llm_centroids" -> centroids,
     "q_llm_ann_ivf" -> annIvf,
+    "q_llm_ann_pq" -> annIvfPq,
     "q_llm_ann_index" -> annIndexServe,
     "q_llm_tokenize_bpe" -> tokenizeBpe,
     "q_llm_bpe_train" -> bpeTrain,

@@ -92,6 +92,11 @@ object ScaleProbe {
       // expects ~flat across factors past the shared upstream
       time("cluster rep (memo labels)") { Llm.clusterRep(spark, dst) }
       time("ann ivf") { Llm.annIvf(spark, dst) }
+      // IVF-PQ: first call pays the sampled codebook fit + corpus
+      // encode (the encode is the corpus-sized term; the fit is
+      // bounded by pqFitCap regardless of factor), the query itself
+      // is m lookups per probed code row
+      time("ann ivf-pq") { Llm.annIvfPq(spark, dst) }
       time("simhash pairs") { Llm.simhashPairs(spark, dst, 8) }
       // round-2 curation additions: the chunk window (shuffle = full
       // corpus keyed by passage), the broadcast decontamination join,

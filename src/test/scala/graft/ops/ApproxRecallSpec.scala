@@ -83,6 +83,7 @@ class ApproxRecallSpec extends SparkTestBase {
 
   private def releaseCaches(): Unit = {
     Llm.invalidateCellCache()
+    Llm.invalidatePqCache()
     Llm.invalidateAnnIndexCache()
     spark.sharedState.cacheManager.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
@@ -164,6 +165,13 @@ class ApproxRecallSpec extends SparkTestBase {
       val rIdx = (exact & served).size
       assert(rIdx >= 9,
         s"n=$n: persisted-index recall $rIdx/10 on planted neighbors")
+      // the COMPRESSED path (q_llm_ann_pq): ADC over byte codes +
+      // exact re-rank of the shortlist must keep the same gate —
+      // quantization error is allowed to cost rank resolution inside
+      // the shortlist, NOT recall of the planted neighbors
+      val pq = Llm.annIvfPq(spark, dir).collect().map(_.getLong(0)).toSet
+      val rPq = (exact & pq).size
+      assert(rPq >= 9, s"n=$n: annIvfPq recall $rPq/10 on planted neighbors")
       releaseCaches()
       graft.util.Fs.deleteRecursively(dir)
     }

@@ -766,4 +766,35 @@ class LlmSpec extends SparkTestBase {
       }
     }
   }
+
+  test("PQ codes are well-formed, deterministic, and duplicate-consistent") {
+    val (cb, m, ks, sub, codes) = Llm.pqCodes(spark, sfSmoke)
+    val dim = m * sub
+    assert(cb.length == m * ks * sub)
+    val rows = codes.select(col("vec_id"), col("codes"),
+        size(col("unit")).as("d")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(2) == dim)
+      val cs = r.getAs[scala.collection.Seq[Int]](1)
+      assert(cs.length == m, s"vec ${r.getLong(0)}: ${cs.length} codes")
+      assert(cs.forall(c => c >= 0 && c < ks))
+    }
+    // the codebook fit is a pure function of the sample: refitting on
+    // the same input must reproduce the flat array bitwise
+    val sample = rows.take(64).map(_ =>
+      Array.tabulate(dim)(i => math.sin(i + 1.0)))
+    val f1 = Llm.fitPqCodebooks(sample, m, ks, 12, 42L)
+    val f2 = Llm.fitPqCodebooks(sample, m, ks, 12, 42L)
+    assert(f1.sameElements(f2), "codebook fit must be deterministic")
+    // byte-identical vectors must encode to byte-identical codes
+    // (the property every dedup-over-codes consumer relies on):
+    // vec 0 duplicated through the SAME encode expression
+    val dup = codes.filter(col("vec_id") === 0)
+      .union(codes.filter(col("vec_id") === 0))
+      .select(col("codes")).collect().map(_.getAs[scala.collection.Seq[Int]](0))
+    assert(dup.length == 2 && dup(0) == dup(1))
+    Llm.invalidatePqCache()
+    Llm.invalidateCellCache()
+  }
 }

@@ -377,7 +377,7 @@ class RelationalOpsSpec extends SparkTestBase {
     val fastss = Joins.joinEditDistOn(names, 2)
       .as[(Long, Long, Int)].collect().toSeq
     assert(fastss == brute, "k=2 deletion neighborhood must equal exhaustive")
-    // dispatch picks it here (names are short) and must change nothing
+    // dispatch picks the prefix form at k=2 and must change nothing
     val auto = Joins.joinEditDistAuto(names, 2)
       .as[(Long, Long, Int)].collect().toSeq
     assert(auto == brute, "regime dispatch must be result-invisible")
