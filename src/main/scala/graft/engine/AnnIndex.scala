@@ -183,17 +183,32 @@ object AnnIndex {
     * snapshot — and the maintenance face a weekly-rebuild deployment
     * schedules beside [[VersionedTable.compactPartitioned]]. */
   def expire(spark: SparkSession, dir: String, keepLast: Int): Unit = {
-    VersionedTable.expireVersions(spark, cellsDir(dir), keepLast)
+    // the cells snapshot the CURRENT codes version re-ranks against
+    // (its _CELLS_V lineage) must survive retention, or queryPq's
+    // exact re-rank dies underneath a servable compressed index —
+    // widen keepLast just enough to cover it (a maintenance loop that
+    // syncCodes-es before expiring never actually widens)
+    val cellsKeep = {
+      val ref = VersionedTable.currentVersion(spark, pqCodesDir(dir))
+        .flatMap(v => pqSidecar(spark, dir, "_CELLS_V", v))
+      val vs = VersionedTable.versions(spark, cellsDir(dir))
+      ref.map(r => math.max(keepLast, vs.count(_ >= r))).getOrElse(keepLast)
+    }
+    VersionedTable.expireVersions(spark, cellsDir(dir), cellsKeep)
     val retained = VersionedTable.versions(spark, cellsDir(dir))
     val refs = retained.map(v => centroidVersionFor(spark, dir, v))
     val f = new org.apache.hadoop.fs.Path(cellsDir(dir))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // drop sidecars whose cells version no longer exists
+    // drop sidecars whose cells version no longer exists. Only the
+    // dropped PREFIX (strictly older than every retained version) is
+    // eligible: a concurrent refresh may have committed a NEWER
+    // version + sidecar after `retained` was read, and a bare
+    // not-in-retained filter would delete that live pair's sidecar.
     f.listStatus(new org.apache.hadoop.fs.Path(cellsDir(dir))).toSeq
       .map(_.getPath)
       .filter(_.getName.startsWith("_CENTROIDS_V"))
-      .filter(p => !retained.contains(
-        p.getName.stripPrefix("_CENTROIDS_V").toLong))
+      .filter(p => retained.nonEmpty &&
+        p.getName.stripPrefix("_CENTROIDS_V").toLong < retained.min)
       .foreach(p => f.delete(p, false))
     // a retained pre-sidecar cells version gives no reference — keep
     // all centroid history rather than guess. expireVersions keeps a
@@ -208,6 +223,258 @@ object AnnIndex {
         VersionedTable.expireVersions(spark, centroidsDir(dir),
           keepLast = centVs.size - dropPrefix.size)
     }
+    // PQ layer, if built: same motion — expire codes history, drop
+    // the dropped versions' lineage sidecars, expire codebook
+    // versions no retained codes version references.
+    if (VersionedTable.currentVersion(spark, pqCodesDir(dir)).nonEmpty) {
+      VersionedTable.expireVersions(spark, pqCodesDir(dir), keepLast)
+      val retainedCodes = VersionedTable.versions(spark, pqCodesDir(dir))
+      // dropped-prefix rule again (see the centroids sidecar prune)
+      f.listStatus(new org.apache.hadoop.fs.Path(pqCodesDir(dir))).toSeq
+        .map(_.getPath)
+        .filter(p => p.getName.startsWith("_CODEBOOK_V") ||
+          p.getName.startsWith("_CELLS_V"))
+        .filter(p => retainedCodes.nonEmpty &&
+          p.getName.dropWhile(!_.isDigit).toLong < retainedCodes.min)
+        .foreach(p => f.delete(p, false))
+      val cbRefs = retainedCodes
+        .map(v => pqSidecar(spark, dir, "_CODEBOOK_V", v))
+      if (cbRefs.nonEmpty && cbRefs.forall(_.isDefined)) {
+        val oldestCb = cbRefs.flatten.min
+        val cbVs = VersionedTable.versions(spark, codebookDir(dir))
+        val dropPrefix = cbVs.takeWhile(_ < oldestCb)
+        if (dropPrefix.nonEmpty)
+          VersionedTable.expireVersions(spark, codebookDir(dir),
+            keepLast = cbVs.size - dropPrefix.size)
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- PQ layer
+
+  def codebookDir(dir: String) = s"$dir/codebook"
+  def pqCodesDir(dir: String) = s"$dir/codes"
+
+  /** Each codes commit records which codebook encoded it and which
+    * cells version it reconciled against (sidecars `_CODEBOOK_V<v>` /
+    * `_CELLS_V<v>` in the codes dir) — the same coherence idiom as
+    * the centroids sidecar: a pinned PQ query must score old codes
+    * with the OLD codebook and re-rank against the cells snapshot
+    * those codes were synced to, or quantization error silently
+    * becomes garbage. */
+  private def recordPqLineage(spark: SparkSession, dir: String,
+      codesVersion: Long, codebookVersion: Long, cellsVersion: Long): Unit = {
+    VersionedTable.atomicWrite(spark, pqCodesDir(dir),
+      s"_CODEBOOK_V$codesVersion", codebookVersion.toString)
+    VersionedTable.atomicWrite(spark, pqCodesDir(dir),
+      s"_CELLS_V$codesVersion", cellsVersion.toString)
+  }
+
+  private def pqSidecar(spark: SparkSession, dir: String, prefix: String,
+      codesVersion: Long): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(pqCodesDir(dir),
+      s"$prefix$codesVersion")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def readCodebook(spark: SparkSession, dir: String,
+      version: Option[Long]): (Array[Double], Int, Int, Int) = {
+    val r = VersionedTable.read(spark, codebookDir(dir), version)
+      .select(col("m"), col("ks"), col("sub"), col("cb")).head()
+    (r.getAs[scala.collection.Seq[Double]](3).toArray,
+      r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
+  /** The encode frame for `cells` rows under a codebook, already in
+    * the commit layout (clustered + sorted by cell): unit
+    * normalization + the SHARED Llm.pqEncodeExpr, plus an xxhash64 of
+    * the raw vector so [[syncCodes]] can detect in-place vector
+    * updates without storing floats in the codes table.
+    *
+    * The cell repartition sits BETWEEN the normalization and the
+    * encode projection on purpose: the exchange materializes `unit`
+    * once per row, where a single collapsed projection would inline
+    * the normalization HOF into every `element_at(unit, ...)` of the
+    * encoder — m*ks*sub interpreted re-evaluations of an O(dim)
+    * expression per row (measured: minutes for 200 rows at dim 64).
+    * The shuffle is one we pay anyway for the clustered layout. */
+  private def encode(cells: DataFrame, cb: Array[Double],
+      m: Int, ks: Int, sub: Int): DataFrame =
+    cells
+      .withColumn("unit", expr(graft.ops.Llm.unitNormE))
+      .withColumn("ehash", xxhash64(col("e")))
+      .select(col("vec_id"), col("cell"), col("unit"), col("ehash"))
+      .repartition(col("cell")).sortWithinPartitions(col("cell"))
+      .withColumn("cb", typedlit(cb.toSeq))
+      .withColumn("codes", expr(graft.ops.Llm.pqEncodeExpr(m, ks, sub)))
+      .select(col("vec_id"), col("cell"), col("codes"), col("ehash"))
+
+  /** Fit and commit the PQ layer over the CURRENT cells snapshot:
+    * codebook (driver-side Lloyd on a seeded sample — see
+    * Llm.fitPqCodebooks) as its own versioned table, then the full
+    * corpus encoded as (vec_id, cell, codes, ehash), clustered by
+    * cell like the cells table. A rebuild (new codebook) re-encodes
+    * everything — codes from different codebooks are incomparable,
+    * which is exactly what the per-version lineage sidecars pin. */
+  def buildPq(spark: SparkSession, dir: String,
+      fitCap: Int = 4096, ks0: Int = 16): Long = {
+    val cellsV = VersionedTable.currentVersion(spark, cellsDir(dir))
+      .getOrElse(throw new IllegalStateException(
+        s"no committed cells in $dir — build the index first"))
+    val cells = VersionedTable.read(spark, cellsDir(dir), Some(cellsV))
+    val unit = cells.withColumn("unit", expr(graft.ops.Llm.unitNormE))
+    val dim = unit.select(size(col("unit"))).head().getInt(0)
+    val (m, sub) = graft.ops.Llm.pqGeometry(dim)
+    val total = cells.count()
+    val sample = (if (total > fitCap)
+        unit.sample(withReplacement = false,
+          fraction = fitCap.toDouble / total, seed = 42L)
+      else unit)
+      .select(col("unit")).limit(fitCap).collect()
+      .map(_.getAs[scala.collection.Seq[Double]](0).toArray)
+    val ks = math.min(ks0, sample.length)
+    val cb = graft.ops.Llm.fitPqCodebooks(sample, m, ks, 12, seed = 42L)
+    import spark.implicits._
+    val cbV = VersionedTable.commit(
+      Seq((m, ks, sub, cb.toSeq)).toDF("m", "ks", "sub", "cb"),
+      codebookDir(dir))
+    val codesV = VersionedTable.commit(
+      encode(cells, cb, m, ks, sub), pqCodesDir(dir))
+    recordPqLineage(spark, dir, codesV, cbV, cellsV)
+    codesV
+  }
+
+  /** Incrementally reconcile the codes table to the CURRENT cells
+    * snapshot under the CURRENT codebook: vectors new to cells
+    * insert, vectors whose cell or raw bytes changed re-encode,
+    * vectors gone from cells delete — the merge SOURCE is the
+    * delta only (plus delete markers), so a steady-state sync
+    * encodes nothing and commits nothing (returns the current codes
+    * version untouched). This is the maintenance motion that follows
+    * any sequence of [[refresh]]/[[remove]]: cells first, then codes
+    * catch up. */
+  def syncCodes(spark: SparkSession, dir: String): Long = {
+    val codesV = VersionedTable.currentVersion(spark, pqCodesDir(dir))
+      .getOrElse(throw new IllegalStateException(
+        s"no committed codes in $dir — buildPq first"))
+    val cbV = pqSidecar(spark, dir, "_CODEBOOK_V", codesV)
+      .getOrElse(throw new IllegalStateException(
+        s"codes v$codesV has no codebook sidecar"))
+    val (cb, m, ks, sub) = readCodebook(spark, dir, Some(cbV))
+    val cellsV = VersionedTable.currentVersion(spark, cellsDir(dir))
+      .getOrElse(throw new IllegalStateException(
+        s"no committed cells in $dir"))
+    val cells = VersionedTable.read(spark, cellsDir(dir), Some(cellsV))
+      .withColumn("ehash", xxhash64(col("e")))
+    val codes = VersionedTable.read(spark, pqCodesDir(dir), Some(codesV))
+      .select(col("vec_id"), col("cell").as("c_cell"),
+        col("ehash").as("c_ehash"))
+    // delta: rows missing from codes or with a changed cell/vector
+    val changed = cells.join(codes, Seq("vec_id"), "left")
+      .filter(col("c_cell").isNull ||
+        col("c_cell") =!= col("cell") || col("c_ehash") =!= col("ehash"))
+      .select(col("vec_id"), col("e"), col("cell"))
+    // rows gone from cells (retired vectors)
+    val gone = codes.join(cells.select(col("vec_id")), Seq("vec_id"),
+      "left_anti").select(col("vec_id"))
+    val encoded = encode(changed, cb, m, ks, sub)
+      .withColumn("op", lit("u"))
+    val source = encoded.unionByName(
+      gone.select(col("vec_id"),
+        lit(null).cast(encoded.schema("cell").dataType).as("cell"),
+        lit(null).cast(encoded.schema("codes").dataType).as("codes"),
+        lit(null).cast("bigint").as("ehash"), lit("d").as("op")))
+      .localCheckpoint(true)
+    if (source.isEmpty) return codesV
+    val v = Merge.mergeVersioned(spark, pqCodesDir(dir), source,
+      Seq("vec_id"),
+      Seq(
+        Merge.MatchedDelete(Some(col("s.op") === "d")),
+        Merge.MatchedUpdate(Some(col("s.op") === "u"), Map(
+          "cell" -> col("s.cell"), "codes" -> col("s.codes"),
+          "ehash" -> col("s.ehash"))),
+        Merge.NotMatchedInsert(Some(col("s.op") === "u"), Map(
+          "vec_id" -> col("s.vec_id"), "cell" -> col("s.cell"),
+          "codes" -> col("s.codes"), "ehash" -> col("s.ehash")))))
+    recordPqLineage(spark, dir, v, cbV, cellsV)
+    v
+  }
+
+  /** Top-k cosine neighbors served from the COMPRESSED snapshot
+    * (IVFADC): centroid ranking exactly as [[query]], ADC scoring
+    * over the probed rows of the codes table (m lookups per row, no
+    * float vectors touched), exact re-rank of the `shortlist`-row ADC
+    * front against the cells snapshot the codes were synced to. A
+    * pinned `version` (of the codes table) resolves its matching
+    * codebook AND cells version through the lineage sidecars. */
+  def queryPq(spark: SparkSession, dir: String, qe: Seq[Double], k: Int = 10,
+      version: Option[Long] = None, excludeVecId: Option[Long] = None,
+      shortlist: Int = -1): DataFrame = {
+    // default re-rank depth: 10x the answer size (>= 100) — the usual
+    // IVFADC refinement ratio; still constant-sized against the corpus
+    val slist = if (shortlist > 0) shortlist else math.max(10 * k, 100)
+    graft.functions.CosineSimilarity.register(spark)
+    val codesV = version.orElse(
+      VersionedTable.currentVersion(spark, pqCodesDir(dir)))
+      .getOrElse(throw new IllegalStateException(
+        s"no committed codes in $dir — buildPq first"))
+    val cbV = pqSidecar(spark, dir, "_CODEBOOK_V", codesV)
+    val cellsV = pqSidecar(spark, dir, "_CELLS_V", codesV)
+    val (cb, m, ks, sub) = readCodebook(spark, dir, cbV)
+    val centVersion = cellsV.flatMap(v => centroidVersionFor(spark, dir, v))
+    val centroids = VersionedTable.read(spark, centroidsDir(dir), centVersion)
+      .select(col("cell"), col("ce"))
+      .collect()
+      .map(r => (r.getInt(0),
+        r.getAs[scala.collection.Seq[Double]](1).toArray))
+      .sortBy(_._1)
+    val qn = { var n = 0.0; qe.foreach(x => n += x * x); math.sqrt(n) }
+    val qu = qe.map(_ / qn).toArray
+    val qcell = centroids.minBy { case (i, c) =>
+      var d = 0.0; var j = 0
+      while (j < c.length) { val t = qu(j) - c(j); d += t * t; j += 1 }
+      (d, i)
+    }._1
+    val nprobe = math.max(2, math.ceil(centroids.length / 4.0).toInt)
+    val ranked = centroids.filter(_._1 != qcell).map { case (i, c) =>
+      var dot = 0.0; var n = 0.0; var j = 0
+      while (j < c.length) { dot += c(j) * qe(j); n += c(j) * c(j); j += 1 }
+      (i, dot / math.sqrt(n))
+    }.sortBy(-_._2)
+    val probes = qcell +: ranked.take(nprobe - 1).map(_._1)
+    val lut = graft.ops.Llm.pqLut(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(qu), cb, m, ks, sub)
+    val codes = VersionedTable.read(spark, pqCodesDir(dir), Some(codesV))
+    val front = excludeVecId.fold(codes)(id =>
+        codes.filter(col("vec_id") =!= id))
+      .filter(col("cell").isin(probes.toIndexedSeq: _*))
+      .withColumn("lut", typedlit(lut.toSeq))
+      .withColumn("adc", expr(graft.ops.Llm.pqAdcExpr(m, ks)))
+      .orderBy(col("adc").asc, col("vec_id"))
+      .limit(slist)
+      .select(col("vec_id"), col("cell"))
+    // floats page in for the shortlist rows only, from the cells
+    // snapshot the codes lineage pins — scanned PRUNED to the probed
+    // cells (the shortlist is a subset of them by construction), so
+    // the re-rank never reads the full float table either
+    import spark.implicits._
+    val query = Seq(Tuple1(qe)).toDF("qe")
+    val cellsTbl = VersionedTable.read(spark, cellsDir(dir), cellsV)
+      .filter(col("cell").isin(probes.toIndexedSeq: _*))
+      .select(col("vec_id"), col("e"))
+    front.join(cellsTbl, Seq("vec_id"))
+      .crossJoin(broadcast(query))
+      .withColumn("cosine", round(expr("cosine_sim(e, qe)"), 6))
+      .select(col("vec_id"), col("cell"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
   }
 
   /** Top-k cosine neighbors of `qe` served purely from the committed

@@ -1554,6 +1554,46 @@ object Llm {
     (m, dim / m)
   }
 
+  /** PQ encode expression over bound columns `unit` (the unit vector)
+    * and `cb` (flat codebook literal, layout cb[(j*ks+c)*sub+t]):
+    * per subspace, each candidate distance computed ONCE via a
+    * struct-array aggregate, first-minimum tie-break — deterministic.
+    * Shared with the persisted AnnIndex PQ layer so snapshot-encoded
+    * codes equal session-encoded codes by construction. */
+  private[graft] def pqEncodeExpr(m: Int, ks: Int, sub: Int): String =
+    s"""transform(sequence(0, ${m - 1}), j ->
+          aggregate(
+            transform(sequence(0, ${ks - 1}), c -> named_struct(
+              'c', c,
+              'd', aggregate(sequence(1, $sub), cast(0 as double),
+                (s, t) -> s + pow(element_at(unit, j * $sub + t)
+                  - element_at(cb, (j * $ks + c) * $sub + t), 2)))),
+            named_struct('c', -1, 'd', cast('Infinity' as double)),
+            (acc, x) -> IF(x.d < acc.d, x, acc)).c)"""
+
+  /** ADC scoring expression over bound columns `lut` (per-query m*ks
+    * lookup table) and `codes`: m array lookups + adds per row. */
+  private[graft] def pqAdcExpr(m: Int, ks: Int): String =
+    s"""aggregate(sequence(0, ${m - 1}), cast(0 as double),
+          (acc, j) -> acc + element_at(lut,
+            j * $ks + element_at(codes, j + 1) + 1))"""
+
+  /** Per-query ADC lookup table: lut[j*ks + c] = ||q_j - cb_j[c]||^2
+    * over the unit query vector — m*ks entries, driver-sized. */
+  private[graft] def pqLut(qu: scala.collection.Seq[Double],
+      cb: Array[Double], m: Int, ks: Int, sub: Int): Array[Double] = {
+    val lut = new Array[Double](m * ks)
+    for (j <- 0 until m; c <- 0 until ks) {
+      var d = 0.0; var t = 0
+      while (t < sub) {
+        val diff = qu(j * sub + t) - cb((j * ks + c) * sub + t)
+        d += diff * diff; t += 1
+      }
+      lut(j * ks + c) = d
+    }
+    lut
+  }
+
   private val pqFitCap = 4096
   private val pqKs = 16
   private val pqIters = 12
@@ -1602,19 +1642,9 @@ object Llm {
           .map(_.getAs[scala.collection.Seq[Double]](0).toArray)
         val ks = math.min(pqKs, sample.length)
         val cb = fitPqCodebooks(sample, m, ks, pqIters, seed = 42L)
-        val codesE =
-          s"""transform(sequence(0, ${m - 1}), j ->
-                aggregate(
-                  transform(sequence(0, ${ks - 1}), c -> named_struct(
-                    'c', c,
-                    'd', aggregate(sequence(1, $sub), cast(0 as double),
-                      (s, t) -> s + pow(element_at(unit, j * $sub + t)
-                        - element_at(cb, (j * $ks + c) * $sub + t), 2)))),
-                  named_struct('c', -1, 'd', cast('Infinity' as double)),
-                  (acc, x) -> IF(x.d < acc.d, x, acc)).c)"""
         val codes = cells
           .withColumn("cb", typedLit(cb.toSeq))
-          .withColumn("codes", expr(codesE))
+          .withColumn("codes", expr(pqEncodeExpr(m, ks, sub)))
           .select(col("vec_id"), col("cell"), col("unit"), col("codes"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val v = (cb, m, ks, sub, codes)
@@ -1657,22 +1687,11 @@ object Llm {
       }
       .sortBy(-_._2)
     val probes = qcell +: centersRanked.take(nprobe - 1).map(_._1)
-    val lut = new Array[Double](m * ks)
-    for (j <- 0 until m; c <- 0 until ks) {
-      var d = 0.0; var t = 0
-      while (t < sub) {
-        val diff = qe(j * sub + t) - cb((j * ks + c) * sub + t)
-        d += diff * diff; t += 1
-      }
-      lut(j * ks + c) = d
-    }
+    val lut = pqLut(qe, cb, m, ks, sub)
     val shortlist = codes
       .filter(col("vec_id") =!= 0 && col("cell").isin(probes: _*))
       .withColumn("lut", typedLit(lut.toSeq))
-      .withColumn("adc", expr(
-        s"""aggregate(sequence(0, ${m - 1}), cast(0 as double),
-              (acc, j) -> acc + element_at(lut,
-                j * $ks + element_at(codes, j + 1) + 1))"""))
+      .withColumn("adc", expr(pqAdcExpr(m, ks)))
       .orderBy(col("adc").asc, col("vec_id"))
       .limit(50)
     shortlist
@@ -1740,6 +1759,31 @@ object Llm {
       .select(col("embedding").cast("array<double>"))
       .head().getAs[scala.collection.Seq[Double]](0).toSeq
     graft.engine.AnnIndex.query(spark, idx, qe, k = 10,
+      excludeVecId = Some(0L))
+  }
+
+  /** The PERSISTED IVFADC face of L3: the same committed index as
+    * `q_llm_ann_index` plus its PQ layer (versioned codebook + codes
+    * tables, [[graft.engine.AnnIndex.buildPq]]), with the probe's
+    * candidate scoring running over 8-byte codes instead of float
+    * vectors and only the shortlist paging the floats back in for the
+    * exact re-rank — the serving shape where the compressed index
+    * fits in memory at corpus sizes the float table cannot. buildPq
+    * is idempotent per committed index (currentVersion check), so
+    * repeat invocations pay a metadata read + the probe. Rows-only
+    * check (quantizer fits are not SQL-expressible); AnnIndexSpec
+    * pins PQ-serve == exact-serve at shortlist >= probed rows and the
+    * lineage coherence across rebuilds. */
+  val annIndexServePq: Q = (spark, dir) => {
+    val idx = annIndexPath(spark, dir)
+    if (graft.engine.VersionedTable.currentVersion(spark,
+        graft.engine.AnnIndex.pqCodesDir(idx)).isEmpty)
+      graft.engine.AnnIndex.buildPq(spark, idx)
+    val qe = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getAs[scala.collection.Seq[Double]](0).toSeq
+    graft.engine.AnnIndex.queryPq(spark, idx, qe, k = 10,
       excludeVecId = Some(0L))
   }
 
@@ -3028,6 +3072,7 @@ object Llm {
     "q_llm_ann_ivf" -> annIvf,
     "q_llm_ann_pq" -> annIvfPq,
     "q_llm_ann_index" -> annIndexServe,
+    "q_llm_ann_pq_index" -> annIndexServePq,
     "q_llm_tokenize_bpe" -> tokenizeBpe,
     "q_llm_bpe_train" -> bpeTrain,
     "q_llm_bpe_train_batched" -> bpeTrainBatched,

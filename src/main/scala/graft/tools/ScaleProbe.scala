@@ -235,6 +235,13 @@ object ScaleProbe {
       }
       time("table changelog") { Advanced.tableChanges(spark, dst) }
       time("ann index serve") { Llm.annIndexServe(spark, dst) }
+      // persisted IVFADC: the COLD call pays the codebook fit (bounded
+      // by fitCap regardless of factor) + the corpus encode+commit —
+      // the linear term the trend watches; the WARM call is the pure
+      // serve product (centroid rank + ADC over probed byte codes +
+      // shortlist re-rank), which should stay ~flat across factors
+      time("ann pq index cold") { Llm.queries("q_llm_ann_pq_index")(spark, dst) }
+      time("ann pq index warm") { Llm.queries("q_llm_ann_pq_index")(spark, dst) }
       time("editdist join (fastss)") { Joins.joinEditDist(spark, dst) }
       // the entry reads the customer DIM, which the inflater keeps
       // fixed — for a real trend, inflate the NAME TABLE itself:

@@ -353,6 +353,114 @@ class AnnIndexSpec extends SparkTestBase {
     graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("PQ layer: ADC serve equals exact serve; steady-state sync commits nothing") {
+    val dim = 8
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian())
+    }
+    val anchor = vec(1)
+    val base = (0 until 60).map(i => (i.toLong, vec(1100 + i))) :+
+      (900L, anchor.map(_ + 0.01))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_pq").toString
+    AnnIndex.build(spark, base.toDF("vec_id", "e"), dir)
+    val codesV0 = AnnIndex.buildPq(spark, dir)
+
+    // at shortlist >= probed rows the exact re-rank sees every probed
+    // vector, so IVFADC == exact-float serve VERBATIM (same probe rule)
+    val exact = AnnIndex.query(spark, dir, anchor, k = 5)
+      .as[(Long, Int, Double)].collect().toSeq
+    val adc = AnnIndex.queryPq(spark, dir, anchor, k = 5, shortlist = 1000)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(adc == exact, s"IVFADC diverged:\nexact $exact\nadc   $adc")
+    assert(adc.head._1 == 900L && adc.head._3 > 0.999)
+    // a REAL shortlist still surfaces the planted neighbor: the ADC
+    // front is an approximation, the near-anchor survives it
+    val tight = AnnIndex.queryPq(spark, dir, anchor, k = 5, shortlist = 10)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(tight.head._1 == 900L, s"planted neighbor lost in ADC front: $tight")
+
+    // nothing changed in cells: sync must return the SAME version with
+    // no new commit (steady-state maintenance is free)
+    assert(AnnIndex.syncCodes(spark, dir) == codesV0)
+    assert(VersionedTable.currentVersion(spark,
+      AnnIndex.pqCodesDir(dir)).contains(codesV0))
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("PQ sync reconciles refresh + remove; codes never drift from cells") {
+    val dim = 8
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian())
+    }
+    val anchor = vec(1)
+    val base = (0 until 60).map(i => (i.toLong, vec(1300 + i))) :+
+      (900L, anchor.map(_ + 0.01))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_pqs").toString
+    AnnIndex.build(spark, base.toDF("vec_id", "e"), dir)
+    val codesV0 = AnnIndex.buildPq(spark, dir)
+
+    // cells move first: 901 inserts at the anchor, 900 moves far away,
+    // 5 retires — then codes catch up in ONE delta-sized merge
+    AnnIndex.refresh(spark,
+      Seq((901L, anchor), (900L, vec(999))).toDF("vec_id", "e"), dir)
+    AnnIndex.remove(spark, Seq(5L), dir)
+    val codesV1 = AnnIndex.syncCodes(spark, dir)
+    assert(codesV1 > codesV0)
+
+    // codes row set == cells row set (insert, update, delete all landed)
+    val cellIds = VersionedTable.read(spark, AnnIndex.cellsDir(dir))
+      .select(col("vec_id")).as[Long].collect().toSet
+    val codeIds = VersionedTable.read(spark, AnnIndex.pqCodesDir(dir))
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(codeIds == cellIds, "codes must mirror cells after sync")
+    assert(!codeIds.contains(5L) && codeIds.contains(901L))
+
+    val top = AnnIndex.queryPq(spark, dir, anchor, k = 5, shortlist = 1000)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(top.head._1 == 901L && top.head._3 > 0.999999,
+      s"synced insert must serve first: $top")
+    assert(!top.exists(r => r._1 == 900L && r._3 > 0.999),
+      s"moved vector must score at its NEW position: $top")
+    // and a second sync on the now-settled state is again a no-op
+    assert(AnnIndex.syncCodes(spark, dir) == codesV1)
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("pinned PQ query resolves its (codebook, cells, centroids) lineage across a rebuild") {
+    val dim = 8
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian())
+    }
+    val anchor = vec(1)
+    val base = (0 until 50).map(i => (i.toLong, vec(1500 + i))) :+
+      (900L, anchor.map(_ + 0.001))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_pqp").toString
+    AnnIndex.build(spark, base.toDF("vec_id", "e"), dir)
+    val codesV0 = AnnIndex.buildPq(spark, dir)
+    val before = AnnIndex.queryPq(spark, dir, anchor, k = 5,
+      version = Some(codesV0)).as[(Long, Int, Double)].collect().toSeq
+
+    // full rebuild on a shifted corpus: new quantizer, new codebook,
+    // new codes. Scoring v0 codes with the NEW codebook (or re-ranking
+    // against the new cells) is the garbage mode the lineage sidecars
+    // exist to prevent.
+    val shifted = (0 until 50).map(i => (i.toLong, vec(5000 + i))) :+
+      (900L, anchor.map(_ + 0.001))
+    AnnIndex.build(spark, shifted.toDF("vec_id", "e"), dir)
+    AnnIndex.buildPq(spark, dir)
+    val pinned = AnnIndex.queryPq(spark, dir, anchor, k = 5,
+      version = Some(codesV0)).as[(Long, Int, Double)].collect().toSeq
+    assert(pinned == before,
+      s"pinned PQ lineage must be rebuild-proof:\nbefore $before\npinned $pinned")
+    // and the current compressed index answers from the new build
+    assert(AnnIndex.queryPq(spark, dir, anchor, k = 1)
+      .as[(Long, Int, Double)].collect().head._1 == 900L)
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("refresh assignment matches MLlib transform on the same centroids") {
     val dim = 8
     def vec(seed: Int): Seq[Double] = {

@@ -172,6 +172,13 @@ class ApproxRecallSpec extends SparkTestBase {
       val pq = Llm.annIvfPq(spark, dir).collect().map(_.getLong(0)).toSet
       val rPq = (exact & pq).size
       assert(rPq >= 9, s"n=$n: annIvfPq recall $rPq/10 on planted neighbors")
+      // the PERSISTED COMPRESSED path (q_llm_ann_pq_index): committed
+      // codebook + codes tables, IVFADC serve — same gate again
+      val pqIdx = Llm.queries("q_llm_ann_pq_index")(spark, dir)
+        .collect().map(_.getLong(0)).toSet
+      val rPqIdx = (exact & pqIdx).size
+      assert(rPqIdx >= 9,
+        s"n=$n: persisted IVFADC recall $rPqIdx/10 on planted neighbors")
       releaseCaches()
       graft.util.Fs.deleteRecursively(dir)
     }
