@@ -81,6 +81,7 @@ object Bench {
         graft.ops.Llm.invalidateClusterLabelCache()
         graft.ops.Llm.invalidateIslandsCache()
         graft.ops.Llm.invalidateSnapshotSigCache()
+        graft.ops.Llm.invalidatePqCache()
         // scoped: wiping the Z-ordered table during an UNRELATED
         // rerun would silently turn the later q_data_skipping_read
         // entry into a full write+read

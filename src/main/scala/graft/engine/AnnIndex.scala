@@ -51,10 +51,11 @@ object AnnIndex {
     VersionedTable.atomicWrite(spark, cellsDir(dir),
       s"_CENTROIDS_V$cellsVersion", centroidsVersion.toString)
 
-  private[graft] def centroidVersionFor(spark: SparkSession, dir: String,
-      cellsVersion: Long): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(cellsDir(dir),
-      s"_CENTROIDS_V$cellsVersion")
+  /** Read a one-number sidecar under `tableDir` — the shared idiom
+    * behind every lineage pointer here (centroid-pair and PQ). */
+  private def sidecarLong(spark: SparkSession, tableDir: String,
+      name: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(tableDir, name)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(p)) None
     else {
@@ -64,6 +65,10 @@ object AnnIndex {
       finally in.close()
     }
   }
+
+  private[graft] def centroidVersionFor(spark: SparkSession, dir: String,
+      cellsVersion: Long): Option[Long] =
+    sidecarLong(spark, cellsDir(dir), s"_CENTROIDS_V$cellsVersion")
 
   /** Fit the IVF quantizer on `embRaw` (vec_id, e) and commit the
     * index. Returns the committed cells version.
@@ -174,31 +179,71 @@ object AnnIndex {
     v
   }
 
-  /** Index-coherent retention: expire cells history down to
-    * `keepLast` versions, drop the dropped versions' centroid-pair
-    * sidecars, and expire every centroids version no RETAINED cells
-    * version references (pre-sidecar cells versions conservatively
-    * pin everything). This is the hard-erasure half of [[remove]] —
-    * after it, a removed vector is gone from every reachable
-    * snapshot — and the maintenance face a weekly-rebuild deployment
-    * schedules beside [[VersionedTable.compactPartitioned]]. */
+  /** Index-coherent retention across ALL FOUR tables: expire codes
+    * then cells history down to `keepLast` versions (cells floored by
+    * every retained codes version's pinned `_CELLS_V` snapshot, so a
+    * pinned queryPq on live codes history always re-ranks), drop the
+    * dropped versions' lineage sidecars, and expire every centroids /
+    * codebook version no RETAINED consumer references (pre-sidecar
+    * versions conservatively pin everything). This is the
+    * hard-erasure half of [[remove]] — after it, a removed vector is
+    * gone from every reachable snapshot — and the maintenance face a
+    * weekly-rebuild deployment schedules beside
+    * [[VersionedTable.compactPartitioned]]. */
   def expire(spark: SparkSession, dir: String, keepLast: Int): Unit = {
-    // the cells snapshot the CURRENT codes version re-ranks against
-    // (its _CELLS_V lineage) must survive retention, or queryPq's
-    // exact re-rank dies underneath a servable compressed index —
-    // widen keepLast just enough to cover it (a maintenance loop that
-    // syncCodes-es before expiring never actually widens)
-    val cellsKeep = {
-      val ref = VersionedTable.currentVersion(spark, pqCodesDir(dir))
-        .flatMap(v => pqSidecar(spark, dir, "_CELLS_V", v))
-      val vs = VersionedTable.versions(spark, cellsDir(dir))
-      ref.map(r => math.max(keepLast, vs.count(_ >= r))).getOrElse(keepLast)
-    }
-    VersionedTable.expireVersions(spark, cellsDir(dir), cellsKeep)
-    val retained = VersionedTable.versions(spark, cellsDir(dir))
-    val refs = retained.map(v => centroidVersionFor(spark, dir, v))
     val f = new org.apache.hadoop.fs.Path(cellsDir(dir))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // PQ layer FIRST, if built: which codes versions survive decides
+    // which cells snapshots their pinned lineage still needs — every
+    // RETAINED codes version's _CELLS_V reference must outlive cells
+    // retention, or a pinned queryPq on a still-listed codes version
+    // dies on the re-rank (the same reader-snapshot rule Delta's
+    // vacuum honors). Cells history thus lives exactly as long as a
+    // live codes version pins it; expiring the codes version releases
+    // its floor on the next expire.
+    val cellsFloor: Option[Long] =
+      if (VersionedTable.currentVersion(spark, pqCodesDir(dir)).isEmpty) None
+      else {
+        VersionedTable.expireVersions(spark, pqCodesDir(dir), keepLast)
+        val retainedCodes = VersionedTable.versions(spark, pqCodesDir(dir))
+        // drop dropped-prefix lineage sidecars only (strictly older
+        // than every retained version): a concurrent sync may have
+        // committed a NEWER version + sidecars after `retainedCodes`
+        // was read, and a bare not-in-retained filter would delete
+        // that live lineage.
+        f.listStatus(new org.apache.hadoop.fs.Path(pqCodesDir(dir))).toSeq
+          .map(_.getPath)
+          .filter(p => p.getName.startsWith("_CODEBOOK_V") ||
+            p.getName.startsWith("_CELLS_V"))
+          .filter(p => retainedCodes.nonEmpty &&
+            p.getName.dropWhile(!_.isDigit).toLong < retainedCodes.min)
+          .foreach(p => f.delete(p, false))
+        // codebook versions no retained codes version references
+        // expire as a prefix (referenced versions may interleave)
+        val cbRefs = retainedCodes
+          .map(v => pqSidecar(spark, dir, "_CODEBOOK_V", v))
+        if (cbRefs.nonEmpty && cbRefs.forall(_.isDefined)) {
+          val oldestCb = cbRefs.flatten.min
+          val cbVs = VersionedTable.versions(spark, codebookDir(dir))
+          val dropPrefix = cbVs.takeWhile(_ < oldestCb)
+          if (dropPrefix.nonEmpty)
+            VersionedTable.expireVersions(spark, codebookDir(dir),
+              keepLast = cbVs.size - dropPrefix.size)
+        }
+        val cellRefs = retainedCodes
+          .map(v => pqSidecar(spark, dir, "_CELLS_V", v))
+        // a pre-lineage codes version pins nothing it can name — fall
+        // back to plain count retention rather than guess
+        if (cellRefs.nonEmpty && cellRefs.forall(_.isDefined))
+          Some(cellRefs.flatten.min)
+        else None
+      }
+    // the floor is applied inside expireVersions against ITS OWN
+    // listing, so a refresh committing concurrently cannot shift the
+    // keep-newest window past a pinned snapshot
+    VersionedTable.expireVersions(spark, cellsDir(dir), keepLast, cellsFloor)
+    val retained = VersionedTable.versions(spark, cellsDir(dir))
+    val refs = retained.map(v => centroidVersionFor(spark, dir, v))
     // drop sidecars whose cells version no longer exists. Only the
     // dropped PREFIX (strictly older than every retained version) is
     // eligible: a concurrent refresh may have committed a NEWER
@@ -223,31 +268,6 @@ object AnnIndex {
         VersionedTable.expireVersions(spark, centroidsDir(dir),
           keepLast = centVs.size - dropPrefix.size)
     }
-    // PQ layer, if built: same motion — expire codes history, drop
-    // the dropped versions' lineage sidecars, expire codebook
-    // versions no retained codes version references.
-    if (VersionedTable.currentVersion(spark, pqCodesDir(dir)).nonEmpty) {
-      VersionedTable.expireVersions(spark, pqCodesDir(dir), keepLast)
-      val retainedCodes = VersionedTable.versions(spark, pqCodesDir(dir))
-      // dropped-prefix rule again (see the centroids sidecar prune)
-      f.listStatus(new org.apache.hadoop.fs.Path(pqCodesDir(dir))).toSeq
-        .map(_.getPath)
-        .filter(p => p.getName.startsWith("_CODEBOOK_V") ||
-          p.getName.startsWith("_CELLS_V"))
-        .filter(p => retainedCodes.nonEmpty &&
-          p.getName.dropWhile(!_.isDigit).toLong < retainedCodes.min)
-        .foreach(p => f.delete(p, false))
-      val cbRefs = retainedCodes
-        .map(v => pqSidecar(spark, dir, "_CODEBOOK_V", v))
-      if (cbRefs.nonEmpty && cbRefs.forall(_.isDefined)) {
-        val oldestCb = cbRefs.flatten.min
-        val cbVs = VersionedTable.versions(spark, codebookDir(dir))
-        val dropPrefix = cbVs.takeWhile(_ < oldestCb)
-        if (dropPrefix.nonEmpty)
-          VersionedTable.expireVersions(spark, codebookDir(dir),
-            keepLast = cbVs.size - dropPrefix.size)
-      }
-    }
   }
 
   // ------------------------------------------------------------- PQ layer
@@ -271,18 +291,8 @@ object AnnIndex {
   }
 
   private def pqSidecar(spark: SparkSession, dir: String, prefix: String,
-      codesVersion: Long): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(pqCodesDir(dir),
-      s"$prefix$codesVersion")
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try Some(new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-      finally in.close()
-    }
-  }
+      codesVersion: Long): Option[Long] =
+    sidecarLong(spark, pqCodesDir(dir), s"$prefix$codesVersion")
 
   private def readCodebook(spark: SparkSession, dir: String,
       version: Option[Long]): (Array[Double], Int, Int, Int) = {
@@ -407,6 +417,38 @@ object AnnIndex {
     v
   }
 
+  /** The probe rule shared VERBATIM by [[query]] and [[queryPq]] (the
+    * spec-pinned "ADC serve == exact serve" equivalence rides on the
+    * two paths probing identical cells): load the metadata-sized
+    * centroid table at `centVersion`, assign the query its own cell
+    * (argmin euclid, first index wins — MLlib's rule), rank the rest
+    * by centroid cosine, probe own + nprobe-1 next. Returns (probed
+    * cell ids, unit-normalized query). */
+  private def selectProbes(spark: SparkSession, dir: String,
+      qe: Seq[Double], centVersion: Option[Long])
+      : (Seq[Int], Array[Double]) = {
+    val centroids = VersionedTable.read(spark, centroidsDir(dir), centVersion)
+      .select(col("cell"), col("ce"))
+      .collect()
+      .map(r => (r.getInt(0),
+        r.getAs[scala.collection.Seq[Double]](1).toArray))
+      .sortBy(_._1)
+    val qn = { var n = 0.0; qe.foreach(x => n += x * x); math.sqrt(n) }
+    val qu = qe.map(_ / qn).toArray
+    val qcell = centroids.minBy { case (i, c) =>
+      var d = 0.0; var j = 0
+      while (j < c.length) { val t = qu(j) - c(j); d += t * t; j += 1 }
+      (d, i)
+    }._1
+    val nprobe = math.max(2, math.ceil(centroids.length / 4.0).toInt)
+    val ranked = centroids.filter(_._1 != qcell).map { case (i, c) =>
+      var dot = 0.0; var n = 0.0; var j = 0
+      while (j < c.length) { dot += c(j) * qe(j); n += c(j) * c(j); j += 1 }
+      (i, dot / math.sqrt(n))
+    }.sortBy(-_._2)
+    ((qcell +: ranked.take(nprobe - 1).map(_._1)).toIndexedSeq, qu)
+  }
+
   /** Top-k cosine neighbors served from the COMPRESSED snapshot
     * (IVFADC): centroid ranking exactly as [[query]], ADC scoring
     * over the probed rows of the codes table (m lookups per row, no
@@ -429,26 +471,7 @@ object AnnIndex {
     val cellsV = pqSidecar(spark, dir, "_CELLS_V", codesV)
     val (cb, m, ks, sub) = readCodebook(spark, dir, cbV)
     val centVersion = cellsV.flatMap(v => centroidVersionFor(spark, dir, v))
-    val centroids = VersionedTable.read(spark, centroidsDir(dir), centVersion)
-      .select(col("cell"), col("ce"))
-      .collect()
-      .map(r => (r.getInt(0),
-        r.getAs[scala.collection.Seq[Double]](1).toArray))
-      .sortBy(_._1)
-    val qn = { var n = 0.0; qe.foreach(x => n += x * x); math.sqrt(n) }
-    val qu = qe.map(_ / qn).toArray
-    val qcell = centroids.minBy { case (i, c) =>
-      var d = 0.0; var j = 0
-      while (j < c.length) { val t = qu(j) - c(j); d += t * t; j += 1 }
-      (d, i)
-    }._1
-    val nprobe = math.max(2, math.ceil(centroids.length / 4.0).toInt)
-    val ranked = centroids.filter(_._1 != qcell).map { case (i, c) =>
-      var dot = 0.0; var n = 0.0; var j = 0
-      while (j < c.length) { dot += c(j) * qe(j); n += c(j) * c(j); j += 1 }
-      (i, dot / math.sqrt(n))
-    }.sortBy(-_._2)
-    val probes = qcell +: ranked.take(nprobe - 1).map(_._1)
+    val (probes, qu) = selectProbes(spark, dir, qe, centVersion)
     val lut = graft.ops.Llm.pqLut(
       scala.collection.immutable.ArraySeq.unsafeWrapArray(qu), cb, m, ks, sub)
     val codes = VersionedTable.read(spark, pqCodesDir(dir), Some(codesV))
@@ -492,30 +515,7 @@ object AnnIndex {
     // old-quantizer cell ids is exactly the inconsistency time travel
     // exists to avoid. Pre-sidecar indexes fall back to current.
     val centVersion = version.flatMap(v => centroidVersionFor(spark, dir, v))
-    val centroids = VersionedTable.read(spark, centroidsDir(dir), centVersion)
-      .select(col("cell"), col("ce"))
-      .collect()
-      .map(r => (r.getInt(0),
-        r.getAs[scala.collection.Seq[Double]](1).toArray))
-      .sortBy(_._1)
-    val qn = {
-      var n = 0.0; qe.foreach(x => n += x * x); math.sqrt(n)
-    }
-    val qu = qe.map(_ / qn).toArray
-    // query cell: the assignment rule (argmin euclid, first wins)
-    val qcell = centroids.minBy { case (i, c) =>
-      var d = 0.0; var j = 0
-      while (j < c.length) { val t = qu(j) - c(j); d += t * t; j += 1 }
-      (d, i)
-    }._1
-    val nprobe = math.max(2, math.ceil(centroids.length / 4.0).toInt)
-    // ranked probes: centroid cosine, annIvf's rule verbatim
-    val ranked = centroids.filter(_._1 != qcell).map { case (i, c) =>
-      var dot = 0.0; var n = 0.0; var j = 0
-      while (j < c.length) { dot += c(j) * qe(j); n += c(j) * c(j); j += 1 }
-      (i, dot / math.sqrt(n))
-    }.sortBy(-_._2)
-    val probes = qcell +: ranked.take(nprobe - 1).map(_._1)
+    val (probes, _) = selectProbes(spark, dir, qe, centVersion)
     import spark.implicits._
     val query = Seq(Tuple1(qe)).toDF("qe")
     val cells = VersionedTable.read(spark, cellsDir(dir), version)

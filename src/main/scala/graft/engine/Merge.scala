@@ -166,25 +166,36 @@ object Merge {
     // Ambiguity enforcement: count duplicated source keys that match
     // a target row (a key aggregate + semi join, both on the already-
     // shuffled key) and fail the job through `assert_true` if it is
-    // nonzero. The guard is a zero-or-poison frame UNIONED into the
-    // output — NOT a predicate attached to the output rows — so it is
-    // evaluated independently of output cardinality: an unconditional
-    // MatchedDelete that drops every row still trips it (attaching
-    // the assert to output rows evaluates it zero times there). The
-    // assert lives in the FILTER (not the projection) so column
-    // pruning cannot elide it: when __n_amb = 0 the row is dropped
-    // and the frame contributes nothing; when > 0 the filter raises.
+    // nonzero — through TWO complementary carriers, because each has
+    // an escape path the other closes:
+    //  - a zero-or-poison frame UNIONED into the output covers EMPTY
+    //    outputs (an unconditional MatchedDelete that drops every row
+    //    — a per-row guard evaluates zero times there), but a
+    //    limit-pruned consumer (merge(...).limit(1)) can satisfy its
+    //    CollectLimit from the resolved child's partitions and never
+    //    execute the poison partition;
+    //  - a per-row predicate (the 1-row ambiguity count broadcast
+    //    into every output row) covers any PARTIAL consumption of a
+    //    non-empty output, and an empty-output limit scan falls
+    //    through to the poison partition.
+    // The asserts live in FILTERs (not projections) so column pruning
+    // cannot elide them; when __n_amb = 0 both carriers are free.
+    val ambMsg = "MERGE: multiple source rows match one target row"
     val ambCount = dupSourceKeys
       .join(target.select(keys.map(col): _*), keys, "left_semi")
       .agg(count(lit(1)).as("__n_amb"))
     val resolvedSchema = resolved.schema
     val poison = ambCount
       .filter(col("__n_amb") > 0 &&
-        assert_true(col("__n_amb") === 0,
-          lit("MERGE: multiple source rows match one target row")).isNull)
+        assert_true(col("__n_amb") === 0, lit(ambMsg)).isNull)
       .select(outCols.map(cn =>
         lit(null).cast(resolvedSchema(cn).dataType).as(cn)): _*)
-    resolved.select(outCols.map(col): _*).unionByName(poison)
+    val guarded = resolved.select(outCols.map(col): _*)
+      .crossJoin(broadcast(ambCount))
+      .filter(col("__n_amb") === 0 ||
+        assert_true(col("__n_amb") === 0, lit(ambMsg)).isNull)
+      .select(outCols.map(col): _*)
+    guarded.unionByName(poison)
   }
 
   /** The committed face: merge `source` into the `VersionedTable` at

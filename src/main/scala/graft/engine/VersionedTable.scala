@@ -595,12 +595,26 @@ object VersionedTable {
     * expired version into a confusing missing-parquet error instead of
     * the clean no-committed-version path); the claim marker stays — it
     * is what proves the version number was consumed. */
-  def expireVersions(spark: SparkSession, dir: String, keepLast: Int): Seq[Long] = {
+  def expireVersions(spark: SparkSession, dir: String, keepLast: Int): Seq[Long] =
+    expireVersions(spark, dir, keepLast, None)
+
+  /** Count-based retention with a protection FLOOR: versions >=
+    * `keepFrom` are retained regardless of the count. The floor is
+    * applied against THIS call's own listing, so a caller whose floor
+    * derives from another table's lineage (AnnIndex: the cells
+    * snapshots live codes versions re-rank against) is race-proof
+    * against concurrent commits shifting the keep-newest window —
+    * a newer concurrent commit lands inside the newest-keepLast set,
+    * and lineage floors only ever move up. */
+  def expireVersions(spark: SparkSession, dir: String, keepLast: Int,
+      keepFrom: Option[Long]): Seq[Long] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val cur = currentVersion(spark, dir)
     val all = versions(spark, dir)
-    dropVersions(spark, dir, all.dropRight(keepLast).filterNot(cur.contains),
-      cur, all)
+    val drop = all.dropRight(keepLast)
+      .filterNot(cur.contains)
+      .filterNot(v => keepFrom.exists(v >= _))
+    dropVersions(spark, dir, drop, cur, all)
   }
 
   /** TIME-based retention — the form production lakes actually run
@@ -977,9 +991,20 @@ object VersionedTable {
   def commitWithStats(df: DataFrame, dir: String, statsCols: Seq[String],
       allowEvolution: Boolean = false): Long = {
     require(statsCols.nonEmpty, "statsCols must not be empty")
-    setStatsColumns(df.sparkSession, dir, statsCols)
+    val spark = df.sparkSession
+    // a REJECTED commit (schema enforcement) must not leave the table
+    // property mutated — every later plain commit would pay the
+    // full-snapshot stats aggregate for columns nobody successfully
+    // registered — so restore the prior declaration on failure
+    val prev = readProp(fs(spark, dir), dir, "_STATS_COLS")
+    setStatsColumns(spark, dir, statsCols)
     // the commit path sees the sidecar and writes the manifest
-    commit(df, dir, allowEvolution)
+    try commit(df, dir, allowEvolution)
+    catch { case t: Throwable =>
+      if (prev.nonEmpty) setStatsColumns(spark, dir, prev)
+      else fs(spark, dir).delete(propPath(dir, "_STATS_COLS"), false)
+      throw t
+    }
   }
 
   /** Data-skipping read: same result as

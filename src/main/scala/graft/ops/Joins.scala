@@ -935,7 +935,10 @@ object Joins {
   private[graft] def joinEditDistAuto(names: org.apache.spark.sql.DataFrame,
       k: Int, maxLenForDeletion: Int = 40)
       : org.apache.spark.sql.DataFrame = {
-    val maxLen = names.agg(max(length(col("s")))).head().getInt(0)
+    // max(length) over zero rows is null — an empty frame routes to
+    // the deletion form, which handles it (either generator would)
+    val maxLenRow = names.agg(max(length(col("s")))).head()
+    val maxLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
     if (k == 1 && maxLen <= maxLenForDeletion) joinEditDistOn(names, k)
     else joinEditDistPrefixOn(names, k)
   }
@@ -961,7 +964,23 @@ object Joins {
       k: Int, q: Int = 2): org.apache.spark.sql.DataFrame = {
     val pref = k * q + 1
     val band = k + 1
-    val grams = names.select(col("id"), col("s"), explode(expr(
+    // SOUNDNESS FLOOR: the (k*q+1)-prefix argument needs the string to
+    // HAVE at least k*q+1 q-grams, i.e. len >= q*(k+1) — a shorter
+    // string can lose its ENTIRE gram set to k edits ("abcde" vs
+    // "azcze" at k=2, q=2: levenshtein 2, gram sets disjoint), so the
+    // gram join would silently miss the pair. Any qualifying pair with
+    // a side below the floor has BOTH sides below floor+k (|len
+    // difference| <= k), and short is exactly the regime where the
+    // deletion neighborhood's C(len, k) is small — route the short
+    // fringe there and union (both generators verify exactly, so the
+    // overlap band [floor, floor+k) dedups on identical rows).
+    val lmin = q * (k + 1)
+    val shortFringe = names.filter(length(col("s")) < lmin + k)
+    // strings shorter than q yield no grams at all (and sequence(1,
+    // len-q+1) would run DESCENDING, emitting junk positions); they
+    // are inside the fringe, so the gram side simply skips them
+    val grams = names.filter(length(col("s")) >= q)
+      .select(col("id"), col("s"), explode(expr(
       s"transform(sequence(1, length(s) - ${q - 1})," +
         s" i -> struct(substring(s, i, $q) AS g, i AS p))")).as("gp"))
       .select(col("id"), col("s"), col("gp.g").as("g"), col("gp.p").as("p"))
@@ -1007,13 +1026,14 @@ object Joins {
         col("id").as("d2"), col("s").as("s2"))
       .withColumn("bkt", explode(sequence(
         floor((col("p2") - k) / band), floor((col("p2") + k) / band))))
-    a.join(b, Seq("g", "bkt"))
+    val longPairs = a.join(b, Seq("g", "bkt"))
       .filter(col("d1") < col("d2") &&
         abs(length(col("s1")) - length(col("s2"))) <= k &&
         abs(col("p1") - col("p2")) <= k)
       .withColumn("dist", levenshtein(col("s1"), col("s2"), k))
       .filter(col("dist").between(0, k))
       .select(col("d1"), col("d2"), col("dist"))
+    longPairs.unionByName(joinEditDistOn(shortFringe, k))
       .distinct()
       .orderBy(col("d1"), col("d2"))
   }

@@ -862,6 +862,90 @@ object Llm {
       .limit(10)
   }
 
+  /** Batch kNN JOIN — every row of a query table gets its k nearest
+    * corpus vectors at once (retrieval for RAG eval sets, dedup
+    * attribution, nearest-neighbor labeling), where `cosineTopk` is
+    * the one-query face. EXACT form: the query side (eval-sized by
+    * assumption) broadcasts, each corpus partition scores all queries
+    * inside WholeStageCodegen via `cosine_sim`, and the only wide
+    * exchange is the |corpus| x |Q| scored stream into a per-query
+    * top-k window — ranked on the ROUNDED cosine with a vec_id
+    * tie-break so ranks are deterministic cross-engine. At 100 TB
+    * corpus the scored stream is the bottleneck; [[knnJoinIvf]] is
+    * the probe-pruned scale path. */
+  private[graft] def knnJoinOn(queries: DataFrame, corpus: DataFrame,
+      k: Int): DataFrame = {
+    graft.functions.CosineSimilarity.register(queries.sparkSession)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    corpus.crossJoin(broadcast(queries))
+      // + 0.0 canonicalizes a -0.0 a near-zero negative could round
+      // to (the signed-zero oracle-hash class, applied proactively)
+      .withColumn("cosine", round(expr("cosine_sim(e, qe)"), 6) + lit(0.0))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("cosine"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val knnJoin: Q = (spark, dir) => {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    knnJoinOn(
+      emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("e").as("qe")),
+      emb.filter(col("vec_id") >= 5), k = 10)
+  }
+
+  /** The probe-pruned scale path of [[knnJoinOn]]: queries assign to
+    * IVF cells DISTRIBUTIVELY (broadcast centroid table, same argmin
+    * + centroid-cosine ranking as annIvf, own cell filtered before
+    * the rank window — the advisor-fixed coverage rule), explode to
+    * their nprobe probe cells, and join the cell-keyed corpus — so
+    * each query scores only its probed cells' vectors and the scored
+    * stream shrinks from |corpus| x |Q| to ~|corpus| x |Q| x
+    * nprobe/k_cells. Candidates re-score exactly; recall is gated by
+    * ApproxRecallSpec against the exact join on planted neighbors. */
+  private[graft] def knnJoinIvf(spark: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val (model, cells) = ivfCells(spark, dir)
+    import spark.implicits._
+    val cent = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("cell", "ce")
+    val kCells = model.clusterCenters.length
+    val nprobe = math.max(2, math.ceil(kCells / 4.0).toInt)
+    val queries = cells.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("unit").as("qu"),
+        col("cell").as("qcell"))
+    // rank OTHER cells by centroid cosine per query; own cell rides
+    // along unconditionally (rn starts at the non-own cells)
+    val scored = queries.crossJoin(broadcast(cent))
+      .filter(col("cell") =!= col("qcell"))
+      .withColumn("csim", expr(
+        "aggregate(zip_with(qu, ce, (x, y) -> x * y), 0D, (a, v) -> a + v)" +
+          " / sqrt(aggregate(transform(ce, x -> x * x), 0D, (a, v) -> a + v))"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell"))))
+      .filter(col("rn") <= nprobe - 1)
+      .select(col("qid"), col("qu"), col("cell"))
+    val probes = scored.unionByName(
+      queries.select(col("qid"), col("qu"), col("qcell").as("cell")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    probes.join(
+        cells.filter(col("vec_id") >= 5)
+          .select(col("vec_id"), col("unit"), col("cell")), Seq("cell"))
+      .withColumn("cosine", round(expr("cosine_sim(unit, qu)"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("cosine"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val knnJoinIvfServe: Q = (spark, dir) => knnJoinIvf(spark, dir, 10)
+
   /** Embedding near-dup pairs above a cosine threshold.
     *
     * Shape: a broadcast nested-loop join — the build side ships through
@@ -3063,6 +3147,8 @@ object Llm {
     "q_llm_cluster_rep" -> clusterRep,
     "q_llm_dedup_simhash" -> dedupSimhash,
     "q_llm_cosine_topk" -> cosineTopk,
+    "q_llm_knn_join" -> knnJoin,
+    "q_llm_knn_join_ivf" -> knnJoinIvfServe,
     "q_llm_embed_neardup" -> embedNeardup,
     "q_llm_embed_neardup_scale_forced" -> embedNeardupForcedScale,
     "q_llm_ann_lsh" -> annLsh,
@@ -3321,6 +3407,23 @@ object Llm {
           JOIN sizes so ON so.doc_id = old_id
           WHERE ic * 1.0 / (sn.n + so.n - ic) >= 0.5
           ORDER BY new_id, old_id""",
+    "q_llm_knn_join" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                      FROM embeddings),
+          q AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id < 5),
+          c AS (SELECT vec_id, e FROM emb WHERE vec_id >= 5),
+          s AS (SELECT q.qid, c.vec_id,
+                  round(list_dot_product(c.e, q.qe)
+                    / (sqrt(list_dot_product(c.e, c.e))
+                       * sqrt(list_dot_product(q.qe, q.qe))), 6) + 0.0
+                    AS cosine
+                FROM c, q),
+          r AS (SELECT qid, vec_id, cosine,
+                  CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY cosine DESC, vec_id) AS INT) AS rank
+                FROM s)
+          SELECT qid, vec_id, cosine, rank FROM r
+          WHERE rank <= 10 ORDER BY qid, rank""",
     "q_llm_cosine_topk" ->
       """WITH q AS (
            SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings

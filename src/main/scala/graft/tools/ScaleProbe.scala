@@ -242,6 +242,11 @@ object ScaleProbe {
       // shortlist re-rank), which should stay ~flat across factors
       time("ann pq index cold") { Llm.queries("q_llm_ann_pq_index")(spark, dst) }
       time("ann pq index warm") { Llm.queries("q_llm_ann_pq_index")(spark, dst) }
+      // batch kNN join: the exact form's scored stream is |corpus| x
+      // |Q| (linear in the corpus at fixed Q); the IVF form scores
+      // only probed cells — the trend shows the probe pruning ratio
+      time("knn join exact") { Llm.queries("q_llm_knn_join")(spark, dst) }
+      time("knn join ivf") { Llm.queries("q_llm_knn_join_ivf")(spark, dst) }
       time("editdist join (fastss)") { Joins.joinEditDist(spark, dst) }
       // the entry reads the customer DIM, which the inflater keeps
       // fixed — for a real trend, inflate the NAME TABLE itself:

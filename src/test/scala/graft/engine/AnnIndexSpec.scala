@@ -461,6 +461,56 @@ class AnnIndexSpec extends SparkTestBase {
     graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("expire honors EVERY retained codes version's pinned cells lineage") {
+    val dim = 8
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian())
+    }
+    val anchor = vec(1)
+    val base = (0 until 40).map(i => (i.toLong, vec(1700 + i))) :+
+      (900L, anchor.map(_ + 0.001))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_pqe").toString
+    AnnIndex.build(spark, base.toDF("vec_id", "e"), dir)   // cells v0
+    val codesV0 = AnnIndex.buildPq(spark, dir)             // codes v0 -> cells v0
+    val pinned0 = AnnIndex.queryPq(spark, dir, anchor, k = 3,
+      version = Some(codesV0)).as[(Long, Int, Double)].collect().toSeq
+    // three refreshes advance cells (v1..v3) before codes catch up
+    for (i <- 0 until 3)
+      AnnIndex.refresh(spark,
+        Seq((950L + i, vec(8800 + i))).toDF("vec_id", "e"), dir)
+    val codesV1 = AnnIndex.syncCodes(spark, dir)           // codes v1 -> cells v3
+
+    // keepLast=2 retains BOTH codes versions; the OLDER one pins
+    // cells v0, so cells retention must floor there — a
+    // current-version-only widening expires v0 and the pinned query
+    // dies on its re-rank (the round-8 review find)
+    AnnIndex.expire(spark, dir, keepLast = 2)
+    assert(VersionedTable.versions(spark, AnnIndex.pqCodesDir(dir)) ==
+      Seq(codesV0, codesV1))
+    assert(VersionedTable.versions(spark, AnnIndex.cellsDir(dir)).contains(0L),
+      "cells v0 is pinned by retained codes v0 and must survive")
+    val pinnedAfter = AnnIndex.queryPq(spark, dir, anchor, k = 3,
+      version = Some(codesV0)).as[(Long, Int, Double)].collect().toSeq
+    assert(pinnedAfter == pinned0,
+      s"retained codes lineage broken by expire:\n$pinned0\n$pinnedAfter")
+
+    // keepLast=1 drops codes v0 — its floor releases, cells history
+    // collapses to the newest, and the old pin is genuinely erased
+    AnnIndex.expire(spark, dir, keepLast = 1)
+    assert(VersionedTable.versions(spark, AnnIndex.pqCodesDir(dir)) ==
+      Seq(codesV1))
+    assert(VersionedTable.versions(spark, AnnIndex.cellsDir(dir)) == Seq(3L))
+    intercept[Exception] {
+      AnnIndex.queryPq(spark, dir, anchor, k = 3,
+        version = Some(codesV0)).collect()
+    }
+    // the current compressed serve is untouched throughout
+    assert(AnnIndex.queryPq(spark, dir, anchor, k = 1)
+      .as[(Long, Int, Double)].collect().head._1 == 900L)
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("refresh assignment matches MLlib transform on the same centroids") {
     val dim = 8
     def vec(seed: Int): Seq[Double] = {

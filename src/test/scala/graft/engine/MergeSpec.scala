@@ -92,6 +92,32 @@ class MergeSpec extends SparkTestBase {
       NotMatchedBySourceDelete(None))).count() == 0)
   }
 
+  test("ambiguity fires under limit-pruned partial consumption") {
+    // the dual of the empty-output case: with a NON-empty output, a
+    // limit(1) can satisfy its CollectLimit from the resolved child's
+    // partitions and never execute the unioned poison partition — the
+    // per-row broadcast guard must trip on the first row consumed
+    // instead (the round-8 review find).
+    val src = Seq((1L, "x"), (1L, "y"), (5L, "ins")).toDF("k", "op")
+    val ex = intercept[Exception] {
+      merge(target, src, Seq("k"), Seq(
+        MatchedUpdate(None, Map("v" -> lit(0))),
+        NotMatchedInsert(None, Map("k" -> col("s.k")))))
+        .limit(1).collect()
+    }
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(m => String.valueOf(m.getMessage))
+      .mkString(" | ")
+    assert(chain(ex).contains("multiple source rows"),
+      s"expected the ambiguity error, got: ${chain(ex).take(300)}")
+    // a clean merge is unaffected by the per-row carrier
+    val clean = Seq((1L, "x"), (5L, "ins")).toDF("k", "op")
+    assert(merge(target, clean, Seq("k"), Seq(
+      MatchedUpdate(None, Map("v" -> lit(0))),
+      NotMatchedInsert(None, Map("k" -> col("s.k")))))
+      .limit(1).collect().length == 1)
+  }
+
   test("NOT MATCHED BY SOURCE updates and deletes unmatched target rows in order") {
     val src = Seq((1L, "x")).toDF("k", "op")
     val out = merge(target, src, Seq("k"), Seq(

@@ -228,6 +228,34 @@ class VersionedTableSpec extends SparkTestBase {
     assert(readY < totalY, s"y-only range must also skip files ($readY/$totalY)")
   }
 
+  test("commitWithStats rolls back the stats declaration when the commit is rejected") {
+    val dir = tmp("graft_vt_statsroll")
+    VersionedTable.commit(Seq((1L, 2L)).toDF("x", "y"), dir)
+    // schema-breaking frame: the commit throws AND the _STATS_COLS
+    // declaration it wrote first must not stick — otherwise every
+    // later plain commit pays a full-snapshot stats aggregate for
+    // columns nobody successfully registered (the round-8 review find)
+    intercept[Exception] {
+      VersionedTable.commitWithStats(
+        Seq(("a", 2L)).toDF("x", "y"), dir, Seq("x"))
+    }
+    assert(!new java.io.File(dir, "_STATS_COLS").exists(),
+      "rejected commit must not leave the stats property behind")
+    val v = VersionedTable.commit(Seq((3L, 4L)).toDF("x", "y"), dir)
+    assert(!new java.io.File(dir, s"manifest_v$v").exists(),
+      "no manifest may be auto-written after the rollback")
+    // with a PRIOR declaration, a rejected commit restores it
+    VersionedTable.commitWithStats(Seq((5L, 6L)).toDF("x", "y"), dir, Seq("y"))
+    intercept[Exception] {
+      VersionedTable.commitWithStats(
+        Seq(("a", 2L)).toDF("x", "y"), dir, Seq("x"))
+    }
+    val v2 = VersionedTable.commit(Seq((7L, 8L)).toDF("x", "y"), dir)
+    assert(new java.io.File(dir, s"manifest_v$v2").exists(),
+      "the prior declaration must survive the rejected re-declaration")
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("auto-stats: DML and merge commits keep the skipping manifest; post-DML reads still prune") {
     val dir = tmp("graft_vt_autostats")
     graft.functions.ZOrder.register(spark)

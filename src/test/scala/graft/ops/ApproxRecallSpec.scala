@@ -179,6 +179,26 @@ class ApproxRecallSpec extends SparkTestBase {
       val rPqIdx = (exact & pqIdx).size
       assert(rPqIdx >= 9,
         s"n=$n: persisted IVFADC recall $rPqIdx/10 on planted neighbors")
+      // batch kNN JOIN: queries 0-4 are anchor-family, their planted
+      // neighbors (copies 5-12) all live in the probed cells — the
+      // IVF-probed join must recover every planted neighbor the exact
+      // join ranks, and >= 8/10 overall (the noise tail may sit in
+      // unprobed cells, which is the documented probe tradeoff)
+      def byQ(rows: Array[org.apache.spark.sql.Row]) = rows
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val planted = (5L to 12L).toSet
+      val exJ = byQ(Llm.queries("q_llm_knn_join")(spark, dir).collect())
+      val ivJ = byQ(Llm.queries("q_llm_knn_join_ivf")(spark, dir).collect())
+      assert(exJ.keySet == (0L to 4L).toSet, s"n=$n: 5 queries expected")
+      exJ.foreach { case (qid, ex10) =>
+        val got = ivJ.getOrElse(qid, Set.empty)
+        assert((got & planted) == (ex10 & planted),
+          s"n=$n qid=$qid: probed join lost a planted neighbor " +
+            s"(exact ${ex10 & planted}, got ${got & planted})")
+        assert((ex10 & got).size >= 8,
+          s"n=$n qid=$qid: knn-join recall ${(ex10 & got).size}/10")
+      }
       releaseCaches()
       graft.util.Fs.deleteRecursively(dir)
     }

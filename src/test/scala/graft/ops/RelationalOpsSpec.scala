@@ -382,4 +382,36 @@ class RelationalOpsSpec extends SparkTestBase {
       .as[(Long, Long, Int)].collect().toSeq
     assert(auto == brute, "regime dispatch must be result-invisible")
   }
+
+  test("edit-distance join: short strings below the prefix-filter floor are not lost") {
+    import spark.implicits._
+    // the (k*q+1)-prefix argument needs len >= q*(k+1): "abcde" vs
+    // "azcze" are levenshtein-2 with DISJOINT 2-gram sets — a pure
+    // gram join can never pair them (the review find the short-fringe
+    // union closes). Sub-q strings ("a" vs "b") exercise the
+    // no-grams-at-all edge of the same hole.
+    val names = Seq(
+      (1L, "abcde"), (2L, "azcze"),       // ED 2, zero shared grams
+      (3L, "a"), (4L, "b"),               // ED 1, no grams at all
+      (5L, "abcdefghij"), (6L, "abzdefghzj"), // ED 2, long regime
+      (7L, "qqqqqqqqqq")                  // long noise
+    ).toDF("id", "s")
+    val brute = names.select(col("id").as("d1"), col("s").as("s1"))
+      .crossJoin(names.select(col("id").as("d2"), col("s").as("s2")))
+      .filter(col("d1") < col("d2"))
+      .withColumn("dist", levenshtein(col("s1"), col("s2")))
+      .filter(col("dist") <= 2)
+      .select(col("d1"), col("d2"), col("dist"))
+      .orderBy(col("d1"), col("d2"))
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(brute.map(p => (p._1, p._2)).contains((1L, 2L)) &&
+      brute.map(p => (p._1, p._2)).contains((3L, 4L)),
+      s"fixture must plant the short-fringe pairs: $brute")
+    val prefix = Joins.joinEditDistPrefixOn(names, 2)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(prefix == brute,
+      s"short-fringe pairs lost:\n got=$prefix\n exp=$brute")
+    // the dispatcher handles an EMPTY frame (max(length) is null)
+    assert(Joins.joinEditDistAuto(names.limit(0), 2).collect().isEmpty)
+  }
 }

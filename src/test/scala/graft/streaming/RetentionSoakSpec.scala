@@ -99,6 +99,100 @@ class RetentionSoakSpec extends SparkTestBase {
     Seq(dir, src, ckpt).foreach(graft.util.Fs.deleteRecursively)
   }
 
+  test("streaming ANN + PQ sync race full-index expire: both serve paths stable, lineage coherent") {
+    val dim = 8
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian())
+    }
+    val anchor = vec(1)
+    val base = (0 until 40).map(i => (i.toLong, vec(100 + i)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_soakpq_idx").toString
+    val src = java.nio.file.Files.createTempDirectory("graft_soakpq_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_soakpq_ck").toString
+    AnnIndex.build(spark, base.toDF("vec_id", "e"), dir)
+    AnnIndex.buildPq(spark, dir)
+    // maintenance here is the FULL index retention (AnnIndex.expire:
+    // cells + centroids + codes + codebook, lineage-floored), not the
+    // raw single-table loop of the previous soak
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new ConcurrentLinkedQueue[Throwable]()
+    val thread = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          try VersionedTable.compact(spark, AnnIndex.cellsDir(dir),
+            targetFiles = 4)
+          catch { case _: ConcurrentCommitException => () }
+          AnnIndex.expire(spark, dir, keepLast = 3)
+        } catch {
+          case _: ConcurrentCommitException => ()
+          case e: Throwable => failures.add(e)
+        }
+        Thread.sleep(20L)
+      }
+    }, "retention-soak-annpq")
+    thread.start()
+    val triggers = 6
+    try {
+      (1 to triggers).foreach { r =>
+        // each trigger lands one vector; trigger 4's IS the anchor,
+        // so every later probe has a known exact answer
+        val v = if (r == 4) anchor else vec(7000 + r)
+        Seq((800L + r, v)).toDF("vec_id", "e").write.parquet(s"$src/b$r")
+        Pipelines.runStreamingAnnRefresh(
+          spark.readStream.schema("vec_id LONG, e ARRAY<DOUBLE>")
+            .option("recursiveFileLookup", "true").parquet(src),
+          dir, ckpt).awaitTermination()
+        AnnIndex.syncCodes(spark, dir)
+        // BOTH serve paths answer mid-soak, racing the maintenance
+        val top = AnnIndex.query(spark, dir, anchor, k = 1)
+          .as[(Long, Int, Double)].collect().head
+        val topPq = AnnIndex.queryPq(spark, dir, anchor, k = 1)
+          .as[(Long, Int, Double)].collect().head
+        if (r >= 4) {
+          assert(top._1 == 804L && top._3 > 0.999999,
+            s"trigger $r: float probe lost the landed anchor: $top")
+          assert(topPq._1 == 804L,
+            s"trigger $r: PQ probe lost the landed anchor: $topPq")
+        } else
+          // the PQ shortlist covers the whole probed set at this
+          // size, so the two paths must agree verbatim even on noise
+          assert(topPq == top,
+            s"trigger $r: serve paths diverged: float $top pq $topPq")
+      }
+    } finally { stop.set(true); thread.join(30000) }
+    assert(failures.isEmpty, "maintenance loop surfaced failures: " +
+      failures.asScala.take(3).map(_.toString).mkString("; "))
+    checkHistoryConsistent(AnnIndex.cellsDir(dir))
+    checkHistoryConsistent(AnnIndex.pqCodesDir(dir))
+    val ids = VersionedTable.read(spark, AnnIndex.cellsDir(dir))
+      .select($"vec_id").as[Long].collect().toSet
+    (1 to triggers).foreach(r => assert(ids.contains(800L + r),
+      s"streamed vector ${800 + r} lost under the retention race"))
+    // a final quiesced retention pass: codes history lands exactly at
+    // keepLast; cells shrinks to the newest keepLast plus at most one
+    // pinned snapshot per retained codes version (each sync pinned
+    // its round's cells version; the floor honors every retained pin
+    // and releases it when the codes version expires)
+    AnnIndex.expire(spark, dir, keepLast = 3)
+    val codesAfter = VersionedTable.versions(spark, AnnIndex.pqCodesDir(dir))
+    val cellsAfter = VersionedTable.versions(spark, AnnIndex.cellsDir(dir))
+    assert(codesAfter.size == 3, s"codes history must land at keepLast: $codesAfter")
+    assert(cellsAfter.size <= 3 + codesAfter.size,
+      s"cells retention must land at the bounded steady state: $cellsAfter")
+    // every retained codes version still serves PINNED — its cells
+    // lineage survived retention (the review find: a current-only
+    // floor expires older retained pins)
+    codesAfter.foreach { cv =>
+      assert(AnnIndex.queryPq(spark, dir, anchor, k = 1, version = Some(cv))
+        .collect().nonEmpty, s"retained codes v$cv lost its pinned lineage")
+    }
+    assert(AnnIndex.queryPq(spark, dir, anchor, k = 1)
+      .as[(Long, Int, Double)].collect().head._1 == 804L,
+      "post-retention PQ serve must still answer")
+    Seq(dir, src, ckpt).foreach(graft.util.Fs.deleteRecursively)
+  }
+
   test("streaming incr dedup races compact+expire: gate stays exact across triggers") {
     val snap = java.nio.file.Files.createTempDirectory("graft_soak_snap").toString
     val out = java.nio.file.Files.createTempDirectory("graft_soak_out").toString
