@@ -2381,6 +2381,51 @@ object Llm {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
       .orderBy(col("split"))
 
+  /** Deterministic SHARD ASSIGNMENT — the training-shard writer's
+    * core: a seeded global shuffle (order by md5(doc_id || seed),
+    * doc_id — hash order IS the permutation, reproducible re-run to
+    * re-run and engine to engine) cut into fixed-size shards with a
+    * stable position inside each (the (shard, pos) a dataloader
+    * resumes from; the write face is `partitionBy("shard")`).
+    *
+    * The scale shape is the `Windows.withGlobalIndex` de-concentration
+    * idiom, specialized: a bare global row_number is ONE task sorting
+    * the corpus. Here the md5 key's first two hex chars are a PREFIX
+    * of the total lexicographic order (fixed-width lowercase hex), so
+    * they bucket rows into 256 hash-uniform ranges that concatenate
+    * to exactly the global order — row_number runs WITHIN buckets
+    * (distributed, one shuffle), bucket offsets come from a 256-row
+    * broadcast frame. No approxQuantile pass needed: uniformity is a
+    * property of the hash, not the data. */
+  private[graft] def shardAssignOn(docs: DataFrame, shardSize: Int,
+      seed: String): DataFrame = {
+    val keyed = docs
+      .withColumn("__k",
+        md5(concat(col("doc_id").cast("string"), lit("-" + seed))))
+      .withColumn("__b",
+        conv(substring(col("__k"), 1, 2), 16, 10).cast("int"))
+    val offs = keyed.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(
+        sum(col("__c")).over(Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    keyed
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__b")).orderBy(col("__k"), col("doc_id"))))
+      .join(broadcast(offs), Seq("__b"))
+      .withColumn("__idx", col("__off") + col("__rn") - 1)
+      .select(col("doc_id"),
+        // shard is LONG: at corpus scale idx / shardSize exceeds INT
+        floor(col("__idx") / shardSize).cast("long").as("shard"),
+        (col("__idx") % shardSize).cast("int").as("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  val shard: Q = (spark, dir) =>
+    shardAssignOn(Tables(spark, dir, "documents").select(col("doc_id")),
+      shardSize = 64, seed = "42")
+
   /** WEIGHTED sampling without replacement, per stratum — the
     * curation move between uniform subsampling (corpusMix) and hard
     * top-K: keep K docs per language with probability proportional
@@ -3149,6 +3194,7 @@ object Llm {
     "q_llm_cosine_topk" -> cosineTopk,
     "q_llm_knn_join" -> knnJoin,
     "q_llm_knn_join_ivf" -> knnJoinIvfServe,
+    "q_llm_shard" -> shard,
     "q_llm_embed_neardup" -> embedNeardup,
     "q_llm_embed_neardup_scale_forced" -> embedNeardupForcedScale,
     "q_llm_ann_lsh" -> annLsh,
@@ -3407,6 +3453,17 @@ object Llm {
           JOIN sizes so ON so.doc_id = old_id
           WHERE ic * 1.0 / (sn.n + so.n - ic) >= 0.5
           ORDER BY new_id, old_id""",
+    "q_llm_shard" ->
+      """WITH k AS (SELECT doc_id,
+                    md5(CAST(doc_id AS VARCHAR) || '-42') AS h
+                    FROM documents),
+          r AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY h, doc_id) - 1 AS idx
+                FROM k)
+          SELECT doc_id,
+                 CAST(idx // 64 AS BIGINT) AS shard,
+                 CAST(idx % 64 AS INT) AS pos
+          FROM r ORDER BY shard, pos""",
     "q_llm_knn_join" ->
       """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                       FROM embeddings),

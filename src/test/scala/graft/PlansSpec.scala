@@ -648,6 +648,29 @@ class PlansSpec extends SparkTestBase {
       p.contains("BroadcastHashJoin"), "ambiguity count attaches via broadcast")
   }
 
+  test("batch kNN join broadcasts the query side; IVF face joins by cell, no cartesian") {
+    val p = plan("q_llm_knn_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), // eval-sized query side
+      "query table must broadcast:\n" + p.take(600))
+    assert(!p.contains("CartesianProduct"), "no all-pairs shuffle")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      "per-query top-k ranks in a window")
+    val pi = plan("q_llm_knn_join_ivf")
+    assert(!pi.contains("CartesianProduct"),
+      "probed join must key on cell:\n" + pi.take(600))
+  }
+
+  test("shard assignment plans bucketed windows, no single-ordering global sort") {
+    val p = plan("q_llm_shard")
+    // the de-concentration property: every window partitions by the
+    // hash bucket — a bare Window.orderBy (empty partition spec over
+    // the corpus-sized frame) would be the one-task global sort. The
+    // only single-partition window is the 256-row offsets frame.
+    assert(p.contains("__b"), "windows must key on the hash bucket:\n" +
+      p.take(600))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("cell-bucketed embed neardup keys pairs by cell, never corpus x corpus") {
     val p = Llm4Plans.forcedScale(spark, sfSmoke)
     assert(p.contains("pcell"), "pair join must key on the probed cell:\n" +

@@ -797,4 +797,35 @@ class LlmSpec extends SparkTestBase {
     Llm.invalidatePqCache()
     Llm.invalidateCellCache()
   }
+
+  test("shard assignment: bucketed order == bare global order; shards full and stable") {
+    val docs = graft.engine.Tables(spark, sfSmoke, "documents")
+      .select(col("doc_id"))
+    val got = Llm.shardAssignOn(docs, 7, "s1")
+      .as[(Long, Long, Int)].collect().toSeq
+    // the de-concentration pin: the 256-bucket concatenated order
+    // must equal the single-ordering global row number exactly
+    val bare = docs
+      .withColumn("k", md5(concat(col("doc_id").cast("string"), lit("-s1"))))
+      .orderBy(col("k"), col("doc_id"))
+      .select(col("doc_id")).as[Long].collect().toSeq
+      .zipWithIndex
+      .map { case (id, i) => (id, (i / 7).toLong, i % 7) }
+    assert(got == bare, s"bucketed order diverged from the global order")
+    // every doc exactly once; every shard full except possibly the last
+    assert(got.map(_._1).distinct.size == got.size)
+    val sizes = got.groupBy(_._2).view.mapValues(_.size).toMap
+    val last = sizes.keys.max
+    sizes.foreach { case (s, n) =>
+      if (s < last) assert(n == 7, s"shard $s not full: $n")
+    }
+    // permutation is seed-keyed: a different seed reshuffles
+    val other = Llm.shardAssignOn(docs, 7, "s2")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(other != got, "different seeds must permute differently")
+    // and input partitioning is irrelevant to the assignment
+    val reparted = Llm.shardAssignOn(docs.repartition(13), 7, "s1")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(reparted == got, "assignment must not depend on input layout")
+  }
 }
