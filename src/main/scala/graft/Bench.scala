@@ -87,6 +87,12 @@ object Bench {
         // entry into a full write+read
         if (name == "q_data_skipping")
           graft.ops.Advanced.invalidateSkipTableCache()
+        // scoped for the same reason: these entries' memoized builds
+        // are the cost a cold rerun exists to re-measure
+        if (name == "q_bucketed_join")
+          graft.ops.Advanced.invalidateBucketTableCache()
+        if (name == "q_table_dml" || name == "q_table_changes")
+          graft.ops.Advanced.invalidateDmlTableCache()
         timeOne(name, SparkEntry.queries(name)) match {
           case (dt2, None) =>
             reruns(name) = s"""{"first":$dt,"rerun":$dt2}"""

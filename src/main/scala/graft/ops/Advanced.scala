@@ -119,27 +119,74 @@ object Advanced {
       .orderBy(col("cnt").desc, col("tok"))
       .limit(20)
 
+  private val bucketTableCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[String, (String, String, String, String)]])
+
+  def invalidateBucketTableCache(): Unit = {
+    val paths = bucketTableCache.synchronized {
+      val ps = scala.jdk.CollectionConverters.CollectionHasAsScala(
+        bucketTableCache.values).asScala.flatMap(_.values).toList
+      bucketTableCache.clear()
+      ps
+    }
+    paths.foreach { case (_, _, a, b) =>
+      graft.util.Fs.deleteRecursively(a)
+      graft.util.Fs.deleteRecursively(b)
+    }
+  }
+
+  /** The bucketed tables behind [[bucketedJoin]], built ONCE per
+    * (session, dir) — the scaladoc's "one-time cost a warehouse pays"
+    * was previously paid (and a pair of fact-sized temp dirs leaked,
+    * untracked) on EVERY invocation. Same memo + synchronized-build +
+    * invalidation lifecycle as zorderedTable/dmlTable; table names are
+    * dir-keyed so two fixture dirs in one session don't collide. */
+  private def bucketedTables(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) = {
+    val per = bucketTableCache.synchronized {
+      val m = bucketTableCache.get(spark)
+      if (m != null) m else {
+        val fresh = scala.collection.concurrent.TrieMap
+          .empty[String, (String, String, String, String)]
+        bucketTableCache.put(spark, fresh)
+        fresh
+      }
+    }
+    val (liName, ordName, _, _) = per.synchronized {
+      per.getOrElseUpdate(dir, {
+        val suffix = java.lang.Integer.toHexString(dir.hashCode)
+        val liN = s"graft_lineitem_b_$suffix"
+        val ordN = s"graft_orders_b_$suffix"
+        val liPath = Files.createTempDirectory("graft_bucket_li").toString
+        val ordPath = Files.createTempDirectory("graft_bucket_ord").toString
+        Tables(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"))
+          .write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", liPath)
+          .saveAsTable(liN)
+        Tables(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", ordPath)
+          .saveAsTable(ordN)
+        (liN, ordN, liPath, ordPath)
+      })
+    }
+    (liName, ordName)
+  }
+
   /** Bucketed co-located join: both facts written bucketed+sorted on
     * the join key, then joined shuffle-free (SortMergeJoin reads the
     * bucket layout; zero Exchange). The write is the one-time cost a
-    * warehouse pays to make every later join cheap. */
+    * warehouse pays to make every later join cheap — memoized per
+    * (session, dir) so it really is one-time. */
   val bucketedJoin: Q = (spark, dir) => {
-    val liPath = Files.createTempDirectory("graft_bucket_li").toString
-    val ordPath = Files.createTempDirectory("graft_bucket_ord").toString
-    Tables(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_extendedprice"))
-      .write.mode("overwrite")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .option("path", liPath)
-      .saveAsTable("graft_lineitem_b")
-    Tables(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_totalprice"))
-      .write.mode("overwrite")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", ordPath)
-      .saveAsTable("graft_orders_b")
-    val li = spark.table("graft_lineitem_b")
-    val ord = spark.table("graft_orders_b")
+    val (liName, ordName) = bucketedTables(spark, dir)
+    val li = spark.table(liName)
+    val ord = spark.table(ordName)
     // Fixed-point money sum: at the sf0.1 magnitude (1.8e11 over 600k
     // rows) a double sum's order-dependent error (~1e-3, measured)
     // eats the round(,2) margin, and the per-row DECIMAL cast family
@@ -281,16 +328,22 @@ object Advanced {
         fresh
       }
     }
-    per.getOrElseUpdate(dir, {
-      import graft.engine.VersionedTable
-      val tmp = java.nio.file.Files.createTempDirectory("graft_dml").toString
-      VersionedTable.commit(Tables(spark, dir, "customer")
-        .select(col("c_custkey"), col("c_name"), col("c_mktsegment")), tmp)
-      VersionedTable.deleteWhere(spark, tmp, col("c_custkey") % 7 === 0)
-      VersionedTable.updateWhere(spark, tmp, col("c_custkey") % 5 === 0,
-        Map("c_mktsegment" -> lit("UPDATED")))
-      tmp
-    })
+    // serialize first-caller builds (the zorderedTable rule):
+    // TrieMap.getOrElseUpdate may evaluate a racing builder twice —
+    // q_table_dml and q_table_changes share this memo — and the
+    // loser's three-version table would leak untracked
+    per.synchronized {
+      per.getOrElseUpdate(dir, {
+        import graft.engine.VersionedTable
+        val tmp = java.nio.file.Files.createTempDirectory("graft_dml").toString
+        VersionedTable.commit(Tables(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment")), tmp)
+        VersionedTable.deleteWhere(spark, tmp, col("c_custkey") % 7 === 0)
+        VersionedTable.updateWhere(spark, tmp, col("c_custkey") % 5 === 0,
+          Map("c_mktsegment" -> lit("UPDATED")))
+        tmp
+      })
+    }
   }
 
   /** Delta-style DELETE + UPDATE DML against a committed

@@ -124,12 +124,15 @@ object Pipelines {
     classifyStates(source).writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val cls = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        normalize(parseStates(cls.filter(col("_reason").isNull)))
-          .write.mode("append").parquet(outDir)
-        cls.filter(col("_reason").isNotNull)
-          .select(col("value").as("raw"), col("_reason").as("reason"))
-          .write.mode("append").parquet(quarantineDir)
-        cls.unpersist()
+        // unpersist in finally: a failed lane write otherwise leaks the
+        // block, and Spark's batch retry persists a fresh copy each time
+        try {
+          normalize(parseStates(cls.filter(col("_reason").isNull)))
+            .write.mode("append").parquet(outDir)
+          cls.filter(col("_reason").isNotNull)
+            .select(col("value").as("raw"), col("_reason").as("reason"))
+            .write.mode("append").parquet(quarantineDir)
+        } finally cls.unpersist()
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -145,9 +148,17 @@ object Pipelines {
   /** Broadcast left enrichment with Unknown fill
     * (process_silver.py:107-112,247-248). */
   def enrich(states: DataFrame, dim: DataFrame): DataFrame = {
+    val others = dim.columns.filterNot(_.equalsIgnoreCase("icao24"))
+    // first-match semantics of consumer.py:88-98 — but DETERMINISTIC:
+    // dropDuplicates keeps an arbitrary row per key (partition-scan
+    // order), so a dim with conflicting duplicate keys could enrich
+    // differently run to run. min-of-struct picks the lexicographic
+    // minimum attribute tuple — a stable choice for any layout.
     val d = dim
       .withColumn("icao24", lower(trim(col("icao24").cast(StringType))))
-      .dropDuplicates("icao24") // first-match semantics of consumer.py:88-98
+      .groupBy(col("icao24"))
+      .agg(min(struct(others.map(col): _*)).as("__r"))
+      .select(col("icao24") +: others.map(c => col(s"__r.$c").as(c)): _*)
     val joined = states.join(broadcast(d), Seq("icao24"), "left")
     d.columns.filterNot(_ == "icao24").foldLeft(joined) { (df, c) =>
       df.withColumn(c, coalesce(col(c), lit("Unknown")))
@@ -183,7 +194,12 @@ object Pipelines {
     // reference's idle sweep — but deterministically.
     ds.toDF("icao24", "last_contact", "value")
       .withColumn("event_ts", timestamp_seconds(col("last_contact")))
-      .withWatermark("event_ts", "10 minutes")
+      // the late-data allowance IS the TTL: with a fixed "10 minutes"
+      // here, a ttl shorter than 10 min let state time out while its
+      // key's duplicates were still admissible — fresh state, and the
+      // dedup operator re-emits a duplicate; a longer ttl was silently
+      // capped by the watermark filter
+      .withWatermark("event_ts", s"$ttlMs milliseconds")
       .as[(String, Long, Double, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Long, (String, Long, Double)](
@@ -549,7 +565,7 @@ object Pipelines {
 
   /** Bronze JSONL dir as a streaming text source (S11/X4). */
   def bronzeSource(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.text(dir).withColumnRenamed("value", "value")
+    spark.readStream.text(dir)
 
   /** §3.1 ingest: source -> parse -> normalize -> dedup -> parquet. */
   def runIngest(
@@ -593,14 +609,16 @@ object Pipelines {
       key: String,
       servingDir: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val writerId = writerToken(updates.sparkSession, checkpointDir)
     updates.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
-        refreshBatch(batch.toDF(), epochId, key, servingDir)
+        refreshBatch(batch.toDF(), epochId, key, servingDir, writerId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+  }
 
   /** The per-batch merge behind runRefresh, factored out and
     * EPOCH-AWARE. foreachBatch is at-least-once: a batch whose commit
@@ -610,14 +628,16 @@ object Pipelines {
     * pattern) and skips re-deliveries, so a replay commits no new
     * version. Defense in depth: even a replay that races the marker —
     * crash between commit and marker write — converges, because the
-    * upsert is content-idempotent by key. The marker is scoped to the
-    * serving dir; pointing a FRESH checkpoint (epoch ids restart at 0)
-    * at an existing serving dir requires clearing `_LAST_EPOCH`, same
-    * as resetting a Delta sink's txn app id. */
+    * upsert is content-idempotent by key. The marker is WRITER-scoped
+    * (the checkpoint-lineage token, like every sibling sink): a FRESH
+    * checkpoint pointed at an existing serving dir restarts epochs at
+    * 0 under a NEW writer id, so the dead lineage's high-water marker
+    * cannot silently swallow its batches. */
   def refreshBatch(batch: DataFrame, epochId: Long, key: String,
-      servingDir: String): Unit = {
+      servingDir: String, writerId: String = "default"): Unit = {
     val spark = batch.sparkSession
-    if (lastEpoch(spark, servingDir).exists(_ >= epochId)) return
+    val marker = s"_LAST_EPOCH_$writerId"
+    if (lastEpoch(spark, servingDir, marker).exists(_ >= epochId)) return
     val merged = graft.engine.VersionedTable
       .currentVersion(spark, servingDir) match {
       case Some(_) =>
@@ -627,7 +647,7 @@ object Pipelines {
       case None => batch
     }
     graft.engine.VersionedTable.commit(merged, servingDir)
-    writeEpochMarker(spark, servingDir, epochId)
+    writeEpochMarker(spark, servingDir, epochId, marker)
   }
 
   /** Last epoch applied to `servingDir` under `marker`, if any. */
@@ -810,7 +830,12 @@ object Pipelines {
     // nor overwrite the dead lineage's epoch partitions
     if (lastEpoch(spark, outDir, s"_LAST_EPOCH_$writerId")
         .exists(_ >= epochId)) return
+    // persisted: the signatures (12 minhashes over the shingle set per
+    // doc) feed BOTH the gate broadcast and, anti-joined below, the
+    // snapshot commit — recomputing them per consumer doubled the
+    // per-trigger CPU on the ingest hot path
     val bands = allBands(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bootstrap: a fresh snapshot dir means nothing to dedup against;
     // pre-upgrade / batch-op-seeded snapshots lack the txn columns
     // and read as seed rows (never excluded)
@@ -859,7 +884,9 @@ object Pipelines {
         // version per mostly-duplicate trigger. allowEvolution: the
         // txn columns are an additive migration over pre-upgrade
         // snapshots.
-        val newBands = allBands(survivors)
+        // survivor signatures = the already-persisted batch bands
+        // minus the gated docs' — no second shingle+minhash pass
+        val newBands = bands.join(dupIds, Seq("doc_id"), "left_anti")
           .withColumn("writer", lit(writerId))
           .withColumn("epoch", lit(epochId))
         // read-modify-write with RE-DERIVATION (commitMerge): the
@@ -882,7 +909,7 @@ object Pipelines {
         }
       }
       writeEpochMarker(spark, outDir, epochId, s"_LAST_EPOCH_$writerId")
-    } finally survivors.unpersist()
+    } finally { survivors.unpersist(); bands.unpersist() }
   }
 
   /** Streaming decontamination gate — the ingest-time sibling of

@@ -52,6 +52,8 @@ object SuiteAnchor {
     graft.ops.Llm.invalidateAnnIndexCache()
     graft.ops.Advanced.invalidateSkipTableCache()
     graft.ops.Advanced.invalidateDmlTableCache()
+    graft.ops.Advanced.invalidateBucketTableCache()
+    graft.ops.Llm.invalidatePqCache()
   }
 
   def main(args: Array[String]): Unit = {

@@ -106,6 +106,39 @@ class StreamingSpec extends SparkTestBase {
     assert(models("cd2") == "Unknown") // unmatched -> filled
   }
 
+  test("enrich picks a deterministic first-match on conflicting duplicate dim keys") {
+    import org.apache.spark.sql.functions.col
+    val states = Seq(("ab1", 1L)).toDF("icao24", "last_contact")
+    // two dim rows normalize to the SAME key with different attributes
+    // — dropDuplicates kept an arbitrary one (partition-scan order);
+    // the lexicographic-minimum tuple is the stable pick
+    val dim = Seq(("AB1", "B737", "Zeta"), ("ab1 ", "A320", "AirX"))
+      .toDF("icao24", "model", "operator")
+    val a = Pipelines.enrich(states, dim)
+      .select(col("model"), col("operator")).head()
+    assert(a.getString(0) == "A320" && a.getString(1) == "AirX",
+      s"expected the lexicographic minimum attribute tuple, got $a")
+    // and the pick is layout-independent
+    val b = Pipelines.enrich(states, dim.repartition(7))
+      .select(col("model"), col("operator")).head()
+    assert(b == a, "enrichment must not depend on dim partitioning")
+  }
+
+  test("refresh sink: a fresh checkpoint lineage is not swallowed by the dead lineage's marker") {
+    val serving = tmp("graft_refresh_lineage")
+    // old lineage got to epoch 7
+    Pipelines.refreshBatch(Seq((1L, "a")).toDF("k", "v"), 7L, "k",
+      serving, "w1")
+    // a NEW lineage (fresh checkpoint) restarts epochs at 0 — with the
+    // unscoped marker this was a silent no-op and every batch vanished
+    Pipelines.refreshBatch(Seq((2L, "b")).toDF("k", "v"), 0L, "k",
+      serving, "w2")
+    val got = graft.engine.VersionedTable.read(spark, serving)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b")),
+      s"new lineage's batch must land: $got")
+  }
+
   test("streaming tumbling window matches batch date_trunc grouping") {
     val src = tmp("graft_ev_src")
     val batch = graft.engine.Tables(spark, sfSmoke, "events")
@@ -667,7 +700,9 @@ class StreamingSpec extends SparkTestBase {
     val serving = tmp("graft_epoch_serving")
     val b = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     Pipelines.refreshBatch(b, 0L, "k", serving)
-    assert(Pipelines.lastEpoch(spark, serving).contains(0L))
+    // the marker is writer-scoped (default writer id here)
+    assert(Pipelines.lastEpoch(spark, serving, "_LAST_EPOCH_default")
+      .contains(0L))
     val versionsBefore = VersionedTable.versions(spark, serving)
     val contentBefore = VersionedTable.read(spark, serving)
       .as[(Long, String)].collect().toMap
