@@ -44,6 +44,12 @@ object Tables {
       // vectorized reader rejects. Read nanos as long and truncate to
       // microseconds — bit-identical to DuckDB's parquet ns->us read
       // (verified truncating, not rounding), so oracle values match.
+      // DELIBERATELY session-scoped and never restored: the returned
+      // frame is lazy, and its scans consult the conf at execution —
+      // a save/restore around this read would break them later. The
+      // catalog owns its session's tuning (tune() already sets AQE /
+      // timezone session-wide); a session reading OTHER nanos parquet
+      // as timestamps shouldn't share a catalog-tuned session.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
       // the conf only turns TIMESTAMP(NANOS) columns into longs; a

@@ -137,18 +137,22 @@ object VersionedTable {
         // heal any legacy checksum sidecar so a ChecksumFs read never
         // validates fresh raw-written content against a stale crc
         raw.delete(new Path(dir, s".$name.crc"), false)
-        if (!raw.rename(tmp, new Path(dir, name)))
+        if (!raw.rename(tmp, new Path(dir, name))) {
+          // a failed rename must not ALSO leak its temp file
+          raw.delete(tmp, false)
           throw new java.io.IOException(
             s"atomic rename of $tmp -> $name failed")
+        }
       case _ =>
         val out = f.create(tmp, true)
         try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
-        org.apache.hadoop.fs.FileContext.getFileContext(
+        try org.apache.hadoop.fs.FileContext.getFileContext(
             f.getUri, spark.sparkContext.hadoopConfiguration)
           .rename( // throws on failure — no silently-dropped boolean
             f.makeQualified(tmp), f.makeQualified(new Path(dir, name)),
             org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        catch { case t: Throwable => f.delete(tmp, false); throw t }
     }
   }
 
@@ -169,12 +173,24 @@ object VersionedTable {
       .sorted
   }
 
-  /** Listing fallback + repair: the slow path behind `versions`. */
+  /** Listing fallback + repair: the slow path behind `versions`.
+    *
+    * ORDER MATTERS: read `_CURRENT` BEFORE listing. The repaired
+    * summary is trusted whenever its `current` matches `_CURRENT` —
+    * listing first opened a window where a concurrent commit (rename
+    * v_new + swap `_CURRENT` + write its own summary) landed between
+    * the list and the pointer read, producing a summary whose current
+    * matches but whose version list is MISSING the newest version,
+    * then trusted (and extended by later commits) forever: the lost
+    * version could never be expired or restored. With the pointer
+    * read first, the same interleave makes `current` stale, the next
+    * `versions` call distrusts the summary, and repair re-runs. */
   private def relistAndRepair(spark: SparkSession, dir: String): Seq[Long] = {
     summaryFallbacks.incrementAndGet()
     val f = fs(spark, dir)
+    val cur = currentVersion(spark, dir)
     val listed = listVersions(f, dir, "v\\d+")
-    currentVersion(spark, dir).foreach { c =>
+    cur.foreach { c =>
       writeSummary(spark, dir,
         Summary(c, listed, listVersions(f, dir, "manifest_v\\d+")))
     }
@@ -547,22 +563,26 @@ object VersionedTable {
         None
     }
 
-  /** Delete orphaned staged snapshots (`.stage_v*`) older than
-    * `olderThanMs` — the Delta/Iceberg VACUUM role for this format's
-    * one garbage class. A writer that dies mid-stage leaks its staged
-    * dir forever (commit cleans up only the claim-losing path), and at
-    * 100 TB each orphan is table-sized. The age guard is what makes
-    * this safe to run beside LIVE writers: an in-flight commit's
-    * staged dir is seconds old, so the default 1 h threshold can never
-    * touch it. Returns the paths removed. */
+  /** Delete orphaned write garbage older than `olderThanMs` — the
+    * Delta/Iceberg VACUUM role. Two garbage classes: staged snapshots
+    * (`.stage_v*` — a writer that dies mid-stage leaks its staged dir
+    * forever, and at 100 TB each orphan is table-sized) and metadata
+    * temp files (`.<name>.tmp<uuid>` — an atomicWrite crashing between
+    * create and rename leaks a small file that inflates every listing
+    * fallback forever). The age guard is what makes this safe to run
+    * beside LIVE writers: an in-flight commit's stage dir or tmp file
+    * is seconds old, so the default 1 h threshold can never touch it.
+    * Returns the paths removed. */
   def vacuumStaged(spark: SparkSession, dir: String,
       olderThanMs: Long = 3600 * 1000L): Seq[String] = {
     val f = fs(spark, dir)
     val base = new Path(dir)
     if (!f.exists(base)) return Seq.empty
     val cutoff = System.currentTimeMillis() - olderThanMs
+    def garbage(n: String) =
+      n.startsWith(".stage_v") || (n.startsWith(".") && n.contains(".tmp"))
     f.listStatus(base).toSeq
-      .filter(s => s.getPath.getName.startsWith(".stage_v") &&
+      .filter(s => garbage(s.getPath.getName) &&
         stagedNewestMtime(f, s.getPath).exists(_ < cutoff))
       .flatMap { s =>
         // same race on the delete side: deleting nothing is fine
@@ -807,10 +827,21 @@ object VersionedTable {
     commitMerge(spark, dir) { baseOpt =>
       val base = baseOpt.getOrElse(
         throw new IllegalStateException(s"no committed version in $dir"))
+      val unknown = set.keySet.filterNot(base.columns.contains)
+      require(unknown.isEmpty,
+        s"UPDATE of $dir sets unknown column(s): ${unknown.mkString(", ")}")
       val c = coalesce(cond, lit(false))
-      set.foldLeft(base) { case (df, (cn, v)) =>
-        df.withColumn(cn, when(c, v).otherwise(col(cn)))
-      }
+      // every right-hand side evaluates against the PRE-UPDATE row
+      // (SQL UPDATE semantics): a sequential withColumn fold lets a
+      // later assignment read an earlier one's output — SET a=b, b=a
+      // ends with both columns holding old b, and HashMap iteration
+      // order decides WHICH corruption — so one select applies all
+      // assignments simultaneously.
+      base.select(base.columns.map { cn =>
+        set.get(cn)
+          .map(v => when(c, v).otherwise(col(cn)).as(cn))
+          .getOrElse(col(cn))
+      }.toIndexedSeq: _*)
     }
 
   /** Row-level CHANGELOG between two committed versions — change data
@@ -829,20 +860,40 @@ object VersionedTable {
     require(keys.nonEmpty, "changesBetween needs key columns")
     val pre = read(spark, dir, Some(fromVersion))
     val post = read(spark, dir, Some(toVersion))
-    val cols = pre.columns.toSeq
+    // the column set is the UNION of both snapshots (an allowEvolution
+    // commit between the versions adds columns): a pre-only view would
+    // silently drop changes confined to an added column and emit
+    // inserts without it. A side missing a column reads as typed null
+    // — so added-column changes compare as changed, exactly right.
+    val cols = (pre.columns ++
+      post.columns.filterNot(pre.columns.contains)).toSeq
+    require(keys.forall(k =>
+        pre.columns.contains(k) && post.columns.contains(k)),
+      s"key columns $keys must exist in both versions")
+    val preT = pre.schema.map(f => f.name -> f.dataType).toMap
+    val postT = post.schema.map(f => f.name -> f.dataType).toMap
+    def padded(p: String, have: Map[String, org.apache.spark.sql.types.DataType],
+        other: Map[String, org.apache.spark.sql.types.DataType], c: String) =
+      if (have.contains(c)) col(s"$p.$c") else lit(null).cast(other(c))
+    def aCol(c: String) = padded("a", preT, postT, c)
+    def bCol(c: String) = padded("b", postT, preT, c)
     val nonKey = cols.filterNot(keys.contains)
     val a = pre.withColumn("__graft_cdf_a", lit(true)).alias("a")
     val b = post.withColumn("__graft_cdf_b", lit(true)).alias("b")
+    // null-SAFE key equality: a null-keyed row present unchanged in
+    // both versions must pair (and emit nothing), not read as an
+    // unrelated delete + insert
     val j = a.join(b,
-      keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _),
+      keys.map(k => col(s"a.$k") <=> col(s"b.$k")).reduce(_ && _),
       "full_outer")
     val inA = col("a.__graft_cdf_a").isNotNull
     val inB = col("b.__graft_cdf_b").isNotNull
     // null-safe struct equality over the non-key columns
     val unchanged =
       if (nonKey.isEmpty) lit(true)
-      else nonKey.map(c => col(s"a.$c") <=> col(s"b.$c")).reduce(_ && _)
-    def side(p: String) = cols.map(c => col(s"$p.$c").as(c))
+      else nonKey.map(c => aCol(c) <=> bCol(c)).reduce(_ && _)
+    def side(p: String) = cols.map(c =>
+      (if (p == "a") aCol(c) else bCol(c)).as(c))
     val deletes = j.filter(inA && !inB)
       .select(side("a") :+ lit("delete").as("_change_type"): _*)
     val inserts = j.filter(!inA && inB)
@@ -1023,6 +1074,9 @@ object VersionedTable {
     val cur = currentVersion(spark, dir)
     val v = version.orElse(cur).getOrElse(
       throw new IllegalStateException(s"no committed version in $dir"))
+    // no ranges = nothing to prune with: the documented degradation is
+    // the plain scan, not an empty-reduce crash
+    if (ranges.isEmpty) return (read(spark, dir, Some(v)), -1, -1)
     val exact = ranges
       .map { case (c, (lo, hi)) => col(c) >= lit(lo) && col(c) <= lit(hi) }
       .reduce(_ && _)
@@ -1044,6 +1098,14 @@ object VersionedTable {
     if (!hasManifest)
       return (read(spark, dir, Some(v)).filter(exact), -1, -1)
     val manifest = spark.read.parquet(mdir)
+    // a range on a column the manifest carries no stats for cannot
+    // prune — degrade to the plain filtered scan (the documented
+    // contract) instead of an unresolved-column failure inside the
+    // manifest filter
+    val statCols = manifest.columns.toSet
+    if (!ranges.keys.forall(c => statCols.contains(s"min_$c") &&
+        statCols.contains(s"max_$c")))
+      return (read(spark, dir, Some(v)).filter(exact), -1, -1)
     val total = manifest.count().toInt
     val mayMatch = ranges
       .map { case (c, (lo, hi)) =>
@@ -1056,7 +1118,12 @@ object VersionedTable {
       .select(col("file")).collect().map(_.getString(0)).toSeq
     val df =
       if (files.isEmpty) read(spark, dir, Some(v)).filter(exact).limit(0)
-      else spark.read.parquet(files: _*).filter(exact)
+      // basePath anchors partition discovery: on a `partitionBy`
+      // layout the partition columns live only in the directory names,
+      // and a bare leaf-file read would silently drop them from the
+      // schema (diverging from the `read(...).filter(...)` oracle)
+      else spark.read.option("basePath", s"$dir/v$v")
+        .parquet(files: _*).filter(exact)
     (df, files.length, total)
   }
 
@@ -1071,23 +1138,14 @@ object VersionedTable {
   def diffVersions(spark: SparkSession, dir: String, key: String,
       fromV: Long, toV: Long): DataFrame = {
     import org.apache.spark.sql.functions._
-    val from = read(spark, dir, Some(fromV))
-    val to = read(spark, dir, Some(toV))
-    val cols = from.columns.toSeq
-    require(cols.sorted == to.columns.toSeq.sorted,
-      s"snapshot schemas diverge: $cols vs ${to.columns.toSeq}")
-    // one struct per side so the comparison is a single codegen'd
-    // struct equality, not N column equalities re-planned per column
-    val f = from.select(col(key).as("k"),
-      struct(cols.filterNot(_ == key).map(col): _*).as("f_rest"))
-    val t = to.select(col(key).as("k"),
-      struct(cols.filterNot(_ == key).map(col): _*).as("t_rest"))
-    f.join(t, Seq("k"), "full_outer")
-      .withColumn("change",
-        when(col("f_rest").isNull, "insert")
-          .when(col("t_rest").isNull, "delete")
-          .when(col("f_rest") =!= col("t_rest"), "update"))
-      .filter(col("change").isNotNull)
-      .select(col("k").as(key), col("change"))
+    // one CDC join implementation, two faces: the verdict view is the
+    // changelog with the preimage collapsed away — maintaining a
+    // second full-outer-join copy here meant every key/evolution fix
+    // had to land twice (and the null-key fix once didn't).
+    changesBetween(spark, dir, fromV, toV, Seq(key))
+      .filter(col("_change_type") =!= "update_preimage")
+      .select(col(key),
+        when(col("_change_type") === "update_postimage", lit("update"))
+          .otherwise(col("_change_type")).as("change"))
   }
 }

@@ -188,6 +188,85 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.read(spark, dir, Some(v0)).count() == 1000)
   }
 
+  test("UPDATE assignments all read the pre-update row; unknown columns rejected") {
+    val dir = tmp("graft_vt_swap")
+    VersionedTable.commit(
+      Seq((1L, 10L, 20L), (2L, 1L, 2L)).toDF("k", "a", "b"), dir)
+    // SET a=b, b=a must SWAP (SQL UPDATE: every RHS sees the
+    // pre-image) — the sequential-fold bug left both columns = old b
+    VersionedTable.updateWhere(spark, dir, col("k") === 1L,
+      Map("a" -> col("b"), "b" -> col("a")))
+    val got = VersionedTable.read(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 20L, 10L), (2L, 1L, 2L)), s"swap corrupted: $got")
+    intercept[IllegalArgumentException] {
+      VersionedTable.updateWhere(spark, dir, lit(true),
+        Map("nope" -> lit(1)))
+    }
+  }
+
+  test("changelog: null keys pair across versions; added columns carry their changes") {
+    val dir = tmp("graft_vt_cdfnull")
+    def frame(vals: Seq[(Long, String)]) = vals.toDF("k", "v")
+      .withColumn("k", when(col("k") === 0L, lit(null)).otherwise(col("k")))
+    val v0 = VersionedTable.commit(frame(Seq((1L, "a"), (0L, "n"))), dir)
+    val v1 = VersionedTable.commit(frame(Seq((1L, "a"), (0L, "n"))), dir)
+    // a null-keyed row present unchanged in both versions must emit
+    // NOTHING — the null-unsafe join reported it as delete + insert
+    assert(VersionedTable.changesBetween(spark, dir, v0, v1, Seq("k"))
+      .count() == 0, "identical snapshots must produce an empty changelog")
+    assert(VersionedTable.diffVersions(spark, dir, "k", v0, v1).count() == 0)
+    // schema evolution between the versions: both rows gain column s
+    // — a pre-snapshot-only column view dropped these changes entirely
+    val v2 = VersionedTable.commit(
+      frame(Seq((1L, "a"), (0L, "n")))
+        .withColumn("s", when(col("k") === 1L, 9L).otherwise(0L)),
+      dir, allowEvolution = true)
+    val ch = VersionedTable.changesBetween(spark, dir, v1, v2, Seq("k"))
+    assert(ch.filter(col("_change_type").isin("insert", "delete")).count() == 0,
+      "evolution must not masquerade as inserts/deletes")
+    assert(ch.filter(col("_change_type") === "update_postimage").count() == 2,
+      "added-column changes must surface as updates")
+    assert(ch.filter(col("_change_type") === "update_postimage" &&
+        col("k") === 1L).select(col("s")).as[Long].head() == 9L,
+      "the postimage must carry the added column's value")
+  }
+
+  test("vacuum collects aged atomicWrite temp orphans beside staged snapshots") {
+    val dir = tmp("graft_vt_tmpvac")
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), dir)
+    val orphan = new java.io.File(dir, "._CURRENT.tmpdeadbeef")
+    Files.writeString(orphan.toPath, "junk")
+    assert(orphan.setLastModified(System.currentTimeMillis() - 7200 * 1000L))
+    val removed = VersionedTable.vacuumStaged(spark, dir)
+    assert(!orphan.exists, "aged tmp orphan must be vacuumed")
+    assert(removed.exists(_.contains("tmpdeadbeef")))
+    // the live metadata survives
+    assert(VersionedTable.read(spark, dir).count() == 1)
+  }
+
+  test("readPruned: partition columns survive, unprunable ranges degrade") {
+    val dir = tmp("graft_vt_partprune")
+    VersionedTable.setPartitionColumns(spark, dir, Seq("cell"))
+    VersionedTable.setStatsColumns(spark, dir, Seq("x"))
+    val df = spark.range(0, 256).toDF("x")
+      .withColumn("cell", (col("x") % 4).cast("int"))
+    VersionedTable.commit(df.repartition(col("cell")), dir)
+    val (pr, _, _) = VersionedTable.readPruned(spark, dir,
+      Map("x" -> ((0L, 50L))))
+    // a bare leaf-file read drops directory-encoded partition columns
+    assert(pr.columns.contains("cell"),
+      s"partition column lost from the pruned read: ${pr.columns.toSeq}")
+    assert(pr.count() == 51)
+    // no ranges: the plain scan, not an empty-reduce crash
+    assert(VersionedTable.readPruned(spark, dir, Map.empty)._1.count() == 256)
+    // a range on a column the manifest has no stats for: exact result
+    // via the documented full-scan fallback, not an AnalysisException
+    val (nf, r2, _) = VersionedTable.readPruned(spark, dir,
+      Map("cell" -> ((1L, 2L))))
+    assert(r2 == -1 && nf.count() == 128)
+  }
+
   test("diffVersions emits insert/delete/update between snapshots, drops unchanged") {
     val dir = tmp("graft_vt_diff")
     VersionedTable.commit(
