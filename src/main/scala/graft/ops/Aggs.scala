@@ -138,15 +138,9 @@ object Aggs {
     val splits = counts.stat.approxQuantile(
       "v", (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
       .distinct.sorted
-    // NaN sorts GREATER than every double (the built-in's ordering),
-    // but `NaN <= split` is false for every split — unguarded it
-    // would land in bucket 0 yet sort last there, corrupting the
-    // concatenated order; pin it to the top bucket explicitly
-    val bucketOf =
-      if (splits.isEmpty) lit(0)
-      else when(isnan(col("v")), lit(splits.size))
-        .otherwise(size(org.apache.spark.sql.functions.filter(
-          array(splits.map(lit(_)): _*), s => s <= col("v"))))
+    // NaN pins to the top bucket — the shared rangeBucketOf guard
+    // (see its scaladoc for the NaN/NULL ordering rationale)
+    val bucketOf = Windows.rangeBucketOf(col("v"), splits.toIndexedSeq)
     val wIn = Window.partitionBy(col("b")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = counts.withColumn("b", bucketOf)

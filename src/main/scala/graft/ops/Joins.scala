@@ -935,8 +935,9 @@ object Joins {
   private[graft] def joinEditDistAuto(names: org.apache.spark.sql.DataFrame,
       k: Int, maxLenForDeletion: Int = 40)
       : org.apache.spark.sql.DataFrame = {
-    // max(length) over zero rows is null — an empty frame routes to
-    // the deletion form, which handles it (either generator would)
+    // max(length) over zero rows is null — an empty frame dispatches
+    // by the normal k rule (prefix for k >= 2); both generators
+    // handle empty input, so the route is immaterial
     val maxLenRow = names.agg(max(length(col("s")))).head()
     val maxLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
     if (k == 1 && maxLen <= maxLenForDeletion) joinEditDistOn(names, k)

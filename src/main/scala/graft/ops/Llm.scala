@@ -2398,29 +2398,20 @@ object Llm {
     * broadcast frame. No approxQuantile pass needed: uniformity is a
     * property of the hash, not the data. */
   private[graft] def shardAssignOn(docs: DataFrame, shardSize: Int,
-      seed: String): DataFrame = {
-    val keyed = docs
-      .withColumn("__k",
-        md5(concat(col("doc_id").cast("string"), lit("-" + seed))))
-      .withColumn("__b",
-        conv(substring(col("__k"), 1, 2), 16, 10).cast("int"))
-    val offs = keyed.groupBy(col("__b"))
-      .agg(count(lit(1)).as("__c"))
-      .withColumn("__off", coalesce(
-        sum(col("__c")).over(Window.orderBy(col("__b"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__b"), col("__off"))
-    keyed
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__b")).orderBy(col("__k"), col("doc_id"))))
-      .join(broadcast(offs), Seq("__b"))
-      .withColumn("__idx", col("__off") + col("__rn") - 1)
+      seed: String): DataFrame =
+    Windows.withGlobalIndexBy(
+      docs.withColumn("__k",
+        md5(concat(col("doc_id").cast("string"), lit("-" + seed)))),
+      conv(substring(col("__k"), 1, 2), 16, 10).cast("int"),
+      Seq(col("__k"), col("doc_id")), "__idx")
       .select(col("doc_id"),
-        // shard is LONG: at corpus scale idx / shardSize exceeds INT
-        floor(col("__idx") / shardSize).cast("long").as("shard"),
+        // `div` keeps the quotient in LONG integer arithmetic: the
+        // Column `/` is DOUBLE division, inexact past ~2^53/shardSize
+        // for non-power-of-two sizes (the windowNtile rule); shard is
+        // LONG because at corpus scale it exceeds INT
+        expr(s"__idx div $shardSize").as("shard"),
         (col("__idx") % shardSize).cast("int").as("pos"))
       .orderBy(col("shard"), col("pos"))
-  }
 
   val shard: Q = (spark, dir) =>
     shardAssignOn(Tables(spark, dir, "documents").select(col("doc_id")),

@@ -91,16 +91,38 @@ object Windows {
     val splits = df.stat.approxQuantile(
       leading, (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
       .distinct.sorted
-    // NaN pins to the top bucket (it sorts greater than every
-    // double, but compares false against every split — see the
-    // exactPercentiles guard)
-    val bucketOf =
-      if (splits.isEmpty) lit(0)
-      else when(isnan(col(leading)), lit(splits.size))
-        .otherwise(size(org.apache.spark.sql.functions.filter(
-          array(splits.map(lit(_)): _*), s => s <= col(leading))))
-    val wIn = Window.partitionBy(col("__b"))
-      .orderBy((col(leading) +: tieBreak.map(col)): _*)
+    withGlobalIndexBy(df, rangeBucketOf(col(leading), splits.toIndexedSeq),
+      (col(leading) +: tieBreak.map(col)).toIndexedSeq, out)
+  }
+
+  /** Range-bucket assignment from quantile split points, shared by
+    * every consumer of the de-concentration machinery (global index,
+    * windowCume, Aggs.exactPercentiles — previously three drifting
+    * copies). NaN pins to the TOP bucket: NaN sorts greater than
+    * every double (the built-ins' ordering) but compares false
+    * against every split, so unguarded it would land in bucket 0 yet
+    * sort last there, corrupting the concatenated order. A NULL value
+    * compares false against every split too and lands in bucket 0 —
+    * where Spark's NULLS FIRST ordering puts it globally first,
+    * consistent with the concatenation. */
+  private[graft] def rangeBucketOf(c: org.apache.spark.sql.Column,
+      splits: Seq[Double]): org.apache.spark.sql.Column =
+    if (splits.isEmpty) lit(0)
+    else when(isnan(c), lit(splits.size))
+      .otherwise(size(org.apache.spark.sql.functions.filter(
+        array(splits.map(lit(_)): _*), s => s <= c)))
+
+  /** The bucket-generic core of [[withGlobalIndex]]: callers supply
+    * any `bucketOf` whose numeric order is a PREFIX of the total
+    * `order` (range buckets from quantile splits above; hash-prefix
+    * buckets in Llm.shardAssignOn), and the concatenated per-bucket
+    * row numbers are exactly the global index. One machinery, every
+    * de-concentrated global ordering. */
+  private[graft] def withGlobalIndexBy(df: org.apache.spark.sql.DataFrame,
+      bucketOf: org.apache.spark.sql.Column,
+      order: Seq[org.apache.spark.sql.Column], out: String)
+      : org.apache.spark.sql.DataFrame = {
+    val wIn = Window.partitionBy(col("__b")).orderBy(order: _*)
     val bucketed = df.withColumn("__b", bucketOf)
     val offs = bucketed.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
       .withColumn("__off",
@@ -169,13 +191,8 @@ object Windows {
     val splits = counts.stat.approxQuantile(
       "value", (1 until 32).map(_ / 32.0).toArray, 0.01)
       .distinct.sorted
-    // NaN pins to the top bucket (see the exactPercentiles guard)
-    val bucketOf =
-      if (splits.isEmpty) lit(0)
-      else when(isnan(col("value")), lit(splits.size))
-        .otherwise(size(org.apache.spark.sql.functions.filter(
-          array(splits.map(lit(_)): _*), s => s <= col("value"))))
-    val bucketed = counts.withColumn("__b", bucketOf)
+    val bucketed = counts.withColumn("__b",
+      rangeBucketOf(col("value"), splits.toIndexedSeq))
     val wIn = Window.partitionBy(col("event_type"), col("__b"))
       .orderBy(col("value"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -270,16 +287,23 @@ object Windows {
                                          ORDER BY ts, event_id) AS delta
          FROM events ORDER BY event_id""",
     "q_window_ntile" ->
+      // NULLS FIRST pins the engines' divergent window defaults
+      // (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST) to the Spark
+      // side's semantics — latent until a fixture carries a NULL
+      // order value, then a silent hash flip
       """SELECT o_orderkey, o_totalprice,
-                CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT)
+                CAST(ntile(4) OVER (ORDER BY o_totalprice NULLS FIRST,
+                                    o_orderkey) AS INT)
                   AS quartile
          FROM orders ORDER BY o_orderkey""",
     "q_window_cume" ->
       """SELECT event_type, value,
                 round(percent_rank() OVER (PARTITION BY event_type
-                                           ORDER BY value), 6) AS pr,
+                                           ORDER BY value NULLS FIRST), 6)
+                  AS pr,
                 round(cume_dist() OVER (PARTITION BY event_type
-                                        ORDER BY value), 6) AS cd
+                                        ORDER BY value NULLS FIRST), 6)
+                  AS cd
          FROM events ORDER BY event_type, value, pr, cd""",
     "q_window_frame" ->
       """WITH hourly AS (

@@ -662,12 +662,27 @@ class PlansSpec extends SparkTestBase {
 
   test("shard assignment plans bucketed windows, no single-ordering global sort") {
     val p = plan("q_llm_shard")
-    // the de-concentration property: every window partitions by the
-    // hash bucket — a bare Window.orderBy (empty partition spec over
-    // the corpus-sized frame) would be the one-task global sort. The
-    // only single-partition window is the 256-row offsets frame.
-    assert(p.contains("__b"), "windows must key on the hash bucket:\n" +
-      p.take(600))
+    // the de-concentration property, asserted on the WINDOW SPECS
+    // (a bare substring check on the column name passes even after a
+    // regression to a one-task global row_number): the corpus-sized
+    // window must PARTITION by the hash bucket, and the only
+    // partition-less window allowed is the one over the 256-row
+    // offsets frame.
+    // a windowspecdefinition's args lead with the PARTITION columns;
+    // a partition-less window's first arg is an ORDER entry instead,
+    // recognizable by its ASC/DESC direction — so "partitioned by the
+    // bucket" = first arg is a bare __b reference, NOT "__b ASC ..."
+    // (the offsets cumsum ORDERS by __b without partitioning, and a
+    // first-arg prefix test alone cannot tell the two apart)
+    val specs = "windowspecdefinition\\(([^,)]*)".r
+      .findAllMatchIn(p).map(_.group(1).trim).toSeq
+    def isOrderEntry(s: String) = s.contains(" ASC") || s.contains(" DESC")
+    assert(specs.nonEmpty, "expected window nodes in:\n" + p.take(600))
+    assert(specs.exists(s => s.startsWith("__b") && !isOrderEntry(s)),
+      s"the corpus window must PARTITION by the hash bucket: $specs")
+    // exactly one partition-less window (the bucket-offsets cumsum)
+    assert(specs.count(isOrderEntry) <= 1,
+      s"more than one partition-less window: $specs")
     assert(!p.contains("CartesianProduct"))
   }
 
