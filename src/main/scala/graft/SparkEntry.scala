@@ -32,12 +32,28 @@ object SparkEntry {
     (Advanced.queries, Advanced.oracle),
     (Quality.queries, Quality.oracle))
 
+  /** Map-merge with a duplicate-key guard: `++` silently keeps the
+    * LAST module's entry, so a name collision between modules would
+    * shadow an operator (and its oracle) without any signal — the
+    * driver would just quietly check one query fewer. */
+  private def merged[A](ms: Seq[Map[String, A]], what: String)
+      : Map[String, A] = {
+    val out = ms.reduce(_ ++ _)
+    val n = ms.map(_.size).sum
+    require(out.size == n, {
+      val dups = ms.flatMap(_.keys).groupBy(identity)
+        .collect { case (k, vs) if vs.size > 1 => k }
+      s"duplicate $what across modules: ${dups.mkString(", ")}"
+    })
+    out
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.iterator.map(_._1).reduce(_ ++ _)
+    merged(modules.map(_._1), "query names")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    modules.iterator.map(_._2).reduce(_ ++ _)
+    merged(modules.map(_._2), "oracle entries")
 }

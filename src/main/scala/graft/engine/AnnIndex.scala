@@ -101,13 +101,17 @@ object AnnIndex {
     if (partitionedLayout)
       VersionedTable.setPartitionColumns(spark, cellsDir(dir), Seq("cell"))
     // cluster + sort by cell: row-group stats then prune probe scans
-    // (partitioned layout: one file per cell directory instead).
-    // cells is an eager local checkpoint — its blocks free with the
-    // frame, no unpersist needed
-    val cellsV = VersionedTable.commit(
-      cells.select(col("vec_id"), col("e"), col("cell"))
-        .repartition(col("cell")).sortWithinPartitions(col("cell")),
-      cellsDir(dir))
+    // (partitioned layout: one file per cell directory instead)
+    val cellsV =
+      try VersionedTable.commit(
+        cells.select(col("vec_id"), col("e"), col("cell"))
+          .repartition(col("cell")).sortWithinPartitions(col("cell")),
+        cellsDir(dir))
+      // fitIvfCellsOn persists the cells frame for its memoized
+      // (cellCache) consumers; this direct invocation fully consumes
+      // it in the commit above — release it rather than pin one cache
+      // entry per index build for the session lifetime
+      finally cells.unpersist()
     recordCentroidVersion(spark, dir, cellsV, centV)
     cellsV
   }

@@ -1,7 +1,5 @@
 package graft.ops
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.engine.Tables
@@ -158,8 +156,8 @@ object Advanced {
         val suffix = java.lang.Integer.toHexString(dir.hashCode)
         val liN = s"graft_lineitem_b_$suffix"
         val ordN = s"graft_orders_b_$suffix"
-        val liPath = Files.createTempDirectory("graft_bucket_li").toString
-        val ordPath = Files.createTempDirectory("graft_bucket_ord").toString
+        val liPath = graft.util.Fs.tempDir("graft_bucket_li")
+        val ordPath = graft.util.Fs.tempDir("graft_bucket_ord")
         Tables(spark, dir, "lineitem")
           .select(col("l_orderkey"), col("l_extendedprice"))
           .write.mode("overwrite")
@@ -335,7 +333,7 @@ object Advanced {
     per.synchronized {
       per.getOrElseUpdate(dir, {
         import graft.engine.VersionedTable
-        val tmp = java.nio.file.Files.createTempDirectory("graft_dml").toString
+        val tmp = graft.util.Fs.tempDir("graft_dml")
         VersionedTable.commit(Tables(spark, dir, "customer")
           .select(col("c_custkey"), col("c_name"), col("c_mktsegment")), tmp)
         VersionedTable.deleteWhere(spark, tmp, col("c_custkey") % 7 === 0)
@@ -415,7 +413,7 @@ object Advanced {
     // would leak untracked (round-4 advice on the Llm memos)
     perSession.synchronized {
       perSession.getOrElseUpdate(dir, {
-        val table = Files.createTempDirectory("graft_skip").toString
+        val table = graft.util.Fs.tempDir("graft_skip")
         val zordered = Tables(spark, dir, "lineitem")
           .withColumn("z", expr("zorder2(l_partkey, l_suppkey)"))
           .repartitionByRange(16, col("z"))

@@ -95,10 +95,13 @@ object Llm {
     * Shuffle on shingle, then on the (d1, d2) pair — fully distributed;
     * the 100 TB variant is the MinHashLSH query below. */
   val dedupNgram: Q = (spark, dir) => {
-    // the shingle explode feeds three consumers (join sides a/b and the
-    // per-doc sizes) — persist it instead of re-deriving it thrice
-    val sh = shingleDf(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the shingle explode feeds three consumers (join sides a/b and
+    // the per-doc sizes) — an eager localCheckpoint materializes it
+    // once; unlike persist() its blocks are freed by the
+    // ContextCleaner when the result frame drops, not pinned in the
+    // cache manager for the session lifetime (the mmPhash rule; at
+    // cluster scale substitute reliable checkpoint())
+    val sh = shingleDf(spark, dir).localCheckpoint(true)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -264,8 +267,7 @@ object Llm {
     // loser's fully-written temp table would leak untracked
     val path = perSession.synchronized {
       perSession.getOrElseUpdate(dir, {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft_islands").toString
+        val p = graft.util.Fs.tempDir("graft_islands")
         substrIslandSummary(spark, dir).write.mode("overwrite").parquet(p)
         p
       })
@@ -330,15 +332,13 @@ object Llm {
   /** L2 at scale: MinHashLSH banding over hashed shingles (MLlib).
     * Rows-only check — MLlib hash families are not SQL-expressible. */
   val dedupMinhash: Q = (spark, dir) => {
-    val docs = tokenized(spark, dir)
-      .select(col("doc_id"), expr(shinglesE).as("shingles"))
-      .filter(size(col("shingles")) > 0)
+    val docs = shingleDocs(Tables(spark, dir, "documents"))
     val tf = new HashingTF()
       .setInputCol("shingles").setOutputCol("features")
       .setNumFeatures(1 << 18)
-    // both sides of the self-join read this frame; cache it once
-    val feat = tf.transform(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both sides of the self-join read this frame; materialize it once
+    // (eager localCheckpoint, not persist — the mmPhash leak rule)
+    val feat = tf.transform(docs).localCheckpoint(true)
     // 3 OR-amplified tables: planted near-dups sit at jaccard ~0.97,
     // so the per-table miss rate is ~3% and 3 tables push the join's
     // miss probability below 1e-4 — more tables only inflate the
@@ -420,10 +420,10 @@ object Llm {
   val dedupMinhashNative: Q = (spark, dir) => {
     // three consumers (signature explode, both verify joins) — derive
     // the shingle arrays once
-    val docs = tokenized(spark, dir)
-      .select(col("doc_id"), expr(shinglesE).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = shingleDocs(Tables(spark, dir, "documents"))
+      // three consumers (signature explode, both verify joins) —
+      // eager localCheckpoint, not persist (the mmPhash leak rule)
+      .localCheckpoint(true)
     val banded = bandedSignatures(docs)
     val a = banded.as("a")
     val b = banded.as("b")
@@ -491,12 +491,9 @@ object Llm {
     // fully-written temp table would leak untracked (round-4 advice)
     val path = perSession.synchronized {
       perSession.getOrElseUpdate(dir, {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft_incr_sigs").toString
-        val old = tokenized(spark, dir)
-          .filter(!incrBatchPred)
-          .select(col("doc_id"), expr(shinglesE).as("shingles"))
-          .filter(size(col("shingles")) > 0)
+        val p = graft.util.Fs.tempDir("graft_incr_sigs")
+        val old = shingleDocs(
+          Tables(spark, dir, "documents").filter(!incrBatchPred))
         // a real VersionedTable, not a bare parquet dir: the refresh
         // cycle appends versions (advanceIncrSnapshot) and yesterday's
         // snapshot stays time-travelable
@@ -525,11 +522,8 @@ object Llm {
     * Appends the refresh slice's banded signatures to `snapshotPath`. */
   def advanceIncrSnapshotAt(spark: SparkSession, dir: String,
       snapshotPath: String): Long = {
-    val newSigs = bandedSignatures(
-      tokenized(spark, dir)
-        .filter(incrBatchPred)
-        .select(col("doc_id"), expr(shinglesE).as("shingles"))
-        .filter(size(col("shingles")) > 0))
+    val newSigs = bandedSignatures(shingleDocs(
+      Tables(spark, dir, "documents").filter(incrBatchPred)))
     // read-modify-write with re-derivation (VersionedTable.commitMerge):
     // a streaming gate committing survivors' signatures to this same
     // snapshot serializes with the advance instead of either writer
@@ -563,17 +557,23 @@ object Llm {
     * snapshot doc. */
   val dedupIncremental: Q = (spark, dir) => {
     // two consumers of the new batch's shingles (signing + verify)
-    val newDocs = tokenized(spark, dir)
-      .filter(incrBatchPred)
-      .select(col("doc_id"), expr(shinglesE).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newDocs = shingleDocs(
+      Tables(spark, dir, "documents").filter(incrBatchPred))
+      // two consumers (signing + verify) — eager localCheckpoint,
+      // not persist (the mmPhash leak rule)
+      .localCheckpoint(true)
     val newBands = bandedSignatures(newDocs)
     val oldBands = snapshotSigTable(spark, dir) // read, never rebuilt
     val cands = newBands.as("n")
       .join(oldBands.as("o"),
         col("n.band_idx") === col("o.band_idx") &&
-          col("n.band_key") === col("o.band_key"))
+          col("n.band_key") === col("o.band_key") &&
+          // self-pair guard: after advanceIncrSnapshot the snapshot
+          // CONTAINS the batch's own signatures, so without this every
+          // batch doc would match itself at jaccard 1.0 (cross-doc
+          // pairs against an advanced snapshot are legitimate — the
+          // snapshot genuinely holds those docs now)
+          col("n.doc_id") =!= col("o.doc_id"))
       .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
       .distinct()
     val oldSh = tokenized(spark, dir)
@@ -739,7 +739,7 @@ object Llm {
         s"dedupClusters: labels still moving after $maxRounds rounds " +
           s"($changed rows changed) — refusing to emit unconverged clusters")
     val edgeCount = edges.count() // cheap: still persisted
-    val path = java.nio.file.Files.createTempDirectory("graft_labels").toString
+    val path = graft.util.Fs.tempDir("graft_labels")
     labels.select(col("doc_id"), col("lbl").as("cluster"))
       .write.mode("overwrite").parquet(path)
     edges.unpersist()
@@ -808,8 +808,9 @@ object Llm {
     * one window. Shuffle carries (doc, band) rows — 4x the single-band
     * candidates, still never doc x doc. */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int): DataFrame = {
-    val sigs = dedupSimhash(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // banding reads the signatures on both join sides — eager
+    // localCheckpoint, not persist (the mmPhash leak rule)
+    val sigs = dedupSimhash(spark, dir).localCheckpoint(true)
     val banded = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         expr(s"CAST(shiftright(simhash, ${i * 16}) & 65535 AS INT)")): _*))
@@ -1453,12 +1454,18 @@ object Llm {
       : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
     val perSession = cellCache
       .computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
-    perSession.get(dir).flatMap(r => Option(r.get())) match {
-      case Some(v) => v
-      case None =>
-        val v = fitIvfCells(spark, dir)
-        perSession.put(dir, new java.lang.ref.SoftReference(v))
-        v
+    // serialize first-caller builds (the islandSummaryTable rule): an
+    // unsynchronized get-then-put lets concurrent first callers run
+    // duplicate KMeans fits, and the loser's persisted cells frame
+    // stays pinned in the cache manager with no handle to unpersist
+    perSession.synchronized {
+      perSession.get(dir).flatMap(r => Option(r.get())) match {
+        case Some(v) => v
+        case None =>
+          val v = fitIvfCells(spark, dir)
+          perSession.put(dir, new java.lang.ref.SoftReference(v))
+          v
+      }
     }
   }
 
@@ -1531,6 +1538,32 @@ object Llm {
     (model, cells)
   }
 
+  /** Driver-side probe-cell selection over an in-memory quantizer —
+    * ONE copy of the rule for annIvf and annIvfPq (the file already
+    * recorded a real bug born of probe-rule drift between copies: the
+    * advisor's own-cell-ranking finding): rank non-own centroids by
+    * cosine against the query (norm-invariant in the query, so raw or
+    * unit vectors rank identically), probe own + (nprobe-1) next,
+    * nprobe = max(2, ceil(k/4)) — the probed fraction stays constant
+    * as k grows with sqrt(n). The persisted-index twin is
+    * AnnIndex.selectProbes (snapshot centroids instead of a live
+    * model); AnnIndexSpec pins the two paths cell-identical. */
+  private def rankProbes(model: org.apache.spark.ml.clustering.KMeansModel,
+      qe: scala.collection.Seq[Double], qcell: Int): Seq[Int] = {
+    val nprobe = math.max(2, math.ceil(model.getK / 4.0).toInt)
+    val ranked = model.clusterCenters.zipWithIndex
+      .filter(_._2 != qcell)
+      .map { case (c, i) =>
+        val ca = c.toArray
+        var dot = 0.0; var n = 0.0
+        var k = 0
+        while (k < ca.length) { dot += ca(k) * qe(k); n += ca(k) * ca(k); k += 1 }
+        (i, dot / math.sqrt(n))
+      }
+      .sortBy(-_._2)
+    (qcell +: ranked.take(nprobe - 1).map(_._1)).toIndexedSeq
+  }
+
   /** IVF-style ANN: coarse-quantize with KMeans (k ~ sqrt(n), seed 42)
     * over unit vectors, then scan only the query's cell and its
     * runner-up (2 probes) with the native cosine scorer. The 100 TB
@@ -1550,18 +1583,7 @@ object Llm {
     val qRow = query.head()
     val qe = qRow.getAs[scala.collection.Seq[Double]](0)
     val qcell = qRow.getInt(1)
-    val nprobe = math.max(2, math.ceil(model.getK / 4.0).toInt)
-    val centersRanked = model.clusterCenters.zipWithIndex
-      .filter(_._2 != qcell)
-      .map { case (c, i) =>
-        val ca = c.toArray
-        var dot = 0.0; var n = 0.0
-        var k = 0
-        while (k < ca.length) { dot += ca(k) * qe(k); n += ca(k) * ca(k); k += 1 }
-        (i, dot / math.sqrt(n))
-      }
-      .sortBy(-_._2)
-    val probes = qcell +: centersRanked.take(nprobe - 1).map(_._1)
+    val probes = rankProbes(model, qe, qcell)
     cells
       .filter(col("vec_id") =!= 0 && col("cell").isin(probes: _*))
       .crossJoin(broadcast(query.select(col("qe"))))
@@ -1711,6 +1733,10 @@ object Llm {
       : (Array[Double], Int, Int, Int, DataFrame) = {
     val perSession = pqCache
       .computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
+    // serialize first-caller builds (the ivfCells rule; the codes
+    // frame is persisted — a racing duplicate would strand the
+    // loser's copy in the cache manager)
+    perSession.synchronized {
     perSession.get(dir).flatMap(r => Option(r.get())) match {
       case Some(v) => v
       case None =>
@@ -1734,6 +1760,7 @@ object Llm {
         val v = (cb, m, ks, sub, codes)
         perSession.put(dir, new java.lang.ref.SoftReference(v))
         v
+    }
     }
   }
 
@@ -1759,18 +1786,7 @@ object Llm {
     val qRow = query.head()
     val qe = qRow.getAs[scala.collection.Seq[Double]](0)
     val qcell = qRow.getInt(1)
-    val nprobe = math.max(2, math.ceil(model.getK / 4.0).toInt)
-    val centersRanked = model.clusterCenters.zipWithIndex
-      .filter(_._2 != qcell)
-      .map { case (c, i) =>
-        val ca = c.toArray
-        var dot = 0.0; var n = 0.0
-        var k = 0
-        while (k < ca.length) { dot += ca(k) * qe(k); n += ca(k) * ca(k); k += 1 }
-        (i, dot / math.sqrt(n))
-      }
-      .sortBy(-_._2)
-    val probes = qcell +: centersRanked.take(nprobe - 1).map(_._1)
+    val probes = rankProbes(model, qe, qcell)
     val lut = pqLut(qe, cb, m, ks, sub)
     val shortlist = codes
       .filter(col("vec_id") =!= 0 && col("cell").isin(probes: _*))
@@ -1816,14 +1832,19 @@ object Llm {
         fresh
       }
     }
-    per.getOrElseUpdate(dir, {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ann_index")
-        .toString
-      graft.engine.AnnIndex.build(spark,
-        Tables(spark, dir, "embeddings").select(col("vec_id"),
-          col("embedding").cast("array<double>").as("e")), tmp)
-      tmp
-    })
+    // serialize first-caller builds (the islandSummaryTable rule):
+    // TrieMap.getOrElseUpdate may evaluate a racing builder twice, and
+    // the loser's fully-built index dir would leak untracked —
+    // invalidateAnnIndexCache() could never delete it
+    per.synchronized {
+      per.getOrElseUpdate(dir, {
+        val tmp = graft.util.Fs.tempDir("graft_ann_index")
+        graft.engine.AnnIndex.build(spark,
+          Tables(spark, dir, "embeddings").select(col("vec_id"),
+            col("embedding").cast("array<double>").as("e")), tmp)
+        tmp
+      })
+    }
   }
 
   /** L3 as a SERVABLE ARTIFACT ([[graft.engine.AnnIndex]]): the IVF
@@ -1930,7 +1951,10 @@ object Llm {
     tokenized(spark, dir)
       .select(col("source"), col("doc_id"), size(col("t")).cast("long").as("n_tok"))
       .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
-      .withColumn("bin", floor(col("cum_before") / cap))
+      // integer `div`, not floor(double /): past ~2^53 cumulative
+      // tokens the double quotient rounds and can misassign the bin
+      // at exact cap multiples (the shardAssignOn rule)
+      .withColumn("bin", expr(s"cum_before div $cap"))
       .groupBy(col("source"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .orderBy(col("source"), col("bin"))
@@ -2438,7 +2462,10 @@ object Llm {
       .withColumn("h", expr(
         "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS DOUBLE)"))
       .withColumn("u", (col("h") + lit(1.0)) / lit(4294967296.0))
-      .withColumn("priority", round(log(col("u")) / col("n_chars"), 9))
+      // + 0.0 IEEE-canonicalizes a rounded -0.0 (u within ulps of 1.0
+      // gives a tiny negative log) — the q_agg_stats signed-zero class
+      .withColumn("priority",
+        round(log(col("u")) / col("n_chars"), 9) + lit(0.0))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("lang"), col("doc_id"), col("n_chars"), col("priority"))
@@ -3511,7 +3538,7 @@ object Llm {
       """WITH d AS (
            SELECT lang, doc_id, n_chars,
                   round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
-                             + 1.0) / 4294967296.0) / n_chars, 9) AS priority
+                             + 1.0) / 4294967296.0) / n_chars, 9) + 0.0 AS priority
            FROM documents),
          r AS (
            SELECT lang, doc_id, n_chars, priority,

@@ -50,12 +50,18 @@ object Ml {
       dir: String): org.apache.spark.sql.DataFrame = {
     val perSession = fitCache
       .computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
-    perSession.get(dir).flatMap(r => Option(r.get())) match {
-      case Some(df) => df
-      case None =>
-        val df = fitClusteredRows(spark, dir)
-        perSession.put(dir, new java.lang.ref.SoftReference(df))
-        df
+    // serialize first-caller builds (the Llm memo rule): an
+    // unsynchronized get-then-put lets concurrent first callers run
+    // duplicate KMeans fits, and the loser's persisted scaled frame
+    // stays pinned in the cache manager with no handle to unpersist
+    perSession.synchronized {
+      perSession.get(dir).flatMap(r => Option(r.get())) match {
+        case Some(df) => df
+        case None =>
+          val df = fitClusteredRows(spark, dir)
+          perSession.put(dir, new java.lang.ref.SoftReference(df))
+          df
+      }
     }
   }
 

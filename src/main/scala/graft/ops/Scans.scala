@@ -1,7 +1,5 @@
 package graft.ops
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.engine.Tables
@@ -28,7 +26,7 @@ import graft.engine.Tables
 object Scans {
 
   private def tmpDir(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+    graft.util.Fs.tempDir(prefix)
 
   /** S9: plain parquet scan. */
   val scanParquet: Q = (spark, dir) =>

@@ -5,6 +5,32 @@ package graft.util
   * per-caller re-implementation (a fix here reaches every user). */
 object Fs {
 
+  /** Temp directory registered for recursive deletion at JVM exit.
+    * Session-lifetime memo tables (islands, labels, signature
+    * snapshots, DML fixtures) and sink round-trips are correctly
+    * scoped to the process — but a bare `createTempDirectory` leaves
+    * one directory per invocation on disk FOREVER (thousands of
+    * `/tmp/graft_*` dirs across verify/bench runs). Deletion uses NIO
+    * directly, so it is independent of Hadoop's own FileSystem
+    * shutdown hooks; double-deleting a dir an invalidator already
+    * removed is a no-op. */
+  def tempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix).toString
+    exitHook // force the one-time hook registration
+    exitRegistry.add(p)
+    p
+  }
+
+  private val exitRegistry =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  private lazy val exitHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(
+      () => exitRegistry.forEach { p =>
+        try deleteRecursively(p) catch { case _: Throwable => () }
+      },
+      "graft-tempdir-cleanup"))
+
   /** Delete `path` recursively if it exists; no-op otherwise. */
   def deleteRecursively(path: String): Unit = {
     val root = java.nio.file.Paths.get(path)

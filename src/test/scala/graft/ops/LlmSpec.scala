@@ -272,6 +272,13 @@ class LlmSpec extends SparkTestBase {
     // old version + exactly the batch signatures
     assert(cur.count() == old.count() +
       cur.filter($"doc_id" % 5 === 0).count())
+    // re-running dedup against the ADVANCED snapshot (which now holds
+    // the batch's own signatures) must never emit self-pairs — the
+    // unguarded band join matched every batch doc to itself at
+    // jaccard 1.0
+    val post = Llm.dedupIncremental(spark, sfSmoke)
+    assert(post.filter($"new_id" === $"old_id").count() == 0,
+      "advanced-snapshot rerun emitted self-pairs")
     Llm.invalidateSnapshotSigCache() // leave no advanced state behind
   }
 
