@@ -97,6 +97,124 @@ class PropertiesSpec extends SparkTestBase {
     })
   }
 
+  test("de-concentrated global index equals the single-window row_number for arbitrary doubles") {
+    // values include duplicates, NaN (sorts greater than everything),
+    // and NULL (sorts first under Spark's ASC default) — the exact
+    // orderings rangeBucketOf's bucket-0/top-bucket pinning must
+    // reproduce for the concatenated per-bucket indexes to be the
+    // global order
+    val valGen: Gen[Option[Double]] = Gen.frequency(
+      (8, Gen.choose(-1e4, 1e4).map(Some(_))),
+      (1, Gen.const(Some(Double.NaN))),
+      (1, Gen.const(Option.empty[Double])))
+    val rows = Gen.listOfN(40, valGen)
+    check("global-index", Prop.forAll(rows) { vs =>
+      vs.isEmpty || {
+        val df = vs.zipWithIndex
+          .map { case (v, i) => (v, i.toLong) }.toDF("v", "id")
+        val got = Windows.withGlobalIndex(df, "v", Seq("id"), "gi")
+          .select($"id", $"gi").as[(Long, Long)].collect().toMap
+        // reference: the one-task global window the machinery replaces
+        val want = df.withColumn("gi",
+            row_number().over(Window.orderBy($"v", $"id")) - 1)
+          .select($"id", $"gi".cast("long")).as[(Long, Long)]
+          .collect().toMap
+        got == want
+      }
+    })
+  }
+
+  test("MERGE clause matrix equals a naive per-row reference for arbitrary clauses") {
+    import graft.engine.Merge
+    // conditions are threshold predicates on one side's value; every
+    // generated clause carries BOTH its Column form (fed to the
+    // engine) and its Scala form (fed to the reference)
+    sealed trait C {
+      def clause: Merge.Clause
+      def matched: Boolean
+    }
+    // d: assignment delta; c: optional condition threshold
+    case class MU(c: Option[Long], sSide: Boolean, d: Long) extends C {
+      val matched = true
+      def clause = Merge.MatchedUpdate(
+        c.map(t => (if (sSide) col("s.v") else col("t.v")) > t),
+        Map("v" -> (col("s.v") + d)))
+      def applies(tv: Long, sv: Long) =
+        c.forall(t => (if (sSide) sv else tv) > t)
+    }
+    case class MD(c: Option[Long]) extends C {
+      val matched = true
+      def clause = Merge.MatchedDelete(c.map(t => col("s.v") > t))
+      def applies(sv: Long) = c.forall(sv > _)
+    }
+    case class NI(c: Option[Long], d: Long) extends C {
+      val matched = false
+      def clause = Merge.NotMatchedInsert(c.map(t => col("s.v") > t),
+        Map("k" -> col("s.k"), "v" -> (col("s.v") + d)))
+      def applies(sv: Long) = c.forall(sv > _)
+    }
+    case class BU(c: Option[Long], d: Long) extends C {
+      val matched = false
+      def clause = Merge.NotMatchedBySourceUpdate(
+        c.map(t => col("t.v") > t), Map("v" -> (col("t.v") + d)))
+      def applies(tv: Long) = c.forall(tv > _)
+    }
+    case class BD(c: Option[Long]) extends C {
+      val matched = false
+      def clause = Merge.NotMatchedBySourceDelete(c.map(t => col("t.v") > t))
+      def applies(tv: Long) = c.forall(tv > _)
+    }
+    val condGen = Gen.option(Gen.choose(-50L, 50L))
+    val clauseGen: Gen[C] = Gen.oneOf(
+      Gen.zip(condGen, Gen.oneOf(true, false), Gen.choose(-5L, 5L))
+        .map { case (c, s, d) => MU(c, s, d) },
+      condGen.map(MD(_)),
+      Gen.zip(condGen, Gen.choose(-5L, 5L)).map { case (c, d) => NI(c, d) },
+      Gen.zip(condGen, Gen.choose(-5L, 5L)).map { case (c, d) => BU(c, d) },
+      condGen.map(BD(_)))
+    val clausesGen = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, clauseGen))
+    // unique source keys (duplicate source keys are the ambiguity
+    // error, specced separately in MergeSpec); target keys may repeat
+    val tgtGen = Gen.listOfN(12,
+      Gen.zip(Gen.choose(0L, 9L), Gen.choose(-60L, 60L)))
+    val srcGen = Gen.listOfN(8,
+      Gen.zip(Gen.choose(0L, 9L), Gen.choose(-60L, 60L)))
+      .map(_.distinctBy(_._1))
+    check("merge-matrix", Prop.forAll(tgtGen, srcGen, clausesGen) {
+      (tgt, src, cs) =>
+        val target = tgt.toDF("k", "v")
+        val source = src.toDF("k", "v")
+        val got = Merge.merge(target, source, Seq("k"), cs.map(_.clause))
+          .as[(Long, Long)].collect().toSeq.sorted
+        // naive per-row reference: first applicable clause wins, an
+        // unclaimed row carries through, an unclaimed source row drops
+        val byKey = src.toMap
+        val fromTarget = tgt.flatMap { case (k, tv) =>
+          byKey.get(k) match {
+            case Some(sv) =>
+              cs.filter(_.matched).collectFirst {
+                case m: MU if m.applies(tv, sv) => Seq((k, sv + m.d))
+                case m: MD if m.applies(sv) => Seq.empty
+              }.getOrElse(Seq((k, tv)))
+            case None =>
+              cs.collectFirst {
+                case b: BU if b.applies(tv) => Seq((k, tv + b.d))
+                case b: BD if b.applies(tv) => Seq.empty
+              }.getOrElse(Seq((k, tv)))
+          }
+        }
+        val tgtKeys = tgt.map(_._1).toSet
+        val fromSource = src.filterNot(s => tgtKeys(s._1)).flatMap {
+          case (k, sv) =>
+            cs.collectFirst {
+              case i: NI if i.applies(sv) => Seq((k, sv + i.d))
+            }.getOrElse(Seq.empty)
+        }
+        val want = (fromTarget ++ fromSource).sorted
+        got == want
+    })
+  }
+
   test("bloom probe admits every member for arbitrary insert sets (no false negatives)") {
     val setGen = Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue))
       .map(_.distinct)
