@@ -205,6 +205,10 @@ object ScaleProbe {
       // so the probe times the at-scale paths, not the exact
       // fallbacks the small fixtures would otherwise take)
       time("weighted sampling") { Llm.sampleWeighted(spark, dst) }
+      // shard assignment rides the de-concentrated hash-bucket global
+      // index — the trend should be one-shuffle linear, no
+      // single-ordering window wall
+      time("shard assignment") { Llm.shard(spark, dst) }
       // BPE training iterates 12 vocab-sized rounds: the corpus only
       // pays the one vocab aggregate up front, so the trend should
       // track VOCAB growth (sublinear in corpus), not corpus size
