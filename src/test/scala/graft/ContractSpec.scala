@@ -10,8 +10,12 @@ class ContractSpec extends SparkTestBase {
     assert(missing.isEmpty, s"oracle keys without query impl: $missing")
   }
 
-  test("entry (flagship) returns >0 rows on sf0.001") {
-    assert(SparkEntry.entry(spark).count() > 0)
+  test("entry (flagship) returns exactly its limit on sf0.001") {
+    // the flagship ends in .limit(10) over 25 nation groups — the
+    // deterministic fixture answer is exactly 10. A >0 gate would
+    // pass a join/filter regression that drops most groups (the
+    // driver's own smoke check is rows>0; this spec pins the count)
+    assert(SparkEntry.entry(spark).count() == 10)
   }
 
   test("oracle-checked queries emit only scalar columns (driver comparator limit)") {

@@ -94,8 +94,12 @@ class PlansSpec extends SparkTestBase {
     val p = plan("q_llm_corpus_mix")
     // exactly one aggregation exchange (plus AQE's final-sort exchange
     // for the 20-row ORDER BY) — the hash-bucket keep decision must
-    // not itself shuffle
+    // not itself shuffle. Counted, not contains(): any plan with the
+    // final rollup trivially contains a HashAggregate
     assert(p.contains("HashAggregate"), p.take(400))
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      "keep decision must not add exchanges beyond agg + final sort:\n" +
+        p.take(600))
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
       "membership is per-row hash arithmetic, no join or window")
   }
@@ -184,10 +188,16 @@ class PlansSpec extends SparkTestBase {
   test("tpch q18: the having-side aggregate gates the join as a semi-join build; top-100 never global-sorts") {
     val p = plan("q_tpch_q18")
     assert(p.contains("LeftSemi"), p.take(600))
-    // the build side of that semi join is the filtered aggregate —
+    // the build side of that semi join is the FILTERED aggregate —
     // agg-as-filter, the shape AQE upgrades to a runtime broadcast
-    // once the key list's actual (tiny) size is known
-    assert(p.contains("HashAggregate") && p.contains("sq"), p.take(600))
+    // once the key list's actual (tiny) size is known. The gate is a
+    // Filter line over the aggregate's sq output — a bare
+    // contains("sq") matches any alias containing those letters
+    assert(p.contains("HashAggregate"), p.take(600))
+    assert(p.linesIterator.exists(l =>
+        l.contains("Filter") && l.contains("sq#")),
+      "the having gate must FILTER the aggregate's sq output:\n" +
+        p.take(600))
     assert(p.contains("TakeOrderedAndProject"),
       "top-100 must not global-sort: " + p.take(600))
     assert(p.contains("BroadcastHashJoin"),
@@ -413,9 +423,15 @@ class PlansSpec extends SparkTestBase {
       "the dimension-sized blocklist must broadcast: " + block.take(400))
     val cap = plan("q_llm_domain_cap")
     // salted two-phase: local (domain, salt) top-K then global re-rank —
-    // TWO window group-limits, so no reducer ever holds a whole domain
-    assert("WindowGroupLimit".r.findAllIn(cap).size >= 2,
-      "expected both cap phases to plan group-limits: " + cap.take(600))
+    // TWO LOGICAL window group-limits, so no reducer ever holds a whole
+    // domain. Spark plans each logical group-limit as a Partial+Final
+    // PHYSICAL pair, so the regressed single-window form still prints
+    // TWO WindowGroupLimit nodes — the two-phase shape is >= 4
+    // (measured: salted plan 4, regressed plan 2; a >= 2 gate passed
+    // the exact regression this test documents itself as preventing)
+    assert("WindowGroupLimit".r.findAllIn(cap).size >= 4,
+      "expected both cap phases to plan Partial+Final group-limits: " +
+        cap.take(600))
     assert(!cap.contains("Join"), "per-domain cap needs no join: " + cap.take(400))
   }
 
@@ -637,8 +653,7 @@ class PlansSpec extends SparkTestBase {
 
   test("MERGE matrix plans one outer key join, no cartesian") {
     val p = plan("q_merge_matrix")
-    assert(p.contains("FullOuter") || p.contains("full_outer") ||
-      p.toLowerCase.contains("fullouter"),
+    assert(p.toLowerCase.contains("fullouter"),
       "merge resolves through one full-outer key join:\n" + p.take(600))
     assert(!p.contains("CartesianProduct"),
       "the 1-row ambiguity count must broadcast, never cartesian-shuffle")
@@ -653,11 +668,18 @@ class PlansSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin"), // eval-sized query side
       "query table must broadcast:\n" + p.take(600))
     assert(!p.contains("CartesianProduct"), "no all-pairs shuffle")
-    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
-      "per-query top-k ranks in a window")
+    assert(p.contains("Window"), "per-query top-k ranks in a window")
     val pi = plan("q_llm_knn_join_ivf")
     assert(!pi.contains("CartesianProduct"),
       "probed join must key on cell:\n" + pi.take(600))
+    // ONE nested-loop join is legitimate (queries x broadcast
+    // centroids); a second would mean the cell-keyed corpus equi join
+    // degraded to a whole-corpus broadcast loop — the all-pairs shape
+    // the IVF path exists to avoid, invisible to the cartesian check
+    assert("BroadcastNestedLoopJoin".r.findAllIn(pi).size <= 1,
+      "corpus join must stay cell-keyed, not nested-loop:\n" + pi.take(600))
+    assert(pi.contains("BroadcastHashJoin") || pi.contains("SortMergeJoin"),
+      "probe-to-corpus must be an equi join on cell:\n" + pi.take(600))
   }
 
   test("shard assignment plans bucketed windows, no single-ordering global sort") {

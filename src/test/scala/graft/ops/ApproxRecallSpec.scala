@@ -132,6 +132,12 @@ class ApproxRecallSpec extends SparkTestBase {
       def ham(p: (Long, Long)): Int =
         java.lang.Long.bitCount(sigs(p._1) ^ sigs(p._2))
       val close = truth.filter(ham(_) <= 3)
+      // the pigeonhole gate is vacuous on an empty region (recall(∅)
+      // is 1.0 by definition): a signature bug that scatters every
+      // planted pair past hamming 3 must fail HERE, not silently
+      // un-exercise the gate below
+      assert(close.nonEmpty,
+        s"$sf: no planted pair within hamming 3 — signatures scattered?")
       val rAll = recall(truth, got)
       val rClose = recall(close, got)
       assert(rAll >= 0.85,
@@ -225,9 +231,21 @@ class ApproxRecallSpec extends SparkTestBase {
   // ------------------------------------------- embed_neardup dispatch
 
   test("embed_neardup: default dispatch is the exact path on small corpora") {
-    val viaDispatch = Llm.embedNeardup(spark, sfSmoke).collect().toSeq
-    val exact = Llm.embedNeardupExact(spark, sfSmoke).collect().toSeq
-    assert(viaDispatch == exact)
+    val dispatch = Llm.embedNeardup(spark, sfSmoke)
+    val exact = Llm.embedNeardupExact(spark, sfSmoke)
+    // assert the REGIME, not just the output: on this fixture the LSH
+    // path emits exactly re-scored rows too, so output equality alone
+    // could pass an inverted bound comparison by coincidence.
+    // sameResult canonicalizes expression ids — true iff the dispatch
+    // returned the exact PLAN
+    assert(dispatch.queryExecution.optimizedPlan
+        .sameResult(exact.queryExecution.optimizedPlan),
+      "default dispatch below the bound must BE the exact plan")
+    assert(!Llm.embedNeardupDispatch(spark, sfSmoke, 0L).queryExecution
+        .optimizedPlan.sameResult(exact.queryExecution.optimizedPlan),
+      "bound 0 must route to a structurally different (LSH) plan")
+    val viaDispatch = dispatch.collect().toSeq
+    assert(viaDispatch == exact.collect().toSeq)
     assert(viaDispatch.nonEmpty)
   }
 
@@ -263,9 +281,18 @@ class ApproxRecallSpec extends SparkTestBase {
   // -------------------------------------- decontam_semantic dispatch
 
   test("decontam_semantic: default dispatch is the exact path on small evals") {
-    val viaDispatch = Llm.decontamSemantic(spark, sfSmoke).collect().toSeq
-    val exact = Llm.decontamSemanticExact(spark, sfSmoke).collect().toSeq
-    assert(viaDispatch == exact)
+    val dispatch = Llm.decontamSemantic(spark, sfSmoke)
+    val exact = Llm.decontamSemanticExact(spark, sfSmoke)
+    // regime assertion (see the embed_neardup twin): dispatch below
+    // the bound must return the exact PLAN, bound 0 a different one
+    assert(dispatch.queryExecution.optimizedPlan
+        .sameResult(exact.queryExecution.optimizedPlan),
+      "default dispatch below the bound must BE the exact plan")
+    assert(!Llm.decontamSemanticDispatch(spark, sfSmoke, 0L).queryExecution
+        .optimizedPlan.sameResult(exact.queryExecution.optimizedPlan),
+      "bound 0 must route to a structurally different (IVF) plan")
+    val viaDispatch = dispatch.collect().toSeq
+    assert(viaDispatch == exact.collect().toSeq)
     assert(viaDispatch.nonEmpty)
   }
 
@@ -320,8 +347,17 @@ class ApproxRecallSpec extends SparkTestBase {
   test("forced-IVF witness flags exactly the planted contaminated ids") {
     val rows = Llm.decontamSemanticForcedIvf(spark, sfSmoke)
       .as[(Long, Double, Boolean)].collect().toSeq
-    assert(rows.nonEmpty && rows.forall(r =>
-      r._1 % 100 == 1 && r._2 == 1.0 && r._3),
-      s"witness rows must be the planted %100==1 train ids at 1.0: $rows")
+    // EXACTLY the planted population — nonEmpty+forall alone is the
+    // subset direction only, and a probe-rule recall collapse that
+    // finds one planted id still satisfies it
+    val plantedIds = graft.engine.Tables(spark, sfSmoke, "embeddings")
+      .filter(col("vec_id") % 100 === 1)
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(plantedIds.nonEmpty, "fixture must carry %100==1 train ids")
+    assert(rows.map(_._1).toSet == plantedIds,
+      s"witness must flag every planted id: got ${rows.size} of " +
+        s"${plantedIds.size}")
+    assert(rows.forall(r => r._2 == 1.0 && r._3),
+      s"planted copies must score 1.0 contaminated: $rows")
   }
 }
