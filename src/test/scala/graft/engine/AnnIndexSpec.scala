@@ -16,6 +16,9 @@ class AnnIndexSpec extends SparkTestBase {
       .as[(Long, Int, Double)].collect().toSeq
     val fromSnapshot = Llm.queries("q_llm_ann_index")(spark, sfSmoke)
       .as[(Long, Int, Double)].collect().toSeq
+    // a shared regression returning zero rows from BOTH paths would
+    // satisfy bare equality — anchor the contract on real output
+    assert(fromFit.nonEmpty, "fit probe must return neighbors")
     assert(fromSnapshot == fromFit,
       s"snapshot probe diverged:\nfit  $fromFit\nsnap $fromSnapshot")
   }
@@ -63,26 +66,29 @@ class AnnIndexSpec extends SparkTestBase {
       .as[(Long, Int, Double)].collect().toSeq
     assert(old == before, s"time travel must serve v$v0 unchanged: $old")
 
-    // refresh assignment rule == build assignment rule: rebuilding
-    // from the merged vector set puts every vector in the same cell
-    // the incremental path chose
+    // refresh assignment rule == the documented MLlib rule, asserted
+    // DIRECTLY on the cells refresh wrote (a rebuild-and-compare-maps
+    // form only checked key presence — trivially true — and left the
+    // not-matched-INSERT assignment path with zero real coverage):
+    // argmin squared euclid of the UNIT vector over the committed
+    // centroids, first cell id wins ties.
     val merged = VersionedTable.read(spark, AnnIndex.cellsDir(dir))
       .select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toMap
-    val dir2 = java.nio.file.Files.createTempDirectory("graft_ann_idx2").toString
-    AnnIndex.build(spark,
-      VersionedTable.read(spark, AnnIndex.cellsDir(dir))
-        .select(col("vec_id"), col("e")), dir2)
-    val rebuilt = VersionedTable.read(spark, AnnIndex.cellsDir(dir2))
-      .select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toMap
-    // cell IDs are fit-dependent; compare the PARTITION structure:
-    // vectors sharing a cell incrementally must share one on rebuild
-    // only if the quantizers agree — which a same-data same-seed
-    // refit guarantees for the build inputs. Instead pin the direct
-    // contract: the incremental assignment of 901 matches what a
-    // fresh MLlib transform of the SAME centroids gives.
-    assert(merged.contains(901L) && rebuilt.contains(901L))
+    val cents = VersionedTable.read(spark, AnnIndex.centroidsDir(dir))
+      .select(col("cell"), col("ce")).as[(Int, Seq[Double])]
+      .collect().sortBy(_._1)
+    def expectCell(v: Seq[Double]): Int = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      val u = v.map(_ / n)
+      cents.minBy { case (i, c) =>
+        (c.zip(u).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }._1
+    }
+    assert(merged(901L) == expectCell(nearAnchor(3, 0.001)),
+      "inserted vector must land in its MLlib-rule cell")
+    assert(merged(900L) == expectCell(vec(999)),
+      "re-ingested vector must land in its NEW position's cell")
     graft.util.Fs.deleteRecursively(dir)
-    graft.util.Fs.deleteRecursively(dir2)
   }
 
   test("streaming refresh trails the vector stream; replay bumps nothing") {
@@ -128,7 +134,13 @@ class AnnIndexSpec extends SparkTestBase {
       graft.streaming.Pipelines.writerToken(spark, ckpt))
     assert(VersionedTable.currentVersion(spark, AnnIndex.cellsDir(dir)) == vNow,
       "an already-landed epoch must not commit a new version")
-    assert(vAfter.nonEmpty)
+    // version growth across the new-lineage replay is bounded: the
+    // fresh writer token may re-land the epoch ONCE (value-idempotent,
+    // asserted above), never more (a bare nonEmpty here constrained
+    // nothing — currentVersion after a successful build is always
+    // defined)
+    assert(vNow.get - vAfter.get <= 1,
+      s"new-lineage replay must bump at most once: $vAfter -> $vNow")
     Seq(dir, src, ckpt).foreach(graft.util.Fs.deleteRecursively)
   }
 

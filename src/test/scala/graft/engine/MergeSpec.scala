@@ -57,14 +57,25 @@ class MergeSpec extends SparkTestBase {
       merge(target, src, Seq("k"), Seq(
         MatchedUpdate(None, Map("v" -> lit(0))))).collect()
     }
-    assert(ex.getMessage != null)
-    // duplicates that DON'T match the target are fine (insert side)
+    // the AMBIGUITY error specifically — a bare getMessage != null
+    // accepts any crash for this input and verifies nothing about why
+    // the merge failed
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(m => String.valueOf(m.getMessage))
+      .mkString(" | ")
+    assert(chain(ex).contains("multiple source rows"),
+      s"expected the ambiguity error, got: ${chain(ex).take(300)}")
+    // duplicates that DON'T match the target are fine (insert side):
+    // every target row carries through unchanged except k=1's update,
+    // and both k=5 duplicates insert
     val okSrc = Seq((5L, "ins"), (5L, "ins2")).toDF("k", "op")
     val ok = merge(target, okSrc, Seq("k"), Seq(
       MatchedUpdate(None, Map("v" -> lit(0))),
       NotMatchedInsert(None, Map("k" -> col("s.k")))))
-      .orderBy("k").collect()
-    assert(ok.length == target.count() + 2)
+      .orderBy("k").select("k").as[Long].collect().toSeq
+    assert(ok == (target.select("k").as[Long].collect().toSeq ++
+        Seq(5L, 5L)).sorted,
+      s"non-matching duplicates must both insert, rest carry: $ok")
   }
 
   test("ambiguity fires even when every output row is dropped") {

@@ -422,8 +422,13 @@ class VersionedTableSpec extends SparkTestBase {
     // the surviving version's pruned read path is untouched
     val (pruned, read, total) = VersionedTable.readPruned(
       spark, dir, Map("k" -> ((1L, 3L))))
+    // exact file accounting — v1 committed WITH stats, so this read
+    // must be in pruning mode (total -1 would mean degraded) and its
+    // total must be v1's real file count (an `|| total >= 1` escape
+    // here would also rescue a manifest corrupted by the expire)
     assert(total == pruned.sparkSession.read
-      .parquet(s"$dir/v1").inputFiles.length || total >= 1)
+        .parquet(s"$dir/v1").inputFiles.length,
+      s"pruning must account every v1 file, got total=$total read=$read")
     assert(pruned.count() == 1)
   }
 

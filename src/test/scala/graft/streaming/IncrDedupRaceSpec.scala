@@ -48,11 +48,16 @@ class IncrDedupRaceSpec extends SparkTestBase {
     // while the stream triggers run
     val advanceVersions = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     val advanceErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    // the advancer runs for the WHOLE stream window (stop flag, not a
+    // fixed iteration count): a fixed count can finish before the
+    // first trigger commits, and the "race" then never overlaps — the
+    // interleaving is ASSERTED below, not hoped for
+    val stopAdvancer = new java.util.concurrent.atomic.AtomicBoolean(false)
     val advancer = new Thread(() => {
-      try (0 until 4).foreach { _ =>
+      try while (!stopAdvancer.get()) {
         advanceVersions.add(
           graft.ops.Llm.advanceIncrSnapshotAt(spark, sfSmoke, snap))
-        Thread.sleep(30L)
+        Thread.sleep(50L)
       } catch { case t: Throwable => advanceErr.set(t) }
     }, "race-advancer")
 
@@ -72,13 +77,26 @@ class IncrDedupRaceSpec extends SparkTestBase {
       Pipelines.runStreamingIncrDedup(docStream, snap, out, ckpt)
         .awaitTermination()
     }
+    stopAdvancer.set(true)
     advancer.join(180000L)
     assert(advanceErr.get() == null, s"advance failed: ${advanceErr.get()}")
 
     // every advance won its own version (commitMerge serialized them)
     import scala.jdk.CollectionConverters._
     val advVs = advanceVersions.asScala.toSeq
-    assert(advVs.size == 4 && advVs.distinct.size == 4, s"versions $advVs")
+    assert(advVs.size >= 4 && advVs.distinct.size == advVs.size,
+      s"versions $advVs")
+    // the race actually interleaved: a version GAP between consecutive
+    // advances is a commit the advancer didn't make — the stream gate
+    // landing between the advancer's read-base and its next advance.
+    // Without this the whole test can pass with the two writers
+    // accidentally serialized, proving nothing about lost updates.
+    assert(advVs.sliding(2).exists {
+        case Seq(a, b) => b > a + 1
+        case _ => false
+      },
+      s"no stream commit interleaved the advances — the race never " +
+        s"overlapped: $advVs")
 
     // every admitted doc landed exactly once, and all were admitted
     val landed = spark.read.parquet(out)
@@ -98,8 +116,13 @@ class IncrDedupRaceSpec extends SparkTestBase {
         size(split($"text", " ")) >= lit(3))
       .select($"doc_id").as[Long].collect().toSet
     assert(refreshIds.nonEmpty)
+    // EXACT set, both directions: the three writers are the only
+    // legitimate sources, so a phantom row (a duplicate admission, a
+    // doc the gate should have rejected) is as much a lost-update bug
+    // as a missing one — subsetOf alone passed a superset silently
     val expected = Set(1L, 2L) ++ refreshIds ++ streamIds
-    assert(expected.subsetOf(snapIds),
-      s"snapshot lost rows: ${expected.diff(snapIds)}")
+    assert(snapIds == expected,
+      s"snapshot rows diverged — lost: ${expected.diff(snapIds)}, " +
+        s"phantom: ${snapIds.diff(expected)}")
   }
 }

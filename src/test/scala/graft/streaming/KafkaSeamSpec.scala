@@ -30,8 +30,12 @@ class KafkaSeamSpec extends SparkTestBase {
       Seq("key" -> "string", "value" -> "string"))
     val rows = payload.orderBy($"key").as[(String, String)].collect()
     assert(rows.map(_._1).toSeq == Seq("ab1", "cd2"))
-    // value is one JSON document per record; fields are recoverable
-    assert(get_json_object(lit(rows.head._2), "$.icao24") != null)
+    // value is one JSON document per record; fields are recoverable.
+    // EVALUATED extraction — get_json_object(...) itself is a Column
+    // object and is never null, so comparing it to null tests nothing
+    assert(Seq(rows.head._2).toDF("value")
+        .select(get_json_object($"value", "$.icao24"))
+        .as[String].head() == "ab1")
     val back = spark.read.json(Seq(rows.head._2).toDS())
     assert(back.columns.toSet == Set("icao24", "callsign", "last_contact", "longitude", "latitude"))
     assert(back.select($"icao24").as[String].head() == "ab1")
@@ -63,8 +67,9 @@ class KafkaSeamSpec extends SparkTestBase {
         concat(lit("ab"), $"value").as("icao24"),
         lit("C1").as("callsign"),
         $"value".as("last_contact"))
-    val writer = Pipelines.kafkaSink(streamStates, "b:9092", "t", "/tmp/ckpt_unused")
-    assert(writer != null)
+    // building must not throw (start() is where the connector is
+    // needed); a null-check on the returned writer could never fail
+    Pipelines.kafkaSink(streamStates, "b:9092", "t", "/tmp/ckpt_unused")
     // the source resolves the format eagerly at load(); in this env
     // that must fail with the standard missing-data-source error
     // (anything else would mean the wiring itself is broken)

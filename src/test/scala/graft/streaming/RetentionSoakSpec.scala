@@ -173,19 +173,31 @@ class RetentionSoakSpec extends SparkTestBase {
     // keepLast; cells shrinks to the newest keepLast plus at most one
     // pinned snapshot per retained codes version (each sync pinned
     // its round's cells version; the floor honors every retained pin
-    // and releases it when the codes version expires)
+    // and releases it when the codes version expires).
+    // Capture each soon-to-be-retained version's pinned ANSWER first:
+    // cross-wired lineage (old codes scored with a new codebook, or
+    // re-ranked against the wrong cells snapshot) still returns
+    // nonEmpty garbage — only answer equality catches it
+    val willRetain = VersionedTable
+      .versions(spark, AnnIndex.pqCodesDir(dir)).takeRight(3)
+    val pinnedBefore = willRetain.map(cv => cv ->
+      AnnIndex.queryPq(spark, dir, anchor, k = 1, version = Some(cv))
+        .as[(Long, Int, Double)].collect().toSeq).toMap
     AnnIndex.expire(spark, dir, keepLast = 3)
     val codesAfter = VersionedTable.versions(spark, AnnIndex.pqCodesDir(dir))
     val cellsAfter = VersionedTable.versions(spark, AnnIndex.cellsDir(dir))
     assert(codesAfter.size == 3, s"codes history must land at keepLast: $codesAfter")
     assert(cellsAfter.size <= 3 + codesAfter.size,
       s"cells retention must land at the bounded steady state: $cellsAfter")
-    // every retained codes version still serves PINNED — its cells
-    // lineage survived retention (the review find: a current-only
-    // floor expires older retained pins)
+    // every retained codes version still serves PINNED, and serves
+    // the SAME answer it served before retention
     codesAfter.foreach { cv =>
-      assert(AnnIndex.queryPq(spark, dir, anchor, k = 1, version = Some(cv))
-        .collect().nonEmpty, s"retained codes v$cv lost its pinned lineage")
+      val after = AnnIndex
+        .queryPq(spark, dir, anchor, k = 1, version = Some(cv))
+        .as[(Long, Int, Double)].collect().toSeq
+      assert(after == pinnedBefore(cv),
+        s"retained codes v$cv answer drifted across expire: " +
+          s"${pinnedBefore(cv)} -> $after")
     }
     assert(AnnIndex.queryPq(spark, dir, anchor, k = 1)
       .as[(Long, Int, Double)].collect().head._1 == 804L,

@@ -167,6 +167,20 @@ class StreamingSpec extends SparkTestBase {
       assert(batchMap(key).get(2) == r.get(2), s"cnt mismatch at $key")
       assert(batchMap(key).get(3) == r.get(3), s"sum mismatch at $key")
     }
+    // COMPLETENESS, not just soundness: the per-row loop above passes
+    // even if a watermark regression emits 1 of N closed windows. The
+    // set that MUST have emitted is derivable — every window strictly
+    // closed under the final watermark (max ts - the 2h delay; strict
+    // < dodges the emit-boundary tie). 1-hour windows: end = start+1h.
+    val maxTs = batch.agg(max($"ts")).head().getTimestamp(0).getTime
+    val wmMs = maxTs - 2L * 3600 * 1000
+    val mustEmit = batched.filter(r =>
+        r.getTimestamp(0).getTime + 3600 * 1000 < wmMs)
+      .map(r => (r.get(0), r.get(1))).toSet
+    val emitted = streamed.map(r => (r.get(0), r.get(1))).toSet
+    assert(mustEmit.nonEmpty, "fixture must close windows under the watermark")
+    assert(mustEmit.subsetOf(emitted),
+      s"closed windows never emitted: ${(mustEmit -- emitted).take(5)}")
   }
 
   test("stream-stream interval join matches the batch face exactly") {
