@@ -138,30 +138,25 @@ class AdvancedSpec extends SparkTestBase {
   test("as-of join matches latest click at-or-before each purchase") {
     val got = Advanced.joinAsof(spark, sfSmoke).limit(0) // shape check
     assert(got.columns.toSeq == Seq("event_id", "user_id", "ts", "click_id"))
-    // inline semantics check
-    val ev = Seq(
+    // semantics asserted on THE OP over a crafted events fixture — the
+    // previous form built and asserted a test-local re-implementation
+    // of the same window, so the op itself was never semantics-tested
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof").toString
+    Seq(
       (1L, ts("2024-01-01 10:00:00"), 7L, "click"),
       (2L, ts("2024-01-01 10:05:00"), 7L, "purchase"), // -> click 1
       (3L, ts("2024-01-01 10:10:00"), 7L, "click"),
       (4L, ts("2024-01-01 10:10:00"), 7L, "purchase"), // same ts -> click 3
       (5L, ts("2024-01-01 09:00:00"), 8L, "purchase") // no prior click -> null
     ).toDF("event_id", "ts", "user_id", "event_type")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"user_id")
-      .orderBy($"ts", $"kind", $"event_id")
-      .rowsBetween(Long.MinValue, 0)
-    val clicks = ev.filter($"event_type" === "click")
-      .select($"user_id", $"ts", $"event_id", lit(0).as("kind"),
-        $"event_id".as("click_id"))
-    val purchases = ev.filter($"event_type" === "purchase")
-      .select($"user_id", $"ts", $"event_id", lit(1).as("kind"),
-        lit(null).cast("long").as("click_id"))
-    val res = clicks.unionByName(purchases)
-      .withColumn("last_click", last($"click_id", ignoreNulls = true).over(w))
-      .filter($"kind" === 1)
-      .select($"event_id", $"last_click")
+      .withColumn("value", lit(1.0))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val res = Advanced.joinAsof(spark, dir)
+      .select($"event_id", $"click_id")
       .as[(Long, Option[Long])].collect().toMap
-    assert(res == Map(2L -> Some(1L), 4L -> Some(3L), 5L -> None))
+    assert(res == Map(2L -> Some(1L), 4L -> Some(3L), 5L -> None),
+      s"as-of semantics diverged: $res")
+    graft.util.Fs.deleteRecursively(dir)
   }
 
   test("salted aggregation equals the plain groupBy exactly on counts") {
@@ -178,6 +173,26 @@ class AdvancedSpec extends SparkTestBase {
     val totalEvents = got.map(_.getLong(2)).sum
     assert(totalEvents == graft.engine.Tables(spark, sfSmoke, "events").count())
     got.foreach(r => assert(r.getLong(1) >= 1L && r.getLong(1) <= r.getLong(2)))
+    // the SPLIT itself, on a crafted boundary fixture (the fixture
+    // assertions above hold even if the gap comparison is dead and
+    // every user collapses to one session): 31 min splits, 29 min
+    // doesn't, and exactly-30:00 does NOT split (strict >)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")),
+      (2L, 7L, ts("2024-01-01 10:31:00")), // 31 min -> new session
+      (3L, 8L, ts("2024-01-01 10:00:00")),
+      (4L, 8L, ts("2024-01-01 10:29:00")), // 29 min -> same session
+      (5L, 9L, ts("2024-01-01 10:00:00")),
+      (6L, 9L, ts("2024-01-01 10:30:00"))) // exactly 30 -> same (strict >)
+      .toDF("event_id", "user_id", "ts")
+      .withColumn("event_type", lit("view")).withColumn("value", lit(1.0))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val sess = Advanced.streamSession(spark, dir)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(sess == Map(7L -> ((2L, 2L)), 8L -> ((1L, 2L)), 9L -> ((1L, 2L))),
+      s"gap-split semantics diverged: $sess")
+    graft.util.Fs.deleteRecursively(dir)
   }
 
   test("streaming session_window agrees with batch session totals") {
@@ -194,13 +209,27 @@ class AdvancedSpec extends SparkTestBase {
     val streamed = spark.table("sess_out")
     // every emitted (closed) session's count must match a batch session
     val batchSessions = Advanced.streamSession(spark, sfSmoke)
-      .select($"user_id", $"n_sessions").as[(Long, Long)].collect().toMap
+      .select($"user_id", $"n_sessions", $"n_events")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
     val perUser = streamed.groupBy($"user_id")
       .agg(count(lit(1)).as("n"), sum($"n_events").as("ev"))
       .as[(Long, Long, Long)].collect()
     assert(perUser.nonEmpty)
-    perUser.foreach { case (u, n, _) =>
-      assert(n <= batchSessions(u), s"user $u: $n streamed > batch")
+    perUser.foreach { case (u, n, ev) =>
+      assert(n <= batchSessions(u)._1, s"user $u: $n streamed > batch")
+      assert(ev <= batchSessions(u)._2, s"user $u: $ev events > batch")
+    }
+    // the event totals actually AGREE somewhere (the bound alone
+    // passes a regression emitting 1-event sessions): every user all
+    // of whose sessions closed must carry the batch's exact totals
+    val full = perUser.filter { case (u, n, _) => n == batchSessions(u)._1 }
+    assert(full.nonEmpty,
+      "at least one user's sessions must all close under the final watermark")
+    full.foreach { case (u, _, ev) =>
+      assert(ev == batchSessions(u)._2,
+        s"user $u closed all sessions but events $ev != batch " +
+          s"${batchSessions(u)._2}")
     }
   }
 

@@ -18,12 +18,39 @@ class LlmSpec extends SparkTestBase {
     assert(got == Map(0L -> 2L, 2L -> 1L))
   }
 
-  test("ngram jaccard finds the planted near-dups symmetric and thresholded") {
-    val pairs = Llm.dedupNgram(spark, sfSmoke).collect()
-    assert(pairs.nonEmpty, "sf0.001 documents contain planted near-dups")
-    pairs.foreach { r =>
-      assert(r.getLong(0) < r.getLong(1), "pairs must be ordered d1<d2")
-      assert(r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0)
+  test("ngram jaccard equals a brute-force recompute on the smoke corpus") {
+    // this op is the ORACLE for the minhash, native-LSH, clusters and
+    // incremental tests — re-asserting its own join/filter clauses
+    // (d1<d2, jaccard in [0.5,1]) could never fail, and a shingle
+    // regression would poison every downstream equality silently. An
+    // independent driver-side recompute over all 500 smoke docs is
+    // cheap and pins values, not shapes.
+    val got = Llm.dedupNgram(spark, sfSmoke)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val texts = graft.engine.Tables(spark, sfSmoke, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ", -1) // -1: keep empties, like Spark's split
+      if (w.length < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val ss = texts.map { case (id, t) => id -> shingles(t) }
+      .filter(_._2.nonEmpty).sortBy(_._1)
+    val brute = (for {
+      i <- ss.indices.iterator
+      j <- (i + 1) until ss.length
+      ic = (ss(i)._2 & ss(j)._2).size
+      if ic > 0
+      jac = ic.toDouble / (ss(i)._2.size + ss(j)._2.size - ic)
+      if jac >= 0.5
+    } yield (ss(i)._1, ss(j)._1) -> jac).toMap
+    assert(brute.nonEmpty, "sf0.001 documents contain planted near-dups")
+    assert(got.keySet == brute.keySet,
+      s"pair sets diverge — missing: ${(brute.keySet -- got.keySet).take(5)}, " +
+        s"extra: ${(got.keySet -- brute.keySet).take(5)}")
+    got.foreach { case (k, j) =>
+      assert(math.abs(j - brute(k)) < 1e-12, s"jaccard mismatch at $k")
     }
   }
 
@@ -80,9 +107,22 @@ class LlmSpec extends SparkTestBase {
   }
 
   test("simhash hamming pairs include the ngram near-dups' band collisions") {
+    // the emitted-hamming bound is the op's own filter clause — it can
+    // never fail and passes on EMPTY output. The real property: every
+    // ngram near-dup within hamming 3 MUST surface (4 bands, <=3
+    // flipped bits, pigeonhole guarantees an untouched band)
     val pairs = Llm.simhashPairs(spark, sfSmoke, maxHamming = 10)
-    // near-dup texts share almost all tokens -> tiny hamming distance
-    pairs.collect().foreach(r => assert(r.getInt(2) <= 10))
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    val sigs = Llm.dedupSimhash(spark, sfSmoke)
+      .select($"doc_id", $"simhash").as[(Long, Long)].collect().toMap
+    val mustInclude = Llm.dedupNgram(spark, sfSmoke)
+      .select($"d1", $"d2").as[(Long, Long)].collect()
+      .filter { case (a, b) =>
+        java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 3 }
+    assert(mustInclude.nonEmpty,
+      "fixture must plant near-dups inside the pigeonhole region")
+    mustInclude.foreach(p => assert(pairs.contains(p),
+      s"pigeonhole-guaranteed pair $p missing from the band join"))
   }
 
   test("brute-force cosine top-k is ordered and k-bounded") {
@@ -133,14 +173,33 @@ class LlmSpec extends SparkTestBase {
   }
 
   test("bpe-ish token count >= whitespace token count") {
-    Llm.tokenizeBpe(spark, sfSmoke).collect().foreach { r =>
+    val rows = Llm.tokenizeBpe(spark, sfSmoke).collect()
+    assert(rows.nonEmpty) // the foreach is vacuous on empty output
+    rows.foreach { r =>
       assert(r.getInt(2) >= r.getInt(1),
         s"doc ${r.getLong(0)}: bpe ${r.getInt(2)} < ws ${r.getInt(1)}")
     }
   }
 
-  test("quality filter bounds hold on every surviving row") {
-    Llm.qualityFilter(spark, sfSmoke).collect().foreach { r =>
+  test("quality filter keeps exactly the recomputed survivor set") {
+    // per-row bound re-checks pass on EMPTY output and restate the
+    // op's own predicate — the exact survivor id set is derivable
+    // from the table (constants restated here independently, so a
+    // drifted op constant fails the test)
+    val rows = Llm.qualityFilter(spark, sfSmoke).collect()
+    val expected = graft.engine.Tables(spark, sfSmoke, "documents")
+      .select($"doc_id", $"text", $"n_chars".cast("long"))
+      .as[(Long, String, Long)].collect()
+      .filter { case (_, t, nc) =>
+        val tok = t.split(" ", -1).length
+        val ratio = nc * 1.0 / tok
+        nc >= 100 && nc <= 2000 && tok >= 20 && tok <= 1000 &&
+          ratio >= 3.0 && ratio <= 20.0
+      }.map(_._1).toSet
+    assert(expected.nonEmpty, "fixture must have quality survivors")
+    assert(rows.map(_.getLong(0)).toSet == expected,
+      s"survivor set diverged: got ${rows.length}, want ${expected.size}")
+    rows.foreach { r =>
       assert(r.getLong(2) >= 100L && r.getLong(2) <= 2000L)
       assert(r.getInt(1) >= 20 && r.getInt(1) <= 1000)
       assert(r.getDouble(3) >= 3.0 && r.getDouble(3) <= 20.0)
@@ -263,15 +322,22 @@ class LlmSpec extends SparkTestBase {
     val path = Llm.snapshotSigPath(spark, sfSmoke).get
     val v1 = Llm.advanceIncrSnapshot(spark, sfSmoke)
     val cur = graft.engine.VersionedTable.read(spark, path)
-    assert(cur.filter($"doc_id" % 5 === 0).count() > 0,
-      "advanced snapshot must cover the just-ingested batch")
+    // EXACT batch contribution, independently derived: 6 banded
+    // signature rows per batch doc with >= 3 tokens. (The previous
+    // form compared cur against cur's own batch-row count — a partial
+    // append satisfied it identically.)
+    val batchDocs = graft.engine.Tables(spark, sfSmoke, "documents")
+      .filter($"doc_id" % 5 === 0 &&
+        org.apache.spark.sql.functions.size(split($"text", " ")) >= 3)
+      .count()
+    assert(batchDocs > 0)
+    assert(cur.filter($"doc_id" % 5 === 0).count() == 6 * batchDocs,
+      "advanced snapshot must carry every batch doc's 6 band rows")
     // yesterday's snapshot is still reachable and still batch-free
     val old = graft.engine.VersionedTable.read(spark, path, Some(v1 - 1))
     assert(old.filter($"doc_id" % 5 === 0).count() == 0)
-    // the advance READ the old sigs rather than re-signing: current =
-    // old version + exactly the batch signatures
-    assert(cur.count() == old.count() +
-      cur.filter($"doc_id" % 5 === 0).count())
+    // the advance READ the old sigs rather than re-signing
+    assert(cur.count() == old.count() + 6 * batchDocs)
     // re-running dedup against the ADVANCED snapshot (which now holds
     // the batch's own signatures) must never emit self-pairs — the
     // unguarded band join matched every batch doc to itself at
@@ -420,20 +486,53 @@ class LlmSpec extends SparkTestBase {
       assert(r.getLong(1) >= 0L)
       assert(r.getBoolean(2) == (r.getLong(1) > 0L))
     }
-    // the fixtures plant near-dup pairs; at least one straddles the
-    // eval/train boundary (probed: exactly 1 at sf0.001 with 5-grams)
-    assert(rows.exists(_.getBoolean(2)), "expected >=1 contaminated doc")
+    // the EXACT contaminated set, recomputed driver-side: train docs
+    // sharing any 5-gram with any eval doc (eval = md5 first hex
+    // char 'f'). An exists(contaminated) alone passes on any nonzero
+    // subset of the truth.
+    val texts = graft.engine.Tables(spark, sfSmoke, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def isEval(id: Long): Boolean =
+      ((java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))(0) >> 4) & 0xF) == 15
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 5) Set.empty
+      else w.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val evalGrams = texts.filter(d => isEval(d._1)).flatMap(d => grams(d._2)).toSet
+    val expectedBad = texts.filterNot(d => isEval(d._1))
+      .filter(d => grams(d._2).exists(evalGrams)).map(_._1).toSet
+    assert(expectedBad.nonEmpty, "fixture must plant a cross-boundary leak")
+    assert(rows.filter(_.getBoolean(2)).map(_.getLong(0)).toSet == expectedBad,
+      s"contaminated set diverged from the recompute (${expectedBad.size})")
   }
 
   test("corpus mix keeps exactly the quota'd hash buckets per source") {
     val rows = Llm.corpusMix(spark, sfSmoke).collect()
     assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val (src, nDocs, nKept) = (r.getString(0), r.getLong(1), r.getLong(2))
-      assert(nKept <= nDocs)
+    // EXACT per-source kept counts, recomputed driver-side from the
+    // same md5-bucket rule (a wrong salt or off-by-one keeps a
+    // different population while nKept < nDocs still holds)
+    def bucket(id: Long): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mix:$id".getBytes("UTF-8"))
+      (h(0) >> 4) & 0xF // first hex char's value
+    }
+    val docs = graft.engine.Tables(spark, sfSmoke, "documents")
+      .select($"source", $"doc_id", $"n_chars".cast("long"))
+      .as[(String, Long, Long)].collect()
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
       val quota = ("""\d+""".r.findFirstIn(src).get.toInt % 4 + 1) * 4
-      if (quota == 16) assert(nKept == nDocs, s"$src has full quota")
-      else assert(nKept < nDocs, s"$src quota $quota/16 must drop something")
+      val kept = ds.filter(d => bucket(d._2) < quota)
+      src -> ((ds.size.toLong, kept.size.toLong, kept.map(_._3).sum))
+    }
+    assert(rows.map(_.getString(0)).toSet == expect.keySet)
+    rows.foreach { r =>
+      val (src, nDocs, nKept, chars) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert((nDocs, nKept, chars) == expect(src),
+        s"$src: got ($nDocs,$nKept,$chars) want ${expect(src)}")
     }
   }
 

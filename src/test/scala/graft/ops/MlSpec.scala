@@ -17,7 +17,14 @@ class MlSpec extends SparkTestBase {
   test("rule-based phase label partitions all rows") {
     val got = Ml.mlPhaseLabel(spark, sfSmoke)
       .select($"phase", $"n").as[(String, Long)].collect().toMap
-    assert(got.keySet.subsetOf(Set("high", "mid", "low")))
+    // EXACT per-phase counts recomputed from the threshold rule — a
+    // subset+total check passes even when every row collapses into
+    // one phase (an inverted comparison in the when-chain)
+    val expected = graft.engine.Tables(spark, sfSmoke, "lineitem")
+      .select($"l_discount").as[Double].collect()
+      .groupBy(d => if (d > 0.06) "high" else if (d < 0.03) "low" else "mid")
+      .map { case (k, v) => k -> v.length.toLong }
+    assert(got == expected, s"got $got want $expected")
     assert(got.values.sum == 6000L)
   }
 }

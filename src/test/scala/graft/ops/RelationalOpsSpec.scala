@@ -194,6 +194,21 @@ class RelationalOpsSpec extends SparkTestBase {
     val gotZero = dist.filter($"c_count" === 0)
       .select($"custdist").as[Long].collect().headOption.getOrElse(0L)
     assert(gotZero == expectZero)
+    // the smoke fixture has NO order-less customers, so the zero
+    // bucket above degenerates to 0 == 0 — exercise it on a crafted
+    // fixture: customer 2 has only an URGENT (excluded) order and
+    // customer 3 none at all, so both must land in the zero bucket
+    val tiny = java.nio.file.Files.createTempDirectory("graft_q13").toString
+    Seq(1L, 2L, 3L).toDF("c_custkey")
+      .write.mode("overwrite").parquet(s"$tiny/customer.parquet")
+    Seq((10L, 1L, "3-MEDIUM"), (11L, 2L, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$tiny/orders.parquet")
+    val crafted = Joins.tpchQ13(spark, tiny)
+      .as[(Long, Long)].collect().toMap
+    assert(crafted == Map(0L -> 2L, 1L -> 1L),
+      s"zero bucket semantics diverged on the crafted fixture: $crafted")
+    graft.util.Fs.deleteRecursively(tiny)
   }
 
   test("tpch q10 counts only returned items inside the quarter, descending by revenue") {
