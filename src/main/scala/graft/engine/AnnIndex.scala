@@ -147,13 +147,18 @@ object AnnIndex {
     val centroids = VersionedTable.read(spark, centroidsDir(dir), Some(centV))
     val assigned = assign(newVectors, centroids)
       .select(col("vec_id"), col("e"), col("cell"))
+    // maxAttempts 30: refresh is the streaming-ingest motion (a
+    // starved-out commit inside foreachBatch kills the query), and it
+    // races the maintenance loop's compact/expire commits — the
+    // incrDedupBatch rationale
     val v = Merge.mergeVersioned(spark, cellsDir(dir), assigned, Seq("vec_id"),
       Seq(
         Merge.MatchedUpdate(None,
           Map("e" -> col("s.e"), "cell" -> col("s.cell"))),
         Merge.NotMatchedInsert(None, Map(
           "vec_id" -> col("s.vec_id"), "e" -> col("s.e"),
-          "cell" -> col("s.cell")))))
+          "cell" -> col("s.cell")))),
+      maxAttempts = 30)
     recordCentroidVersion(spark, dir, v, centV)
     v
   }

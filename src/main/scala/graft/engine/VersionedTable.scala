@@ -517,10 +517,20 @@ object VersionedTable {
       val cur = currentVersion(spark, dir)
       val df = derive(cur.map(v => read(spark, dir, Some(v))))
       val next = cur.map(_ + 1).getOrElse(0L)
+      // backoff carries JITTER: two re-deriving writers at matched
+      // cadence can phase-lock — each loses to the other's commit
+      // landing inside its own derive window, every round, until the
+      // attempt budget starves out (the strengthened race soak caught
+      // exactly this: a streaming gate losing 10 straight claims to a
+      // hot advance loop). The random term desynchronizes the pair;
+      // the linear term still yields under sustained contention.
+      def backoff(): Unit =
+        Thread.sleep(attempt * 100L +
+          scala.util.Random.nextInt(200).toLong)
       try return commitExact(df, dir, next, allowEvolution)
       catch {
         case _: ConcurrentCommitException if attempt < maxAttempts =>
-          Thread.sleep(attempt * 100L)
+          backoff()
         // a racing writer can also advance the base between our read
         // and the commit's own schema check — if it EVOLVED the schema
         // (e.g. added txn columns), enforcement fires before the claim
@@ -529,7 +539,7 @@ object VersionedTable {
         // A genuinely incompatible derivation still throws once the
         // attempts run out.
         case _: SchemaMismatchException if attempt < maxAttempts =>
-          Thread.sleep(attempt * 100L)
+          backoff()
       }
     }
     -1L // unreachable

@@ -897,8 +897,15 @@ object Pipelines {
         // The GATE legitimately used the trigger-start snapshot —
         // a doc admitted just before a racing advance is the banding
         // recall tradeoff, not a lost update.
+        // maxAttempts 30, not the default 10: a starved-out commit
+        // here fails the MICRO-BATCH and kills the streaming query,
+        // where a batch-face caller just throws to its own retry
+        // loop — the gate must outlast a hot maintenance/advance
+        // window (the race soak drives exactly that profile)
         graft.engine.VersionedTable.commitMerge(
-          spark, sigSnapshotDir, allowEvolution = true) { baseOpt =>
+          spark, sigSnapshotDir, maxAttempts = 30,
+          allowEvolution = true) { baseOpt =>
+
           val base = baseOpt.map { b =>
             val w = if (b.columns.contains("writer")) b
               else b.withColumn("writer", lit("seed"))
