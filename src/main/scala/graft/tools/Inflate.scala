@@ -78,16 +78,34 @@ object Inflate {
     * would happily "reuse" an interrupted inflation, or a completed
     * one from a DIFFERENT factor, and time against wrong-scale data;
     * stale other-factor markers are cleared before inflating. */
+  /** Fingerprint of the SOURCE fixtures (per-file name+length+mtime):
+    * stored in the completion marker so a reuse check detects
+    * regenerated fixtures — a factor-only marker happily anchored
+    * against the PREVIOUS round's data after /root/testdata was
+    * rebuilt, with no indication. */
+  private def srcFingerprint(src: String): String =
+    Option(new java.io.File(src).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+
   def ensure(spark: SparkSession, src: String, dst: String,
       factor: Int): Unit = {
     val marker = new java.io.File(s"$dst/_INFLATED_x$factor")
-    if (marker.exists()) println(s"== reusing inflated tables at $dst")
+    val fp = srcFingerprint(src)
+    val fresh = marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        java.nio.charset.StandardCharsets.UTF_8) == fp
+    if (fresh) println(s"== reusing inflated tables at $dst")
     else {
+      if (marker.exists())
+        println(s"== source fixtures changed — re-inflating $dst")
       Option(new java.io.File(dst).listFiles()).foreach(
         _.filter(_.getName.startsWith("_INFLATED_x")).foreach(_.delete()))
       println(s"== inflating $src x$factor -> $dst")
       apply(spark, src, dst, factor)
-      java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      java.nio.file.Files.write(marker.toPath,
+        fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
   }
 }

@@ -21,6 +21,15 @@ object Prof {
     println(f"PROF $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
   }
 
+  /** Drain-actioned stage timer for plans whose expensive expressions
+    * a count() would PRUNE (ungrouped/unreferenced aggregates — the
+    * Exec.drain rationale). */
+  def td(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+    val t0 = System.nanoTime()
+    graft.util.Exec.drain(df)
+    println(f"PROF $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -52,7 +61,11 @@ object Prof {
     val sigs = sh.groupBy(col("doc_id")).agg(
       min(xxhash64(lit(0), col("s"))).as("h0"),
       (1 until 12).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i")): _*)
-    t("signatures") { sigs.count() }
+    // drain, not count(): under count() Catalyst prunes the 12
+    // min(xxhash64) aggregate expressions and this stage times an
+    // EMPTY aggregate — a hashing regression would hide in the
+    // downstream candidates row
+    td("signatures")(sigs)
     val banded = sigs.select(col("doc_id"),
       posexplode(array((0 until 6).map(j =>
         concat_ws(",", col(s"h${2 * j}"), col(s"h${2 * j + 1}"))): _*))

@@ -66,6 +66,36 @@ object ScaleProbe {
         graft.ops.Llm.invalidateCellCache()
       }
 
+      // a PROBE_ONLY filter can select a dependency-carrying probe
+      // ("ann pq index warm", "substr removal", "cluster rep") without
+      // its builder — the reading then prices a cold build under a
+      // warm/marginal label. The full run keeps builder-before-consumer
+      // ordering; targeted re-runs must carry the caveat visibly.
+      if (only.isDefined)
+        println("== WARNING: PROBE_ONLY filter active — probes whose " +
+          "builder probe was filtered out price a COLD build under " +
+          "their warm/marginal label")
+
+      // untimed warmup per factor: the FIRST factor's probes otherwise
+      // pay one-time JIT/codegen-infrastructure inside their timed
+      // windows, deflating every x10/x1 ratio (x1 inflated -> a mildly
+      // superlinear plan reads linear). One representative mixed plan
+      // (scan + agg + broadcast join + window) warms the shared
+      // machinery; residual per-plan codegen (~0.1-0.3 s) remains part
+      // of the documented sub-second scheduler floor.
+      locally {
+        import org.apache.spark.sql.functions._
+        val li = spark.read.parquet(s"$dst/lineitem.parquet")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag")).orderBy(col("l_orderkey"))
+        graft.util.Exec.drain(
+          li.join(broadcast(spark.read.parquet(s"$dst/nation.parquet")),
+              li("l_suppkey") % 25 === col("n_nationkey"))
+            .withColumn("rn", row_number().over(w))
+            .groupBy(col("l_returnflag"))
+            .agg(count(lit(1)), sum(col("l_extendedprice")), max(col("rn"))))
+      }
+
       import graft.ops._
       time("flagship groupby_multi") { Aggs.aggGroupbyMulti(spark, dst) }
       time("dedup_latest (window)") { Filters.dedupLatest(spark, dst) }
@@ -233,11 +263,19 @@ object ScaleProbe {
       // the deletion-neighborhood similarity join, and batched BPE
       time("merge matrix") { Advanced.mergeMatrix(spark, dst) }
       time("merge by-source sync") { Advanced.mergeSync(spark, dst) }
-      time("table dml roundtrip") {
-        Advanced.invalidateDmlTableCache()
-        Advanced.tableDml(spark, dst)
-      }
+      // invalidate OUTSIDE the timed window: inside it, the x10 run
+      // was charged for recursively deleting x1's committed table —
+      // an asymmetric filesystem cost unrelated to the DML plan
+      Advanced.invalidateDmlTableCache()
+      time("table dml roundtrip") { Advanced.tableDml(spark, dst) }
       time("table changelog") { Advanced.tableChanges(spark, dst) }
+      // cold/warm pair (the pq-index pattern): the first call pays the
+      // full AnnIndex.build over the inflated corpus (the memo is
+      // per-dir, always cold for a fresh factor dir); only the SECOND
+      // call measures the committed-snapshot serve path the name
+      // claims — a single reading conflated build growth with a
+      // serve-path regression
+      time("ann index build+serve") { Llm.annIndexServe(spark, dst) }
       time("ann index serve") { Llm.annIndexServe(spark, dst) }
       // persisted IVFADC: the COLD call pays the codebook fit (bounded
       // by fitCap regardless of factor) + the corpus encode+commit —
@@ -430,17 +468,41 @@ object ScaleProbe {
           val t0 = System.nanoTime()
           df.collect()
           val dt = (System.nanoTime() - t0) / 1e9
-          Thread.sleep(500L) // listener bus drain
-          spark.sparkContext.removeSparkListener(l)
-          val heaviest = l.byStage.synchronized {
-            l.byStage.values.map(_.sorted.toIndexedSeq)
-              .filter(_.nonEmpty).maxBy(_.sum)
+          // two-stable-reads drain (the Metrics.measure idiom), not a
+          // fixed sleep: a backlogged bus delivers the LAST-arriving
+          // events late, and those are the longest tasks — exactly the
+          // straggler this probe hunts
+          locally {
+            def total = l.byStage.synchronized(l.byStage.values.map(_.size).sum)
+            val tEnd = System.nanoTime()
+            var last = -1
+            while (total != last && (System.nanoTime() - tEnd) < 5000000000L) {
+              last = total
+              Thread.sleep(100L)
+            }
           }
-          val p50 = heaviest(heaviest.size / 2)
-          val mx = heaviest.last
-          val spread = if (p50 > 0) mx.toDouble / p50 else 0.0
+          spark.sparkContext.removeSparkListener(l)
+          // WORST SPREAD across substantial stages, not the spread of
+          // the heaviest-by-sum stage: by-sum can select DIFFERENT
+          // stages across the compared variants (the salted form's
+          // balanced join can be out-summed by the fattened scan,
+          // whose uniform spread then reads as "salting held") — the
+          // variant-comparable question is "did ANY real stage
+          // straggle". Stages need >= 8 tasks and a >= 50 ms max so
+          // 1 ms noise ratios can't fake a straggler.
+          val spreads = l.byStage.synchronized {
+            l.byStage.values.map(_.sorted.toIndexedSeq)
+              .filter(ts => ts.size >= 8 && ts.last >= 50L).toSeq
+          }
+          val worst =
+            if (spreads.isEmpty) IndexedSeq(0L)
+            else spreads.maxBy(ts =>
+              ts.last.toDouble / math.max(ts(ts.size / 2), 1L))
+          val p50 = math.max(worst(worst.size / 2), 1L)
+          val mx = worst.last
+          val spread = if (spreads.isEmpty) 1.0 else mx.toDouble / p50
           println(f"== x$factor skew-fire $name%-24s $dt%7.2f s  " +
-            f"heaviest-stage tasks=${heaviest.size}%4d  p50=${p50}%5d ms  " +
+            f"worst-stage tasks=${worst.size}%4d  p50=${p50}%5d ms  " +
             f"max=${mx}%6d ms  spread=$spread%5.1f")
         }
         try {

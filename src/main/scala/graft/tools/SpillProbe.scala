@@ -37,6 +37,12 @@ object SpillProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     println(s"== spill probe: heap ${heapMb} MB, factor x$factor")
+    // the claim is spill-NOT-OOM under real memory pressure: a roomy
+    // heap (e.g. an sbt-launched JVM) completes everything with zero
+    // spill and records a pass that proves nothing — refuse to run
+    require(heapMb <= 3072,
+      s"SpillProbe needs a capped heap (got $heapMb MB) — " +
+        "invoke bare-java with -Xmx2g per the usage doc")
 
     confPairs.foreach { case (k, v) =>
       println(s"== conf override $k=$v"); spark.conf.set(k, v)
@@ -50,7 +56,9 @@ object SpillProbe {
     }
 
     var failed = false
-    def probe(name: String)(df: => DataFrame): Unit = {
+    def probe(name: String,
+        onMetrics: graft.engine.QueryMetrics => Unit = _ => ())(
+        df: => DataFrame): Unit = {
       // scoped listener capture (graft.engine.Metrics) — the same
       // counters the History Server aggregates on a real cluster
       // full evaluation via the no-op sink: a count() action would let
@@ -60,6 +68,7 @@ object SpillProbe {
         try { graft.util.Exec.drain(df); Right(()) }
         catch { case t: Throwable => Left(t) }
       }
+      onMetrics(m)
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       graft.ops.Llm.invalidateIslandsCache()
@@ -80,12 +89,19 @@ object SpillProbe {
     }
 
     import graft.ops._
-    probe("ngram dedup") { Llm.dedupNgram(spark, dst) }
-    probe("substr removal") { Llm.substrDedupRemove(spark, dst) }
-    probe("dedup clusters") { Llm.dedupClusters(spark, dst) }
+    var anySpill = 0L
+    val track = (m: graft.engine.QueryMetrics) =>
+      anySpill += m.memorySpilledBytes + m.diskSpilledBytes
+    probe("ngram dedup", track) { Llm.dedupNgram(spark, dst) }
+    probe("substr removal", track) { Llm.substrDedupRemove(spark, dst) }
+    probe("dedup clusters", track) { Llm.dedupClusters(spark, dst) }
 
     println(if (failed) "== RESULT: FAILURES (see above)"
       else "== RESULT: all heavy dedup plans completed under the capped heap")
+    if (!failed && anySpill == 0)
+      println("== WARNING: zero spill recorded anywhere — the heap was " +
+        "never pressured at this factor; the spill-not-OOM claim is " +
+        "not established by this run")
     spark.stop()
     if (failed) sys.exit(1)
   }

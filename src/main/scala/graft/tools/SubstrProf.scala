@@ -52,23 +52,32 @@ object SubstrProf {
         s"transform(arrays_zip($slices), p -> md5(concat_ws(' ', $fields)))"))
         .as(Seq("pos", "g")))
 
+    // every intermediate is CHECKPOINTED after its timed stage, so
+    // each later stage's window contains only its own marginal work —
+    // un-materialized inputs would re-execute every earlier stage
+    // inside each later timing, attributing an upstream regression to
+    // whichever stage happens to be read last (the exact opposite of
+    // the per-stage attribution this tool exists for)
     stage("gram explode+digest")(allGramsLazy)
     val allGrams = allGramsLazy.localCheckpoint(true)
-    val rare = allGrams.groupBy(col("g"))
+    val rareLazy = allGrams.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") <= 64)
       .select(col("g"))
-    stage("df-cap aggregate")(rare)
-    val grams = allGrams.join(rare.hint("merge"), Seq("g"), "left_semi")
-    stage("rare semi join")(grams)
+    stage("df-cap aggregate")(rareLazy)
+    val rare = rareLazy.localCheckpoint(true)
+    val gramsLazy = allGrams.join(rare.hint("merge"), Seq("g"), "left_semi")
+    stage("rare semi join")(gramsLazy)
+    val grams = gramsLazy.localCheckpoint(true)
     val a = grams.as("a")
     val b = grams.as("b")
-    val matched = a.join(b,
+    val matchedLazy = a.join(b,
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         col("a.pos").as("pa"), (col("a.pos") - col("b.pos")).as("delta"))
-    stage("gram self-join")(matched)
+    stage("gram self-join")(matchedLazy)
+    val matched = matchedLazy.localCheckpoint(true)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("d1"), col("d2"), col("delta")).orderBy(col("pa"))
     stage("islands window+summary")(
