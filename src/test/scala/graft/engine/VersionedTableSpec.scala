@@ -460,6 +460,41 @@ class VersionedTableSpec extends SparkTestBase {
       .as[(Long, String)].head() == ((1L, "base")))
   }
 
+  test("commitMerge outlasts a rival landing between EVERY read and commit, then exhausts loudly") {
+    // the deterministic face of the race-soak starvation find: the
+    // derive callback ITSELF plays the rival, committing a version
+    // after commitMerge's base read on each of its first 5 attempts —
+    // every commitExact loses, and the 6th attempt (rival quiet)
+    // must win with a base that carries EVERY rival row (re-derivation
+    // against the fresh base, not a blind retry of the stale union)
+    val dir = tmp("graft_vt_starve")
+    VersionedTable.commit(Seq((1L, "base")).toDF("k", "v"), dir)
+    var calls = 0
+    VersionedTable.commitMerge(spark, dir, maxAttempts = 30) { base =>
+      calls += 1
+      if (calls <= 5)
+        VersionedTable.commit(
+          base.get.unionByName(Seq((100L + calls, "rival")).toDF("k", "v")),
+          dir)
+      base.get.unionByName(Seq((2L, "mine")).toDF("k", "v"))
+    }
+    assert(calls == 6, s"expected 5 lost races + the win, got $calls")
+    val rows = VersionedTable.read(spark, dir)
+      .as[(Long, String)].collect().toSet
+    assert(rows.contains((2L, "mine")))
+    assert((1 to 5).forall(i => rows.contains((100L + i, "rival"))),
+      s"a rival's append was erased: $rows")
+    // budget exhaustion is LOUD, never a silent wrong commit: a rival
+    // that never goes quiet must surface the conflict
+    val ex = intercept[ConcurrentCommitException] {
+      VersionedTable.commitMerge(spark, dir, maxAttempts = 3) { base =>
+        VersionedTable.commit(base.get, dir)
+        base.get
+      }
+    }
+    assert(ex.getMessage.contains("concurrent"))
+  }
+
   test("crashed claim wedges its version; clearClaim unwedges; published claims protected") {
     val dir = tmp("graft_vt_claim")
     VersionedTable.commit(Seq((1L, "v0")).toDF("k", "v"), dir)
