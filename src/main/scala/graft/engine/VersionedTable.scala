@@ -300,10 +300,29 @@ object VersionedTable {
     * bad schema change is half of what RESTORE exists for, and the
     * enforcement gate would read that rollback as a dropped-column
     * violation. Everything else keeps the gate. */
-  private def commitExactImpl(df: DataFrame, dir: String, next: Long,
+  private def commitExactImpl(df0: DataFrame, dir: String, next: Long,
       allowEvolution: Boolean, enforceSchema: Boolean): Long = {
-    val spark = df.sparkSession
+    val spark = df0.sparkSession
     val f = fs(spark, dir)
+    // Table-property SHREDDING (the lakehouse answer to per-row
+    // semi-structured parse cost): when `_SHRED_PATHS` declares hot
+    // paths ("fromCol|outCol:$.json.path:sqlType"), every commit path
+    // — plain, merge, DML, compact — extracts each declared path from
+    // the semi-structured source column into a typed column AT WRITE
+    // TIME, so serves navigate real parquet columns (column pruning,
+    // predicate pushdown, stats) instead of re-parsing the document
+    // per row per query. A declared output column already present
+    // (re-commit of a read-back snapshot) or a missing source column
+    // is skipped rather than failing schema evolution.
+    val df = {
+      val decls = readProp(f, dir, "_SHRED_PATHS").flatMap(parseShred)
+        .filter(d => df0.columns.contains(d._1) &&
+          !df0.columns.contains(d._2))
+      decls.foldLeft(df0) { case (acc, (from, out, path, tpe)) =>
+        acc.withColumn(out, org.apache.spark.sql.functions
+          .get_json_object(col(from), path).cast(tpe))
+      }
+    }
     // Delta-style schema enforcement, BEFORE the snapshot write (fail
     // fast, not after staging a table-sized copy): dropped columns and
     // type changes always reject; additions require the explicit
@@ -1018,6 +1037,28 @@ object VersionedTable {
   def setPartitionColumns(spark: SparkSession, dir: String,
       cols: Seq[String]): Unit =
     atomicWrite(spark, dir, "_PART_COLS", cols.mkString(","))
+
+  /** Declare shredded hot paths for this table: each element is
+    * "fromCol|outCol:$.json.path:sqlType" (the path must not contain
+    * ':' or ','). Every subsequent commit extracts the declared paths
+    * into typed columns at write time — see commitExactImpl. */
+  def setShreddedPaths(spark: SparkSession, dir: String,
+      decls: Seq[String]): Unit =
+    atomicWrite(spark, dir, "_SHRED_PATHS", decls.mkString(","))
+
+  /** Parse one `_SHRED_PATHS` element; malformed declarations are
+    * dropped (a bad sidecar must not wedge every future commit). */
+  private def parseShred(decl: String)
+      : Option[(String, String, String, String)] =
+    decl.split("\\|", 2) match {
+      case Array(from, rest) => rest.split(":", 3) match {
+        case Array(out, path, tpe)
+          if from.nonEmpty && out.nonEmpty && path.nonEmpty && tpe.nonEmpty =>
+          Some((from.trim, out.trim, path.trim, tpe.trim))
+        case _ => None
+      }
+      case _ => None
+    }
 
   /** One aggregate over the freshly-written snapshot keyed by
     * input_file_name() (rows = #files, metadata-sized), stored beside

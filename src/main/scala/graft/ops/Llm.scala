@@ -908,9 +908,17 @@ object Llm {
     * nprobe/k_cells. Candidates re-score exactly; recall is gated by
     * ApproxRecallSpec against the exact join on planted neighbors. */
   private[graft] def knnJoinIvf(spark: SparkSession, dir: String,
+      k: Int): DataFrame =
+    knnJoinIvfWith(spark, ivfCells(spark, dir), k)
+
+  /** [[knnJoinIvf]] over a caller-supplied quantizer — the seam the
+    * forced-path oracle entry routes through (the
+    * embedNeardupForcedScale pattern: same machinery, planted input). */
+  private def knnJoinIvfWith(spark: SparkSession,
+      mc: (org.apache.spark.ml.clustering.KMeansModel, DataFrame),
       k: Int): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
-    val (model, cells) = ivfCells(spark, dir)
+    val (model, cells) = mc
     import spark.implicits._
     val cent = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
@@ -946,6 +954,27 @@ object Llm {
   }
 
   val knnJoinIvfServe: Q = (spark, dir) => knnJoinIvf(spark, dir, 10)
+
+  /** Driver-visible HASH gate for the IVF kNN join (round-8's
+    * forced-witness device applied to the probe-pruned serve path):
+    * identical copies of the five query vectors are planted into the
+    * corpus at vec_id + 1,000,000, the quantizer is fit on the
+    * planted union, and the SAME [[knnJoinIvfWith]] machinery runs —
+    * identical vectors quantize to the query's own cell, which is
+    * always probed, so each planted copy is found deterministically
+    * at cosine 1.0 / rank 1 (the fixture's real pairs top out near
+    * 0.52, so the >= 0.999 filter keeps exactly the planted rows and
+    * the full cell-assignment + probe + re-score pipeline is checked
+    * against DuckDB's exact kNN, not just recall-spec-gated). */
+  val knnJoinIvfForced: Q = (spark, dir) => {
+    val base = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val planted = base.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("e"))
+    knnJoinIvfWith(spark,
+      fitIvfCellsOn(spark, base.unionByName(planted)), k = 10)
+      .filter(col("cosine") >= 0.999)
+  }
 
   /** Embedding near-dup pairs above a cosine threshold.
     *
@@ -1740,28 +1769,35 @@ object Llm {
     perSession.get(dir).flatMap(r => Option(r.get())) match {
       case Some(v) => v
       case None =>
-        val (_, cells) = ivfCells(spark, dir)
-        val dim = cells.select(size(col("unit"))).head().getInt(0)
-        val (m, sub) = pqGeometry(dim)
-        val total = cells.count()
-        val sample = (if (total > pqFitCap)
-            cells.sample(withReplacement = false,
-              fraction = pqFitCap.toDouble / total, seed = 42L)
-          else cells)
-          .select(col("unit")).limit(pqFitCap).collect()
-          .map(_.getAs[scala.collection.Seq[Double]](0).toArray)
-        val ks = math.min(pqKs, sample.length)
-        val cb = fitPqCodebooks(sample, m, ks, pqIters, seed = 42L)
-        val codes = cells
-          .withColumn("cb", typedLit(cb.toSeq))
-          .withColumn("codes", expr(pqEncodeExpr(m, ks, sub)))
-          .select(col("vec_id"), col("cell"), col("unit"), col("codes"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val v = (cb, m, ks, sub, codes)
+        val v = pqCodesOn(spark, ivfCells(spark, dir)._2)
         perSession.put(dir, new java.lang.ref.SoftReference(v))
         v
     }
     }
+  }
+
+  /** PQ fit + encode over a caller-supplied cells frame (the
+    * un-memoized core of [[pqCodes]]) — the seam the forced-path
+    * oracle entry routes through. */
+  private def pqCodesOn(spark: SparkSession, cells: DataFrame)
+      : (Array[Double], Int, Int, Int, DataFrame) = {
+    val dim = cells.select(size(col("unit"))).head().getInt(0)
+    val (m, sub) = pqGeometry(dim)
+    val total = cells.count()
+    val sample = (if (total > pqFitCap)
+        cells.sample(withReplacement = false,
+          fraction = pqFitCap.toDouble / total, seed = 42L)
+      else cells)
+      .select(col("unit")).limit(pqFitCap).collect()
+      .map(_.getAs[scala.collection.Seq[Double]](0).toArray)
+    val ks = math.min(pqKs, sample.length)
+    val cb = fitPqCodebooks(sample, m, ks, pqIters, seed = 42L)
+    val codes = cells
+      .withColumn("cb", typedLit(cb.toSeq))
+      .withColumn("codes", expr(pqEncodeExpr(m, ks, sub)))
+      .select(col("vec_id"), col("cell"), col("unit"), col("codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (cb, m, ks, sub, codes)
   }
 
   /** IVF-PQ ANN (IVFADC with exact re-ranking): probe the same
@@ -1777,10 +1813,17 @@ object Llm {
     * probed cells reads (cell, codes) — ~10 B/vector. Rows-only
     * (codebook fit is not SQL-expressible); recall gated in
     * ApproxRecallSpec against the planted exact top-10. */
-  val annIvfPq: Q = (spark, dir) => {
+  val annIvfPq: Q = (spark, dir) =>
+    ivfPqTopkWith(spark, ivfCells(spark, dir)._1, pqCodes(spark, dir))
+
+  /** The IVFADC probe over a caller-supplied quantizer + PQ encoding
+    * (the un-memoized core of [[annIvfPq]]) — the seam the
+    * forced-path oracle entry routes through. */
+  private def ivfPqTopkWith(spark: SparkSession,
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      pq: (Array[Double], Int, Int, Int, DataFrame)): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
-    val (model, _) = ivfCells(spark, dir)
-    val (cb, m, ks, sub, codes) = pqCodes(spark, dir)
+    val (cb, m, ks, sub, codes) = pq
     val query = codes.filter(col("vec_id") === 0)
       .select(col("unit").as("qunit"), col("cell").as("qcell"))
     val qRow = query.head()
@@ -1800,6 +1843,40 @@ object Llm {
       .select(col("vec_id"), col("cell"), col("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(10)
+  }
+
+  /** The shared planted-copy input of the PQ forced witnesses: the
+    * corpus plus `pqForcedCopies` identical copies of the query
+    * vector (vec_id 0) at ids 1,000,000+i — more copies than the
+    * top-k, so a correct approximate path's ENTIRE answer is the
+    * deterministic planted set. */
+  private[graft] val pqForcedCopies = 12
+  private def pqForcedInput(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val planted = base.filter(col("vec_id") === 0)
+      .withColumn("nid", explode(typedLit(
+        (0 until pqForcedCopies).map(i => 1000000L + i))))
+      .select(col("nid").as("vec_id"), col("e"))
+    base.unionByName(planted)
+  }
+
+  /** Driver-visible HASH gate for the IVFADC serve path: identical
+    * copies of the query vector are planted (pqForcedInput), the
+    * quantizer + codebooks fit on the planted union, and the SAME
+    * [[ivfPqTopkWith]] machinery runs. An identical copy's codes are
+    * the per-subspace argmin against the query itself, so its ADC is
+    * the global minimum — every copy is guaranteed into the ADC
+    * shortlist — and the exact re-rank scores it 1.0; with more
+    * copies than k the whole top-10 is the planted set (fixture's
+    * real cosines top out near 0.52), so cell assignment, encode,
+    * ADC scoring, shortlist, and re-rank are all under the DuckDB
+    * hash, not just the recall spec. */
+  val annIvfPqForced: Q = (spark, dir) => {
+    val mc = fitIvfCellsOn(spark, pqForcedInput(spark, dir))
+    ivfPqTopkWith(spark, mc._1, pqCodesOn(spark, mc._2))
+      .filter(col("cosine") >= 0.999)
+      .select(col("vec_id"), col("cosine"))
   }
 
   /** Memoized persisted ANN index per (session, dir): the build is a
@@ -1890,6 +1967,44 @@ object Llm {
       .head().getAs[scala.collection.Seq[Double]](0).toSeq
     graft.engine.AnnIndex.queryPq(spark, idx, qe, k = 10,
       excludeVecId = Some(0L))
+  }
+
+  /** Driver-visible HASH gate for the PERSISTED IVFADC serve path
+    * (annIvfPqForced's device run through the committed-index
+    * machinery instead of the in-session quantizer): the index is
+    * built and PQ-encoded over the planted-copy corpus
+    * (pqForcedInput) as real VersionedTables in a memoized temp dir,
+    * then `queryPq` serves the query from the committed snapshot —
+    * codebook/cells sidecar resolution, ADC over the codes table,
+    * shortlist float page-in, exact re-rank — and the >= 0.999 filter
+    * keeps exactly the planted copies, DuckDB-hashable. */
+  val annIndexServePqForced: Q = (spark, dir) => {
+    val per = annIndexCache.synchronized {
+      val m = annIndexCache.get(spark)
+      if (m != null) m else {
+        val fresh = scala.collection.concurrent.TrieMap.empty[String, String]
+        annIndexCache.put(spark, fresh)
+        fresh
+      }
+    }
+    // the annIndexPath build-serialization rule, keyed separately so
+    // the forced index never shadows the real one
+    val idx = per.synchronized {
+      per.getOrElseUpdate(dir + "#forcedpq", {
+        val tmp = graft.util.Fs.tempDir("graft_ann_index_forced")
+        graft.engine.AnnIndex.build(spark, pqForcedInput(spark, dir), tmp)
+        graft.engine.AnnIndex.buildPq(spark, tmp)
+        tmp
+      })
+    }
+    val qe = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getAs[scala.collection.Seq[Double]](0).toSeq
+    graft.engine.AnnIndex.queryPq(spark, idx, qe, k = 10,
+      excludeVecId = Some(0L))
+      .filter(col("cosine") >= 0.999)
+      .select(col("vec_id"), col("cosine"))
   }
 
   /** SemDeDup (semantic dedup, Abbas et al. 2023 shape): coarse-cluster
@@ -3212,6 +3327,7 @@ object Llm {
     "q_llm_cosine_topk" -> cosineTopk,
     "q_llm_knn_join" -> knnJoin,
     "q_llm_knn_join_ivf" -> knnJoinIvfServe,
+    "q_llm_knn_join_ivf_forced" -> knnJoinIvfForced,
     "q_llm_shard" -> shard,
     "q_llm_embed_neardup" -> embedNeardup,
     "q_llm_embed_neardup_scale_forced" -> embedNeardupForcedScale,
@@ -3221,8 +3337,10 @@ object Llm {
     "q_llm_centroids" -> centroids,
     "q_llm_ann_ivf" -> annIvf,
     "q_llm_ann_pq" -> annIvfPq,
+    "q_llm_ann_pq_forced" -> annIvfPqForced,
     "q_llm_ann_index" -> annIndexServe,
     "q_llm_ann_pq_index" -> annIndexServePq,
+    "q_llm_ann_pq_index_forced" -> annIndexServePqForced,
     "q_llm_tokenize_bpe" -> tokenizeBpe,
     "q_llm_bpe_train" -> bpeTrain,
     "q_llm_bpe_train_batched" -> bpeTrainBatched,
@@ -3283,6 +3401,25 @@ object Llm {
        FROM documents d JOIN tag ON d.doc_id = tag.doc_id
        LEFT JOIN h ON d.doc_id = h.doc_id
        WHERE NOT is_eval ORDER BY d.doc_id"""
+
+  /** Shared oracle of the two PQ forced witnesses: DuckDB's EXACT
+    * top-10 cosine neighbors of vec 0 over the planted-copy corpus,
+    * filtered to >= 0.999 — the deterministic planted set both the
+    * in-session IVFADC and the persisted-index serve must return. */
+  private val pqForcedOracle =
+    """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        emb AS (SELECT * FROM e0 UNION ALL
+                SELECT 1000000 + gs.i, e
+                FROM e0, generate_series(0, 11) gs(i) WHERE e0.vec_id = 0),
+        q AS (SELECT e AS qe FROM e0 WHERE vec_id = 0),
+        s AS (SELECT vec_id,
+                round(list_dot_product(emb.e, q.qe)
+                  / (sqrt(list_dot_product(emb.e, emb.e))
+                     * sqrt(list_dot_product(q.qe, q.qe))), 6) AS cosine
+              FROM emb, q WHERE vec_id <> 0)
+      SELECT vec_id, cosine FROM s WHERE cosine >= 0.999
+      ORDER BY cosine DESC, vec_id LIMIT 10"""
 
   val oracle: Map[String, String] = Map(
     "q_llm_dedup_exact" ->
@@ -3499,6 +3636,24 @@ object Llm {
                 FROM s)
           SELECT qid, vec_id, cosine, rank FROM r
           WHERE rank <= 10 ORDER BY qid, rank""",
+    "q_llm_knn_join_ivf_forced" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                     FROM embeddings),
+          emb AS (SELECT * FROM e0 UNION ALL
+                  SELECT vec_id + 1000000, e FROM e0 WHERE vec_id < 5),
+          q AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id < 5),
+          c AS (SELECT vec_id, e FROM emb WHERE vec_id >= 5),
+          s AS (SELECT q.qid, c.vec_id,
+                  round(list_dot_product(c.e, q.qe)
+                    / (sqrt(list_dot_product(c.e, c.e))
+                       * sqrt(list_dot_product(q.qe, q.qe))), 6) AS cosine
+                FROM c, q),
+          r AS (SELECT qid, vec_id, cosine,
+                  CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY cosine DESC, vec_id) AS INT) AS rank
+                FROM s)
+          SELECT qid, vec_id, cosine, rank FROM r
+          WHERE rank <= 10 AND cosine >= 0.999 ORDER BY qid, rank""",
     "q_llm_cosine_topk" ->
       """WITH q AS (
            SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
@@ -3534,6 +3689,8 @@ object Llm {
             FROM v a JOIN v b ON a.vec_id < b.vec_id)
           SELECT d1, d2, round(cos_raw, 6) AS cosine FROM p
           WHERE round(cos_raw, 6) >= 0.999 ORDER BY d1, d2""",
+    "q_llm_ann_pq_forced" -> pqForcedOracle,
+    "q_llm_ann_pq_index_forced" -> pqForcedOracle,
     "q_llm_sample_weighted" ->
       """WITH d AS (
            SELECT lang, doc_id, n_chars,
