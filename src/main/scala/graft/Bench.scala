@@ -93,6 +93,12 @@ object Bench {
           graft.ops.Advanced.invalidateBucketTableCache()
         if (name == "q_table_dml" || name == "q_table_changes")
           graft.ops.Advanced.invalidateDmlTableCache()
+        if (name == "q_fn_variant_shredded")
+          graft.ops.ScalarFns.invalidateShredTableCache()
+        if (name == "q_llm_shard_resume")
+          graft.ops.Llm.invalidateShardTableCache()
+        if (name == "q_llm_bpe_apply")
+          graft.ops.Llm.invalidateBpeTableCache()
         timeOne(name, SparkEntry.queries(name)) match {
           case (dt2, None) =>
             reruns(name) = s"""{"first":$dt,"rerun":$dt2}"""

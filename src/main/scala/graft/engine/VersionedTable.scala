@@ -311,17 +311,20 @@ object VersionedTable {
     // the semi-structured source column into a typed column AT WRITE
     // TIME, so serves navigate real parquet columns (column pruning,
     // predicate pushdown, stats) instead of re-parsing the document
-    // per row per query. A declared output column already present
-    // (re-commit of a read-back snapshot) or a missing source column
-    // is skipped rather than failing schema evolution.
-    val df = {
-      val decls = readProp(f, dir, "_SHRED_PATHS").flatMap(parseShred)
-        .filter(d => df0.columns.contains(d._1) &&
-          !df0.columns.contains(d._2))
-      decls.foldLeft(df0) { case (acc, (from, out, path, tpe)) =>
-        acc.withColumn(out, org.apache.spark.sql.functions
-          .get_json_object(col(from), path).cast(tpe))
-      }
+    // per row per query. Whenever the SOURCE column is present the
+    // output column is (re)computed — overwriting any existing value:
+    // DML paths (updateWhere/deleteWhere/commitMerge) derive their
+    // frame from the read-back snapshot, which already carries the
+    // shredded column, and an UPDATE to the source column must not
+    // commit the stale pre-update extraction. Extraction is
+    // deterministic, so re-commits of unchanged snapshots stay
+    // idempotent. Only a missing source column skips (a legitimate
+    // projection-evolution commit must not fail on the declaration).
+    val shredded = readProp(f, dir, "_SHRED_PATHS").flatMap(parseShred)
+      .filter(d => df0.columns.contains(d._1))
+    val df = shredded.foldLeft(df0) { case (acc, (from, out, path, tpe)) =>
+      acc.withColumn(out, org.apache.spark.sql.functions
+        .get_json_object(col(from), path).cast(tpe))
     }
     // Delta-style schema enforcement, BEFORE the snapshot write (fail
     // fast, not after staging a table-sized copy): dropped columns and
@@ -353,7 +356,14 @@ object VersionedTable {
       val changed = haveT.keySet.intersect(inT.keySet)
         .filter(k => haveT(k) != inT(k))
       val dropped = haveT.keySet -- inT.keySet
-      val added = inT.keySet -- haveT.keySet
+      // Shred-declared output columns are pre-authorized additions:
+      // setShreddedPaths IS the explicit evolution opt-in (an admin
+      // action recorded as a table property), so the first commit
+      // after declaring paths on an existing table materializes the
+      // new typed columns without every caller having to thread
+      // allowEvolution=true through.
+      val shredOuts = shredded.map(_._2).toSet
+      val added = inT.keySet -- haveT.keySet -- shredOuts
       if (changed.nonEmpty || dropped.nonEmpty ||
         (added.nonEmpty && !allowEvolution))
         throw new SchemaMismatchException(
@@ -1047,13 +1057,21 @@ object VersionedTable {
     atomicWrite(spark, dir, "_SHRED_PATHS", decls.mkString(","))
 
   /** Parse one `_SHRED_PATHS` element; malformed declarations are
-    * dropped (a bad sidecar must not wedge every future commit). */
+    * dropped (a bad sidecar must not wedge every future commit).
+    * "Malformed" includes a type string the SQL parser rejects: a
+    * structurally well-formed entry whose tpe isn't a real data type
+    * (or whose path smuggled a ':' and shifted the split) would
+    * otherwise make `.cast(tpe)` throw at analysis on EVERY later
+    * commit — exactly the wedge this drop exists to prevent. */
   private def parseShred(decl: String)
       : Option[(String, String, String, String)] =
     decl.split("\\|", 2) match {
       case Array(from, rest) => rest.split(":", 3) match {
         case Array(out, path, tpe)
-          if from.nonEmpty && out.nonEmpty && path.nonEmpty && tpe.nonEmpty =>
+          if from.nonEmpty && out.nonEmpty && path.nonEmpty &&
+            tpe.nonEmpty && scala.util.Try(
+              org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+                .parseDataType(tpe.trim)).isSuccess =>
           Some((from.trim, out.trim, path.trim, tpe.trim))
         case _ => None
       }

@@ -33,8 +33,22 @@ object MemoProbe {
       graft.util.Fs.deleteRecursively(p)
     }
 
+    // the FULL bench entry (memo build + removal serve), cold and
+    // warm — splits the bench row into its two addends so a slow
+    // reading attributes to "build regressed" vs "serve regressed"
+    // vs "host/context noise"
+    def full(tag: String): Unit = {
+      val t0 = System.nanoTime()
+      graft.util.Exec.drain(
+        graft.SparkEntry.queries("q_llm_dedup_substr_rm")(spark, dir))
+      println(f"MEMOPROBE $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
     build("quiet-cold")
     build("quiet-warm")
+    graft.ops.Llm.invalidateIslandsCache()
+    full("quiet-full-cold")
+    full("quiet-full-warm")
     if (preN > 0) {
       // replay the bench context: run the first N queries in bench
       // (Map-iteration) order with Bench's between-query clearing
@@ -51,6 +65,9 @@ object MemoProbe {
       graft.ops.Llm.invalidateIslandsCache()
       build(s"post-$preN-queries")
       build(s"post-$preN-warm")
+      graft.ops.Llm.invalidateIslandsCache()
+      full(s"post-$preN-full-cold")
+      full(s"post-$preN-full-warm")
     }
     spark.stop()
   }

@@ -54,6 +54,9 @@ object SuiteAnchor {
     graft.ops.Advanced.invalidateDmlTableCache()
     graft.ops.Advanced.invalidateBucketTableCache()
     graft.ops.Llm.invalidatePqCache()
+    graft.ops.ScalarFns.invalidateShredTableCache()
+    graft.ops.Llm.invalidateShardTableCache()
+    graft.ops.Llm.invalidateBpeTableCache()
   }
 
   def main(args: Array[String]): Unit = {

@@ -58,6 +58,21 @@ class PlansSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), "pair space must use the broadcast build side")
   }
 
+  test("shredded variant serve: zero per-row JSON parsing, scan pruned to the typed column") {
+    // cold build: the guard must hold on the serve plan the memoized
+    // table produces from scratch, not whatever an earlier test left
+    graft.ops.ScalarFns.invalidateShredTableCache()
+    val p = planFull("q_fn_variant_shredded").toLowerCase
+    // the whole point of shredding: extraction happened at COMMIT time,
+    // so no semi-structured navigation survives anywhere in the serve
+    assert(!p.contains("get_json_object"), "serve must not re-parse JSON")
+    assert(!p.contains("parse_json"), "serve must not build variants")
+    assert(!p.contains("variant_get"), "serve must not navigate variants")
+    // ...and the scan reads the typed column, pruning the document away
+    assert(p.contains("k_shred:int"), "scan must read the shredded column")
+    assert(!p.contains("props"), "the source document column must prune out")
+  }
+
   test("freshness compares against a broadcast 1-row high-water mark") {
     val p = plan("q_fn_freshness")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
@@ -668,7 +683,15 @@ class PlansSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin"), // eval-sized query side
       "query table must broadcast:\n" + p.take(600))
     assert(!p.contains("CartesianProduct"), "no all-pairs shuffle")
-    assert(p.contains("Window"), "per-query top-k ranks in a window")
+    // the per-query top-k must plan the two-phase group-limit: a
+    // PARTIAL WindowGroupLimit thins each scored partition to k rows
+    // BEFORE the qid shuffle, so the exchange carries |Q| x k x
+    // partitions rows, never the full scored stream. One logical
+    // group-limit plans as a Partial+Final PAIR (the domain-cap
+    // lesson: a bare "Window" contains-check passes the regressed
+    // no-group-limit shape where the shuffle carries everything)
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      "top-k must plan Partial+Final group-limits:\n" + p.take(600))
     val pi = plan("q_llm_knn_join_ivf")
     assert(!pi.contains("CartesianProduct"),
       "probed join must key on cell:\n" + pi.take(600))
@@ -680,6 +703,11 @@ class PlansSpec extends SparkTestBase {
       "corpus join must stay cell-keyed, not nested-loop:\n" + pi.take(600))
     assert(pi.contains("BroadcastHashJoin") || pi.contains("SortMergeJoin"),
       "probe-to-corpus must be an equi join on cell:\n" + pi.take(600))
+    // same two-phase rule for the IVF face's per-query top-k: the
+    // partial group-limit must thin the probed-cell scored stream
+    // before the qid exchange
+    assert("WindowGroupLimit".r.findAllIn(pi).size >= 2,
+      "IVF top-k must plan Partial+Final group-limits:\n" + pi.take(600))
   }
 
   test("shard assignment plans bucketed windows, no single-ordering global sort") {

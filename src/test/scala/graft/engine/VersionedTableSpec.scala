@@ -758,6 +758,67 @@ class VersionedTableSpec extends SparkTestBase {
     graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("shredding: declaration is the evolution opt-in; DML re-extracts from the updated source") {
+    val dir = tmp("graft_vt_shred")
+    val base = Seq(
+      (1L, """{"k": 5, "s": "a"}"""),
+      (2L, """{"k": 7, "s": "b"}""")).toDF("id", "props")
+    VersionedTable.commit(base, dir)
+    // declare AFTER the table exists: the next commit materializes the
+    // typed columns without any caller passing allowEvolution — the
+    // declaration itself is the recorded opt-in
+    VersionedTable.setShreddedPaths(spark, dir,
+      Seq("props|k_shred:$.k:int", "props|s_shred:$.s:string"))
+    VersionedTable.commit(VersionedTable.read(spark, dir)
+      .select($"id", $"props"), dir)
+    val v1 = VersionedTable.read(spark, dir)
+    assert(v1.schema("k_shred").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(v1.select($"id", $"k_shred", $"s_shred")
+      .as[(Long, Int, String)].collect().toSet ==
+      Set((1L, 5, "a"), (2L, 7, "b")))
+    // re-commit of the read-back snapshot (shredded columns present):
+    // re-extraction is deterministic, so the snapshot is unchanged
+    VersionedTable.commit(VersionedTable.read(spark, dir), dir)
+    assert(VersionedTable.read(spark, dir)
+      .select($"id", $"k_shred").as[(Long, Int)].collect().toSet ==
+      Set((1L, 5), (2L, 7)))
+    // UPDATE the SOURCE column: the commit must RE-extract — the
+    // read-back frame carries the stale pre-update k_shred=5, and
+    // committing that value would silently diverge from props
+    VersionedTable.updateWhere(spark, dir, $"id" === 1L,
+      Map("props" -> lit("""{"k": 99, "s": "z"}""")))
+    val v3 = VersionedTable.read(spark, dir)
+    assert(v3.filter($"id" === 1L).select($"k_shred", $"s_shred")
+      .as[(Int, String)].head() == ((99, "z")),
+      "shredded columns must track the updated source")
+    assert(v3.filter($"id" === 2L).select($"k_shred").as[Int].head() == 7)
+    // the opt-in is scoped to DECLARED outputs: an undeclared new
+    // column still needs allowEvolution
+    intercept[SchemaMismatchException] {
+      VersionedTable.commit(v3.withColumn("extra", lit(1)), dir)
+    }
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("shredding: missing source skips; malformed / invalid-type declarations drop, never wedge") {
+    val dir = tmp("graft_vt_shred2")
+    VersionedTable.setShreddedPaths(spark, dir, Seq(
+      "props|k_shred:$.k:int", // valid
+      "absent|a_shred:$.a:int", // source column missing -> skipped
+      "no-pipe-separator", // structurally malformed -> dropped
+      "props|bad:$.k:notatype", // unparseable SQL type -> dropped
+      "props|worse:$.k with:colons:int")) // ':' in path shifts the
+    // split so tpe reads "colons:int" -> unparseable -> dropped
+    val df = Seq((1L, """{"k": 3}""")).toDF("id", "props")
+    VersionedTable.commit(df, dir) // a bad sidecar must not wedge commits
+    val out = VersionedTable.read(spark, dir)
+    assert(out.columns.toSet == Set("id", "props", "k_shred"),
+      s"only the valid declaration extracts: ${out.columns.mkString(",")}")
+    assert(out.select($"k_shred").as[Int].head() == 3)
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("changesBetween emits insert/delete/update images and skips unchanged rows") {
     val dir = Files.createTempDirectory("vt_cdf").toString
     VersionedTable.commit(

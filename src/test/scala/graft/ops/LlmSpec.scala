@@ -794,6 +794,9 @@ class LlmSpec extends SparkTestBase {
   }
 
   test("BPE apply tokenizes with the trained merges, matching a reference apply") {
+    // the entry now serves from the committed artifact's CURRENT
+    // version — rebuild fresh so a sibling test's retrain can't leak in
+    Llm.invalidateBpeTableCache()
     val merges = Llm.bpeTrainMergesBatched(spark, sfSmoke, 64,
         strictPrefix = false)
       .orderBy($"rank").select($"left", $"right")
@@ -824,6 +827,80 @@ class LlmSpec extends SparkTestBase {
       s"apply diverges: got ${got.take(3)} exp ${expected.take(3)}")
     // merging strictly compresses: token count in [n_words, total chars]
     got.foreach { case (_, nw, nb) => assert(nb >= nw) }
+  }
+
+  test("committed tokenizer artifact: a pinned version reproduces apply bit-for-bit across a retrain") {
+    import graft.engine.VersionedTable
+    Llm.invalidateBpeTableCache()
+    val table = Llm.bpeCommittedMerges(spark, sfSmoke) // trains 64, commits v0
+    assert(VersionedTable.currentVersion(spark, table).contains(0L))
+    val v0 = Llm.bpeApplyCommitted(spark, sfSmoke, Some(0L))
+      .as[(Long, Long, Long)].collect().toSeq
+    // the pinned STREAMING column (merge literal, no join) computes
+    // the same per-doc counts as the batch apply at the same version
+    def pinnedCounts(): Map[Long, Long] =
+      graft.engine.Tables(spark, sfSmoke, "documents")
+        .select($"doc_id",
+          Llm.bpeTokenCountPinned(spark, table, Some(0L))
+            .cast("long").as("n"))
+        .as[(Long, Long)].collect().toMap
+    val streamCol0 = pinnedCounts()
+    v0.foreach { case (id, _, nb) =>
+      assert(streamCol0(id) == nb,
+        s"pinned column diverges from batch apply on doc $id")
+    }
+    // RETRAIN with a smaller budget: commits v1 of the SAME table
+    assert(Llm.bpeRetrain(spark, sfSmoke, target = 16) == 1L)
+    // a dataloader pinned at v0 is untouched by the publish
+    val pinnedAfter = Llm.bpeApplyCommitted(spark, sfSmoke, Some(0L))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pinnedAfter == v0, "pinned version must survive a retrain")
+    assert(pinnedCounts() == streamCol0,
+      "the pinned streaming column must survive a retrain")
+    // ...while the CURRENT version genuinely moved: fewer merges
+    // compress less, so the corpus token total must rise
+    val fresh = Llm.bpeApplyCommitted(spark, sfSmoke)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(fresh.map(_._3).sum > v0.map(_._3).sum,
+      "the 16-merge retrain must tokenize longer than 64 merges")
+    Llm.invalidateBpeTableCache()
+  }
+
+  test("pinned tokenizer column tokenizes real micro-batches, stable across an in-flight retrain") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    Llm.invalidateBpeTableCache()
+    val table = Llm.bpeCommittedMerges(spark, sfSmoke)
+    // pin AT STREAM CONSTRUCTION (current = v0)
+    val tokCol = Llm.bpeTokenCountPinned(spark, table, None)
+    val mem = MemoryStream[(Long, String)]
+    val out = mem.toDF().toDF("doc_id", "text")
+      .select($"doc_id", tokCol.cast("long").as("n_bpe_tok"))
+    val q = out.writeStream.format("memory").queryName("bpe_pin")
+      .outputMode("append").start()
+    val docs = graft.engine.Tables(spark, sfSmoke, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().take(20)
+    mem.addData(docs.take(10).toIndexedSeq)
+    q.processAllAvailable()
+    // retrain WHILE THE STREAM RUNS: the artifact's current version
+    // moves under the live query...
+    Llm.bpeRetrain(spark, sfSmoke, target = 16)
+    mem.addData(docs.drop(10).toIndexedSeq)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("bpe_pin").as[(Long, Long)].collect().toMap
+    // ...but every batch — before AND after the retrain — tokenized
+    // with the construction-time tokenizer: compare against the v0
+    // batch apply
+    val expect = Llm.bpeApplyCommitted(spark, sfSmoke, Some(0L))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    docs.foreach { case (id, text) =>
+      if (text.split(" ").exists(_.nonEmpty))
+        assert(got(id) == expect(id),
+          s"micro-batch tokenization moved with the retrain on doc $id")
+    }
+    spark.sql("DROP TABLE IF EXISTS bpe_pin")
+    Llm.invalidateBpeTableCache()
   }
 
   test("weighted sampling selects exactly the Efraimidis-Spirakis top-K per stratum") {
@@ -933,5 +1010,55 @@ class LlmSpec extends SparkTestBase {
     val reparted = Llm.shardAssignOn(docs.repartition(13), 7, "s1")
       .as[(Long, Long, Int)].collect().toSeq
     assert(reparted == got, "assignment must not depend on input layout")
+  }
+
+  test("shard write face: partitioned layout prunes a single-shard read to its own directory") {
+    Llm.invalidateShardTableCache()
+    val table = Llm.shardWrittenTable(spark, sfSmoke)
+    val one = graft.engine.VersionedTable.read(spark, table)
+      .filter(col("shard") === 3)
+    // planning-time: the shard predicate lands in PartitionFilters
+    // (directory pruning), never in the data filters
+    val p = one.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("shard"),
+      "shard predicate must prune partitions:\n" + p.take(600))
+    // runtime: every file actually read lives under shard=3/
+    val files = one.select(input_file_name().as("f"))
+      .distinct().as[String].collect()
+    assert(files.nonEmpty && files.forall(_.contains("shard=3")),
+      s"single-shard read must touch only its directory: ${files.take(3).mkString(",")}")
+    // ...and holds exactly that shard's full 64 rows
+    assert(one.count() == 64)
+  }
+
+  test("shard resume: the (shard, pos) cursor is stable across a rebuild and a maintenance commit") {
+    import graft.engine.VersionedTable
+    Llm.invalidateShardTableCache()
+    val table = Llm.shardWrittenTable(spark, sfSmoke)
+    def cursorRows(t: String) = Llm.shardResume(spark, t, 2L, 17)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .as[(Long, Long, Int)].collect().toSeq
+    val first = cursorRows(table)
+    // the dataloader contract: resume skips exactly the 2*64+17 rows
+    // before the cursor and replays the rest in permutation order
+    val full = Llm.shard(spark, sfSmoke).as[(Long, Long, Int)]
+      .collect().toSeq
+    assert(first == full.drop(2 * 64 + 17),
+      "resume must equal the full permutation minus the prefix")
+    // a REBUILD (new temp table, fresh write) reproduces the cursor:
+    // the permutation is a pure function of (doc_id, seed), never of
+    // write order or layout
+    Llm.invalidateShardTableCache()
+    val rebuilt = Llm.shardWrittenTable(spark, sfSmoke)
+    assert(rebuilt != table, "invalidate must force a fresh write")
+    assert(cursorRows(rebuilt) == first,
+      "a re-run of the writer must hand the dataloader the same rows")
+    // a maintenance commit (read-back re-commit -> new version, the
+    // nightly compact/re-publish motion) must not move the cursor
+    VersionedTable.commit(VersionedTable.read(spark, rebuilt), rebuilt)
+    assert(VersionedTable.currentVersion(spark, rebuilt).contains(1L))
+    assert(cursorRows(rebuilt) == first,
+      "a new table version must not move (shard, pos)")
+    Llm.invalidateShardTableCache()
   }
 }
