@@ -228,24 +228,32 @@ object AnnIndex {
             p.getName.dropWhile(!_.isDigit).toLong < retainedCodes.min)
           .foreach(p => f.delete(p, false))
         // codebook versions no retained codes version references
-        // expire as a prefix (referenced versions may interleave)
+        // expire below the oldest still-referenced version. The floor
+        // goes through the keepFrom overload (applied against the
+        // expire call's OWN listing): the former count arithmetic
+        // (keepLast = listed - prefix) computed against a listing
+        // taken before the call, so a concurrent buildPq/refresh
+        // committing in between shifted the keep-newest window and
+        // could expire the oldest still-referenced codebook.
         val cbRefs = retainedCodes
           .map(v => pqSidecar(spark, dir, "_CODEBOOK_V", v))
-        if (cbRefs.nonEmpty && cbRefs.forall(_.isDefined)) {
-          val oldestCb = cbRefs.flatten.min
-          val cbVs = VersionedTable.versions(spark, codebookDir(dir))
-          val dropPrefix = cbVs.takeWhile(_ < oldestCb)
-          if (dropPrefix.nonEmpty)
-            VersionedTable.expireVersions(spark, codebookDir(dir),
-              keepLast = cbVs.size - dropPrefix.size)
-        }
+        // a pre-lineage codes version names no codebook — keep all
+        // history rather than guess (dropping is irreversible; the
+        // cells floor below is the opposite trade because a floor
+        // only ever ADDS protection)
+        if (cbRefs.nonEmpty && cbRefs.forall(_.isDefined))
+          VersionedTable.expireVersions(spark, codebookDir(dir),
+            keepLast = 1, keepFrom = Some(cbRefs.flatten.min))
         val cellRefs = retainedCodes
           .map(v => pqSidecar(spark, dir, "_CELLS_V", v))
-        // a pre-lineage codes version pins nothing it can name — fall
-        // back to plain count retention rather than guess
-        if (cellRefs.nonEmpty && cellRefs.forall(_.isDefined))
-          Some(cellRefs.flatten.min)
-        else None
+        // floor on every cells version a retained codes version can
+        // NAME: requiring all sidecars present made one lost/cleaned
+        // sidecar drop the floor for every pinned reader (a
+        // sidecar-carrying retained codes version's cells snapshot
+        // could expire and its pinned queryPq die at the re-rank). A
+        // pre-lineage codes version still pins nothing it can name —
+        // that gap is unknowable either way.
+        if (cellRefs.flatten.nonEmpty) Some(cellRefs.flatten.min) else None
       }
     // the floor is applied inside expireVersions against ITS OWN
     // listing, so a refresh committing concurrently cannot shift the
@@ -264,19 +272,15 @@ object AnnIndex {
       .filter(p => retained.nonEmpty &&
         p.getName.stripPrefix("_CENTROIDS_V").toLong < retained.min)
       .foreach(p => f.delete(p, false))
-    // a retained pre-sidecar cells version gives no reference — keep
-    // all centroid history rather than guess. expireVersions keeps a
-    // COUNT from the newest and referenced versions may interleave
-    // with unreferenced ones, so drop only the maximal PREFIX older
-    // than every still-needed centroid version.
-    if (refs.nonEmpty && refs.forall(_.isDefined)) {
-      val oldestNeeded = refs.flatten.min
-      val centVs = VersionedTable.versions(spark, centroidsDir(dir))
-      val dropPrefix = centVs.takeWhile(_ < oldestNeeded)
-      if (dropPrefix.nonEmpty)
-        VersionedTable.expireVersions(spark, centroidsDir(dir),
-          keepLast = centVs.size - dropPrefix.size)
-    }
+    // drop centroid versions below the oldest one a retained cells
+    // version references, through the race-proof keepFrom overload
+    // (the codebook rule above: the former count arithmetic against a
+    // pre-call listing could expire a still-referenced version when a
+    // refresh committed concurrently). A retained pre-sidecar cells
+    // version gives no reference — keep all history rather than guess.
+    if (refs.nonEmpty && refs.forall(_.isDefined))
+      VersionedTable.expireVersions(spark, centroidsDir(dir),
+        keepLast = 1, keepFrom = Some(refs.flatten.min))
   }
 
   // ------------------------------------------------------------- PQ layer

@@ -1107,24 +1107,31 @@ object VersionedTable {
     * the manifest automatically. Pair with a Z-order sort
     * (graft.functions.ZOrder) so each file covers a small rectangle
     * of the stats columns and range predicates on EITHER column prune
-    * files. */
+    * files. Registration happens AFTER the commit succeeds, so a
+    * rejected commit never mutates the property and concurrent
+    * writers never observe a declaration that is about to roll back.
+    * Concurrent commitWithStats calls with different columns remain
+    * last-writer-wins on the declaration, as with setStatsColumns
+    * itself. */
   def commitWithStats(df: DataFrame, dir: String, statsCols: Seq[String],
       allowEvolution: Boolean = false): Long = {
     require(statsCols.nonEmpty, "statsCols must not be empty")
     val spark = df.sparkSession
-    // a REJECTED commit (schema enforcement) must not leave the table
-    // property mutated — every later plain commit would pay the
-    // full-snapshot stats aggregate for columns nobody successfully
-    // registered — so restore the prior declaration on failure
-    val prev = readProp(fs(spark, dir), dir, "_STATS_COLS")
+    // COMMIT FIRST, register after: the former set-then-commit pair
+    // (with rollback on rejection) was not atomic against concurrent
+    // writers on the same dir — a commit racing into the window picked
+    // up a declaration that was about to roll back, and the rollback
+    // could clobber a concurrent setStatsColumns (property flip-flop).
+    // Committing first means a rejected commit never mutates the
+    // property at all, and on success the declaration only moves
+    // FORWARD; this version's manifest is written explicitly since the
+    // commit ran before the declaration existed (overwriting the
+    // prior-declaration manifest the commit path may have produced).
+    val v = commit(df, dir, allowEvolution)
     setStatsColumns(spark, dir, statsCols)
-    // the commit path sees the sidecar and writes the manifest
-    try commit(df, dir, allowEvolution)
-    catch { case t: Throwable =>
-      if (prev.nonEmpty) setStatsColumns(spark, dir, prev)
-      else fs(spark, dir).delete(propPath(dir, "_STATS_COLS"), false)
-      throw t
-    }
+    val scols = statsCols.filter(df.columns.contains)
+    if (scols.nonEmpty) writeManifest(spark, dir, v, scols)
+    v
   }
 
   /** Data-skipping read: same result as

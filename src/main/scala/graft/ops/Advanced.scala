@@ -138,8 +138,10 @@ object Advanced {
     * (session, dir) — the scaladoc's "one-time cost a warehouse pays"
     * was previously paid (and a pair of fact-sized temp dirs leaked,
     * untracked) on EVERY invocation. Same memo + synchronized-build +
-    * invalidation lifecycle as zorderedTable/dmlTable; table names are
-    * dir-keyed so two fixture dirs in one session don't collide. */
+    * invalidation lifecycle as zorderedTable/dmlTable; table names
+    * carry a per-build counter so no two builds can collide. */
+  private val bucketTableSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def bucketedTables(spark: org.apache.spark.sql.SparkSession,
       dir: String): (String, String) = {
     val per = bucketTableCache.synchronized {
@@ -153,7 +155,14 @@ object Advanced {
     }
     val (liName, ordName, _, _) = per.synchronized {
       per.getOrElseUpdate(dir, {
-        val suffix = java.lang.Integer.toHexString(dir.hashCode)
+        // unique per BUILD, not a function of the dir string: a 32-bit
+        // dir.hashCode collision between two fixture dirs in one
+        // session would make the second build saveAsTable(overwrite)
+        // onto the first dir's catalog name while the first memo entry
+        // still points at it — bucketedJoin would silently read the
+        // wrong dataset. The counter makes collisions impossible; the
+        // memo value (not the name scheme) carries the association.
+        val suffix = bucketTableSeq.getAndIncrement().toString
         val liN = s"graft_lineitem_b_$suffix"
         val ordN = s"graft_orders_b_$suffix"
         val liPath = graft.util.Fs.tempDir("graft_bucket_li")

@@ -523,6 +523,44 @@ class AnnIndexSpec extends SparkTestBase {
     graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("expire floors cells on every sidecar it can still NAME when one sidecar is lost") {
+    val dim = 8
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian())
+    }
+    val anchor = vec(1)
+    val base = (0 until 40).map(i => (i.toLong, vec(2700 + i))) :+
+      (900L, anchor.map(_ + 0.001))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_pql").toString
+    AnnIndex.build(spark, base.toDF("vec_id", "e"), dir)   // cells v0
+    val codesV0 = AnnIndex.buildPq(spark, dir)             // codes v0 -> cells v0
+    val pinned0 = AnnIndex.queryPq(spark, dir, anchor, k = 3,
+      version = Some(codesV0)).as[(Long, Int, Double)].collect().toSeq
+    for (i <- 0 until 3)
+      AnnIndex.refresh(spark,
+        Seq((950L + i, vec(9800 + i))).toDF("vec_id", "e"), dir)
+    val codesV1 = AnnIndex.syncCodes(spark, dir)           // codes v1 -> cells v3
+    // simulate a lost/cleaned lineage sidecar on the NEWER retained
+    // codes version: the floor must still protect what the OLDER
+    // version's surviving sidecar names. The all-or-nothing rule
+    // dropped the floor entirely here — cells v0 expired and the
+    // pinned queryPq died at its exact re-rank (the round-8 advisory).
+    val f = new org.apache.hadoop.fs.Path(AnnIndex.pqCodesDir(dir))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.delete(new org.apache.hadoop.fs.Path(
+      AnnIndex.pqCodesDir(dir), s"_CELLS_V$codesV1"), false))
+    AnnIndex.expire(spark, dir, keepLast = 2)
+    assert(VersionedTable.versions(spark, AnnIndex.cellsDir(dir)).contains(0L),
+      "cells v0 is named by retained codes v0's sidecar and must survive")
+    val pinnedAfter = AnnIndex.queryPq(spark, dir, anchor, k = 3,
+      version = Some(codesV0)).as[(Long, Int, Double)].collect().toSeq
+    assert(pinnedAfter == pinned0,
+      s"nameable pinned lineage broken by a sibling's lost sidecar:\n" +
+        s"$pinned0\n$pinnedAfter")
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("refresh assignment matches MLlib transform on the same centroids") {
     val dim = 8
     def vec(seed: Int): Seq[Double] = {

@@ -307,13 +307,15 @@ class VersionedTableSpec extends SparkTestBase {
     assert(readY < totalY, s"y-only range must also skip files ($readY/$totalY)")
   }
 
-  test("commitWithStats rolls back the stats declaration when the commit is rejected") {
+  test("commitWithStats leaves the stats declaration untouched when the commit is rejected") {
     val dir = tmp("graft_vt_statsroll")
     VersionedTable.commit(Seq((1L, 2L)).toDF("x", "y"), dir)
-    // schema-breaking frame: the commit throws AND the _STATS_COLS
-    // declaration it wrote first must not stick — otherwise every
-    // later plain commit pays a full-snapshot stats aggregate for
-    // columns nobody successfully registered (the round-8 review find)
+    // schema-breaking frame: the commit throws and the _STATS_COLS
+    // declaration must not stick — otherwise every later plain commit
+    // pays a full-snapshot stats aggregate for columns nobody
+    // successfully registered (the round-8 review find; round 10 moved
+    // registration AFTER the commit, so rejection now touches nothing
+    // and the former rollback's concurrent-writer flip-flop is gone)
     intercept[Exception] {
       VersionedTable.commitWithStats(
         Seq(("a", 2L)).toDF("x", "y"), dir, Seq("x"))

@@ -139,6 +139,41 @@ class StreamingSpec extends SparkTestBase {
       s"new lineage's batch must land: $got")
   }
 
+  test("refresh sink: legacy unscoped marker skips its exact replay, never a fresh lineage") {
+    val serving = tmp("graft_refresh_legacy")
+    // a PRE-UPGRADE serving dir: committed data + the unscoped
+    // high-water marker at epoch 7
+    graft.engine.VersionedTable.commit(
+      Seq((1L, "a")).toDF("k", "v"), serving)
+    graft.engine.VersionedTable.atomicWrite(spark, serving,
+      "_LAST_EPOCH", "7")
+    // the resumed lineage's re-delivered batch presents the SAME epoch
+    // (at-least-once replays exactly the last uncheckpointed epoch):
+    // the legacy marker must still skip it — no spurious version
+    Pipelines.refreshBatch(Seq((2L, "b")).toDF("k", "v"), 7L, "k",
+      serving, "w1")
+    assert(graft.engine.VersionedTable.currentVersion(spark, serving)
+      .contains(0L), "legacy replay must not commit a new version")
+    // ...but a FRESH checkpoint lineage restarting at epoch 0 must NOT
+    // be swallowed by the dead marker (the scoping rationale): a
+    // blanket legacy >= epochId skip would lose this batch's content
+    Pipelines.refreshBatch(Seq((2L, "b")).toDF("k", "v"), 0L, "k",
+      serving, "w1")
+    val got = graft.engine.VersionedTable.read(spark, serving)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b")),
+      s"fresh lineage's batch must land: $got")
+    // the applying batch completed the migration to the scoped name;
+    // legacy is no longer consulted, so its own replay now skips via
+    // the scoped marker
+    assert(Pipelines.lastEpoch(spark, serving, "_LAST_EPOCH_w1")
+      .contains(0L), "scoped marker must own the high-water mark now")
+    Pipelines.refreshBatch(Seq((3L, "c")).toDF("k", "v"), 0L, "k",
+      serving, "w1")
+    assert(graft.engine.VersionedTable.currentVersion(spark, serving)
+      .contains(1L), "scoped replay must skip")
+  }
+
   test("streaming tumbling window matches batch date_trunc grouping") {
     val src = tmp("graft_ev_src")
     val batch = graft.engine.Tables(spark, sfSmoke, "events")
