@@ -2787,6 +2787,60 @@ object Llm {
       .select(col("doc_id"), col("shard"), col("pos"))
       .orderBy(col("shard"), col("pos"))
 
+  /** The END-TO-END training-data PREP macro — curate -> decontaminate
+    * -> shard as ONE composed plan, the full nightly publish motion a
+    * training-data team runs (curatePipeline stops at the funnel
+    * report; this entry carries the surviving documents all the way
+    * to their dataloader coordinates). Every stage reuses the
+    * standalone op's EXACT predicate — langScoreExpr / qualityOkExpr
+    * / the sha256 min-id dedup rule (curatePipeline), isEvalExpr +
+    * the distinct-5-gram eval-overlap rule (decontaminate),
+    * shardAssignOn's seeded md5 permutation (shard) — so the
+    * composite is oracle-checkable end to end and drift between a
+    * stage and its standalone op breaks this gate too.
+    *
+    * Scale shape, stage by stage: the curation gates are MAP-ONLY
+    * flags on the corpus scan; the dedup window shuffles the corpus
+    * ONCE on sha256(text); the eval gram set broadcasts (the
+    * decontaminate rule: the corpus-sized gram stream is filtered
+    * before anything shuffles, so contamination costs no corpus
+    * shuffle); the contaminated-id set is eval-bounded and anti-joins
+    * the survivors; sharding is the 256-bucket global-index idiom
+    * (one corpus shuffle, no single-task sort). Total: two
+    * corpus-keyed shuffles (dedup, shard) — the same count the
+    * standalone ops pay — everything else metadata- or eval-bounded.
+    * PlansSpec guards the no-cartesian / broadcast-gram /
+    * partitioned-window shape. */
+  val prepE2e: Q = (spark, dir) => {
+    // stage 1 — CURATE: language + quality gates, exact dedup
+    val survivors = Tables(spark, dir, "documents")
+      .withColumn("tok_cnt", size(expr(toksE)))
+      .filter(langScoreExpr >= 0.1)
+      .filter(qualityOkExpr)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    // stage 2 — DECONTAMINATE: drop the eval slice itself and every
+    // surviving train doc sharing a distinct 5-gram with it
+    val exploded = evalTaggedGrams(spark, dir)
+    val evalGrams = exploded.filter(col("is_eval"))
+      .select(col("g")).distinct()
+    val contaminated = exploded.filter(!col("is_eval"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .select(col("doc_id")).distinct()
+    val clean = survivors
+      .filter(!isEvalExpr)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // stage 3 — SHARD: the deterministic permutation over exactly the
+    // cleaned corpus; per-doc token counts ride along so the output
+    // is the dataloader's manifest (doc, shard, pos, n_tok)
+    shardAssignOn(clean.select(col("doc_id"), col("tok_cnt")),
+      shardSize = 64, seed = "42")
+      .select(col("doc_id"), col("shard"), col("pos"),
+        col("tok_cnt").cast("long").as("n_tok"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   /** WEIGHTED sampling without replacement, per stratum — the
     * curation move between uniform subsampling (corpusMix) and hard
     * top-K: keep K docs per language with probability proportional
@@ -3567,6 +3621,7 @@ object Llm {
     "q_llm_knn_join_ivf_forced" -> knnJoinIvfForced,
     "q_llm_shard" -> shard,
     "q_llm_shard_resume" -> shardResumeServe,
+    "q_llm_prep_e2e" -> prepE2e,
     "q_llm_embed_neardup" -> embedNeardup,
     "q_llm_embed_neardup_scale_forced" -> embedNeardupForcedScale,
     "q_llm_ann_lsh" -> annLsh,
@@ -3871,6 +3926,56 @@ object Llm {
           SELECT doc_id, shard, pos FROM a
           WHERE shard > 2 OR (shard = 2 AND pos >= 17)
           ORDER BY shard, pos""",
+    "q_llm_prep_e2e" ->
+      """WITH f AS (
+           SELECT doc_id, text, n_chars,
+                  len(string_split(text, ' ')) AS tok_cnt,
+                  len(list_filter(string_split(text, ' '),
+                      t -> list_contains(['the','a','of','and','to','in','is','on'], t)))
+                    * 1.0 / len(string_split(text, ' ')) >= 0.1 AS lang_ok,
+                  n_chars BETWEEN 100 AND 2000
+                    AND len(string_split(text, ' ')) BETWEEN 20 AND 1000
+                    AND n_chars * 1.0 / len(string_split(text, ' '))
+                          BETWEEN 3.0 AND 20.0 AS quality_ok
+           FROM documents),
+         u AS (
+           SELECT doc_id, tok_cnt,
+                  row_number() OVER (PARTITION BY sha256(text)
+                                     ORDER BY doc_id) AS rn
+           FROM f WHERE lang_ok AND quality_ok),
+         toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         tag AS (
+           SELECT doc_id,
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' AS is_eval
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id,
+                  list_aggregate(t[i:i+4], 'string_agg', ' ') AS g
+           FROM (SELECT doc_id, t,
+                        unnest(generate_series(1, len(t) - 4)) AS i
+                 FROM toks WHERE len(t) >= 5)),
+         ev AS (SELECT DISTINCT g FROM sh JOIN tag USING (doc_id)
+                WHERE is_eval),
+         contam AS (
+           SELECT DISTINCT sh.doc_id
+           FROM sh JOIN tag USING (doc_id) JOIN ev USING (g)
+           WHERE NOT is_eval),
+         surv AS (
+           SELECT u.doc_id, u.tok_cnt
+           FROM u JOIN tag USING (doc_id)
+           WHERE rn = 1 AND NOT is_eval
+             AND u.doc_id NOT IN (SELECT doc_id FROM contam)),
+         r AS (
+           SELECT doc_id, tok_cnt,
+                  row_number() OVER (
+                    ORDER BY md5(CAST(doc_id AS VARCHAR) || '-42'), doc_id)
+                    - 1 AS idx
+           FROM surv)
+         SELECT doc_id,
+                CAST(idx // 64 AS BIGINT) AS shard,
+                CAST(idx % 64 AS INT) AS pos,
+                CAST(tok_cnt AS BIGINT) AS n_tok
+         FROM r ORDER BY shard, pos""",
     "q_llm_knn_join" ->
       """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                       FROM embeddings),

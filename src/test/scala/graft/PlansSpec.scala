@@ -429,6 +429,26 @@ class PlansSpec extends SparkTestBase {
       tree.take(400))
   }
 
+  test("prep e2e macro: eval grams broadcast, no cartesian, every corpus window partitioned") {
+    val p = plan("q_llm_prep_e2e")
+    assert(!p.contains("CartesianProduct"), "no all-pairs shape anywhere")
+    // the decontamination stage must filter the corpus-sized gram
+    // stream against a BROADCAST eval-gram set (the decontaminate
+    // rule) — a shuffled gram join would be a corpus-keyed exchange
+    // the macro's scale story forbids
+    assert(p.contains("BroadcastHashJoin"),
+      "eval gram set must broadcast:\n" + p.take(600))
+    // both corpus-sized windows (sha256 dedup, shard row_number)
+    // must PARTITION; the only partition-less window allowed is the
+    // 256-row bucket-offsets cumsum (the q_llm_shard rule)
+    val specs = "windowspecdefinition\\(([^,)]*)".r
+      .findAllMatchIn(p).map(_.group(1).trim).toSeq
+    def isOrderEntry(s: String) = s.contains(" ASC") || s.contains(" DESC")
+    assert(specs.nonEmpty, "expected window nodes in:\n" + p.take(600))
+    assert(specs.count(isOrderEntry) <= 1,
+      s"at most the offsets cumsum may be partition-less: $specs")
+  }
+
   test("url curation: host extract is scan+project; blocklist anti join broadcasts; cap is one window") {
     val host = plan("q_llm_url_host")
     assert(!host.contains("Join") && !host.contains("HashAggregate"),
