@@ -1057,21 +1057,32 @@ object Llm {
     val centDf = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq.toDF("pcell", "ce")
     // own cell + 2 nearest OTHER centroids per vector — a CONSTANT
-    // probe count (unlike the decontam probe rule's k/4, which is
-    // fine when only the metadata-sized eval side fans out but would
-    // push a self-join's candidate envelope past n^1.5). The own cell
+    // probe count (a k-proportional count makes the probed FRACTION
+    // constant and pushes a self-join's candidate envelope past
+    // n^1.5; round 10 moved decontamSemanticIvf onto the same
+    // constant-probe rule after the x30 trend caught exactly that
+    // wall on its corpus-scale eval regime). The own cell
     // is excluded BEFORE the ranking window (annIvf's centersRanked
     // rule): ranked over all centroids the own cell normally takes
     // rank 1 and each vector effectively probes only ONE non-own
     // cell — half the documented mid-band probe coverage.
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("pcell"))
-    val nonOwn = cells
+    // THIN ranking shuffle (round 10, trend-probe find — the decontam
+    // twin): rank on (vec_id, pcell, csim) only and join the float
+    // vector back AFTER probe selection; the previous form carried e
+    // and unit (~1 KB a row) through the n x k window exchange
+    val chosen = cells
+      .select(col("vec_id"), col("unit"), col("cell"))
       .crossJoin(broadcast(centDf))
       .filter(col("pcell") =!= col("cell"))
       .withColumn("csim", expr("cosine_sim(unit, ce)"))
+      .select(col("vec_id"), col("pcell"), col("csim"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 2)
+      .select(col("vec_id"), col("pcell"))
+    val nonOwn = chosen
+      .join(cells.select(col("vec_id"), col("e")), Seq("vec_id"))
       .select(col("vec_id"), col("e"), col("pcell"))
     val probes = nonOwn.unionByName(
       cells.select(col("vec_id"), col("e"), col("cell").as("pcell")))
@@ -3278,17 +3289,37 @@ object Llm {
     import spark.implicits._
     val centDf = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq.toDF("pcell", "ce")
-    val nprobe = math.max(2, math.ceil(model.getK / 4.0).toInt)
+    // CONSTANT probe count (round 10, trend-probe find): the old
+    // nprobe = k/4 made the probed FRACTION constant (1/4), so past
+    // the exact-path dispatch bound — the only regime this path runs
+    // in, where the eval side is corpus-scale — scoring degraded to
+    // O(|train| x |eval| / 4): asymptotically quadratic, measured as
+    // a 15x jump for 3x data at x30. Own + 3 ranked cells bounds
+    // candidates per train vector by 4 * |eval| / k ~ |eval|/sqrt(n),
+    // restoring the documented O(n^1.5) envelope; planted-leak recall
+    // rides the own-cell guarantee either way (recall gate >= 0.95,
+    // re-verified after this change).
+    val nprobe = 4
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("pcell"))
-    val probes = cells.filter(!isEval)
-      .select(col("vec_id"), col("e"), col("unit"), col("cell"))
+    // THIN ranking shuffle (the documented "(id, cell, csim)" shape —
+    // the previous form carried the e AND unit float arrays (~1 KB a
+    // row) through the n x k window exchange, a payload wall the x30
+    // probe measured; vectors join back AFTER probe selection, an
+    // n x nprobe-row exchange instead)
+    val chosen = cells.filter(!isEval)
+      .select(col("vec_id"), col("unit"), col("cell"))
       .crossJoin(broadcast(centDf))
       .withColumn("csim", expr("cosine_sim(unit, ce)"))
+      .select(col("vec_id"), col("cell"), col("pcell"), col("csim"))
       .withColumn("rk", row_number().over(w))
       // own cell always probes, even when centroid ranking demotes it
       .filter(col("rk") <= nprobe || col("pcell") === col("cell"))
-      .select(col("vec_id"), col("e"), col("pcell").as("cell"))
+      .select(col("vec_id"), col("pcell").as("cell"))
+    val probes = chosen
+      .join(cells.filter(!isEval).select(col("vec_id"), col("e")),
+        Seq("vec_id"))
+      .select(col("vec_id"), col("e"), col("cell"))
     val scored = probes.join(evalByCell, Seq("cell"))
       .withColumn("grp_max",
         expr("array_max(transform(evs, v -> cosine_sim(e, v)))"))

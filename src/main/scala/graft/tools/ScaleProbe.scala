@@ -239,6 +239,27 @@ object ScaleProbe {
       // index — the trend should be one-shuffle linear, no
       // single-ordering window wall
       time("shard assignment") { Llm.shard(spark, dst) }
+      // shard WRITE/RESUME (round 10): the cold call pays the
+      // partitionBy(shard) VersionedTable write of the whole permuted
+      // corpus (linear, write-amplified — the nightly publish); the
+      // warm call is the dataloader's actual recurring motion, a
+      // partition-pruned resume read that skips the cursor prefix at
+      // planning time and should grow only with the data AFTER the
+      // cursor
+      time("shard resume cold") { Llm.queries("q_llm_shard_resume")(spark, dst) }
+      time("shard resume warm") { Llm.queries("q_llm_shard_resume")(spark, dst) }
+      // prep e2e macro (round 10): curate -> decontam -> shard in one
+      // plan; two corpus-keyed shuffles by construction, so the trend
+      // should track the standalone ops' sum, not multiply it
+      time("prep e2e") { Llm.prepE2e(spark, dst) }
+      // committed-tokenizer apply (round 10): cold pays train + the
+      // artifact commit (vocab-bounded — the fixture's 31-word vocab
+      // makes this a scheduler-floor stability row, see the bpe
+      // incremental x-vocab probe for the real vocab trend); warm is
+      // the serve — merge-table read + per-distinct-word fold + one
+      // word-keyed join
+      time("bpe apply cold") { Llm.queries("q_llm_bpe_apply")(spark, dst) }
+      time("bpe apply warm") { Llm.queries("q_llm_bpe_apply")(spark, dst) }
       // BPE training iterates 12 vocab-sized rounds: the corpus only
       // pays the one vocab aggregate up front, so the trend should
       // track VOCAB growth (sublinear in corpus), not corpus size
