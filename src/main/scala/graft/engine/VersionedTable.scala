@@ -353,16 +353,21 @@ object VersionedTable {
       val have = spark.read.parquet(s"$dir/v$cur").schema
       val haveT = have.map(x => x.name -> norm(x.dataType)).toMap
       val inT = df.schema.map(x => x.name -> norm(x.dataType)).toMap
-      val changed = haveT.keySet.intersect(inT.keySet)
-        .filter(k => haveT(k) != inT(k))
-      val dropped = haveT.keySet -- inT.keySet
-      // Shred-declared output columns are pre-authorized additions:
-      // setShreddedPaths IS the explicit evolution opt-in (an admin
-      // action recorded as a table property), so the first commit
-      // after declaring paths on an existing table materializes the
-      // new typed columns without every caller having to thread
-      // allowEvolution=true through.
+      // Shred-declared output columns are pre-authorized: they are
+      // DERIVED columns whose shape the `_SHRED_PATHS` declaration
+      // (an explicit admin action recorded as a table property)
+      // controls, so the enforcement gate exempts them from both the
+      // addition check (first commit after declaring materializes the
+      // new typed columns without every caller threading
+      // allowEvolution=true) and the type-change check (re-declaring
+      // a path with a new SQL type re-materializes the column at that
+      // type on the next commit — without the exemption, the
+      // unconditional changed-type reject would wedge EVERY commit,
+      // including DML, which cannot avoid the auto re-extraction).
       val shredOuts = shredded.map(_._2).toSet
+      val changed = haveT.keySet.intersect(inT.keySet)
+        .filter(k => haveT(k) != inT(k)) -- shredOuts
+      val dropped = haveT.keySet -- inT.keySet
       val added = inT.keySet -- haveT.keySet -- shredOuts
       if (changed.nonEmpty || dropped.nonEmpty ||
         (added.nonEmpty && !allowEvolution))
@@ -1124,13 +1129,28 @@ object VersionedTable {
     // could clobber a concurrent setStatsColumns (property flip-flop).
     // Committing first means a rejected commit never mutates the
     // property at all, and on success the declaration only moves
-    // FORWARD; this version's manifest is written explicitly since the
-    // commit ran before the declaration existed (overwriting the
-    // prior-declaration manifest the commit path may have produced).
+    // FORWARD; when the declaration actually changed, this version's
+    // manifest is written explicitly below (the commit ran under the
+    // OLD declaration) — when it didn't change, the commit path
+    // already wrote it and a second table-sized stats aggregate would
+    // be pure waste.
+    // the pre-call declaration decides whether the commit path already
+    // wrote this version's manifest (it filters against the POST-shred
+    // frame, so this covers shred-materialized stats columns too)
+    val prev = readProp(fs(spark, dir), dir, "_STATS_COLS")
     val v = commit(df, dir, allowEvolution)
     setStatsColumns(spark, dir, statsCols)
-    val scols = statsCols.filter(df.columns.contains)
-    if (scols.nonEmpty) writeManifest(spark, dir, v, scols)
+    if (prev != statsCols) {
+      // filter against the COMMITTED snapshot's schema, not the
+      // caller's frame: a stats column materialized by the shred step
+      // exists in the snapshot but not in df — filtering on df.columns
+      // silently skipped its first manifest (full-scan reads for v,
+      // pruned reads from v+1: an inconsistent first version)
+      val snapCols = spark.read.parquet(s"$dir/v$v").schema
+        .map(_.name).toSet
+      val scols = statsCols.filter(snapCols.contains)
+      if (scols.nonEmpty) writeManifest(spark, dir, v, scols)
+    }
     v
   }
 

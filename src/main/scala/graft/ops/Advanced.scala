@@ -122,15 +122,29 @@ object Advanced {
       scala.collection.concurrent.TrieMap[String, (String, String, String, String)]])
 
   def invalidateBucketTableCache(): Unit = {
-    val paths = bucketTableCache.synchronized {
-      val ps = scala.jdk.CollectionConverters.CollectionHasAsScala(
-        bucketTableCache.values).asScala.flatMap(_.values).toList
+    // (session, entries) pairs: the CATALOG registrations must drop
+    // through their owning session — with per-build counter names,
+    // leaving them would accumulate dangling external-table entries
+    // pointing at deleted paths on every invalidate+rebuild cycle
+    // (the old dir-hash names self-healed via saveAsTable overwrite)
+    val entries = bucketTableCache.synchronized {
+      val es = scala.jdk.CollectionConverters.SetHasAsScala(
+        bucketTableCache.entrySet()).asScala
+        .map(e => e.getKey -> e.getValue.values.toList).toList
       bucketTableCache.clear()
-      ps
+      es
     }
-    paths.foreach { case (_, _, a, b) =>
-      graft.util.Fs.deleteRecursively(a)
-      graft.util.Fs.deleteRecursively(b)
+    entries.foreach { case (spark, vs) =>
+      vs.foreach { case (liN, ordN, a, b) =>
+        // a stopped session can't drop its entries — the dirs still
+        // delete, and a dead session's in-memory catalog dies with it
+        if (spark != null) scala.util.Try {
+          spark.sql(s"DROP TABLE IF EXISTS $liN")
+          spark.sql(s"DROP TABLE IF EXISTS $ordN")
+        }
+        graft.util.Fs.deleteRecursively(a)
+        graft.util.Fs.deleteRecursively(b)
+      }
     }
   }
 
@@ -311,47 +325,23 @@ object Advanced {
     * re-expressed as a plain query. Two driver entries read it: the
     * final state (q_table_dml) and the v0->v2 changelog
     * (q_table_changes). Lifecycle idiom = skipTableCache. */
-  private val dmlTableCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.concurrent.TrieMap[String, String]])
+  private val dmlTableCache = new graft.util.TableMemo
 
-  def invalidateDmlTableCache(): Unit = {
-    val paths = dmlTableCache.synchronized {
-      val ps = scala.jdk.CollectionConverters.CollectionHasAsScala(
-        dmlTableCache.values).asScala.flatMap(_.values).toList
-      dmlTableCache.clear()
-      ps
-    }
-    paths.foreach(graft.util.Fs.deleteRecursively)
-  }
+  def invalidateDmlTableCache(): Unit = dmlTableCache.invalidate()
 
   private def dmlTable(spark: org.apache.spark.sql.SparkSession,
-      dir: String): String = {
-    val per = dmlTableCache.synchronized {
-      val m = dmlTableCache.get(spark)
-      if (m != null) m else {
-        val fresh = scala.collection.concurrent.TrieMap.empty[String, String]
-        dmlTableCache.put(spark, fresh)
-        fresh
-      }
+      dir: String): String =
+    // q_table_dml and q_table_changes share this memo
+    dmlTableCache.getOrBuild(spark, dir) {
+      import graft.engine.VersionedTable
+      val tmp = graft.util.Fs.tempDir("graft_dml")
+      VersionedTable.commit(Tables(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment")), tmp)
+      VersionedTable.deleteWhere(spark, tmp, col("c_custkey") % 7 === 0)
+      VersionedTable.updateWhere(spark, tmp, col("c_custkey") % 5 === 0,
+        Map("c_mktsegment" -> lit("UPDATED")))
+      tmp
     }
-    // serialize first-caller builds (the zorderedTable rule):
-    // TrieMap.getOrElseUpdate may evaluate a racing builder twice —
-    // q_table_dml and q_table_changes share this memo — and the
-    // loser's three-version table would leak untracked
-    per.synchronized {
-      per.getOrElseUpdate(dir, {
-        import graft.engine.VersionedTable
-        val tmp = graft.util.Fs.tempDir("graft_dml")
-        VersionedTable.commit(Tables(spark, dir, "customer")
-          .select(col("c_custkey"), col("c_name"), col("c_mktsegment")), tmp)
-        VersionedTable.deleteWhere(spark, tmp, col("c_custkey") % 7 === 0)
-        VersionedTable.updateWhere(spark, tmp, col("c_custkey") % 5 === 0,
-          Map("c_mktsegment" -> lit("UPDATED")))
-        tmp
-      })
-    }
-  }
 
   /** Delta-style DELETE + UPDATE DML against a committed
     * VersionedTable (three versions: base, post-delete, post-update),
@@ -394,46 +384,26 @@ object Advanced {
     * path strings (no session reference), so the weakly-held session
     * key stays collectable — unlike the DataFrame-valued caches, no
     * SoftReference indirection is needed here. */
-  private val skipTableCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.concurrent.TrieMap[String, String]])
+  private val skipTableCache = new graft.util.TableMemo
 
   /** Explicit invalidation, mirroring Ml.invalidateFitCache /
     * Llm.invalidateCellCache — without it a regenerated `dir`
-    * in-session would silently serve the stale Z-ordered table.
-    * Also deletes the written temp tables so invalidation reclaims
-    * the disk, not just the pointer. */
-  def invalidateSkipTableCache(): Unit = {
-    val paths = skipTableCache.synchronized {
-      val ps = scala.jdk.CollectionConverters.CollectionHasAsScala(
-        skipTableCache.values).asScala.flatMap(_.values).toList
-      skipTableCache.clear()
-      ps
-    }
-    paths.foreach(graft.util.Fs.deleteRecursively)
-  }
+    * in-session would silently serve the stale Z-ordered table. */
+  def invalidateSkipTableCache(): Unit = skipTableCache.invalidate()
 
   private def zorderedTable(spark: org.apache.spark.sql.SparkSession,
-      dir: String): String = {
-    val perSession = skipTableCache
-      .computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
-    // serialize first-caller builds: TrieMap.getOrElseUpdate may
-    // evaluate a racing builder twice and the loser's written table
-    // would leak untracked (round-4 advice on the Llm memos)
-    perSession.synchronized {
-      perSession.getOrElseUpdate(dir, {
-        val table = graft.util.Fs.tempDir("graft_skip")
-        val zordered = Tables(spark, dir, "lineitem")
-          .withColumn("z", expr("zorder2(l_partkey, l_suppkey)"))
-          .repartitionByRange(16, col("z"))
-          .sortWithinPartitions(col("z"))
-          .drop("z")
-        graft.engine.VersionedTable.commitWithStats(
-          zordered, table, Seq("l_partkey", "l_suppkey"))
-        table
-      })
+      dir: String): String =
+    skipTableCache.getOrBuild(spark, dir) {
+      val table = graft.util.Fs.tempDir("graft_skip")
+      val zordered = Tables(spark, dir, "lineitem")
+        .withColumn("z", expr("zorder2(l_partkey, l_suppkey)"))
+        .repartitionByRange(16, col("z"))
+        .sortWithinPartitions(col("z"))
+        .drop("z")
+      graft.engine.VersionedTable.commitWithStats(
+        zordered, table, Seq("l_partkey", "l_suppkey"))
+      table
     }
-  }
 
   /** End-to-end data skipping: write lineitem Z-ordered on
     * (l_partkey, l_suppkey) with a per-file min/max manifest

@@ -242,38 +242,19 @@ object Llm {
     * flagged on clusterRep). Island rows are bounded by TRUE overlap
     * (matched gram runs), so the written table is far smaller than
     * the corpus. */
-  private val islandsCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, String]])
+  private val islandsCache = new graft.util.TableMemo
 
   /** Clears the memo AND deletes the written island tables — same
     * contract as invalidateClusterLabelCache. */
-  def invalidateIslandsCache(): Unit = {
-    val paths = islandsCache.synchronized {
-      val ps = scala.jdk.CollectionConverters.CollectionHasAsScala(
-        islandsCache.values).asScala.flatMap(_.values).toList
-      islandsCache.clear()
-      ps
-    }
-    paths.foreach(graft.util.Fs.deleteRecursively)
-  }
+  def invalidateIslandsCache(): Unit = islandsCache.invalidate()
 
   private def islandSummaryTable(spark: SparkSession, dir: String)
-      : DataFrame = {
-    val perSession = islandsCache.computeIfAbsent(spark,
-      _ => scala.collection.concurrent.TrieMap.empty[String, String])
-    // builds serialize on the per-session map: TrieMap.getOrElseUpdate
-    // may evaluate a concurrent first caller's builder twice, and the
-    // loser's fully-written temp table would leak untracked
-    val path = perSession.synchronized {
-      perSession.getOrElseUpdate(dir, {
-        val p = graft.util.Fs.tempDir("graft_islands")
-        substrIslandSummary(spark, dir).write.mode("overwrite").parquet(p)
-        p
-      })
-    }
-    spark.read.parquet(path)
-  }
+      : DataFrame =
+    spark.read.parquet(islandsCache.getOrBuild(spark, dir) {
+      val p = graft.util.Fs.tempDir("graft_islands")
+      substrIslandSummary(spark, dir).write.mode("overwrite").parquet(p)
+      p
+    })
 
   /** Substring REMOVAL — the production decision step on top of
     * substrDedup's detection (the Lee et al. 2022 pipeline removes the
@@ -2555,36 +2536,20 @@ object Llm {
     * keep tokenizing bit-for-bit identically while N+1 trains and
     * publishes — the property that makes mid-training tokenizer
     * swaps impossible by construction. */
-  private val bpeTableCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, String]])
+  private val bpeTableCache = new graft.util.TableMemo
 
-  def invalidateBpeTableCache(): Unit = {
-    val paths = bpeTableCache.synchronized {
-      val ps = scala.jdk.CollectionConverters.CollectionHasAsScala(
-        bpeTableCache.values).asScala.flatMap(_.values).toList
-      bpeTableCache.clear()
-      ps
-    }
-    paths.foreach(graft.util.Fs.deleteRecursively)
-  }
+  def invalidateBpeTableCache(): Unit = bpeTableCache.invalidate()
 
   private[graft] def bpeCommittedMerges(spark: SparkSession, dir: String)
-      : String = {
-    val perSession = bpeTableCache
-      .computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
-    // serialize first-caller builds (the islandSummaryTable rule)
-    perSession.synchronized {
-      perSession.getOrElseUpdate(dir, {
-        val table = graft.util.Fs.tempDir("graft_bpe")
-        graft.engine.VersionedTable.commit(
-          bpeTrainMergesBatched(spark, dir, 64, strictPrefix = false)
-            .orderBy(col("rank")),
-          table)
-        table
-      })
+      : String =
+    bpeTableCache.getOrBuild(spark, dir) {
+      val table = graft.util.Fs.tempDir("graft_bpe")
+      graft.engine.VersionedTable.commit(
+        bpeTrainMergesBatched(spark, dir, 64, strictPrefix = false)
+          .orderBy(col("rank")),
+        table)
+      table
     }
-  }
 
   /** Retrain with a new merge budget and commit the result as the
     * next version of the SAME artifact table — the nightly
@@ -2723,23 +2688,13 @@ object Llm {
     shardAssignOn(Tables(spark, dir, "documents").select(col("doc_id")),
       shardSize = 64, seed = "42")
 
-  /** Memoized WRITTEN shard table per (session, dir) — the
-    * shredTableCache lifecycle idiom: the write is the one-time
+  /** Memoized WRITTEN shard table per (session, dir) — the shared
+    * [[graft.util.TableMemo]] lifecycle: the write is the one-time
     * training-data publish step; repeat invocations (the dataloader's
     * reads) pay only the pruned scan. */
-  private val shardTableCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, String]])
+  private val shardTableCache = new graft.util.TableMemo
 
-  def invalidateShardTableCache(): Unit = {
-    val paths = shardTableCache.synchronized {
-      val ps = scala.jdk.CollectionConverters.CollectionHasAsScala(
-        shardTableCache.values).asScala.flatMap(_.values).toList
-      shardTableCache.clear()
-      ps
-    }
-    paths.foreach(graft.util.Fs.deleteRecursively)
-  }
+  def invalidateShardTableCache(): Unit = shardTableCache.invalidate()
 
   /** Shard WRITE face — the training-shard writer's actual production
     * motion on top of [[shardAssignOn]]'s assignment: the permuted
@@ -2757,24 +2712,18 @@ object Llm {
     * LONG automatically past 2^31 shards), so serves cast the read
     * column back to LONG rather than trusting inference. */
   private[graft] def shardWrittenTable(spark: SparkSession, dir: String)
-      : String = {
-    val perSession = shardTableCache
-      .computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
-    // serialize first-caller builds (the islandSummaryTable rule)
-    perSession.synchronized {
-      perSession.getOrElseUpdate(dir, {
-        val table = graft.util.Fs.tempDir("graft_shards")
-        graft.engine.VersionedTable.setPartitionColumns(spark, table,
-          Seq("shard"))
-        graft.engine.VersionedTable.commit(
-          shardAssignOn(
-            Tables(spark, dir, "documents").select(col("doc_id"), col("text")),
-            shardSize = 64, seed = "42"),
-          table)
-        table
-      })
+      : String =
+    shardTableCache.getOrBuild(spark, dir) {
+      val table = graft.util.Fs.tempDir("graft_shards")
+      graft.engine.VersionedTable.setPartitionColumns(spark, table,
+        Seq("shard"))
+      graft.engine.VersionedTable.commit(
+        shardAssignOn(
+          Tables(spark, dir, "documents").select(col("doc_id"), col("text")),
+          shardSize = 64, seed = "42"),
+        table)
+      table
     }
-  }
 
   /** Dataloader RESUME read over a written shard table: everything at
     * or after the (shard, pos) cursor, in permutation order. The

@@ -258,36 +258,20 @@ object ScalarFns {
     * the skipTableCache lifecycle idiom: the commit is the one-time
     * layout/maintenance step (declare + re-commit, a nightly job in
     * a real lake); repeat invocations pay only the column read. */
-  private val shredTableCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.concurrent.TrieMap[String, String]])
+  private val shredTableCache = new graft.util.TableMemo
 
-  def invalidateShredTableCache(): Unit = {
-    val paths = shredTableCache.synchronized {
-      val ps = scala.jdk.CollectionConverters.CollectionHasAsScala(
-        shredTableCache.values).asScala.flatMap(_.values).toList
-      shredTableCache.clear()
-      ps
-    }
-    paths.foreach(graft.util.Fs.deleteRecursively)
-  }
+  def invalidateShredTableCache(): Unit = shredTableCache.invalidate()
 
   private def shreddedEventsTable(spark: org.apache.spark.sql.SparkSession,
-      dir: String): String = {
-    val perSession = shredTableCache
-      .computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
-    // serialize first-caller builds (the skipTableCache rule)
-    perSession.synchronized {
-      perSession.getOrElseUpdate(dir, {
-        val table = graft.util.Fs.tempDir("graft_shred")
-        graft.engine.VersionedTable.setShreddedPaths(spark, table,
-          Seq("props|k_shred:$.k:int"))
-        graft.engine.VersionedTable.commit(
-          Tables(spark, dir, "events"), table)
-        table
-      })
+      dir: String): String =
+    shredTableCache.getOrBuild(spark, dir) {
+      val table = graft.util.Fs.tempDir("graft_shred")
+      graft.engine.VersionedTable.setShreddedPaths(spark, table,
+        Seq("props|k_shred:$.k:int"))
+      graft.engine.VersionedTable.commit(
+        Tables(spark, dir, "events"), table)
+      table
     }
-  }
 
   /** The SHREDDED-AT-REST face of q_fn_variant — the repair for its
     * honest anchor gap (parse_json's binary encode paid per row per

@@ -637,24 +637,20 @@ object Pipelines {
       servingDir: String, writerId: String = "default"): Unit = {
     val spark = batch.sparkSession
     val marker = s"_LAST_EPOCH_$writerId"
-    // upgrade path: a serving dir written before markers were
-    // writer-scoped carries its high-water mark in the legacy
-    // `_LAST_EPOCH` file. On a scoped-marker miss, honor the legacy
-    // value for EXACT equality only: at-least-once re-delivery replays
-    // precisely the last epoch (crash between commit and checkpoint
-    // advance), so a resumed pre-upgrade lineage presents epochId ==
-    // legacy — skipping it preserves the replay skip across the
-    // upgrade. A blanket `legacy >= epochId` would instead let a dead
-    // lineage's marker silently swallow the EARLY batches of a fresh
-    // checkpoint pointed at the old dir (the exact hazard writer
-    // scoping exists to prevent); those apply and converge via the
-    // idempotent upsert. The batch that applies writes the scoped
-    // name, completing the migration — legacy is consulted at most
-    // once per writer.
-    val scoped = lastEpoch(spark, servingDir, marker)
-    if (scoped.exists(_ >= epochId) ||
-      (scoped.isEmpty && lastEpoch(spark, servingDir).contains(epochId)))
-      return
+    // upgrade path, DECIDED: the legacy unscoped `_LAST_EPOCH` marker
+    // is deliberately NOT honored. The marker carries no lineage
+    // identity, so a skip rule cannot distinguish "re-delivery of the
+    // pre-upgrade lineage's last batch" (safe to skip) from "a fresh
+    // checkpoint's first batch happens to present the same epoch id"
+    // (skipping LOSES that batch's content forever — epochs only
+    // increase and streaming never re-delivers it). The failure costs
+    // are asymmetric: honoring legacy risks silent data loss; ignoring
+    // it costs at most ONE duplicate-content version on the resumed
+    // lineage's replayed batch, which the key-idempotent upsert
+    // converges. So on a scoped miss the batch APPLIES, the scoped
+    // marker takes over from this batch on, and the legacy file is
+    // simply dead weight for vacuum.
+    if (lastEpoch(spark, servingDir, marker).exists(_ >= epochId)) return
     val merged = graft.engine.VersionedTable
       .currentVersion(spark, servingDir) match {
       case Some(_) =>

@@ -41,7 +41,13 @@ object SuiteAnchor {
     "q_llm_dedup_clusters", "q_llm_cluster_rep",
     // round-7 write-shaped: the DML entries commit a three-version
     // VersionedTable; the ANN entry builds and commits the index
-    "q_table_dml", "q_table_changes", "q_llm_ann_index")
+    "q_table_dml", "q_table_changes", "q_llm_ann_index",
+    // round-10 write-shaped: with invalidateMemos() running before
+    // EVERY timed pass, these re-pay their committed-table build on
+    // the warm run too — shard_resume the partitionBy(shard) corpus
+    // write, variant_shredded the shred commit, bpe_apply the
+    // train+commit of the tokenizer artifact
+    "q_llm_shard_resume", "q_fn_variant_shredded", "q_llm_bpe_apply")
 
   private def invalidateMemos(): Unit = {
     graft.ops.Ml.invalidateFitCache()

@@ -803,6 +803,32 @@ class VersionedTableSpec extends SparkTestBase {
     graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("shredding: re-declaring a path's type re-materializes the column instead of wedging commits") {
+    val dir = tmp("graft_vt_shred3")
+    VersionedTable.setShreddedPaths(spark, dir, Seq("props|k_shred:$.k:int"))
+    VersionedTable.commit(Seq((1L, """{"k": 5}""")).toDF("id", "props"), dir)
+    assert(VersionedTable.read(spark, dir).schema("k_shred").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // admin re-declares the path at LONG: the derived column's shape
+    // is the declaration's to change, so the next commit — a DML
+    // here, the path that cannot avoid the auto re-extraction —
+    // re-materializes at the new type rather than rejecting as a
+    // "type change" forever (the wedge the enforcement exemption
+    // prevents)
+    VersionedTable.setShreddedPaths(spark, dir, Seq("props|k_shred:$.k:long"))
+    VersionedTable.updateWhere(spark, dir, lit(true),
+      Map("props" -> lit("""{"k": 6}""")))
+    val out = VersionedTable.read(spark, dir)
+    assert(out.schema("k_shred").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(out.select($"k_shred").as[Long].head() == 6L)
+    // undeclared columns keep full type-change protection
+    intercept[SchemaMismatchException] {
+      VersionedTable.commit(out.withColumn("id", col("id").cast("int")), dir)
+    }
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("shredding: missing source skips; malformed / invalid-type declarations drop, never wedge") {
     val dir = tmp("graft_vt_shred2")
     VersionedTable.setShreddedPaths(spark, dir, Seq(

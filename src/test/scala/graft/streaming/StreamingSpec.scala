@@ -139,39 +139,48 @@ class StreamingSpec extends SparkTestBase {
       s"new lineage's batch must land: $got")
   }
 
-  test("refresh sink: legacy unscoped marker skips its exact replay, never a fresh lineage") {
+  test("refresh sink: the legacy unscoped marker is never honored — a fresh lineage's batch always lands") {
     val serving = tmp("graft_refresh_legacy")
     // a PRE-UPGRADE serving dir: committed data + the unscoped
-    // high-water marker at epoch 7
+    // high-water marker. The marker carries no lineage identity, so a
+    // skip rule cannot tell a replayed pre-upgrade batch from a FRESH
+    // checkpoint's first batch at the same epoch id — and skipping
+    // the latter loses its content forever. refreshBatch therefore
+    // ignores the legacy marker outright: the worst case is one
+    // duplicate-content version on a true replay, which the
+    // key-idempotent upsert converges.
     graft.engine.VersionedTable.commit(
-      Seq((1L, "a")).toDF("k", "v"), serving)
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), serving)
     graft.engine.VersionedTable.atomicWrite(spark, serving,
       "_LAST_EPOCH", "7")
-    // the resumed lineage's re-delivered batch presents the SAME epoch
-    // (at-least-once replays exactly the last uncheckpointed epoch):
-    // the legacy marker must still skip it — no spurious version
+    // a true replay of the pre-upgrade lineage's last batch: applies,
+    // commits one spurious version — but the CONTENT converges (the
+    // rows were already upserted pre-upgrade)
     Pipelines.refreshBatch(Seq((2L, "b")).toDF("k", "v"), 7L, "k",
       serving, "w1")
     assert(graft.engine.VersionedTable.currentVersion(spark, serving)
-      .contains(0L), "legacy replay must not commit a new version")
-    // ...but a FRESH checkpoint lineage restarting at epoch 0 must NOT
-    // be swallowed by the dead marker (the scoping rationale): a
-    // blanket legacy >= epochId skip would lose this batch's content
-    Pipelines.refreshBatch(Seq((2L, "b")).toDF("k", "v"), 0L, "k",
-      serving, "w1")
-    val got = graft.engine.VersionedTable.read(spark, serving)
-      .as[(Long, String)].collect().toSet
-    assert(got == Set((1L, "a"), (2L, "b")),
-      s"fresh lineage's batch must land: $got")
-    // the applying batch completed the migration to the scoped name;
-    // legacy is no longer consulted, so its own replay now skips via
-    // the scoped marker
-    assert(Pipelines.lastEpoch(spark, serving, "_LAST_EPOCH_w1")
-      .contains(0L), "scoped marker must own the high-water mark now")
+      .contains(1L), "replay applies (one extra version, by design)")
+    assert(graft.engine.VersionedTable.read(spark, serving)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")),
+      "replayed content must converge, not duplicate")
+    // a FRESH lineage's first batch at an epoch the dead marker would
+    // have swallowed (0 < 7) must land — this is the data-loss edge
+    // that rules out honoring the legacy marker
     Pipelines.refreshBatch(Seq((3L, "c")).toDF("k", "v"), 0L, "k",
-      serving, "w1")
-    assert(graft.engine.VersionedTable.currentVersion(spark, serving)
-      .contains(1L), "scoped replay must skip")
+      serving, "w2")
+    assert(graft.engine.VersionedTable.read(spark, serving)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "fresh lineage's batch must never be swallowed")
+    // from here the scoped marker owns replay-skipping as usual
+    assert(Pipelines.lastEpoch(spark, serving, "_LAST_EPOCH_w2")
+      .contains(0L))
+    Pipelines.refreshBatch(Seq((4L, "d")).toDF("k", "v"), 0L, "k",
+      serving, "w2")
+    assert(graft.engine.VersionedTable.read(spark, serving)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "scoped replay skips")
   }
 
   test("streaming tumbling window matches batch date_trunc grouping") {
