@@ -1056,10 +1056,34 @@ object VersionedTable {
   /** Declare shredded hot paths for this table: each element is
     * "fromCol|outCol:$.json.path:sqlType" (the path must not contain
     * ':' or ','). Every subsequent commit extracts the declared paths
-    * into typed columns at write time — see commitExactImpl. */
+    * into typed columns at write time — see commitExactImpl.
+    *
+    * Rejected here, not wedged later: an output column name that
+    * already exists on the table as a REAL column (present in the
+    * current schema but not owned by the current declaration). The
+    * commit path deliberately exempts declared outputs from schema
+    * enforcement — they are derived columns — so without this gate a
+    * colliding declaration would make the very next commit silently
+    * OVERWRITE the real column's values with extraction results.
+    * Re-declaring a column the table's current `_SHRED_PATHS` already
+    * owns (e.g. to change its type) remains legal. */
   def setShreddedPaths(spark: SparkSession, dir: String,
-      decls: Seq[String]): Unit =
+      decls: Seq[String]): Unit = {
+    val f = fs(spark, dir)
+    val outs = decls.flatMap(parseShred).map(_._2)
+    val owned = readProp(f, dir, "_SHRED_PATHS").flatMap(parseShred)
+      .map(_._2).toSet
+    currentVersion(spark, dir).foreach { cur =>
+      val existing = spark.read.parquet(s"$dir/v$cur").schema
+        .map(_.name).toSet
+      val clash = outs.filterNot(owned).filter(existing)
+      require(clash.isEmpty,
+        s"shred declaration for $dir rejected: output column(s) " +
+          s"${clash.mkString(", ")} already exist as real table columns " +
+          "— the next commit would silently overwrite their values")
+    }
     atomicWrite(spark, dir, "_SHRED_PATHS", decls.mkString(","))
+  }
 
   /** Parse one `_SHRED_PATHS` element; malformed declarations are
     * dropped (a bad sidecar must not wedge every future commit).
@@ -1134,13 +1158,22 @@ object VersionedTable {
     // OLD declaration) — when it didn't change, the commit path
     // already wrote it and a second table-sized stats aggregate would
     // be pure waste.
-    // the pre-call declaration decides whether the commit path already
-    // wrote this version's manifest (it filters against the POST-shred
-    // frame, so this covers shred-materialized stats columns too)
-    val prev = readProp(fs(spark, dir), dir, "_STATS_COLS")
+    // the declaration in force around the commit decides whether the
+    // commit path already wrote this version's manifest (it filters
+    // against the POST-shred frame, so it covers shred-materialized
+    // stats columns too). SET comparison, not Seq: the declaration is
+    // set-valued, and an order-permuted repeat caller must not pay a
+    // second table-sized stats aggregate per commit. Checked BOTH
+    // before and after the commit so a concurrent setStatsColumns
+    // landing in the window (whose declaration the commit's manifest
+    // then reflects) forces the explicit rewrite instead of leaving
+    // version v with an interloper's manifest under our property.
+    val f = fs(spark, dir)
+    val prev = readProp(f, dir, "_STATS_COLS").toSet
     val v = commit(df, dir, allowEvolution)
+    val during = readProp(f, dir, "_STATS_COLS").toSet
     setStatsColumns(spark, dir, statsCols)
-    if (prev != statsCols) {
+    if (prev != statsCols.toSet || during != statsCols.toSet) {
       // filter against the COMMITTED snapshot's schema, not the
       // caller's frame: a stats column materialized by the shred step
       // exists in the snapshot but not in df — filtering on df.columns

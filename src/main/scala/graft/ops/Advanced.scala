@@ -117,36 +117,32 @@ object Advanced {
       .orderBy(col("cnt").desc, col("tok"))
       .limit(20)
 
-  private val bucketTableCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.concurrent.TrieMap[String, (String, String, String, String)]])
-
-  def invalidateBucketTableCache(): Unit = {
-    // (session, entries) pairs: the CATALOG registrations must drop
-    // through their owning session — with per-build counter names,
-    // leaving them would accumulate dangling external-table entries
-    // pointing at deleted paths on every invalidate+rebuild cycle
-    // (the old dir-hash names self-healed via saveAsTable overwrite)
-    val entries = bucketTableCache.synchronized {
-      val es = scala.jdk.CollectionConverters.SetHasAsScala(
-        bucketTableCache.entrySet()).asScala
-        .map(e => e.getKey -> e.getValue.values.toList).toList
-      bucketTableCache.clear()
-      es
-    }
-    entries.foreach { case (spark, vs) =>
-      vs.foreach { case (liN, ordN, a, b) =>
-        // a stopped session can't drop its entries — the dirs still
-        // delete, and a dead session's in-memory catalog dies with it
-        if (spark != null) scala.util.Try {
-          spark.sql(s"DROP TABLE IF EXISTS $liN")
-          spark.sql(s"DROP TABLE IF EXISTS $ordN")
-        }
+  /** Bucket-table memo on the shared TableMemo lifecycle with a
+    * catalog-aware eviction: the CATALOG registrations must drop
+    * through their owning session — with per-build counter names,
+    * leaving them would accumulate dangling external-table entries
+    * pointing at deleted paths on every invalidate+rebuild cycle
+    * (the old dir-hash names self-healed via saveAsTable overwrite).
+    * A failed drop on a LIVE session is logged, not swallowed: the
+    * dangling entry this eviction exists to prevent would otherwise
+    * re-accumulate invisibly. */
+  private val bucketTableCache =
+    new graft.util.TableMemo[(String, String, String, String)](
+      (spark, v) => {
+        val (liN, ordN, a, b) = v
+        if (spark != null && !spark.sparkContext.isStopped)
+          try {
+            spark.sql(s"DROP TABLE IF EXISTS $liN")
+            spark.sql(s"DROP TABLE IF EXISTS $ordN")
+          } catch {
+            case e: Throwable => System.err.println(
+              s"bucket table drop failed (catalog entry may dangle): $e")
+          }
         graft.util.Fs.deleteRecursively(a)
         graft.util.Fs.deleteRecursively(b)
-      }
-    }
-  }
+      })
+
+  def invalidateBucketTableCache(): Unit = bucketTableCache.invalidate()
 
   /** The bucketed tables behind [[bucketedJoin]], built ONCE per
     * (session, dir) — the scaladoc's "one-time cost a warehouse pays"
@@ -158,43 +154,32 @@ object Advanced {
 
   private def bucketedTables(spark: org.apache.spark.sql.SparkSession,
       dir: String): (String, String) = {
-    val per = bucketTableCache.synchronized {
-      val m = bucketTableCache.get(spark)
-      if (m != null) m else {
-        val fresh = scala.collection.concurrent.TrieMap
-          .empty[String, (String, String, String, String)]
-        bucketTableCache.put(spark, fresh)
-        fresh
-      }
-    }
-    val (liName, ordName, _, _) = per.synchronized {
-      per.getOrElseUpdate(dir, {
-        // unique per BUILD, not a function of the dir string: a 32-bit
-        // dir.hashCode collision between two fixture dirs in one
-        // session would make the second build saveAsTable(overwrite)
-        // onto the first dir's catalog name while the first memo entry
-        // still points at it — bucketedJoin would silently read the
-        // wrong dataset. The counter makes collisions impossible; the
-        // memo value (not the name scheme) carries the association.
-        val suffix = bucketTableSeq.getAndIncrement().toString
-        val liN = s"graft_lineitem_b_$suffix"
-        val ordN = s"graft_orders_b_$suffix"
-        val liPath = graft.util.Fs.tempDir("graft_bucket_li")
-        val ordPath = graft.util.Fs.tempDir("graft_bucket_ord")
-        Tables(spark, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_extendedprice"))
-          .write.mode("overwrite")
-          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .option("path", liPath)
-          .saveAsTable(liN)
-        Tables(spark, dir, "orders")
-          .select(col("o_orderkey"), col("o_totalprice"))
-          .write.mode("overwrite")
-          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .option("path", ordPath)
-          .saveAsTable(ordN)
-        (liN, ordN, liPath, ordPath)
-      })
+    val (liName, ordName, _, _) = bucketTableCache.getOrBuild(spark, dir) {
+      // unique per BUILD, not a function of the dir string: a 32-bit
+      // dir.hashCode collision between two fixture dirs in one
+      // session would make the second build saveAsTable(overwrite)
+      // onto the first dir's catalog name while the first memo entry
+      // still points at it — bucketedJoin would silently read the
+      // wrong dataset. The counter makes collisions impossible; the
+      // memo value (not the name scheme) carries the association.
+      val suffix = bucketTableSeq.getAndIncrement().toString
+      val liN = s"graft_lineitem_b_$suffix"
+      val ordN = s"graft_orders_b_$suffix"
+      val liPath = graft.util.Fs.tempDir("graft_bucket_li")
+      val ordPath = graft.util.Fs.tempDir("graft_bucket_ord")
+      Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", liPath)
+        .saveAsTable(liN)
+      Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", ordPath)
+        .saveAsTable(ordN)
+      (liN, ordN, liPath, ordPath)
     }
     (liName, ordName)
   }
@@ -325,7 +310,7 @@ object Advanced {
     * re-expressed as a plain query. Two driver entries read it: the
     * final state (q_table_dml) and the v0->v2 changelog
     * (q_table_changes). Lifecycle idiom = skipTableCache. */
-  private val dmlTableCache = new graft.util.TableMemo
+  private val dmlTableCache = graft.util.TableMemo.paths()
 
   def invalidateDmlTableCache(): Unit = dmlTableCache.invalidate()
 
@@ -384,7 +369,7 @@ object Advanced {
     * path strings (no session reference), so the weakly-held session
     * key stays collectable — unlike the DataFrame-valued caches, no
     * SoftReference indirection is needed here. */
-  private val skipTableCache = new graft.util.TableMemo
+  private val skipTableCache = graft.util.TableMemo.paths()
 
   /** Explicit invalidation, mirroring Ml.invalidateFitCache /
     * Llm.invalidateCellCache — without it a regenerated `dir`

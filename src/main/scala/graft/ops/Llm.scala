@@ -242,7 +242,7 @@ object Llm {
     * flagged on clusterRep). Island rows are bounded by TRUE overlap
     * (matched gram runs), so the written table is far smaller than
     * the corpus. */
-  private val islandsCache = new graft.util.TableMemo
+  private val islandsCache = graft.util.TableMemo.paths()
 
   /** Clears the memo AND deletes the written island tables — same
     * contract as invalidateClusterLabelCache. */
@@ -2536,7 +2536,7 @@ object Llm {
     * keep tokenizing bit-for-bit identically while N+1 trains and
     * publishes — the property that makes mid-training tokenizer
     * swaps impossible by construction. */
-  private val bpeTableCache = new graft.util.TableMemo
+  private val bpeTableCache = graft.util.TableMemo.paths()
 
   def invalidateBpeTableCache(): Unit = bpeTableCache.invalidate()
 
@@ -2692,7 +2692,7 @@ object Llm {
     * [[graft.util.TableMemo]] lifecycle: the write is the one-time
     * training-data publish step; repeat invocations (the dataloader's
     * reads) pay only the pruned scan. */
-  private val shardTableCache = new graft.util.TableMemo
+  private val shardTableCache = graft.util.TableMemo.paths()
 
   def invalidateShardTableCache(): Unit = shardTableCache.invalidate()
 

@@ -258,7 +258,7 @@ object ScalarFns {
     * the skipTableCache lifecycle idiom: the commit is the one-time
     * layout/maintenance step (declare + re-commit, a nightly job in
     * a real lake); repeat invocations pay only the column read. */
-  private val shredTableCache = new graft.util.TableMemo
+  private val shredTableCache = graft.util.TableMemo.paths()
 
   def invalidateShredTableCache(): Unit = shredTableCache.invalidate()
 

@@ -829,6 +829,27 @@ class VersionedTableSpec extends SparkTestBase {
     graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("shredding: a declaration colliding with a real column is rejected at declare time") {
+    val dir = tmp("graft_vt_shred4")
+    VersionedTable.commit(
+      Seq((1L, """{"k": 1}""", 9)).toDF("id", "props", "k_shred"), dir)
+    // the commit path exempts declared outputs from schema
+    // enforcement (derived columns), so a declaration whose output
+    // name collides with a REAL column would make the next commit
+    // silently overwrite real data — the declaration itself must
+    // reject instead
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.setShreddedPaths(spark, dir,
+        Seq("props|k_shred:$.k:int"))
+    }
+    assert(e.getMessage.contains("k_shred"), e.getMessage)
+    // nothing was declared: later commits leave the real column alone
+    VersionedTable.commit(VersionedTable.read(spark, dir), dir)
+    assert(VersionedTable.read(spark, dir)
+      .select($"k_shred").as[Int].head() == 9)
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("shredding: missing source skips; malformed / invalid-type declarations drop, never wedge") {
     val dir = tmp("graft_vt_shred2")
     VersionedTable.setShreddedPaths(spark, dir, Seq(
