@@ -2729,10 +2729,15 @@ object Llm {
     * or after the (shard, pos) cursor, in permutation order. The
     * shard predicate is a partition-column comparison, so all shards
     * before the cursor prune at planning time — the resume cost is
-    * the remaining data, not a scan-and-skip over the prefix. */
+    * the remaining data, not a scan-and-skip over the prefix.
+    * `version` PINS the read (time travel): a dataloader mid-epoch
+    * keeps its cursor meaning against the snapshot it started on even
+    * while a re-publish commits a new version on top — the committed-
+    * tokenizer pinning story applied to the data itself. */
   private[graft] def shardResume(spark: SparkSession, table: String,
-      fromShard: Long, fromPos: Int): DataFrame =
-    graft.engine.VersionedTable.read(spark, table)
+      fromShard: Long, fromPos: Int,
+      version: Option[Long] = None): DataFrame =
+    graft.engine.VersionedTable.read(spark, table, version)
       .filter(col("shard") > fromShard ||
         (col("shard") === fromShard && col("pos") >= fromPos))
       .withColumn("shard", col("shard").cast("long"))

@@ -1059,6 +1059,23 @@ class LlmSpec extends SparkTestBase {
     assert(VersionedTable.currentVersion(spark, rebuilt).contains(1L))
     assert(cursorRows(rebuilt) == first,
       "a new table version must not move (shard, pos)")
+    // a CONTENT-changing re-publish (here: a GDPR delete inside shard
+    // 3) commits v2 — the current resume reflects it, while a
+    // dataloader PINNED at v1 keeps reading exactly the snapshot its
+    // epoch started on (time travel on the data, the tokenizer-pin
+    // story applied to the corpus itself)
+    val victim = first.find(_._2 == 3L).get._1
+    VersionedTable.deleteWhere(spark, rebuilt, col("doc_id") === victim)
+    val current = Llm.shardResume(spark, rebuilt, 2L, 17)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(current == first.filterNot(_._1 == victim),
+      "the live resume must reflect the delete")
+    val pinned = Llm.shardResume(spark, rebuilt, 2L, 17, Some(1L))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pinned == first,
+      "a version-pinned resume must read its epoch's snapshot unchanged")
     Llm.invalidateShardTableCache()
   }
 }
