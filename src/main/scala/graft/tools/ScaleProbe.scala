@@ -121,7 +121,16 @@ object ScaleProbe {
       // cluster_rep pays one parquet scan + one window — the probe
       // expects ~flat across factors past the shared upstream
       time("cluster rep (memo labels)") { Llm.clusterRep(spark, dst) }
+      // round 11: the entry dispatches to a committed AnnIndex when
+      // one exists, so the production reading needs the index built
+      // FIRST — the build trend row prices the fit (the round-10 weak
+      // row's cost, now paid once per corpus, never per query), and
+      // "ann ivf" then prices the entry as deployed: snapshot serve.
+      // The no-index fallback regime stays visible as its own row.
+      time("ann index build+serve") { Llm.annIndexServe(spark, dst) }
+      time("ann index serve") { Llm.annIndexServe(spark, dst) }
       time("ann ivf") { Llm.annIvf(spark, dst) }
+      time("ann ivf (in-session fit)") { Llm.annIvfFit(spark, dst) }
       // IVF-PQ: first call pays the sampled codebook fit + corpus
       // encode (the encode is the corpus-sized term; the fit is
       // bounded by pqFitCap regardless of factor), the query itself
@@ -290,14 +299,10 @@ object ScaleProbe {
       Advanced.invalidateDmlTableCache()
       time("table dml roundtrip") { Advanced.tableDml(spark, dst) }
       time("table changelog") { Advanced.tableChanges(spark, dst) }
-      // cold/warm pair (the pq-index pattern): the first call pays the
-      // full AnnIndex.build over the inflated corpus (the memo is
-      // per-dir, always cold for a fresh factor dir); only the SECOND
-      // call measures the committed-snapshot serve path the name
-      // claims — a single reading conflated build growth with a
-      // serve-path regression
-      time("ann index build+serve") { Llm.annIndexServe(spark, dst) }
-      time("ann index serve") { Llm.annIndexServe(spark, dst) }
+      // the exact-index build+serve rows moved UP beside "ann ivf"
+      // (round 11 — builder-before-consumer for the dispatch); the
+      // PQ layer's builder is its own cold row below, riding the
+      // already-committed index
       // persisted IVFADC: the COLD call pays the codebook fit (bounded
       // by fitCap regardless of factor) + the corpus encode+commit —
       // the linear term the trend watches; the WARM call is the pure
@@ -309,7 +314,11 @@ object ScaleProbe {
       // |Q| (linear in the corpus at fixed Q); the IVF form scores
       // only probed cells — the trend shows the probe pruning ratio
       time("knn join exact") { Llm.queries("q_llm_knn_join")(spark, dst) }
+      // dispatch regime (committed index built above) — the serve a
+      // deployment runs; the fit-path row keeps the no-index regime's
+      // trend (quantizer fit + probe join) visible
       time("knn join ivf") { Llm.queries("q_llm_knn_join_ivf")(spark, dst) }
+      time("knn join ivf (fit)") { Llm.knnJoinIvf(spark, dst, 10) }
       time("editdist join (fastss)") { Joins.joinEditDist(spark, dst) }
       // the entry reads the customer DIM, which the inflater keeps
       // fixed — for a real trend, inflate the NAME TABLE itself:

@@ -12,7 +12,10 @@ class AnnIndexSpec extends SparkTestBase {
   import spark.implicits._
 
   test("probe-from-snapshot equals probe-from-fit (q_llm_ann_ivf)") {
-    val fromFit = Llm.queries("q_llm_ann_ivf")(spark, sfSmoke)
+    // the explicit fit regime (the entry itself dispatches to a
+    // committed index when one exists — asserting through the entry
+    // would compare snapshot with snapshot once the index is built)
+    val fromFit = Llm.annIvfFit(spark, sfSmoke)
       .as[(Long, Int, Double)].collect().toSeq
     val fromSnapshot = Llm.queries("q_llm_ann_index")(spark, sfSmoke)
       .as[(Long, Int, Double)].collect().toSeq
@@ -21,6 +24,39 @@ class AnnIndexSpec extends SparkTestBase {
     assert(fromFit.nonEmpty, "fit probe must return neighbors")
     assert(fromSnapshot == fromFit,
       s"snapshot probe diverged:\nfit  $fromFit\nsnap $fromSnapshot")
+    // the session is shared across suites (getOrCreate) — leaving the
+    // committed index would silently flip other suites' annIvf calls
+    // into the dispatch regime
+    Llm.invalidateAnnIndexCache()
+  }
+
+  test("committed-index dispatch: annIvf and the kNN serve never reach the fit path") {
+    // expectations computed on the FIT regime first (these populate
+    // the cell memo, which is then cleared so the dispatch assertion
+    // below can prove the fit never re-ran)
+    val wantIvf = Llm.annIvfFit(spark, sfSmoke)
+      .as[(Long, Int, Double)].collect().toSeq
+    val wantKnn = Llm.knnJoinIvf(spark, sfSmoke, 10)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    // commit the index for this dir (idempotent if an earlier test
+    // already did), then drop every memoized fit
+    Llm.queries("q_llm_ann_index")(spark, sfSmoke).collect()
+    Llm.invalidateCellCache()
+    val gotIvf = Llm.queries("q_llm_ann_ivf")(spark, sfSmoke)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(gotIvf == wantIvf,
+      s"dispatch changed the answer:\nfit  $wantIvf\ndisp $gotIvf")
+    val gotKnn = Llm.queries("q_llm_knn_join_ivf")(spark, sfSmoke)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(gotKnn == wantKnn,
+      s"kNN dispatch changed the answer:\nfit  $wantKnn\ndisp $gotKnn")
+    // the regime proof: result equality alone cannot distinguish the
+    // paths (they are pinned identical by design) — the fit memo must
+    // still be EMPTY for this dir after both dispatched serves
+    assert(!Llm.cellCacheContains(spark, sfSmoke),
+      "dispatch fell through to the in-session quantizer fit")
+    // restore the no-index regime for later suites sharing the session
+    Llm.invalidateAnnIndexCache()
   }
 
   test("refresh admits new vectors incrementally; time travel serves the old index") {
