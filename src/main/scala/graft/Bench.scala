@@ -54,10 +54,44 @@ object Bench {
       System.gc() // take the collection between queries, not inside one
       (dt, err)
     }
-    val firstPass = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // host-contention sentinel (round 11): the SAME fixed work —
+    // a pure-CPU hash fold over 8M generated longs plus one tiny
+    // 64-key shuffle, no table reads, no corpus dependence — timed at
+    // suite start, midpoint, and end. Three rounds were spent
+    // attributing one entry's driver-run readings to host windows the
+    // artifact itself couldn't show; the sentinel makes the window
+    // visible IN the record: start/mid/end should read within ~2x of
+    // each other on a quiet host, and a 3-10x excursion brackets
+    // which suite third a contended reading landed in (see
+    // BASELINE.md "Reading the sentinel").
+    val sentinels = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def sentinel(tag: String): Unit = {
+      import org.apache.spark.sql.functions.{col, max, sum, xxhash64, conv}
+      val t0 = System.nanoTime()
+      // max, not sum: xxhash64 spans the full Long range and an 8M-row
+      // sum overflows under ANSI arithmetic
+      graft.util.Exec.drain(
+        spark.range(0, 8000000L, 1, 8)
+          .select(max(xxhash64(conv(col("id"), 10, 16))).as("h")))
+      graft.util.Exec.drain(
+        spark.range(0, 200000L, 1, 8).groupBy(col("id") % 64)
+          .agg(sum(col("id")).as("s")))
+      sentinels(tag) = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+    }
+    val entries = SparkEntry.queries.toSeq
+    // one untimed pass first: the sentinel plan's own codegen is a
+    // one-time cost that would inflate ONLY the "start" reading
+    // (measured ~2.3x) and fake exactly the contention signature the
+    // sentinel exists to expose
+    sentinel("warmup"); sentinels.remove("warmup")
+    sentinel("start")
+    val firstPass = entries.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == entries.size / 2) sentinel("mid")
       val (dt, err) = timeOne(name, fn)
       (name, dt, err)
     }
+    sentinel("end")
     // Self-defense against degraded host windows: this host's
     // run-to-run band reaches ~60x on single-shot readings (round 3
     // recorded a 251 s entry that re-measures at 4 s). Any query whose
@@ -150,7 +184,10 @@ object Bench {
     // rerun-adjudicated queries that is the cold-cache rerun)
     val physJson = phys.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val artifact = json.dropRight(1) + s""","phys":$physJson}"""
+    val sentJson = sentinels.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val artifact =
+      json.dropRight(1) + s""","phys":$physJson,"sentinel":$sentJson}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       s"${sys.props("user.dir")}/BENCH_FULL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
