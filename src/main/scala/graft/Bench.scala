@@ -88,6 +88,13 @@ object Bench {
     sentinel("start")
     val firstPass = entries.zipWithIndex.map { case ((name, fn), i) =>
       if (i == entries.size / 2) sentinel("mid")
+      // q_fn_variant dispatches to a committed shredded snapshot when
+      // one exists; whether q_fn_variant_shredded's memoized build ran
+      // first is map-order luck, so pin this row to the PARSE regime
+      // (the shredded row already prices the serve) — without this the
+      // two rows could read as duplicates of each other
+      if (name == "q_fn_variant")
+        graft.ops.ScalarFns.invalidateShredTableCache()
       val (dt, err) = timeOne(name, fn)
       (name, dt, err)
     }
@@ -127,7 +134,9 @@ object Bench {
           graft.ops.Advanced.invalidateBucketTableCache()
         if (name == "q_table_dml" || name == "q_table_changes")
           graft.ops.Advanced.invalidateDmlTableCache()
-        if (name == "q_fn_variant_shredded")
+        // q_fn_variant: same parse-regime pin as the first pass —
+        // min() must never compare a parse reading against a serve one
+        if (name == "q_fn_variant_shredded" || name == "q_fn_variant")
           graft.ops.ScalarFns.invalidateShredTableCache()
         if (name == "q_llm_shard_resume")
           graft.ops.Llm.invalidateShardTableCache()

@@ -867,7 +867,20 @@ object VersionedTable {
     * [[deleteWhere]]. */
   def updateWhere(spark: SparkSession, dir: String,
       cond: org.apache.spark.sql.Column,
-      set: Map[String, org.apache.spark.sql.Column]): Long =
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    // A declared shred OUTPUT is a derived column: the commit path
+    // recomputes it from its source column on every commit, so an
+    // UPDATE setting it directly would appear to succeed and then be
+    // silently reverted by re-extraction at the same commit. Rejected
+    // up front, mirroring the declare-time collision guard: update
+    // the SOURCE column (or re-declare the path) instead.
+    val derived = readProp(fs(spark, dir), dir, "_SHRED_PATHS")
+      .flatMap(parseShred).map(_._2).toSet.intersect(set.keySet)
+    require(derived.isEmpty,
+      s"UPDATE of $dir sets shred-derived column(s) " +
+        s"${derived.mkString(", ")} — these are recomputed from their " +
+        "source column at every commit, so the assignment would be " +
+        "silently reverted; update the source column instead")
     commitMerge(spark, dir) { baseOpt =>
       val base = baseOpt.getOrElse(
         throw new IllegalStateException(s"no committed version in $dir"))
@@ -887,6 +900,7 @@ object VersionedTable {
           .getOrElse(col(cn))
       }.toIndexedSeq: _*)
     }
+  }
 
   /** Row-level CHANGELOG between two committed versions — change data
     * feed ON READ (the Iceberg changelog-scan shape: nothing extra is
@@ -1070,6 +1084,18 @@ object VersionedTable {
   def setShreddedPaths(spark: SparkSession, dir: String,
       decls: Seq[String]): Unit = {
     val f = fs(spark, dir)
+    // Reject malformed declarations HERE, where the caller is present
+    // to see the error: parseShred's silent drop exists so a
+    // hand-edited sidecar cannot wedge every future commit, but an
+    // API caller passing a typo'd path or a type the SQL parser
+    // rejects would otherwise get a declaration that is accepted,
+    // written, and then dropped at every commit — the column never
+    // materializes and nothing ever says why.
+    val bad = decls.filter(parseShred(_).isEmpty)
+    require(bad.isEmpty,
+      s"shred declaration for $dir rejected: malformed element(s) " +
+        s"${bad.mkString(", ")} — expected " +
+        "\"fromCol|outCol:$.json.path:sqlType\" with a parseable type")
     val outs = decls.flatMap(parseShred).map(_._2)
     val owned = readProp(f, dir, "_SHRED_PATHS").flatMap(parseShred)
       .map(_._2).toSet
@@ -1082,7 +1108,34 @@ object VersionedTable {
           s"${clash.mkString(", ")} already exist as real table columns " +
           "— the next commit would silently overwrite their values")
     }
+    // Concurrency contract: the schema read above is NOT atomic with
+    // the property write below. A commit adding a real column with a
+    // declared output's name (or a second setShreddedPaths) landing
+    // in the window defeats the collision check — table-layout
+    // declarations (shred paths, stats columns, partition columns)
+    // are SINGLE-ADMIN operations by contract, serialized by whoever
+    // operates the table, exactly like ALTER TABLE against concurrent
+    // DDL in every lake format. Data commits remain fully concurrent.
     atomicWrite(spark, dir, "_SHRED_PATHS", decls.mkString(","))
+  }
+
+  /** The typed column serving `path` of `from` on this table, when
+    * the table's `_SHRED_PATHS` declares it at exactly `tpe` AND the
+    * current snapshot has materialized it — the dispatch test a
+    * semi-structured read runs before paying per-row parsing: a hit
+    * means the extraction already happened at commit time and the
+    * query can navigate a real parquet column (pruned, pushed,
+    * stats-covered) instead of re-parsing the document per row.
+    * Declared-but-not-yet-committed paths miss (the column doesn't
+    * exist until the next commit materializes it). */
+  def shredOutputFor(spark: SparkSession, dir: String, from: String,
+      path: String, tpe: String): Option[String] = {
+    val f = fs(spark, dir)
+    readProp(f, dir, "_SHRED_PATHS").flatMap(parseShred)
+      .collectFirst { case (`from`, out, `path`, t)
+        if t.equalsIgnoreCase(tpe) => out }
+      .filter(out => currentVersion(spark, dir).exists(cur =>
+        spark.read.parquet(s"$dir/v$cur").schema.map(_.name).contains(out)))
   }
 
   /** Parse one `_SHRED_PATHS` element; malformed declarations are
@@ -1168,6 +1221,13 @@ object VersionedTable {
     // landing in the window (whose declaration the commit's manifest
     // then reflects) forces the explicit rewrite instead of leaving
     // version v with an interloper's manifest under our property.
+    // Known ABA residue, accepted under the last-writer-wins stats
+    // contract: a concurrent setStatsColumns(X) RESTORED to statsCols
+    // while commit() is in flight reads prev==during==statsCols here
+    // and skips the rewrite, leaving v's manifest computed under X.
+    // Stats declarations are single-admin operations (same contract
+    // as setShreddedPaths); tightening would need commit() to return
+    // the declaration it actually manifested under.
     val f = fs(spark, dir)
     val prev = readProp(f, dir, "_STATS_COLS").toSet
     val v = commit(df, dir, allowEvolution)

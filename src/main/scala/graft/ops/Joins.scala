@@ -962,6 +962,14 @@ object Joins {
     * carried through the prefix table as an 8-byte column) discards
     * the remaining impossible pairs before the dedup shuffle. */
   private[graft] def joinEditDistPrefixOn(names: org.apache.spark.sql.DataFrame,
+      k: Int, q: Int = 2): org.apache.spark.sql.DataFrame =
+    joinEditDistPrefixPairs(names, k, q).orderBy(col("d1"), col("d2"))
+
+  /** [[joinEditDistPrefixOn]] without the final presentation sort —
+    * the form downstream consumers (the top-k cap's ranking window)
+    * compose on, so the plan never pays a global range exchange that
+    * the next operator's hash partitioning immediately destroys. */
+  private[graft] def joinEditDistPrefixPairs(names: org.apache.spark.sql.DataFrame,
       k: Int, q: Int = 2): org.apache.spark.sql.DataFrame = {
     val pref = k * q + 1
     val band = k + 1
@@ -1036,7 +1044,6 @@ object Joins {
       .select(col("d1"), col("d2"), col("dist"))
     longPairs.unionByName(joinEditDistOn(shortFringe, k))
       .distinct()
-      .orderBy(col("d1"), col("d2"))
   }
 
   /** k=1 prefix-filtered face, spec-pinned result-equal to the
@@ -1058,9 +1065,50 @@ object Joins {
       .filter(col("c_custkey") % 4 === 0)
       .select(col("c_custkey").as("id"), col("c_name").as("s")), 2)
 
+  /** OUTPUT-CAPPED production face of the k=2 similarity join: each
+    * left row keeps only its `topK` nearest matches within edit
+    * distance 2 (ties broken by candidate id — deterministic at any
+    * parallelism). The uncapped entry is correct but OUTPUT-BOUND —
+    * on near-duplicate-dense corpora true pair volume grows ~factor²
+    * (the x30 inflated-names row: 217 s, all of it output) — and a
+    * real entity-resolution pipeline never wants the full clique
+    * around a hot name, it wants the best few candidates per row:
+    * the domain-cap device applied to a similarity join, bounding
+    * output (and every shuffle after candidate verify) by
+    * topK * |input| regardless of how dense the neighborhoods get.
+    *
+    * Shape: candidate generation + verify are [[joinEditDistPrefixPairs]]
+    * unchanged (bucketed, never all-pairs); pairs then rank per query
+    * row through a row_number window that Spark's WindowGroupLimit
+    * optimizer caps MAP-SIDE (Partial before the qid exchange, Final
+    * after — the kNN-join plan-guard pair), so even the ranking
+    * shuffle carries at most topK rows per (partition, qid), not the
+    * dense neighborhood. */
+  private[graft] def joinEditDistTopKOn(names: org.apache.spark.sql.DataFrame,
+      k: Int, topK: Int): org.apache.spark.sql.DataFrame = {
+    val pairs = joinEditDistPrefixPairs(names, k)
+    // the generator emits each unordered pair once (d1 < d2); the cap
+    // is per QUERY ROW, so both directions rank
+    val sym = pairs.select(col("d1").as("qid"), col("d2").as("cand"), col("dist"))
+      .unionByName(
+        pairs.select(col("d2").as("qid"), col("d1").as("cand"), col("dist")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dist"), col("cand"))
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val joinEditDist2TopK: Q = (spark, dir) =>
+    joinEditDistTopKOn(Tables(spark, dir, "customer")
+      .filter(col("c_custkey") % 4 === 0)
+      .select(col("c_custkey").as("id"), col("c_name").as("s")),
+      k = 2, topK = 3)
+
   val queries: Map[String, Q] = Map(
     "q_join_editdist" -> joinEditDist,
     "q_join_editdist2" -> joinEditDist2,
+    "q_join_editdist2_topk" -> joinEditDist2TopK,
     "q_join_left_enrich" -> joinLeftEnrich,
     "q_join_inner" -> joinInner,
     "q_join_semi" -> joinSemi,
@@ -1105,6 +1153,22 @@ object Joins {
          FROM c a JOIN c b ON a.id < b.id
          WHERE levenshtein(a.s, b.s) <= 2
          ORDER BY d1, d2""",
+    "q_join_editdist2_topk" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer
+                    WHERE c_custkey % 4 = 0),
+         pairs AS (
+           SELECT a.id AS qid, b.id AS cand,
+                  CAST(levenshtein(a.s, b.s) AS INT) AS dist
+           FROM c a JOIN c b ON a.id <> b.id
+           WHERE levenshtein(a.s, b.s) <= 2),
+         ranked AS (
+           SELECT qid, cand, dist,
+                  CAST(row_number() OVER (
+                    PARTITION BY qid ORDER BY dist, cand) AS INT) AS rank
+           FROM pairs)
+         SELECT qid, cand, dist, rank FROM ranked
+         WHERE rank <= 3
+         ORDER BY qid, rank""",
     "q_join_left_enrich" ->
       """SELECT o_orderkey, o_custkey,
                 coalesce(c_name, 'Unknown') AS c_name,

@@ -2810,12 +2810,32 @@ object Llm {
     * tokenizer pinning story applied to the data itself. */
   private[graft] def shardResume(spark: SparkSession, table: String,
       fromShard: Long, fromPos: Int,
-      version: Option[Long] = None): DataFrame =
-    graft.engine.VersionedTable.read(spark, table, version)
-      .filter(col("shard") > fromShard ||
-        (col("shard") === fromShard && col("pos") >= fromPos))
+      version: Option[Long] = None,
+      // ordered=false exposes the bare pruned scan (no sort exchange)
+      // so a spec can observe input_file_name per task — the sorted
+      // face is the dataloader contract and stays the default
+      ordered: Boolean = true): DataFrame = {
+    val base = graft.engine.VersionedTable.read(spark, table, version)
+    // Compare the partition column against a literal of ITS OWN type
+    // (directory-name inference narrows `shard` to INT until the
+    // count crosses 2^31): a bare Long cursor would wrap the column
+    // in cast(shard as bigint) and leave planning-time pruning — the
+    // whole point of the partitioned layout — at the mercy of the
+    // UnwrapCastInBinaryComparison rewrite. The explicit range check
+    // replaces the silent dependency: an out-of-range cursor against
+    // an INT-typed table is a caller bug, not an empty read.
+    val shardT = base.schema("shard").dataType
+    if (shardT == org.apache.spark.sql.types.IntegerType)
+      require(fromShard >= Int.MinValue && fromShard <= Int.MaxValue,
+        s"resume cursor shard=$fromShard exceeds the table's " +
+          "INT-typed shard partition range")
+    val cursor = lit(fromShard).cast(shardT)
+    val cut = base
+      .filter(col("shard") > cursor ||
+        (col("shard") === cursor && col("pos") >= fromPos))
       .withColumn("shard", col("shard").cast("long"))
-      .orderBy(col("shard"), col("pos"))
+    if (ordered) cut.orderBy(col("shard"), col("pos")) else cut
+  }
 
   /** Driver-visible face of the write/resume contract: build (memoized)
     * the partitioned shard table, resume from (shard 2, pos 17), and

@@ -63,6 +63,15 @@ final class TableMemo[V](
     }
   }
 
+  /** The memoized value for `dir` if one was already built this
+    * session — never builds. The dispatch test a serve entry runs
+    * before deciding between a committed-artifact read and its
+    * fallback computation (the committedAnnIndex idiom): a map
+    * lookup, free when empty. */
+  def peek(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : Option[V] =
+    Option(cache.synchronized(cache.get(spark))).flatMap(_.get(dir))
+
   /** Clears the memo and evicts every value it tracked. */
   def invalidate(): Unit = {
     val entries = cache.synchronized {

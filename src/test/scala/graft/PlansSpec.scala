@@ -73,6 +73,31 @@ class PlansSpec extends SparkTestBase {
     assert(!p.contains("props"), "the source document column must prune out")
   }
 
+  test("variant dispatch: parses when no shredded snapshot, serves the typed column when one exists, same answer") {
+    // regime 1 — no shredded snapshot this session: the plain entry
+    // must pay the per-row parse (the honest fallback), visibly
+    graft.ops.ScalarFns.invalidateShredTableCache()
+    val pParse = planFull("q_fn_variant").toLowerCase
+    // the formatted plan prints the static invoke as "parsejson"
+    assert(pParse.contains("parsejson") && pParse.contains("variant_get"),
+      "with no shredded snapshot the entry must run the parse regime")
+    val parsed = SparkEntry.queries("q_fn_variant")(spark, sfSmoke).collect().toSeq
+    // build the committed shredded snapshot (the nightly layout job)
+    SparkEntry.queries("q_fn_variant_shredded")(spark, sfSmoke).collect()
+    // regime 2 — dispatch: the SAME entry now serves the typed column;
+    // no semi-structured navigation anywhere in the executed plan
+    val pServe = planFull("q_fn_variant").toLowerCase
+    assert(!pServe.contains("parsejson") && !pServe.contains("parse_json"),
+      "with a covering shred declaration the entry must not build variants")
+    assert(!pServe.contains("variant_get"),
+      "with a covering shred declaration the entry must not navigate variants")
+    assert(!pServe.contains("get_json_object"),
+      "with a covering shred declaration the entry must not re-parse JSON")
+    val served = SparkEntry.queries("q_fn_variant")(spark, sfSmoke).collect().toSeq
+    assert(served == parsed, "dispatch must never change the answer")
+    graft.ops.ScalarFns.invalidateShredTableCache()
+  }
+
   test("freshness compares against a broadcast 1-row high-water mark") {
     val p = plan("q_fn_freshness")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
@@ -728,6 +753,18 @@ class PlansSpec extends SparkTestBase {
     // before the qid exchange
     assert("WindowGroupLimit".r.findAllIn(pi).size >= 2,
       "IVF top-k must plan Partial+Final group-limits:\n" + pi.take(600))
+  }
+
+  test("edit-distance top-k cap plans Partial+Final group-limits, no all-pairs shape") {
+    val p = plan("q_join_editdist2_topk")
+    assert(!p.contains("CartesianProduct"),
+      "candidates must come from the gram-bucket join:\n" + p.take(600))
+    // the output cap must thin map-side BEFORE the qid exchange — one
+    // logical group-limit plans as the Partial+Final pair (the kNN
+    // guard rule); a bare Window would ship every dense-neighborhood
+    // pair through the shuffle, exactly what the cap exists to bound
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      "per-row cap must plan Partial+Final group-limits:\n" + p.take(600))
   }
 
   test("shard assignment plans bucketed windows, no single-ordering global sort") {

@@ -850,21 +850,84 @@ class VersionedTableSpec extends SparkTestBase {
     graft.util.Fs.deleteRecursively(dir)
   }
 
-  test("shredding: missing source skips; malformed / invalid-type declarations drop, never wedge") {
+  test("shredding: missing source skips; a hand-edited bad sidecar drops, never wedges") {
     val dir = tmp("graft_vt_shred2")
-    VersionedTable.setShreddedPaths(spark, dir, Seq(
+    // a HAND-EDITED sidecar (not the API — setShreddedPaths rejects
+    // malformed declarations at declare time, below) must not wedge
+    // every future commit: the commit-time parse silently drops what
+    // it cannot use
+    VersionedTable.atomicWrite(spark, dir, "_SHRED_PATHS", Seq(
       "props|k_shred:$.k:int", // valid
       "absent|a_shred:$.a:int", // source column missing -> skipped
       "no-pipe-separator", // structurally malformed -> dropped
       "props|bad:$.k:notatype", // unparseable SQL type -> dropped
-      "props|worse:$.k with:colons:int")) // ':' in path shifts the
-    // split so tpe reads "colons:int" -> unparseable -> dropped
+      "props|worse:$.k with:colons:int" // ':' in path shifts the
+      // split so tpe reads "colons:int" -> unparseable -> dropped
+    ).mkString(","))
     val df = Seq((1L, """{"k": 3}""")).toDF("id", "props")
     VersionedTable.commit(df, dir) // a bad sidecar must not wedge commits
     val out = VersionedTable.read(spark, dir)
     assert(out.columns.toSet == Set("id", "props", "k_shred"),
       s"only the valid declaration extracts: ${out.columns.mkString(",")}")
     assert(out.select($"k_shred").as[Int].head() == 3)
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("shredding: the declare API rejects malformed declarations instead of dropping them silently") {
+    val dir = tmp("graft_vt_shred5")
+    // an API caller is present to see the error — accepting a typo'd
+    // declaration that every commit then drops would mean the column
+    // never materializes with no error anywhere
+    for (bad <- Seq("no-pipe-separator", "props|bad:$.k:notatype",
+        "props|worse:$.k with:colons:int")) {
+      val e = intercept[IllegalArgumentException] {
+        VersionedTable.setShreddedPaths(spark, dir,
+          Seq("props|k_shred:$.k:int", bad))
+      }
+      assert(e.getMessage.contains("malformed"), e.getMessage)
+    }
+    // nothing was declared by the rejected calls
+    VersionedTable.commit(Seq((1L, """{"k": 3}""")).toDF("id", "props"), dir)
+    assert(VersionedTable.read(spark, dir).columns.toSet ==
+      Set("id", "props"))
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("shredding: UPDATE of a derived output column is rejected, not silently reverted") {
+    val dir = tmp("graft_vt_shred6")
+    VersionedTable.setShreddedPaths(spark, dir, Seq("props|k_shred:$.k:int"))
+    VersionedTable.commit(Seq((1L, """{"k": 5}""")).toDF("id", "props"), dir)
+    // the commit path recomputes k_shred from props on EVERY commit,
+    // so a direct SET k_shred=... would appear to succeed and then be
+    // reverted by re-extraction at the same commit — reject up front
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.updateWhere(spark, dir, $"id" === 1L,
+        Map("k_shred" -> lit(42)))
+    }
+    assert(e.getMessage.contains("k_shred"), e.getMessage)
+    assert(VersionedTable.currentVersion(spark, dir).contains(0L),
+      "rejected UPDATE must not commit")
+    // updating the SOURCE remains the supported path
+    VersionedTable.updateWhere(spark, dir, $"id" === 1L,
+      Map("props" -> lit("""{"k": 42}""")))
+    assert(VersionedTable.read(spark, dir)
+      .select($"k_shred").as[Int].head() == 42)
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("shredOutputFor: hits only when declared AND materialized at the asked type") {
+    val dir = tmp("graft_vt_shred7")
+    VersionedTable.setShreddedPaths(spark, dir, Seq("props|k_shred:$.k:int"))
+    // declared but nothing committed yet -> no snapshot column -> miss
+    assert(VersionedTable.shredOutputFor(spark, dir, "props", "$.k", "int").isEmpty)
+    VersionedTable.commit(Seq((1L, """{"k": 5}""")).toDF("id", "props"), dir)
+    assert(VersionedTable.shredOutputFor(spark, dir, "props", "$.k", "int")
+      .contains("k_shred"))
+    // a different path, source column, or type must miss — serving a
+    // typed column for a query it does not cover would be wrong data
+    assert(VersionedTable.shredOutputFor(spark, dir, "props", "$.j", "int").isEmpty)
+    assert(VersionedTable.shredOutputFor(spark, dir, "other", "$.k", "int").isEmpty)
+    assert(VersionedTable.shredOutputFor(spark, dir, "props", "$.k", "long").isEmpty)
     graft.util.Fs.deleteRecursively(dir)
   }
 

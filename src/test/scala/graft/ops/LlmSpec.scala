@@ -1029,6 +1029,36 @@ class LlmSpec extends SparkTestBase {
       s"single-shard read must touch only its directory: ${files.take(3).mkString(",")}")
     // ...and holds exactly that shard's full 64 rows
     assert(one.count() == 64)
+    // the REAL resume predicate (shard > cursor OR (shard == cursor
+    // AND pos >= ...)) must prune too — the perf contract the
+    // dataloader actually runs on. The cursor literal is typed to the
+    // partition column itself, so pruning does not depend on the
+    // UnwrapCastInBinaryComparison rewrite surviving a Spark upgrade.
+    val resume = Llm.shardResume(spark, table, 2L, 17)
+    val rp = resume.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(rp)
+      .getOrElse(fail("no PartitionFilters in resume plan:\n" + rp.take(600)))
+    assert(pf.contains("shard"),
+      "resume predicate must land in PartitionFilters: " + pf)
+    // the output projection still widens shard to LONG; the PARTITION
+    // FILTER itself must stay cast-free (same-typed literal), so the
+    // pruning never depends on the unwrap-cast rewrite
+    assert(!pf.contains("cast("),
+      "partition filter must compare shard against a same-typed " +
+        "literal, not rely on the unwrap-cast rewrite: " + pf)
+    val rFiles = Llm.shardResume(spark, table, 2L, 17, ordered = false)
+      .select(input_file_name().as("f"))
+      .distinct().as[String].collect()
+    val rShards = rFiles.map(f =>
+      "shard=(\\d+)".r.findFirstMatchIn(f).get.group(1).toInt).toSet
+    assert(rFiles.nonEmpty && rShards.forall(_ >= 2),
+      s"resume read must open no directory before the cursor: " +
+        rShards.toSeq.sorted.mkString(","))
+    // an out-of-range cursor against the INT-typed table is rejected,
+    // not an empty scan-everything read
+    intercept[IllegalArgumentException] {
+      Llm.shardResume(spark, table, Int.MaxValue.toLong + 1, 0)
+    }
   }
 
   test("shard resume: the (shard, pos) cursor is stable across a rebuild and a maintenance commit") {
