@@ -1017,6 +1017,41 @@ object VersionedTable {
     spark.read.parquet(s"$dir/v$v")
   }
 
+  /** Partition-pruned READ of a `partitionBy(partCol)` snapshot: only
+    * the directories whose partition VALUE passes `keep` are handed
+    * to the reader, so both the file-index build and the scan are
+    * proportional to the SELECTED fraction. The plain `read(...)
+    * .filter(partPred)` shape prunes the scan but still pays an
+    * O(all partitions) recursive listing to build the file index
+    * before pruning — measured at x10 of sf0.1 (782 shard dirs):
+    * 1.45 s of a 1.7 s single-shard read was the listing, 0.08 s the
+    * data (tools/ResumeProf) — a fixed per-query cost that grows with
+    * the TABLE (at 100 TB: millions of directories), not the read.
+    * This face does ONE non-recursive readdir of the snapshot root
+    * (metadata-sized: names only), filters the names, and recursively
+    * lists only the survivors — the manifest-style pruned planning a
+    * lake catalog does, built from the directory names we already own.
+    * `keep` receives the RAW directory-name value string (partition
+    * inference's input); an empty selection returns the snapshot's
+    * empty frame with its full schema. */
+  def readPartitionPruned(spark: SparkSession, dir: String,
+      partCol: String, keep: String => Boolean,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(currentVersion(spark, dir)).getOrElse(
+      throw new IllegalStateException(s"no committed version in $dir"))
+    val snap = s"$dir/v$v"
+    val f = fs(spark, dir)
+    val prefix = partCol + "="
+    val selected = f.listStatus(new Path(snap)).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith(prefix) &&
+        keep(p.getName.substring(prefix.length)))
+    if (selected.isEmpty) read(spark, dir, Some(v)).filter(lit(false))
+    else spark.read.option("basePath", snap)
+      .parquet(selected.map(_.toString): _*)
+  }
+
   /** MERGE semantics: rows in `updates` win by `key`; unmatched base
     * rows survive. One hash shuffle on the key (left-anti + union). */
   def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame =

@@ -2815,7 +2815,18 @@ object Llm {
       // so a spec can observe input_file_name per task — the sorted
       // face is the dataloader contract and stays the default
       ordered: Boolean = true): DataFrame = {
-    val base = graft.engine.VersionedTable.read(spark, table, version)
+    // Pruned LISTING, not just a pruned scan: the plain read + filter
+    // still builds a file index over EVERY shard directory before
+    // partition pruning runs — a fixed cost that grows with the table
+    // (tools/ResumeProf: 1.45 s of a 1.7 s x10 resume was listing,
+    // 0.08 s data), which is exactly what a resume read must not pay.
+    // Directory names are filtered BEFORE any recursive listing, so
+    // planning and scan both track the remaining fraction; the exact
+    // (shard, pos) predicate below still cuts within the cursor shard.
+    val base = graft.engine.VersionedTable.readPartitionPruned(
+      spark, table, "shard",
+      v => scala.util.Try(v.toLong).toOption.exists(_ >= fromShard),
+      version)
     // Compare the partition column against a literal of ITS OWN type
     // (directory-name inference narrows `shard` to INT until the
     // count crosses 2^31): a bare Long cursor would wrap the column

@@ -833,16 +833,24 @@ object Pipelines {
     * signature on its first commit. Another writer's rows are never
     * excluded, and a new writer id starts with the full snapshot as
     * its gate. */
-  def incrDedupBatch(batch: DataFrame, epochId: Long,
+  def incrDedupBatch(batch0: DataFrame, epochId: Long,
       sigSnapshotDir: String, outDir: String,
       writerId: String = "default"): Unit = {
-    val spark = batch.sparkSession
+    val spark = batch0.sparkSession
     // the skip marker AND the output partition are writer-scoped like
     // the snapshot tags: a new lineage reusing this outDir must not
     // skip its restarted epochs against the dead lineage's marker,
     // nor overwrite the dead lineage's epoch partitions
     if (lastEpoch(spark, outDir, s"_LAST_EPOCH_$writerId")
         .exists(_ >= epochId)) return
+    // the batch feeds the signature build AND the survivor anti-join
+    // below — unpersisted, each consumer re-reads the trigger's files
+    // from the source (the per-trigger StreamMetrics read 3x the
+    // batch's rows as input: 3 passes over new data on the ingest hot
+    // path, real read amplification at TB-scale ingest). One persist
+    // makes every downstream pass a cache hit.
+    val batch = batch0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // persisted: the signatures (12 minhashes over the shingle set per
     // doc) feed BOTH the gate broadcast and, anti-joined below, the
     // snapshot commit — recomputing them per consumer doubled the
@@ -929,7 +937,9 @@ object Pipelines {
         }
       }
       writeEpochMarker(spark, outDir, epochId, s"_LAST_EPOCH_$writerId")
-    } finally { survivors.unpersist(); bands.unpersist() }
+    } finally {
+      survivors.unpersist(); bands.unpersist(); batch.unpersist()
+    }
   }
 
   /** Streaming decontamination gate — the ingest-time sibling of

@@ -257,6 +257,23 @@ object ScaleProbe {
       // cursor
       time("shard resume cold") { Llm.queries("q_llm_shard_resume")(spark, dst) }
       time("shard resume warm") { Llm.queries("q_llm_shard_resume")(spark, dst) }
+      // resume PROPORTIONALITY (round 11): the serve entry's fixed
+      // (2, 17) cursor reads ~the whole corpus at any factor (the
+      // documented output-bound row), so it cannot show the property
+      // a dataloader owner actually needs — that resume cost tracks
+      // the REMAINING fraction, because pruning drops the prefix at
+      // planning time. Cursors at 50% and 90% of the shard range
+      // should read ~1/2 and ~1/10 of the warm row above; a flat
+      // trio would mean the "pruned" resume is scanning-and-skipping
+      if (selected("shard resume @50%") || selected("shard resume @90%")) {
+        val shardTable = Llm.shardWrittenTable(spark, dst)
+        val maxShard = graft.engine.VersionedTable.read(spark, shardTable)
+          .agg(max(col("shard").cast("long"))).head().getLong(0)
+        time("shard resume @50%") {
+          Llm.shardResume(spark, shardTable, maxShard / 2, 0) }
+        time("shard resume @90%") {
+          Llm.shardResume(spark, shardTable, maxShard * 9 / 10, 0) }
+      }
       // prep e2e macro (round 10): curate -> decontam -> shard in one
       // plan; two corpus-keyed shuffles by construction, so the trend
       // should track the standalone ops' sum, not multiply it
@@ -339,7 +356,8 @@ object ScaleProbe {
       // so the k=2 output grows ~x^2 across copies while the candidate
       // volume should track prefix-gram buckets — the trend shows
       // whether the filter, not the verify, is the envelope
-      if (selected("editdist2 join x-names")) locally {
+      if (selected("editdist2 join x-names") ||
+          selected("editdist2 topk x-names")) locally {
         val base = graft.engine.Tables(spark, dst, "customer")
           .filter(col("c_custkey") % 4 === 0)
           .select(col("c_custkey").as("id"), col("c_name").as("s"))
@@ -349,6 +367,15 @@ object ScaleProbe {
         }.reduce(_ unionByName _)
         time("editdist2 join x-names") {
           Joins.joinEditDistPrefixOn(inflated, 2)
+        }
+        // the output-capped production face on the SAME construction:
+        // the uncapped row above is OUTPUT-BOUND (true pairs ~factor²
+        // across copies), so its trend prices its own output; the cap
+        // bounds ranked output — and the post-verify ranking shuffle —
+        // by topK * |input| (~linear in factor). The gap between these
+        // two rows is the cap doing its job.
+        time("editdist2 topk x-names") {
+          Joins.joinEditDistTopKOn(inflated, 2, 3)
         }
       }
       time("bpe train batched") {

@@ -223,6 +223,7 @@ class RetentionSoakSpec extends SparkTestBase {
         Seq((0L, text(0))).toDF("doc_id", "text"))), snap)
     val (stop, thread, failures) = maintenanceLoop(snap, keepLast = 3)
     val triggers = 5
+    val trigMetrics = scala.collection.mutable.ArrayBuffer.empty[TriggerMetrics]
     try {
       (1 to triggers).foreach { i =>
         // one novel doc + one exact duplicate of an EARLIER admission
@@ -231,10 +232,12 @@ class RetentionSoakSpec extends SparkTestBase {
         Seq((100L + i, text(i)), (200L + i, text(i - 1)))
           .toDF("doc_id", "text")
           .write.parquet(s"$src/b$i")
-        Pipelines.runStreamingIncrDedup(
+        val q = Pipelines.runStreamingIncrDedup(
           spark.readStream.schema("doc_id LONG, text STRING")
             .option("recursiveFileLookup", "true").parquet(src),
-          snap, out, ckpt).awaitTermination()
+          snap, out, ckpt)
+        q.awaitTermination()
+        trigMetrics ++= StreamMetrics.perTrigger(q)
         val admitted = spark.read.parquet(out)
           .select($"doc_id").as[Long].collect().toSet
         val expected = (1 to i).map(100L + _).toSet
@@ -243,6 +246,18 @@ class RetentionSoakSpec extends SparkTestBase {
             s"got $admitted expected $expected")
       }
     } finally { stop.set(true); thread.join(30000) }
+    // per-trigger observability under the soak: every trigger reported
+    // its batch duration and exactly its own batch's input (offset
+    // tracking — never a re-read of the accumulated source); the gate
+    // is foreachBatch-faced, so keyed-operator state is 0 by design
+    // and the versioned signature snapshot (asserted below) is its
+    // durable state metric
+    assert(trigMetrics.size == triggers,
+      s"one progress row per data trigger: ${StreamMetrics.pretty(trigMetrics.toSeq)}")
+    assert(trigMetrics.forall(_.inputRows == 2),
+      s"each trigger ingests exactly its 2-doc batch: ${StreamMetrics.pretty(trigMetrics.toSeq)}")
+    assert(trigMetrics.forall(_.durationMs > 0),
+      s"batch durations must be recorded: ${StreamMetrics.pretty(trigMetrics.toSeq)}")
     assert(failures.isEmpty, "maintenance loop surfaced failures: " +
       failures.asScala.take(3).map(_.toString).mkString("; "))
     checkHistoryConsistent(snap)
