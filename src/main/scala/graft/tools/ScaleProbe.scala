@@ -356,27 +356,28 @@ object ScaleProbe {
       // so the k=2 output grows ~x^2 across copies while the candidate
       // volume should track prefix-gram buckets — the trend shows
       // whether the filter, not the verify, is the envelope
-      if (selected("editdist2 join x-names") ||
-          selected("editdist2 topk x-names")) locally {
+      def editdist2Names(): DataFrame = {
         val base = graft.engine.Tables(spark, dst, "customer")
           .filter(col("c_custkey") % 4 === 0)
           .select(col("c_custkey").as("id"), col("c_name").as("s"))
-        val inflated = (0 until factor).map { i =>
+        (0 until factor).map { i =>
           base.select((col("id") + lit(i * 10000000L)).as("id"),
             concat(lit(s"$i$i"), lit("_"), col("s")).as("s"))
         }.reduce(_ unionByName _)
-        time("editdist2 join x-names") {
-          Joins.joinEditDistPrefixOn(inflated, 2)
-        }
-        // the output-capped production face on the SAME construction:
-        // the uncapped row above is OUTPUT-BOUND (true pairs ~factor²
-        // across copies), so its trend prices its own output; the cap
-        // bounds ranked output — and the post-verify ranking shuffle —
-        // by topK * |input| (~linear in factor). The gap between these
-        // two rows is the cap doing its job.
-        time("editdist2 topk x-names") {
-          Joins.joinEditDistTopKOn(inflated, 2, 3)
-        }
+      }
+      time("editdist2 join x-names") {
+        Joins.joinEditDistPrefixOn(editdist2Names(), 2)
+      }
+      // the output-capped production face on the SAME construction:
+      // the uncapped row above is OUTPUT-BOUND (true pairs ~factor²
+      // across copies, x30 ≈ 217 s of mostly output), so its trend
+      // prices its own output; the cap bounds ranked output — and the
+      // post-verify ranking shuffle — by topK * |input| (~linear in
+      // factor). The gap between these two rows is the cap doing its
+      // job; they select independently so the capped row's deep-factor
+      // trend doesn't have to pay for the uncapped row's output.
+      time("editdist2 topk x-names") {
+        Joins.joinEditDistTopKOn(editdist2Names(), 2, 3)
       }
       time("bpe train batched") {
         Llm.bpeTrainMergesBatched(spark, dst, 256, strictPrefix = false)
