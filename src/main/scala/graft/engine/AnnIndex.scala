@@ -487,10 +487,9 @@ object AnnIndex {
     val (probes, qu) = selectProbes(spark, dir, qe, centVersion)
     val lut = graft.ops.Llm.pqLut(
       scala.collection.immutable.ArraySeq.unsafeWrapArray(qu), cb, m, ks, sub)
-    val codes = VersionedTable.read(spark, pqCodesDir(dir), Some(codesV))
+    val codes = probedCells(spark, pqCodesDir(dir), probes, Some(codesV))
     val front = excludeVecId.fold(codes)(id =>
         codes.filter(col("vec_id") =!= id))
-      .filter(col("cell").isin(probes.toIndexedSeq: _*))
       .withColumn("lut", typedlit(lut.toSeq))
       .withColumn("adc", expr(graft.ops.Llm.pqAdcExpr(m, ks)))
       .orderBy(col("adc").asc, col("vec_id"))
@@ -502,8 +501,7 @@ object AnnIndex {
     // the re-rank never reads the full float table either
     import spark.implicits._
     val query = Seq(Tuple1(qe)).toDF("qe")
-    val cellsTbl = VersionedTable.read(spark, cellsDir(dir), cellsV)
-      .filter(col("cell").isin(probes.toIndexedSeq: _*))
+    val cellsTbl = probedCells(spark, cellsDir(dir), probes, cellsV)
       .select(col("vec_id"), col("e"))
     front.join(cellsTbl, Seq("vec_id"))
       .crossJoin(broadcast(query))
@@ -519,6 +517,26 @@ object AnnIndex {
     * probed-cells scan (row-group-pruned by the sorted layout), and
     * the codegen'd cosine re-score — the `annIvf` probe rule with the
     * FIT replaced by two table reads. */
+  /** Probed read of a cell-keyed table: for a `partitionBy(cell)`
+    * layout the LISTING itself prunes to the probed directories
+    * ([[VersionedTable.readPartitionPruned]]) — a plain read + filter
+    * partition-prunes the scan but still file-indexes every cell
+    * directory first, a per-query fixed cost that grows with the
+    * INDEX (k cells ~ sqrt(n)), not the probe; the flat layout reads
+    * normally (row-group stats prune inside the single dir). The
+    * `cell IN probes` filter applies on both routes — on the pruned
+    * one it is a belt-and-braces re-check of the name parse. */
+  private def probedCells(spark: SparkSession, tableDir: String,
+      probes: Seq[Int], version: Option[Long]): DataFrame = {
+    val want = probes.map(_.toString).toSet
+    val base =
+      if (VersionedTable.partitionColumns(spark, tableDir).contains("cell"))
+        VersionedTable.readPartitionPruned(spark, tableDir, "cell",
+          want.contains, version)
+      else VersionedTable.read(spark, tableDir, version)
+    base.filter(col("cell").isin(probes.toIndexedSeq: _*))
+  }
+
   def query(spark: SparkSession, dir: String, qe: Seq[Double], k: Int = 10,
       version: Option[Long] = None, excludeVecId: Option[Long] = None)
       : DataFrame = {
@@ -531,9 +549,8 @@ object AnnIndex {
     val (probes, _) = selectProbes(spark, dir, qe, centVersion)
     import spark.implicits._
     val query = Seq(Tuple1(qe)).toDF("qe")
-    val cells = VersionedTable.read(spark, cellsDir(dir), version)
+    val cells = probedCells(spark, cellsDir(dir), probes, version)
     excludeVecId.fold(cells)(id => cells.filter(col("vec_id") =!= id))
-      .filter(col("cell").isin(probes.toIndexedSeq: _*))
       .crossJoin(broadcast(query))
       .withColumn("cosine", round(expr("cosine_sim(e, qe)"), 6))
       .select(col("vec_id"), col("cell"), col("cosine"))

@@ -1102,6 +1102,12 @@ object VersionedTable {
       cols: Seq[String]): Unit =
     atomicWrite(spark, dir, "_PART_COLS", cols.mkString(","))
 
+  /** The table's declared partition layout (`_PART_COLS`), empty when
+    * undeclared — the dispatch test a serve runs before choosing
+    * [[readPartitionPruned]] over a plain read + filter. */
+  def partitionColumns(spark: SparkSession, dir: String): Seq[String] =
+    readProp(fs(spark, dir), dir, "_PART_COLS")
+
   /** Declare shredded hot paths for this table: each element is
     * "fromCol|outCol:$.json.path:sqlType" (the path must not contain
     * ':' or ','). Every subsequent commit extracts the declared paths

@@ -931,6 +931,42 @@ class VersionedTableSpec extends SparkTestBase {
     graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("readPartitionPruned: lists only surviving directories, matches the filtered read, empty selection keeps schema") {
+    val dir = tmp("graft_vt_ppr")
+    VersionedTable.setPartitionColumns(spark, dir, Seq("bucket"))
+    VersionedTable.commit(
+      (0 until 40).map(i => (i.toLong, i % 8, s"r$i"))
+        .toDF("id", "bucket", "payload"), dir)
+    val pruned = VersionedTable.readPartitionPruned(spark, dir,
+      "bucket", v => v.toInt >= 6)
+    // row equality against the plain filtered read
+    val expected = VersionedTable.read(spark, dir)
+      .filter($"bucket" >= 6)
+      .select($"id", $"payload", $"bucket")
+      .as[(Long, String, Int)].collect().sorted.toSeq
+    assert(pruned.select($"id", $"payload", $"bucket")
+      .as[(Long, String, Int)].collect().sorted.toSeq == expected)
+    // runtime containment: only surviving dirs are ever opened
+    val files = pruned.select(input_file_name().as("f"))
+      .distinct().as[String].collect()
+    assert(files.nonEmpty &&
+      files.forall(f => f.contains("bucket=6") || f.contains("bucket=7")),
+      s"pruned read must touch only surviving dirs: ${files.take(3).mkString(",")}")
+    // empty selection: full schema, zero rows, no crash
+    val none = VersionedTable.readPartitionPruned(spark, dir,
+      "bucket", _ => false)
+    assert(none.columns.toSet == Set("id", "bucket", "payload"))
+    assert(none.count() == 0)
+    // pinned-version read routes through the same pruning
+    VersionedTable.commit(
+      Seq((100L, 6, "new")).toDF("id", "bucket", "payload"), dir)
+    val pinned = VersionedTable.readPartitionPruned(spark, dir,
+      "bucket", v => v.toInt == 6, version = Some(0L))
+    assert(!pinned.select($"id").as[Long].collect().contains(100L),
+      "a pinned pruned read must serve the pinned snapshot")
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("changesBetween emits insert/delete/update images and skips unchanged rows") {
     val dir = Files.createTempDirectory("vt_cdf").toString
     VersionedTable.commit(
