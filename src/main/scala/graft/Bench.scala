@@ -95,6 +95,13 @@ object Bench {
       // two rows could read as duplicates of each other
       if (name == "q_fn_variant")
         graft.ops.ScalarFns.invalidateShredTableCache()
+      // same pin for the two committed-AnnIndex dispatch entries: map
+      // order happens to run them before q_llm_ann_index commits one
+      // today, but that is CHAMP-hash luck any added key reshuffles —
+      // pin the first pass to the FIT regime explicitly (the ann_index
+      // rows already price the serve)
+      if (name == "q_llm_ann_ivf" || name == "q_llm_knn_join_ivf")
+        graft.ops.Llm.invalidateAnnIndexCache()
       val (dt, err) = timeOne(name, fn)
       (name, dt, err)
     }
@@ -140,12 +147,15 @@ object Bench {
           graft.ops.ScalarFns.invalidateShredTableCache()
         if (name == "q_llm_shard_resume")
           graft.ops.Llm.invalidateShardTableCache()
-        // these two dispatch to a committed AnnIndex when one exists;
-        // their first pass ran BEFORE q_llm_ann_index committed one
-        // (map order), so the cold rerun must drop the index or it
-        // would price the serve regime against a fit-regime first
-        // reading and min() would mix regimes
-        if (name == "q_llm_ann_ivf" || name == "q_llm_knn_join_ivf")
+        // these two dispatch to a committed AnnIndex when one exists
+        // (first pass pinned to the fit regime above), so the cold
+        // rerun must drop the index or it would price the serve
+        // regime against a fit-regime first reading and min() would
+        // mix regimes; the index-building entries themselves need the
+        // same drop or their "cold" rerun re-serves the warm memoized
+        // index and publishes a serve-only time under a build+serve row
+        if (name == "q_llm_ann_ivf" || name == "q_llm_knn_join_ivf" ||
+            name == "q_llm_ann_index" || name == "q_llm_ann_pq_index")
           graft.ops.Llm.invalidateAnnIndexCache()
         if (name == "q_llm_bpe_apply")
           graft.ops.Llm.invalidateBpeTableCache()

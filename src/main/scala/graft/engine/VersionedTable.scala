@@ -1033,7 +1033,16 @@ object VersionedTable {
     * lake catalog does, built from the directory names we already own.
     * `keep` receives the RAW directory-name value string (partition
     * inference's input); an empty selection returns the snapshot's
-    * empty frame with its full schema. */
+    * empty frame with its full schema.
+    *
+    * Callers must RE-APPLY their exact predicate on the result: the
+    * name filter is a directory-level superset device, and when the
+    * SNAPSHOT turns out not to be laid out by `partCol` at all (a
+    * declaration postdating committed versions, or a commit whose
+    * frame lacked the column so the layout silently fell flat) the
+    * read falls back to the FULL snapshot rather than conflating
+    * "no matching partition" with "not a partitioned snapshot" and
+    * silently serving zero rows. */
   def readPartitionPruned(spark: SparkSession, dir: String,
       partCol: String, keep: String => Boolean,
       version: Option[Long] = None): DataFrame = {
@@ -1042,11 +1051,13 @@ object VersionedTable {
     val snap = s"$dir/v$v"
     val f = fs(spark, dir)
     val prefix = partCol + "="
-    val selected = f.listStatus(new Path(snap)).toSeq
+    val partDirs = f.listStatus(new Path(snap)).toSeq
       .filter(_.isDirectory)
       .map(_.getPath)
-      .filter(p => p.getName.startsWith(prefix) &&
-        keep(p.getName.substring(prefix.length)))
+      .filter(_.getName.startsWith(prefix))
+    if (partDirs.isEmpty) return read(spark, dir, Some(v))
+    val selected = partDirs
+      .filter(p => keep(p.getName.substring(prefix.length)))
     if (selected.isEmpty) read(spark, dir, Some(v)).filter(lit(false))
     else spark.read.option("basePath", snap)
       .parquet(selected.map(_.toString): _*)

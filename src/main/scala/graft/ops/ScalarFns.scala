@@ -195,12 +195,18 @@ object ScalarFns {
     // (declared + materialized, not merely declared), so a
     // not-yet-committed declaration still parses. No snapshot → the
     // per-row parse regime, kept addressable as [[fnVariantParse]].
+    // Try: a concurrent invalidateShredTableCache() between the peek
+    // and the read deletes the table out from under us — the peek
+    // contract says a failed use of the value is a MISS, so the race
+    // degrades to the parse regime instead of failing the query
     val dispatched = shredTableCache.peek(spark, dir).flatMap { table =>
-      graft.engine.VersionedTable
-        .shredOutputFor(spark, table, "props", "$.k", "int")
-        .map(out => variantAgg(
-          graft.engine.VersionedTable.read(spark, table)
-            .select(col("event_type"), col(out).as("k"))))
+      scala.util.Try {
+        graft.engine.VersionedTable
+          .shredOutputFor(spark, table, "props", "$.k", "int")
+          .map(out => variantAgg(
+            graft.engine.VersionedTable.read(spark, table)
+              .select(col("event_type"), col(out).as("k"))))
+      }.toOption.flatten
     }
     dispatched.getOrElse(fnVariantParse(spark, dir))
   }

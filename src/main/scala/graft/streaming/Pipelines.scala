@@ -851,11 +851,20 @@ object Pipelines {
     // makes every downstream pass a cache hit.
     val batch = batch0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // every persisted handle releases in ONE finally covering the
+    // whole derivation, not just the write phase: the snapshot read /
+    // gate-plan construction below can throw (transient storage error,
+    // malformed seeded snapshot), and in a long-running stream a
+    // persist leaked per failed trigger accumulates blocks with no
+    // handle left to free them
+    var bands: DataFrame = null
+    var survivors: DataFrame = null
+    try {
     // persisted: the signatures (12 minhashes over the shingle set per
     // doc) feed BOTH the gate broadcast and, anti-joined below, the
     // snapshot commit — recomputing them per consumer doubled the
     // per-trigger CPU on the ingest hot path
-    val bands = allBands(batch)
+    bands = allBands(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bootstrap: a fresh snapshot dir means nothing to dedup against;
     // pre-upgrade / batch-op-seeded snapshots lack the txn columns
@@ -890,9 +899,9 @@ object Pipelines {
     val dupIds = gateBands
       .join(broadcast(bands), Seq("band_idx", "band_key"))
       .select(col("doc_id")).distinct()
-    val survivors = batch.join(dupIds, Seq("doc_id"), "left_anti")
+    survivors = batch.join(dupIds, Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    locally {
       // per-(writer, epoch) partition dir + overwrite => a replayed
       // epoch rewrites the SAME rows in the SAME place (idempotent
       // even in the crash window between this write and the marker);
@@ -937,8 +946,11 @@ object Pipelines {
         }
       }
       writeEpochMarker(spark, outDir, epochId, s"_LAST_EPOCH_$writerId")
+    }
     } finally {
-      survivors.unpersist(); bands.unpersist(); batch.unpersist()
+      if (survivors != null) survivors.unpersist()
+      if (bands != null) bands.unpersist()
+      batch.unpersist()
     }
   }
 

@@ -87,6 +87,10 @@ object ResumeProf {
         graft.util.Exec.drain(Llm.shardResume(spark, table, 0L, 0))
       }
     }
+    // release the inflated corpus and the memoized shard table — a
+    // probe run must not leave ~factor x sf0.1 of parquet under /tmp
+    Llm.invalidateShardTableCache()
+    graft.util.Fs.deleteRecursively(dst)
     spark.stop()
   }
 }

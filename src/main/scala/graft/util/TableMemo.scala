@@ -67,7 +67,13 @@ final class TableMemo[V](
     * session — never builds. The dispatch test a serve entry runs
     * before deciding between a committed-artifact read and its
     * fallback computation (the committedAnnIndex idiom): a map
-    * lookup, free when empty. */
+    * lookup, free when empty.
+    *
+    * Race caveat: unlike getOrBuild, peek cannot defend the HANDED-OUT
+    * value — an invalidate() landing after this returns deletes the
+    * table out from under the caller. Dispatch callers must treat a
+    * failed use of the peeked value as a MISS (fall back to their
+    * non-dispatched regime), not a query failure. */
   def peek(spark: org.apache.spark.sql.SparkSession, dir: String)
       : Option[V] =
     Option(cache.synchronized(cache.get(spark))).flatMap(_.get(dir))

@@ -31,12 +31,15 @@ class LifecycleGoldenSpec extends SparkTestBase {
 
   /** Canonical rendering: one line per row, columns joined by '|',
     * rows sorted lexicographically (layout/parallelism neutral),
-    * doubles fixed to 4 places (formatting neutral). */
+    * doubles fixed to 4 places via Locale.ROOT (the Bench JSON rule:
+    * the f-interpolator is locale-sensitive and would render comma
+    * decimals on a de/fr-locale JVM — corrupting the diff, or worse,
+    * a regenerated golden). */
   private def canon(df: DataFrame): String =
     df.collect().map(_.toSeq.map {
       case null => "NULL"
-      case d: Double => f"$d%.4f"
-      case f: Float => f"$f%.4f"
+      case d: Double => String.format(java.util.Locale.ROOT, "%.4f", d)
+      case f: Float => String.format(java.util.Locale.ROOT, "%.4f", f)
       case x => x.toString
     }.mkString("|")).sorted.mkString("\n") + "\n"
 
