@@ -493,15 +493,23 @@ object Pipelines {
 
   /** The per-batch gate behind [[runStreamingAnnRefresh]] — exposed
     * for direct batch-mode use and the spec. */
-  def annRefreshBatch(batch: DataFrame, epochId: Long, indexDir: String,
+  def annRefreshBatch(batch0: DataFrame, epochId: Long, indexDir: String,
       writerId: String = "default"): Unit = {
-    val spark = batch.sparkSession
+    val spark = batch0.sparkSession
     val marker = s"_LAST_EPOCH_$writerId"
     if (lastEpoch(spark, indexDir, marker).exists(_ >= epochId)) return
-    if (!batch.isEmpty)
-      graft.engine.AnnIndex.refresh(spark,
-        batch.select(col("vec_id"), col("e")), indexDir)
-    writeEpochMarker(spark, indexDir, epochId, marker)
+    // one source scan per trigger: the emptiness probe, the assign,
+    // and every merge re-derivation under commit contention otherwise
+    // each re-read the trigger's files (per-trigger StreamMetrics read
+    // 3x the batch's rows as input — the incrDedupBatch finding)
+    val batch = batch0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (!batch.isEmpty)
+        graft.engine.AnnIndex.refresh(spark,
+          batch.select(col("vec_id"), col("e")), indexDir)
+      writeEpochMarker(spark, indexDir, epochId, marker)
+    } finally batch.unpersist()
   }
 
   /** Kafka connector contract — format name and option keys pinned in

@@ -72,15 +72,18 @@ class RetentionSoakSpec extends SparkTestBase {
     val cells = AnnIndex.cellsDir(dir)
     val (stop, thread, failures) = maintenanceLoop(cells, keepLast = 4)
     val triggers = 6
+    val trigMetrics = scala.collection.mutable.ArrayBuffer.empty[TriggerMetrics]
     try {
       (1 to triggers).foreach { i =>
         // each trigger lands one new (far-from-anchor) vector
         Seq((1000L + i, vec(5000 + i))).toDF("vec_id", "e")
           .write.parquet(s"$src/b$i")
-        Pipelines.runStreamingAnnRefresh(
+        val q = Pipelines.runStreamingAnnRefresh(
           spark.readStream.schema("vec_id LONG, e ARRAY<DOUBLE>")
             .option("recursiveFileLookup", "true").parquet(src),
-          dir, ckpt).awaitTermination()
+          dir, ckpt)
+        q.awaitTermination()
+        trigMetrics ++= StreamMetrics.perTrigger(q)
         // answer-stability through every trigger + retention cycle
         val top = AnnIndex.query(spark, dir, anchor, k = 1)
           .as[(Long, Int, Double)].collect().head
@@ -90,6 +93,12 @@ class RetentionSoakSpec extends SparkTestBase {
     } finally { stop.set(true); thread.join(30000) }
     assert(failures.isEmpty, "maintenance loop surfaced failures: " +
       failures.asScala.take(3).map(_.toString).mkString("; "))
+    // per-trigger observability for the refresh face, under the race:
+    // one duration-carrying progress row per trigger, each ingesting
+    // exactly its own 1-vector batch (offset tracking, no re-reads)
+    assert(trigMetrics.size == triggers &&
+      trigMetrics.forall(m => m.inputRows == 1 && m.durationMs > 0),
+      s"refresh soak metrics: ${StreamMetrics.pretty(trigMetrics.toSeq)}")
     checkHistoryConsistent(cells)
     // every streamed vector survived the retention races
     val ids = VersionedTable.read(spark, cells)
