@@ -659,16 +659,23 @@ object Pipelines {
     // marker takes over from this batch on, and the legacy file is
     // simply dead weight for vacuum.
     if (lastEpoch(spark, servingDir, marker).exists(_ >= epochId)) return
-    val merged = graft.engine.VersionedTable
-      .currentVersion(spark, servingDir) match {
-      case Some(_) =>
-        graft.engine.VersionedTable.upsert(
-          graft.engine.VersionedTable.read(spark, servingDir),
-          batch, key)
-      case None => batch
-    }
-    graft.engine.VersionedTable.commit(merged, servingDir)
-    writeEpochMarker(spark, servingDir, epochId, marker)
+    // one source scan per trigger: upsert references the batch TWICE
+    // (union arm + the anti-join's key projection), so the commit job
+    // re-read the trigger's files without this (the incrDedupBatch /
+    // annRefreshBatch finding)
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val merged = graft.engine.VersionedTable
+        .currentVersion(spark, servingDir) match {
+        case Some(_) =>
+          graft.engine.VersionedTable.upsert(
+            graft.engine.VersionedTable.read(spark, servingDir),
+            b, key)
+        case None => b
+      }
+      graft.engine.VersionedTable.commit(merged, servingDir)
+      writeEpochMarker(spark, servingDir, epochId, marker)
+    } finally b.unpersist()
   }
 
   /** Last epoch applied to `servingDir` under `marker`, if any. */
@@ -1015,25 +1022,32 @@ object Pipelines {
 
   /** The per-batch gate behind [[runStreamingDecontam]]. `evalGrams`
     * and `sketch` are the stream-lifetime eval artifacts. */
-  def decontamGateBatch(batch: DataFrame, epochId: Long,
+  def decontamGateBatch(batch0: DataFrame, epochId: Long,
       evalGrams: DataFrame,
       sketch: org.apache.spark.util.sketch.BloomFilter,
       outDir: String, writerId: String = "default"): Unit = {
-    val spark = batch.sparkSession
+    val spark = batch0.sparkSession
     if (lastEpoch(spark, outDir, s"_LAST_EPOCH_DECONTAM_$writerId")
         .exists(_ >= epochId)) return
-    val grams = graft.ops.Llm.grams5Of(batch)
-    val suspects = grams.filter(graft.functions.BloomMightContain(
-      spark, xxhash64(col("g")), sketch))
-    // exact confirm: eval-bounded join kills the fpp sliver
-    val contaminated = suspects
-      .join(evalGrams, Seq("g"), "left_semi")
-      .select(col("doc_id")).distinct()
-    val clean = batch.join(contaminated, Seq("doc_id"), "left_anti")
-    clean.write.mode("overwrite")
-      .parquet(s"$outDir/writer=$writerId/epoch=$epochId")
-    writeEpochMarker(spark, outDir, epochId,
-      s"_LAST_EPOCH_DECONTAM_$writerId")
+    // one source scan per trigger: the gram explode and the survivor
+    // anti-join otherwise each re-read the trigger's files (the
+    // incrDedupBatch finding)
+    val batch = batch0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val grams = graft.ops.Llm.grams5Of(batch)
+      val suspects = grams.filter(graft.functions.BloomMightContain(
+        spark, xxhash64(col("g")), sketch))
+      // exact confirm: eval-bounded join kills the fpp sliver
+      val contaminated = suspects
+        .join(evalGrams, Seq("g"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val clean = batch.join(contaminated, Seq("doc_id"), "left_anti")
+      clean.write.mode("overwrite")
+        .parquet(s"$outDir/writer=$writerId/epoch=$epochId")
+      writeEpochMarker(spark, outDir, epochId,
+        s"_LAST_EPOCH_DECONTAM_$writerId")
+    } finally batch.unpersist()
   }
 
   /** Gap-based session windows (streaming face of q_stream_session):
