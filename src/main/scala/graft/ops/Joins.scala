@@ -894,7 +894,9 @@ object Joins {
     * at 15k names / k=2 (4.08M output pairs), 27.4 s here vs 91.9 s
     * prefix vs 113.9 s DuckDB exhaustive (warm, 32 threads each). */
   private[graft] def joinEditDistOn(names: org.apache.spark.sql.DataFrame,
-      k: Int = 1): org.apache.spark.sql.DataFrame = {
+      k: Int = 1,
+      queryIds: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
     require(k >= 1, s"edit-distance threshold must be >= 1, got $k")
     def delOne(arr: String): String =
       s"""array_distinct(flatten(transform($arr,
@@ -905,10 +907,19 @@ object Joins {
     val vars = names.select(col("id"), explode(expr(
       s"array_distinct(concat(${levels.mkString(", ")}))")).as("v"))
       .localCheckpoint(true)
-    val a = vars.select(col("v"), col("id").as("d1"))
+    // DIRECTED regime (queryIds defined): d1 ranges over the query
+    // subset only, d2 over the whole input, each qualifying (q, c)
+    // pair emitted once as (d1=q, d2=c) — the staged-escalation
+    // consumer's shape. Default regime: unordered unique pairs d1<d2.
+    val aAll = vars.select(col("v"), col("id").as("d1"))
+    val a = queryIds.fold(aAll)(ids => aAll.join(
+      ids.select(col("id").as("d1")), Seq("d1"), "left_semi"))
     val b = vars.select(col("v"), col("id").as("d2"))
+    val pairRule =
+      if (queryIds.isDefined) col("d1") =!= col("d2")
+      else col("d1") < col("d2")
     a.join(b, Seq("v"))
-      .filter(col("d1") < col("d2"))
+      .filter(pairRule)
       .select(col("d1"), col("d2"))
       .distinct()
       .join(names.select(col("id").as("d1"), col("s").as("s1")), Seq("d1"))
@@ -970,7 +981,17 @@ object Joins {
     * compose on, so the plan never pays a global range exchange that
     * the next operator's hash partitioning immediately destroys. */
   private[graft] def joinEditDistPrefixPairs(names: org.apache.spark.sql.DataFrame,
-      k: Int, q: Int = 2): org.apache.spark.sql.DataFrame = {
+      k: Int, q: Int = 2,
+      // DIRECTED regime: restrict the QUERY side to these ids — d1
+      // ranges over the subset, d2 over the whole input, one row per
+      // qualifying (query, candidate) pair. Prefix selection per
+      // string is side-independent (each string keeps its k*q+1
+      // rarest grams under the one global order), so the standard
+      // R-x-S prefix-filter argument (Vernica et al. SIGMOD 2010)
+      // carries over with the same position bands: the full-corpus
+      // prefix table simply filters its probe side to the subset.
+      queryIds: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
     val pref = k * q + 1
     val band = k + 1
     // SOUNDNESS FLOOR: the (k*q+1)-prefix argument needs the string to
@@ -1023,7 +1044,9 @@ object Joins {
     // the stream-through verify actually parallelizes; the
     // repartition shuffles only prefix-table rows, not candidates
     val fanoutParts = 8 * prefix.sparkSession.sessionState.conf.numShufflePartitions
-    val a = prefix.repartition(fanoutParts)
+    val aAll = queryIds.fold(prefix)(ids => prefix.join(
+      ids.select(col("id")), Seq("id"), "left_semi"))
+    val a = aAll.repartition(fanoutParts)
       .select(col("g"), floor(col("p") / band).as("bkt"),
         col("p").as("p1"), col("id").as("d1"), col("s").as("s1"))
     // any p1 within k of p2 has band id in the contiguous interval
@@ -1035,14 +1058,17 @@ object Joins {
         col("id").as("d2"), col("s").as("s2"))
       .withColumn("bkt", explode(sequence(
         floor((col("p2") - k) / band), floor((col("p2") + k) / band))))
+    val pairRule =
+      if (queryIds.isDefined) col("d1") =!= col("d2")
+      else col("d1") < col("d2")
     val longPairs = a.join(b, Seq("g", "bkt"))
-      .filter(col("d1") < col("d2") &&
+      .filter(pairRule &&
         abs(length(col("s1")) - length(col("s2"))) <= k &&
         abs(col("p1") - col("p2")) <= k)
       .withColumn("dist", levenshtein(col("s1"), col("s2"), k))
       .filter(col("dist").between(0, k))
       .select(col("d1"), col("d2"), col("dist"))
-    longPairs.unionByName(joinEditDistOn(shortFringe, k))
+    longPairs.unionByName(joinEditDistOn(shortFringe, k, queryIds))
       .distinct()
   }
 
@@ -1084,18 +1110,68 @@ object Joins {
     * after — the kNN-join plan-guard pair), so even the ranking
     * shuffle carries at most topK rows per (partition, qid), not the
     * dense neighborhood. */
-  private[graft] def joinEditDistTopKOn(names: org.apache.spark.sql.DataFrame,
-      k: Int, topK: Int): org.apache.spark.sql.DataFrame = {
-    val pairs = joinEditDistPrefixPairs(names, k)
-    // the generator emits each unordered pair once (d1 < d2); the cap
-    // is per QUERY ROW, so both directions rank
-    val sym = pairs.select(col("d1").as("qid"), col("d2").as("cand"), col("dist"))
-      .unionByName(
-        pairs.select(col("d2").as("qid"), col("d1").as("cand"), col("dist")))
+  private def rankTopK(sym: org.apache.spark.sql.DataFrame, topK: Int)
+      : org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("dist"), col("cand"))
     sym.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
+  }
+
+  private def symPairs(pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    pairs.select(col("d1").as("qid"), col("d2").as("cand"), col("dist"))
+      .unionByName(
+        pairs.select(col("d2").as("qid"), col("d1").as("cand"), col("dist")))
+
+  /** The one-stage form of the cap (all candidates generated at the
+    * full threshold, then ranked) — the reference implementation the
+    * staged form is spec-pinned equal to, and the k<=1 fast path. */
+  private[graft] def joinEditDistTopKSingleStage(
+      names: org.apache.spark.sql.DataFrame,
+      k: Int, topK: Int): org.apache.spark.sql.DataFrame =
+    rankTopK(symPairs(joinEditDistPrefixPairs(names, k)), topK)
+      .orderBy(col("qid"), col("rank"))
+
+  /** STAGED ESCALATION (round 11): ranking by (dist, cand) means a
+    * row with >= topK matches at distance <= 1 has its ENTIRE top-k
+    * inside that distance-1 set — every distance-2 candidate sorts
+    * after all of them — so generating (and verifying) its dense
+    * distance-2 neighborhood is pure waste. Stage 1 runs the much
+    * cheaper k=1 join over everything and resolves those rows; stage
+    * 2 runs the k=2 candidate stage DIRECTED: query side = only the
+    * unresolved sliver, candidate side = the whole input (a resolved
+    * row can still be someone else's nearest match). On corpora
+    * where near-duplicate density grows with the corpus — exactly
+    * where the uncapped join is output-bound — most rows resolve at
+    * stage 1 and the quadratic-ish distance-2 candidate space is paid
+    * only by the sliver. x30 inflated-names probe: 151.9 s -> see
+    * BASELINE.md round-11 staged row. Output is identical to the
+    * one-stage form by the ordering argument (spec-pinned). */
+  private[graft] def joinEditDistTopKOn(names: org.apache.spark.sql.DataFrame,
+      k: Int, topK: Int): org.apache.spark.sql.DataFrame = {
+    if (k <= 1) return joinEditDistTopKSingleStage(names, k, topK)
+    // stage 1: distance <= 1 matches for every row. Materialized —
+    // it feeds the resolution count AND the resolved rows' ranking.
+    val sym1 = symPairs(joinEditDistPrefixPairs(names, 1))
+      .localCheckpoint(true)
+    val resolved = sym1.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n1"))
+      .filter(col("n1") >= topK)
+      .select(col("qid"))
+      .localCheckpoint(true) // feeds a semi AND an anti join
+    val topResolved = rankTopK(
+      sym1.join(resolved, Seq("qid"), "left_semi"), topK)
+    // stage 2: full-threshold candidates for the unresolved sliver
+    // only (rows with zero matches anywhere are here too — they emit
+    // nothing, same as the one-stage form)
+    val unresolvedIds = names.select(col("id"))
+      .join(resolved.select(col("qid").as("id")), Seq("id"), "left_anti")
+    val pairs2 = joinEditDistPrefixPairs(names, k,
+        queryIds = Some(unresolvedIds))
+      .select(col("d1").as("qid"), col("d2").as("cand"), col("dist"))
+    val topUnresolved = rankTopK(pairs2, topK)
+    topResolved.unionByName(topUnresolved)
       .orderBy(col("qid"), col("rank"))
   }
 

@@ -429,4 +429,64 @@ class RelationalOpsSpec extends SparkTestBase {
     // the dispatcher handles an EMPTY frame (max(length) is null)
     assert(Joins.joinEditDistAuto(names.limit(0), 2).collect().isEmpty)
   }
+
+  test("capped edit-distance join: staged escalation == one-stage == brute force, both stages exercised") {
+    import spark.implicits._
+    val names = Seq(
+      // dense dist-1 clique: every member has >= 3 distance-1 matches,
+      // so stage 1 must resolve all of them without any k=2 candidates
+      (1L, "alpha0001"), (2L, "alpha0002"), (3L, "alpha0003"),
+      (4L, "alpha0004"), (5L, "alpha0005"),
+      // zero dist-1 matches, five dist-2 matches INTO the clique — the
+      // stage-2 query whose candidates are stage-1-RESOLVED rows (the
+      // directed join's candidate side must stay the whole input)
+      (10L, "alpha00zz"),
+      // a pair resolvable only at distance 2, isolated from the clique
+      (20L, "omega_aaaa"), (21L, "omega_aabb"),
+      // short-fringe rows (below the k=2 prefix floor, ED 2, zero
+      // shared grams) — the deletion-neighborhood path, directed
+      (30L, "abcde"), (31L, "azcze"),
+      // a row with no match at any distance: emits nothing
+      (40L, "zzzzzzzzzzzz")
+    ).toDF("id", "s")
+    val staged = Joins.joinEditDistTopKOn(names, 2, 3)
+      .as[(Long, Long, Int, Int)].collect().toSeq
+    val single = Joins.joinEditDistTopKSingleStage(names, 2, 3)
+      .as[(Long, Long, Int, Int)].collect().toSeq
+    assert(staged == single,
+      s"escalation must be result-invisible:\n staged=$staged\n single=$single")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("dist"), col("cand"))
+    val brute = names.select(col("id").as("qid"), col("s").as("s1"))
+      .crossJoin(names.select(col("id").as("cand"), col("s").as("s2")))
+      .filter(col("qid") =!= col("cand"))
+      .withColumn("dist", levenshtein(col("s1"), col("s2")))
+      .filter(col("dist") <= 2)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("cand"), col("dist"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+      .as[(Long, Long, Int, Int)].collect().toSeq
+    assert(staged == brute,
+      s"cap must equal the exhaustive window:\n got=$staged\n exp=$brute")
+    // the plants actually exercised both stages and the fringe
+    assert(staged.filter(_._1 == 1L).forall(_._3 <= 1),
+      "clique rows must resolve inside their distance-1 set")
+    assert(staged.filter(_._1 == 10L).size == 3 &&
+      staged.filter(_._1 == 10L).forall(_._3 == 2),
+      "the dist-2-only query must rank resolved rows as candidates")
+    assert(staged.exists(p => p._1 == 30L && p._2 == 31L),
+      "short-fringe pair must survive the directed deletion path")
+    assert(!staged.exists(_._1 == 40L), "matchless rows emit nothing")
+    // ...and on the real fixture slice the entry runs on
+    val fixture = graft.engine.Tables(spark, sfSmoke, "customer")
+      .filter(col("c_custkey") % 4 === 0)
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+    val stagedF = Joins.joinEditDistTopKOn(fixture, 2, 3)
+      .as[(Long, Long, Int, Int)].collect().toSeq
+    val singleF = Joins.joinEditDistTopKSingleStage(fixture, 2, 3)
+      .as[(Long, Long, Int, Int)].collect().toSeq
+    assert(stagedF.nonEmpty && stagedF == singleF,
+      "fixture-slice escalation must be result-invisible")
+  }
 }
