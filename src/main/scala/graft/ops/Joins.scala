@@ -980,6 +980,30 @@ object Joins {
     * the form downstream consumers (the top-k cap's ranking window)
     * compose on, so the plan never pays a global range exchange that
     * the next operator's hash partitioning immediately destroys. */
+  /** The ranked positional-q-gram PREFIX TABLE (g, p, id, s, rk) the
+    * filter joins on: every string's q-grams ranked under the one
+    * global (df, g, p) order, kept to the k*q+1 smallest. The ranking
+    * is the same for every k — only the cutoff differs — so a table
+    * built at kMax serves any smaller k as its rk <= k*q+1 subset.
+    * Materialized (localCheckpoint) because every consumer joins it
+    * at least twice. */
+  private[graft] def editDistPrefixTable(names: org.apache.spark.sql.DataFrame,
+      k: Int, q: Int = 2): org.apache.spark.sql.DataFrame = {
+    val grams = names.filter(length(col("s")) >= q)
+      .select(col("id"), col("s"), explode(expr(
+      s"transform(sequence(1, length(s) - ${q - 1})," +
+        s" i -> struct(substring(s, i, $q) AS g, i AS p))")).as("gp"))
+      .select(col("id"), col("s"), col("gp.g").as("g"), col("gp.p").as("p"))
+    val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("df"), col("g"), col("p"))
+    grams.join(dfreq, Seq("g"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k * q + 1)
+      .select(col("g"), col("p"), col("id"), col("s"), col("rk"))
+      .localCheckpoint(true)
+  }
+
   private[graft] def joinEditDistPrefixPairs(names: org.apache.spark.sql.DataFrame,
       k: Int, q: Int = 2,
       // DIRECTED regime: restrict the QUERY side to these ids — d1
@@ -990,7 +1014,15 @@ object Joins {
       // R-x-S prefix-filter argument (Vernica et al. SIGMOD 2010)
       // carries over with the same position bands: the full-corpus
       // prefix table simply filters its probe side to the subset.
-      queryIds: Option[org.apache.spark.sql.DataFrame] = None)
+      queryIds: Option[org.apache.spark.sql.DataFrame] = None,
+      // a prebuilt (g, p, id, s, rk) prefix table from
+      // [[editDistPrefixTable]] built at a threshold >= k: the rk
+      // ranking is k-independent (one global (df, g, p) order), so a
+      // smaller k's prefix is literally the rk <= k*q+1 subset — the
+      // staged top-k shares ONE table across its two stages instead
+      // of paying the gram explode + df aggregate + ranking window
+      // twice over the same corpus
+      prebuilt: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
     val pref = k * q + 1
     val band = k + 1
@@ -1009,23 +1041,14 @@ object Joins {
     // strings shorter than q yield no grams at all (and sequence(1,
     // len-q+1) would run DESCENDING, emitting junk positions); they
     // are inside the fringe, so the gram side simply skips them
-    val grams = names.filter(length(col("s")) >= q)
-      .select(col("id"), col("s"), explode(expr(
-      s"transform(sequence(1, length(s) - ${q - 1})," +
-        s" i -> struct(substring(s, i, $q) AS g, i AS p))")).as("gp"))
-      .select(col("id"), col("s"), col("gp.g").as("g"), col("gp.p").as("p"))
-    val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("df"), col("g"), col("p"))
-    // eager localCheckpoint: the prefix table feeds BOTH self-join
-    // sides — without materialization the planner rebuilds the
-    // explode + df join + ranking window per consumer (the
-    // matchedIslands lesson); blocks are freed with the result frame
-    val prefix = grams.join(dfreq, Seq("g"))
-      .withColumn("rk", row_number().over(w))
+    // eager localCheckpoint (inside editDistPrefixTable): the prefix
+    // table feeds BOTH self-join sides — without materialization the
+    // planner rebuilds the explode + df join + ranking window per
+    // consumer (the matchedIslands lesson); blocks are freed with the
+    // result frame
+    val prefix = prebuilt.getOrElse(editDistPrefixTable(names, k, q))
       .filter(col("rk") <= pref)
       .select(col("g"), col("p"), col("id"), col("s"))
-      .localCheckpoint(true)
     // the prefix table carries the STRING itself ((k*q+1) * len
     // bytes per input string), so the thresholded (banded-DP,
     // O(len * k)) levenshtein verify runs INSIDE the candidate
@@ -1151,9 +1174,14 @@ object Joins {
   private[graft] def joinEditDistTopKOn(names: org.apache.spark.sql.DataFrame,
       k: Int, topK: Int): org.apache.spark.sql.DataFrame = {
     if (k <= 1) return joinEditDistTopKSingleStage(names, k, topK)
+    // ONE prefix table serves both stages (built at the full k; stage
+    // 1 reads its rk <= q+1 subset) — the gram explode, df aggregate
+    // and ranking window over the corpus are paid once, not per stage
+    val shared = editDistPrefixTable(names, k)
     // stage 1: distance <= 1 matches for every row. Materialized —
     // it feeds the resolution count AND the resolved rows' ranking.
-    val sym1 = symPairs(joinEditDistPrefixPairs(names, 1))
+    val sym1 = symPairs(joinEditDistPrefixPairs(names, 1,
+        prebuilt = Some(shared)))
       .localCheckpoint(true)
     val resolved = sym1.groupBy(col("qid"))
       .agg(count(lit(1)).as("n1"))
@@ -1168,7 +1196,7 @@ object Joins {
     val unresolvedIds = names.select(col("id"))
       .join(resolved.select(col("qid").as("id")), Seq("id"), "left_anti")
     val pairs2 = joinEditDistPrefixPairs(names, k,
-        queryIds = Some(unresolvedIds))
+        queryIds = Some(unresolvedIds), prebuilt = Some(shared))
       .select(col("d1").as("qid"), col("d2").as("cand"), col("dist"))
     val topUnresolved = rankTopK(pairs2, topK)
     topResolved.unionByName(topUnresolved)
