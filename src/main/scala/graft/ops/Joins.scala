@@ -980,6 +980,14 @@ object Joins {
     * the form downstream consumers (the top-k cap's ranking window)
     * compose on, so the plan never pays a global range exchange that
     * the next operator's hash partitioning immediately destroys. */
+  /** A ranked prefix table together with the (kMax, q) it was built
+    * at — the build parameters travel WITH the frame so a consumer
+    * requiring a larger threshold or a different gram width fails
+    * loudly at the require instead of silently dropping pairs (a
+    * truncated prefix is a SOUNDNESS hole, not a perf bug). */
+  private[graft] final case class EdPrefixTable(
+      df: org.apache.spark.sql.DataFrame, kMax: Int, q: Int)
+
   /** The ranked positional-q-gram PREFIX TABLE (g, p, id, s, rk) the
     * filter joins on: every string's q-grams ranked under the one
     * global (df, g, p) order, kept to the k*q+1 smallest. The ranking
@@ -988,7 +996,11 @@ object Joins {
     * Materialized (localCheckpoint) because every consumer joins it
     * at least twice. */
   private[graft] def editDistPrefixTable(names: org.apache.spark.sql.DataFrame,
-      k: Int, q: Int = 2): org.apache.spark.sql.DataFrame = {
+      k: Int, q: Int = 2): EdPrefixTable =
+    EdPrefixTable(editDistPrefixTableDf(names, k, q), k, q)
+
+  private def editDistPrefixTableDf(names: org.apache.spark.sql.DataFrame,
+      k: Int, q: Int): org.apache.spark.sql.DataFrame = {
     val grams = names.filter(length(col("s")) >= q)
       .select(col("id"), col("s"), explode(expr(
       s"transform(sequence(1, length(s) - ${q - 1})," +
@@ -1022,8 +1034,11 @@ object Joins {
       // staged top-k shares ONE table across its two stages instead
       // of paying the gram explode + df aggregate + ranking window
       // twice over the same corpus
-      prebuilt: Option[org.apache.spark.sql.DataFrame] = None)
+      prebuilt: Option[EdPrefixTable] = None)
       : org.apache.spark.sql.DataFrame = {
+    prebuilt.foreach(p => require(p.kMax >= k && p.q == q,
+      s"prefix table built at (kMax=${p.kMax}, q=${p.q}) cannot serve " +
+        s"a k=$k, q=$q join — a truncated prefix silently drops pairs"))
     val pref = k * q + 1
     val band = k + 1
     // SOUNDNESS FLOOR: the (k*q+1)-prefix argument needs the string to
@@ -1046,7 +1061,8 @@ object Joins {
     // planner rebuilds the explode + df join + ranking window per
     // consumer (the matchedIslands lesson); blocks are freed with the
     // result frame
-    val prefix = prebuilt.getOrElse(editDistPrefixTable(names, k, q))
+    val prefix = prebuilt.map(_.df)
+      .getOrElse(editDistPrefixTableDf(names, k, q))
       .filter(col("rk") <= pref)
       .select(col("g"), col("p"), col("id"), col("s"))
     // the prefix table carries the STRING itself ((k*q+1) * len
@@ -1188,13 +1204,33 @@ object Joins {
       .filter(col("n1") >= topK)
       .select(col("qid"))
       .localCheckpoint(true) // feeds a semi AND an anti join
+    // DENSITY DISPATCH: escalation wins when a meaningful fraction of
+    // rows resolves at distance 1 — on a low-density corpus (near-
+    // unique keys, the common entity-resolution input) stage 2's
+    // directed join with sliver ~= corpus does the one-stage work
+    // plus two semi-joins, so fall back to ranking one full-threshold
+    // join instead. Stage 1 is the density PROBE (no cheaper signal
+    // exists — near-duplicate density is exactly what it measures),
+    // and its cost rides the shared prefix table either way. The 0.2
+    // threshold is the measured break-even's order: stage 1 costs
+    // ~1/4 of the full k=2 stage on the fixture names, so escalation
+    // must cut at least ~that fraction of stage 2 to pay for itself.
+    val nTotal = math.max(names.count(), 1L)
+    val resolvedFraction = resolved.count().toDouble / nTotal
+    if (resolvedFraction < 0.2)
+      return rankTopK(symPairs(
+          joinEditDistPrefixPairs(names, k, prebuilt = Some(shared))), topK)
+        .orderBy(col("qid"), col("rank"))
     val topResolved = rankTopK(
       sym1.join(resolved, Seq("qid"), "left_semi"), topK)
     // stage 2: full-threshold candidates for the unresolved sliver
     // only (rows with zero matches anywhere are here too — they emit
-    // nothing, same as the one-stage form)
+    // nothing, same as the one-stage form). Materialized: it feeds
+    // the gram-path AND short-fringe semi-joins, and its lineage
+    // drags the whole `names` construction along per consumer.
     val unresolvedIds = names.select(col("id"))
       .join(resolved.select(col("qid").as("id")), Seq("id"), "left_anti")
+      .localCheckpoint(true)
     val pairs2 = joinEditDistPrefixPairs(names, k,
         queryIds = Some(unresolvedIds), prebuilt = Some(shared))
       .select(col("d1").as("qid"), col("d2").as("cand"), col("dist"))

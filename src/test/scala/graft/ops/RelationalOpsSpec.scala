@@ -478,6 +478,28 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(staged.exists(p => p._1 == 30L && p._2 == 31L),
       "short-fringe pair must survive the directed deletion path")
     assert(!staged.exists(_._1 == 40L), "matchless rows emit nothing")
+    // LOW-DENSITY corpus (no row has >= topK distance-1 matches): the
+    // density dispatch must take the one-stage fallback and still
+    // equal the exhaustive window
+    val sparse = Seq(
+      (1L, "aurora_x1"), (2L, "borealis_2"), (3L, "cascade_33"),
+      (4L, "dunes_4444"), (5L, "estuary_55"), (6L, "estuary_77"),
+      (7L, "fjord_9090"), (8L, "glacier_11")
+    ).toDF("id", "s")
+    val stagedS = Joins.joinEditDistTopKOn(sparse, 2, 3)
+      .as[(Long, Long, Int, Int)].collect().toSeq
+    val bruteS = sparse.select(col("id").as("qid"), col("s").as("s1"))
+      .crossJoin(sparse.select(col("id").as("cand"), col("s").as("s2")))
+      .filter(col("qid") =!= col("cand"))
+      .withColumn("dist", levenshtein(col("s1"), col("s2")))
+      .filter(col("dist") <= 2)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("cand"), col("dist"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+      .as[(Long, Long, Int, Int)].collect().toSeq
+    assert(stagedS.nonEmpty && stagedS == bruteS,
+      s"low-density fallback must equal the window:\n got=$stagedS\n exp=$bruteS")
     // ...and on the real fixture slice the entry runs on
     val fixture = graft.engine.Tables(spark, sfSmoke, "customer")
       .filter(col("c_custkey") % 4 === 0)
