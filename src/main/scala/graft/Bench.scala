@@ -93,7 +93,7 @@ object Bench {
       // first is map-order luck, so pin this row to the PARSE regime
       // (the shredded row already prices the serve) — without this the
       // two rows could read as duplicates of each other
-      if (name == "q_fn_variant")
+      if (name == "q_fn_variant" || name == "q_fn_variant_multi")
         graft.ops.ScalarFns.invalidateShredTableCache()
       // same pin for the two committed-AnnIndex dispatch entries: map
       // order happens to run them before q_llm_ann_index commits one
@@ -102,10 +102,29 @@ object Bench {
       // rows already price the serve)
       if (name == "q_llm_ann_ivf" || name == "q_llm_knn_join_ivf")
         graft.ops.Llm.invalidateAnnIndexCache()
+      // the two committed-index entries are pinned COLD outright
+      // (drop any index an earlier entry committed): each row prices
+      // one deterministic build+commit+serve, and the recurring serve
+      // regime gets its own explicit _warm row below — no rerun
+      // adjudication on either, so min() never mixes the regimes
+      if (name == "q_llm_ann_index" || name == "q_llm_ann_pq_index")
+        graft.ops.Llm.invalidateAnnIndexCache()
       val (dt, err) = timeOne(name, fn)
       (name, dt, err)
     }
     sentinel("end")
+    // explicit WARM rows for the committed-index entries: guarantee a
+    // committed index exists (untimed ensure — a build if the first
+    // pass's artifact was invalidated since), then time the pure
+    // dispatch-served read — the number that recurs in production,
+    // now a deterministic row instead of a rerun adjudication
+    val warmRows = Seq("q_llm_ann_index", "q_llm_ann_pq_index").map { name =>
+      val fn = SparkEntry.queries(name)
+      try graft.util.Exec.drain(fn(spark, sfDir))
+      catch { case _: Throwable => () } // the timed run reports the error
+      val (dt, err) = timeOne(name + "_warm", fn)
+      (name + "_warm", dt, err)
+    }
     // Self-defense against degraded host windows: this host's
     // run-to-run band reaches ~60x on single-shot readings (round 3
     // recorded a 251 s entry that re-measures at 4 s). Any query whose
@@ -122,8 +141,13 @@ object Bench {
     // rerun itself fails — a failed adjudication attempt must be
     // visible in the record, not silently dropped
     val reruns = scala.collection.mutable.LinkedHashMap[String, String]()
+    // regime-pinned rows are exempt from rerun adjudication: their
+    // first reading is already a deterministic cold build (or warm
+    // serve), and a cache-dropped rerun would re-price the SAME
+    // regime at best or mix regimes at worst
+    val noRerun = Set("q_llm_ann_index", "q_llm_ann_pq_index")
     val results = firstPass.map { case (name, dt, err) =>
-      if (err.isEmpty && dt > threshold) {
+      if (err.isEmpty && dt > threshold && !noRerun(name)) {
         graft.ops.Ml.invalidateFitCache()
         graft.ops.Llm.invalidateCellCache()
         graft.ops.Llm.invalidateClusterLabelCache()
@@ -143,7 +167,9 @@ object Bench {
           graft.ops.Advanced.invalidateDmlTableCache()
         // q_fn_variant: same parse-regime pin as the first pass —
         // min() must never compare a parse reading against a serve one
-        if (name == "q_fn_variant_shredded" || name == "q_fn_variant")
+        if (name == "q_fn_variant_shredded" || name == "q_fn_variant" ||
+            name == "q_fn_variant_multi_shredded" ||
+            name == "q_fn_variant_multi")
           graft.ops.ScalarFns.invalidateShredTableCache()
         if (name == "q_llm_shard_resume")
           graft.ops.Llm.invalidateShardTableCache()
@@ -151,11 +177,9 @@ object Bench {
         // (first pass pinned to the fit regime above), so the cold
         // rerun must drop the index or it would price the serve
         // regime against a fit-regime first reading and min() would
-        // mix regimes; the index-building entries themselves need the
-        // same drop or their "cold" rerun re-serves the warm memoized
-        // index and publishes a serve-only time under a build+serve row
-        if (name == "q_llm_ann_ivf" || name == "q_llm_knn_join_ivf" ||
-            name == "q_llm_ann_index" || name == "q_llm_ann_pq_index")
+        // mix regimes (the index-building entries themselves are in
+        // the noRerun set — their rows are regime-pinned outright)
+        if (name == "q_llm_ann_ivf" || name == "q_llm_knn_join_ivf")
           graft.ops.Llm.invalidateAnnIndexCache()
         if (name == "q_llm_bpe_apply")
           graft.ops.Llm.invalidateBpeTableCache()
@@ -184,7 +208,7 @@ object Bench {
           System.err.println(s"BENCH FAILURE q_data_skipping_read: $e")
           Some(("q_data_skipping_read", 0.0, Some(e.getClass.getSimpleName)))
       }
-    val all = results ++ skipRead
+    val all = results ++ warmRows ++ skipRead
     val ok = all.collect { case (k, v, None) => k -> v }
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -212,6 +236,16 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (artifact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"BENCH artifact write failed: $e") }
+    // LAST stdout line = a COMPACT summary that fits the driver's
+    // 2 KB stdout-tail capture (the full per-query line above
+    // overflows it and parsed as null in BENCH_r11.json); the full
+    // record lives in the artifact file
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+        s""""total_s":$total,"n_entries":${ok.size},""" +
+        s""""errors":${all.count(_._3.isDefined)},"reruns":${reruns.size},""" +
+        s""""sentinel":$sentJson,"full_record":"$out"}"""
+    println(compact)
     spark.stop()
   }
 }

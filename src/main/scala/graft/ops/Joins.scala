@@ -896,7 +896,20 @@ object Joins {
   private[graft] def joinEditDistOn(names: org.apache.spark.sql.DataFrame,
       k: Int = 1,
       queryIds: Option[org.apache.spark.sql.DataFrame] = None)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame =
+    joinEditDistDelPairs(names, k, queryIds).orderBy(col("d1"), col("d2"))
+
+  /** A deletion-variant table (id, v) with the k it was built at —
+    * the build threshold travels with the frame so a consumer needing
+    * a LARGER threshold fails loudly (a too-shallow neighborhood
+    * silently drops pairs; a deeper one only adds candidates, which
+    * the exact verify discards). Materialized: it feeds both join
+    * sides and the density probe. */
+  private[graft] final case class EdVariantTable(
+      df: org.apache.spark.sql.DataFrame, k: Int)
+
+  private[graft] def deletionVariants(names: org.apache.spark.sql.DataFrame,
+      k: Int): EdVariantTable = {
     require(k >= 1, s"edit-distance threshold must be >= 1, got $k")
     def delOne(arr: String): String =
       s"""array_distinct(flatten(transform($arr,
@@ -904,9 +917,24 @@ object Joins {
               i -> concat(substring(t, 1, i - 1),
                           substring(t, i + 1, length(t)))))))"""
     val levels = Iterator.iterate("array(s)")(delOne).take(k + 1).toSeq
-    val vars = names.select(col("id"), explode(expr(
+    EdVariantTable(names.select(col("id"), explode(expr(
       s"array_distinct(concat(${levels.mkString(", ")}))")).as("v"))
-      .localCheckpoint(true)
+      .localCheckpoint(true), k)
+  }
+
+  /** [[joinEditDistOn]] without the final presentation sort — the form
+    * staged/capped consumers compose on (their ranking window's hash
+    * partitioning would destroy a global range exchange anyway). */
+  private[graft] def joinEditDistDelPairs(names: org.apache.spark.sql.DataFrame,
+      k: Int,
+      queryIds: Option[org.apache.spark.sql.DataFrame] = None,
+      prebuilt: Option[EdVariantTable] = None)
+      : org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"edit-distance threshold must be >= 1, got $k")
+    prebuilt.foreach(p => require(p.k >= k,
+      s"variant table built at k=${p.k} cannot serve a k=$k join — " +
+        "a too-shallow deletion neighborhood silently drops pairs"))
+    val vars = prebuilt.map(_.df).getOrElse(deletionVariants(names, k).df)
     // DIRECTED regime (queryIds defined): d1 ranges over the query
     // subset only, d2 over the whole input, each qualifying (q, c)
     // pair emitted once as (d1=q, d2=c) — the staged-escalation
@@ -929,7 +957,6 @@ object Joins {
       .withColumn("dist", levenshtein(col("s1"), col("s2"), k))
       .filter(col("dist").between(0, k))
       .select(col("d1"), col("d2"), col("dist"))
-      .orderBy(col("d1"), col("d2"))
   }
 
   /** Regime dispatch between the two sound generators. Since the
@@ -1107,7 +1134,7 @@ object Joins {
       .withColumn("dist", levenshtein(col("s1"), col("s2"), k))
       .filter(col("dist").between(0, k))
       .select(col("d1"), col("d2"), col("dist"))
-    longPairs.unionByName(joinEditDistOn(shortFringe, k, queryIds))
+    longPairs.unionByName(joinEditDistDelPairs(shortFringe, k, queryIds))
       .distinct()
   }
 
@@ -1172,33 +1199,23 @@ object Joins {
     rankTopK(symPairs(joinEditDistPrefixPairs(names, k)), topK)
       .orderBy(col("qid"), col("rank"))
 
-  /** STAGED ESCALATION (round 11): ranking by (dist, cand) means a
-    * row with >= topK matches at distance <= 1 has its ENTIRE top-k
-    * inside that distance-1 set — every distance-2 candidate sorts
-    * after all of them — so generating (and verifying) its dense
-    * distance-2 neighborhood is pure waste. Stage 1 runs the much
-    * cheaper k=1 join over everything and resolves those rows; stage
-    * 2 runs the k=2 candidate stage DIRECTED: query side = only the
-    * unresolved sliver, candidate side = the whole input (a resolved
-    * row can still be someone else's nearest match). On corpora
-    * where near-duplicate density grows with the corpus — exactly
-    * where the uncapped join is output-bound — most rows resolve at
-    * stage 1 and the quadratic-ish distance-2 candidate space is paid
-    * only by the sliver. x30 inflated-names probe: 151.9 s -> see
-    * BASELINE.md round-11 staged row. Output is identical to the
-    * one-stage form by the ordering argument (spec-pinned). */
-  private[graft] def joinEditDistTopKOn(names: org.apache.spark.sql.DataFrame,
-      k: Int, topK: Int): org.apache.spark.sql.DataFrame = {
-    if (k <= 1) return joinEditDistTopKSingleStage(names, k, topK)
-    // ONE prefix table serves both stages (built at the full k; stage
-    // 1 reads its rk <= q+1 subset) — the gram explode, df aggregate
-    // and ranking window over the corpus are paid once, not per stage
-    val shared = editDistPrefixTable(names, k)
+  /** The staged skeleton shared by the short- and long-string exact
+    * regimes: rank stage-1 (dist <= 1) matches for rows they resolve,
+    * run the full-threshold candidate stage DIRECTED over the
+    * unresolved sliver, or fall back to one full-threshold join on
+    * low-density corpora (see [[joinEditDistTopKOn]]). `sym1` is the
+    * symmetric stage-1 pair stream; `fullPairs` builds the one-stage
+    * fallback's pairs; `directedPairs` the sliver-directed stage 2. */
+  private def stagedTopK(names: org.apache.spark.sql.DataFrame,
+      topK: Int, nTotal: Long,
+      sym1Raw: org.apache.spark.sql.DataFrame,
+      fullPairs: () => org.apache.spark.sql.DataFrame,
+      directedPairs: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     // stage 1: distance <= 1 matches for every row. Materialized —
     // it feeds the resolution count AND the resolved rows' ranking.
-    val sym1 = symPairs(joinEditDistPrefixPairs(names, 1,
-        prebuilt = Some(shared)))
-      .localCheckpoint(true)
+    val sym1 = sym1Raw.localCheckpoint(true)
     val resolved = sym1.groupBy(col("qid"))
       .agg(count(lit(1)).as("n1"))
       .filter(col("n1") >= topK)
@@ -1210,16 +1227,14 @@ object Joins {
     // directed join with sliver ~= corpus does the one-stage work
     // plus two semi-joins, so fall back to ranking one full-threshold
     // join instead. Stage 1 is the density PROBE (no cheaper signal
-    // exists — near-duplicate density is exactly what it measures),
-    // and its cost rides the shared prefix table either way. The 0.2
-    // threshold is the measured break-even's order: stage 1 costs
-    // ~1/4 of the full k=2 stage on the fixture names, so escalation
-    // must cut at least ~that fraction of stage 2 to pay for itself.
-    val nTotal = math.max(names.count(), 1L)
+    // exists — near-duplicate density is exactly what it measures).
+    // The 0.2 threshold is the measured break-even's order: stage 1
+    // costs ~1/4 of the full k=2 stage on the fixture names, so
+    // escalation must cut at least ~that fraction of stage 2 to pay
+    // for itself.
     val resolvedFraction = resolved.count().toDouble / nTotal
     if (resolvedFraction < 0.2)
-      return rankTopK(symPairs(
-          joinEditDistPrefixPairs(names, k, prebuilt = Some(shared))), topK)
+      return rankTopK(symPairs(fullPairs()), topK)
         .orderBy(col("qid"), col("rank"))
     val topResolved = rankTopK(
       sym1.join(resolved, Seq("qid"), "left_semi"), topK)
@@ -1231,12 +1246,239 @@ object Joins {
     val unresolvedIds = names.select(col("id"))
       .join(resolved.select(col("qid").as("id")), Seq("id"), "left_anti")
       .localCheckpoint(true)
-    val pairs2 = joinEditDistPrefixPairs(names, k,
-        queryIds = Some(unresolvedIds), prebuilt = Some(shared))
+    val pairs2 = directedPairs(unresolvedIds)
       .select(col("d1").as("qid"), col("d2").as("cand"), col("dist"))
     val topUnresolved = rankTopK(pairs2, topK)
     topResolved.unionByName(topUnresolved)
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** STAGED ESCALATION (round 11; stage-1 generator dispatch + dense
+    * regime, round 12): ranking by (dist, cand) means a row with
+    * >= topK matches at distance <= 1 has its ENTIRE top-k inside
+    * that distance-1 set — every distance-2 candidate sorts after all
+    * of them — so generating (and verifying) its dense distance-2
+    * neighborhood is pure waste. Stage 1 runs the much cheaper k=1
+    * join over everything and resolves those rows; stage 2 runs the
+    * full-k candidate stage DIRECTED: query side = only the
+    * unresolved sliver, candidate side = the whole input (a resolved
+    * row can still be someone else's nearest match). Output is
+    * identical to the one-stage form by the ordering argument
+    * (spec-pinned).
+    *
+    * STAGE-1 GENERATOR (round 12): on short strings stage 1 uses the
+    * DELETION NEIGHBORHOOD ([[joinEditDistDelPairs]]), not the prefix
+    * filter. On duplicate-dense corpora the two differ structurally:
+    * a rare-gram bucket holds every near-copy of a replicated name
+    * (bucket ~ duplication factor, candidates ~ factor²) while a
+    * deletion-variant bucket holds only strings within ONE edit of a
+    * shared variant (bucket ~ the dist-1 clique, candidates ~ dist-1
+    * OUTPUT) — this is what turned the x100 inflated-names probe from
+    * 347 s (prefix stage 1) to the round-12 row (BASELINE.md). Long
+    * strings (maxLen > 40, C(len,1) variants too wide) keep the
+    * round-11 shared-prefix-table staging.
+    *
+    * DENSE-REGIME DISPATCH (round 12): when even the dist-1 candidate
+    * volume explodes (true duplicate-dense input: thousands of
+    * verbatim copies — the dist-1 sets being ranked are themselves
+    * factor-sized, so NO exact method is sub-quadratic), the operator
+    * routes to the recall-gated banded approximate face
+    * [[joinEditDistTopKBanded]]. The probe is exact and free-riding:
+    * sum over stage-1 candidate buckets of c*(c-1) IS the stage-1
+    * candidate volume, computed from the variant/prefix table stage 1
+    * needs anyway; `approx` overrides (Some(true)/Some(false)) pin
+    * the regime for specs and probes.
+    *
+    * EAGER-ACTION CONTRACT: constructing this frame runs stage 1 (two
+    * counts + localCheckpoints) — the density numbers ARE the plan
+    * choice, so they cannot be deferred. Checkpointed blocks are
+    * freed with the result frame's GC; a long-lived driver composing
+    * many of these should materialize and release each result before
+    * building the next. */
+  private[graft] def joinEditDistTopKOn(names: org.apache.spark.sql.DataFrame,
+      k: Int, topK: Int,
+      approx: Option[Boolean] = None,
+      denseCandPerRow: Double = 256.0): org.apache.spark.sql.DataFrame = {
+    if (k <= 1) return joinEditDistTopKSingleStage(names, k, topK)
+    if (approx.contains(true)) return joinEditDistTopKBanded(names, k, topK)
+    val nTotal = math.max(names.count(), 1L)
+    // same regime rule as joinEditDistAuto: the deletion neighborhood
+    // is the short-string generator (C(len, 1) variants per string)
+    val maxLenRow = names.agg(max(length(col("s")))).head()
+    val maxLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
+    def bucketCandVolume(buckets: org.apache.spark.sql.DataFrame): Long = {
+      val r = buckets.agg(sum(col("c") * (col("c") - 1))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    if (maxLen <= 40) {
+      val vars = deletionVariants(names, 1)
+      lazy val candVolume = bucketCandVolume(
+        vars.df.groupBy(col("v")).agg(count(lit(1)).as("c")))
+      if (approx.getOrElse(candVolume > denseCandPerRow * nTotal))
+        return joinEditDistTopKBanded(names, k, topK)
+      stagedTopK(names, topK, nTotal,
+        symPairs(joinEditDistDelPairs(names, 1, prebuilt = Some(vars))),
+        () => joinEditDistPrefixPairs(names, k),
+        ids => joinEditDistPrefixPairs(names, k, queryIds = Some(ids)))
+    } else {
+      // ONE prefix table serves both stages (built at the full k;
+      // stage 1 reads its rk <= q+1 subset) — the gram explode, df
+      // aggregate and ranking window over the corpus are paid once
+      val shared = editDistPrefixTable(names, k)
+      // density probe over the ACTUAL stage-1 join key (g, band):
+      // side A's bucket sizes, before side B's ~2.3x band replication
+      lazy val candVolume = bucketCandVolume(
+        shared.df.filter(col("rk") <= shared.q + 1)
+          .groupBy(col("g"), floor(col("p") / 2).as("bkt"))
+          .agg(count(lit(1)).as("c")))
+      if (approx.getOrElse(candVolume > denseCandPerRow * nTotal))
+        return joinEditDistTopKBanded(names, k, topK)
+      stagedTopK(names, topK, nTotal,
+        symPairs(joinEditDistPrefixPairs(names, 1, prebuilt = Some(shared))),
+        () => joinEditDistPrefixPairs(names, k, prebuilt = Some(shared)),
+        ids => joinEditDistPrefixPairs(names, k,
+          queryIds = Some(ids), prebuilt = Some(shared)))
+    }
+  }
+
+  /** BANDED APPROXIMATE face of the capped similarity join — the
+    * duplicate-dense regime's escape hatch ([[joinEditDistTopKOn]]
+    * routes here when the exact stage-1 candidate volume exceeds the
+    * budget). Candidates come from MinHash LSH over character 2-gram
+    * shingles (the same 12-hash / 6-band signatures as
+    * [[Llm.bandedSignatures]] — Broder resemblance sketches with
+    * banding per Leskovec-Rajaraman-Ullman ch. 3), with per-bucket
+    * generation BOUNDED instead of all-pairs:
+    *
+    *  - buckets <= `smallBucket`: exhaustive within the bucket (the
+    *    recall floor — sparse neighborhoods never pay the cap);
+    *  - larger buckets: every member pairs with the bucket's `heads`
+    *    smallest ids (the (dist, cand)-ranking's tie-break winners
+    *    when the bucket is distance-homogeneous) plus a `window`-wide
+    *    id-adjacency band (near-id members: catches perturbed-copy
+    *    neighborhoods whose closest matches cluster in id space);
+    *  - the dist-0 class exactly: a groupBy on the string itself
+    *    pairs every verbatim duplicate with its group's (topK+1)
+    *    smallest ids — the dominant class of a duplicate-dense corpus
+    *    never depends on LSH bucket composition.
+    *
+    * Every candidate is verified with the exact banded-DP levenshtein
+    * and ranked by the same (dist, cand) window as the exact face, so
+    * emitted rows are always TRUE matches with true distances —
+    * approximation can only MISS candidates, never invent them.
+    * Candidate volume is bounded by 6 * (smallBucket/2 + heads +
+    * window) per input row regardless of duplication density — the
+    * property the exact generators cannot have when the dist-1 sets
+    * themselves are duplication-factor-sized. Recall is spec-gated
+    * (RelationalOpsSpec / planted duplicate-dense fixture, >= 0.95 of
+    * the exact top-k); on dist-layered corpora whose cand-asc
+    * tie-break winners sit far from any bucket head the returned ids
+    * within one distance class may differ from the exact tie-break
+    * (the probe reports per-rank DIST parity for exactly that
+    * construction). */
+  private[graft] def joinEditDistTopKBanded(
+      names: org.apache.spark.sql.DataFrame,
+      k: Int, topK: Int,
+      heads: Int = 16, window: Int = 8, smallBucket: Int = 32)
+      : org.apache.spark.sql.DataFrame = {
+    // three consumers (shingle signatures + two verify sides)
+    val nm = names.localCheckpoint(true)
+    // distinct character 2-grams; a len-1 string shingles to itself
+    val shingled = nm.select(col("id").as("doc_id"), expr(
+      "array_distinct(transform(sequence(1, greatest(length(s) - 1, 1))," +
+        " i -> substring(s, i, 2)))").as("shingles"))
+    val banded = Llm.bandedSignatures(shingled)
+      .select(col("doc_id").as("id"), col("band_idx"), col("band_key"))
+    val wAll = Window.partitionBy(col("band_idx"), col("band_key"))
+    val wOrd = wAll.orderBy(col("id"))
+    // rn + bucket size in one pass; materialized — feeds four
+    // consumers (small-pair self-join twice, heads join, id window)
+    val marked = banded
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .localCheckpoint(true)
+    val sm = marked.filter(col("cnt") <= smallBucket)
+    val smallPairs = sm.select(col("band_idx"), col("band_key"),
+        col("id").as("d1"))
+      .join(sm.select(col("band_idx"), col("band_key"), col("id").as("d2")),
+        Seq("band_idx", "band_key"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+    val lg = marked.filter(col("cnt") > smallBucket)
+    val headPairs = lg
+      .join(lg.filter(col("rn") <= heads)
+          .select(col("band_idx"), col("band_key"), col("id").as("hid")),
+        Seq("band_idx", "band_key"))
+      .filter(col("id") =!= col("hid"))
+      .select(least(col("id"), col("hid")).as("d1"),
+        greatest(col("id"), col("hid")).as("d2"))
+    // id-adjacency: each row vs its `window` preceding bucket members
+    // (undirected pairs cover the following direction symmetrically)
+    val windowPairs = lg
+      .withColumn("prev", collect_list(col("id")).over(
+        wOrd.rowsBetween(-window, -1)))
+      .select(explode(col("prev")).as("d1"), col("id").as("d2"))
+    // the dist-0 class EXACTLY: verbatim duplicates need no LSH —
+    // group by the string itself, pair every member with its group's
+    // (topK+1) smallest ids (the (0, cand)-ranking winners; +1 spares
+    // the winners' own self-exclusion). One shuffle, <= (topK+1) * n
+    // pairs, and the dominant class of a verbatim-duplicate-dense
+    // corpus is returned exactly no matter how the LSH buckets mix
+    // distance classes.
+    val wStr = Window.partitionBy(col("s")).orderBy(col("id"))
+    val dupMarked = nm.withColumn("srn", row_number().over(wStr))
+    val dupPairs = dupMarked.select(col("s"), col("id"))
+      .join(dupMarked.filter(col("srn") <= topK + 1)
+          .select(col("s"), col("id").as("hid")), Seq("s"))
+      .filter(col("id") =!= col("hid"))
+      .select(least(col("id"), col("hid")).as("d1"),
+        greatest(col("id"), col("hid")).as("d2"))
+    val verified = smallPairs
+      .unionByName(headPairs).unionByName(windowPairs).unionByName(dupPairs)
+      .distinct()
+      .join(nm.select(col("id").as("d1"), col("s").as("s1")), Seq("d1"))
+      .join(nm.select(col("id").as("d2"), col("s").as("s2")), Seq("d2"))
+      .withColumn("dist", levenshtein(col("s1"), col("s2"), k))
+      .filter(col("dist").between(0, k))
+      .select(col("d1"), col("d2"), col("dist"))
+    rankTopK(symPairs(verified), topK)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** DIRECTED R-x-S capped match: each `queries` row's `topK` nearest
+    * `canon` rows within edit distance <= k, ranked by (dist, canon
+    * id) — the per-batch form of the streaming entity-resolution
+    * ingest gate ([[graft.streaming.Pipelines.runStreamingEntityRes]])
+    * and the two-frame sibling of [[joinEditDistTopKOn]]. Candidates
+    * come from the FastSS deletion neighborhood on BOTH sides (two
+    * strings within edit k share a delete-up-to-k variant verbatim);
+    * the canon side's variant table is PREBUILT once per stream and
+    * reused across triggers, so a trigger pays only its own batch's
+    * variant explode plus an output-sized verify. The canon side is
+    * a dimension by definition — its variant table broadcasts, the
+    * batch side streams map-only with no shuffle before the ranking
+    * window. Returns (qid, canon_id, dist, rank). */
+  private[graft] def topKMatchAgainst(queries: org.apache.spark.sql.DataFrame,
+      canon: org.apache.spark.sql.DataFrame,
+      canonVars: EdVariantTable, k: Int, topK: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(canonVars.k >= k,
+      s"canon variant table built at k=${canonVars.k} cannot serve k=$k")
+    val qv = deletionVariants(queries, k).df
+    val cand = qv.select(col("v"), col("id").as("qid"))
+      .join(broadcast(canonVars.df.select(col("v"), col("id").as("canon_id"))),
+        Seq("v"))
+      .select(col("qid"), col("canon_id")).distinct()
+    val verified = cand
+      .join(queries.select(col("id").as("qid"), col("s").as("qs")), Seq("qid"))
+      .join(broadcast(canon.select(col("id").as("canon_id"),
+        col("s").as("cs"))), Seq("canon_id"))
+      .withColumn("dist", levenshtein(col("qs"), col("cs"), k))
+      .filter(col("dist").between(0, k))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("canon_id"))
+    verified.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("canon_id"), col("dist"), col("rank"))
   }
 
   val joinEditDist2TopK: Q = (spark, dir) =>
@@ -1245,10 +1487,21 @@ object Joins {
       .select(col("c_custkey").as("id"), col("c_name").as("s")),
       k = 2, topK = 3)
 
+  /** The banded approximate face FORCED through the same dispatch the
+    * dense regime takes (rows-only entry: output is recall-gated
+    * against the exact face in RelationalOpsSpec, not SQL-expressible
+    * — the generated candidate set is the approximation). */
+  val joinEditDist2TopKBanded: Q = (spark, dir) =>
+    joinEditDistTopKOn(Tables(spark, dir, "customer")
+      .filter(col("c_custkey") % 4 === 0)
+      .select(col("c_custkey").as("id"), col("c_name").as("s")),
+      k = 2, topK = 3, approx = Some(true))
+
   val queries: Map[String, Q] = Map(
     "q_join_editdist" -> joinEditDist,
     "q_join_editdist2" -> joinEditDist2,
     "q_join_editdist2_topk" -> joinEditDist2TopK,
+    "q_join_editdist2_topk_banded" -> joinEditDist2TopKBanded,
     "q_join_left_enrich" -> joinLeftEnrich,
     "q_join_inner" -> joinInner,
     "q_join_semi" -> joinSemi,

@@ -199,7 +199,13 @@ object ScalarFns {
     // and the read deletes the table out from under us — the peek
     // contract says a failed use of the value is a MISS, so the race
     // degrades to the parse regime instead of failing the query
-    val dispatched = shredTableCache.peek(spark, dir).flatMap { table =>
+    // Fingerprint gate (round-11 advice): the memo records the SOURCE
+    // listing identity at build time — a source recommitted/changed
+    // since then must MISS the dispatch (stale snapshot), not serve
+    // yesterday's rows under today's dir
+    val dispatched = shredTableCache.peek(spark, dir)
+      .filter(_._2 == eventsFingerprint(spark, dir))
+      .flatMap { case (table, _) =>
       scala.util.Try {
         graft.engine.VersionedTable
           .shredOutputFor(spark, table, "props", "$.k", "int")
@@ -295,21 +301,73 @@ object ScalarFns {
   /** Memoized shredded-at-rest events table per (session, dir) —
     * the skipTableCache lifecycle idiom: the commit is the one-time
     * layout/maintenance step (declare + re-commit, a nightly job in
-    * a real lake); repeat invocations pay only the column read. */
-  private val shredTableCache = graft.util.TableMemo.paths()
+    * a real lake); repeat invocations pay only the column read. The
+    * value carries the SOURCE FINGERPRINT taken at build time (see
+    * [[eventsFingerprint]]) so both the dispatch and the builder can
+    * detect a source that changed under the memo. */
+  private val shredTableCache =
+    new graft.util.TableMemo[(String, String)](
+      (_, v) => graft.util.Fs.deleteRecursively(v._1))
 
   def invalidateShredTableCache(): Unit = shredTableCache.invalidate()
 
+  /** Identity of the events source under `dir`: every data file's
+    * (name, length, mtime), order-independent. One listing RPC — the
+    * cost of never serving a stale shredded snapshot after the source
+    * is regenerated in-session (round-11 advice). */
+  private def eventsFingerprint(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fsys = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fsys.exists(path)) "absent"
+    else {
+      val it = fsys.listFiles(path, true)
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val s = it.next()
+        parts += s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}"
+      }
+      s"${parts.size}:${parts.sorted.mkString("|").hashCode}"
+    }
+  }
+
   private def shreddedEventsTable(spark: org.apache.spark.sql.SparkSession,
-      dir: String): String =
+      dir: String): String = {
+    val fp = eventsFingerprint(spark, dir)
+    // a memoized snapshot of a source that has since changed is stale
+    // for the BUILD path too, not just the dispatch: drop and rebuild
+    if (shredTableCache.peek(spark, dir).exists(_._2 != fp))
+      invalidateShredTableCache()
     shredTableCache.getOrBuild(spark, dir) {
       val table = graft.util.Fs.tempDir("graft_shred")
-      graft.engine.VersionedTable.setShreddedPaths(spark, table,
-        Seq("props|k_shred:$.k:int"))
+      graft.engine.VersionedTable.setShreddedPaths(spark, table, shredDecls)
       graft.engine.VersionedTable.commit(
-        Tables(spark, dir, "events"), table)
-      table
-    }
+        Tables(spark, dir, "events").withColumn("doc", expr(nestedDocExpr)),
+        table)
+      (table, fp)
+    }._1
+  }
+
+  /** The multi-path + nested declaration set the shredded events
+    * snapshot materializes: the original flat `$.k` plus three paths
+    * of a NESTED document column (`$.a.b`, `$.a.c`, `$.v`) — one
+    * commit extracts all four into typed parquet columns. */
+  private val shredDecls = Seq(
+    "props|k_shred:$.k:int",
+    "doc|ab_shred:$.a.b:int",
+    "doc|ac_shred:$.a.c:string",
+    "doc|v_shred:$.v:bigint")
+
+  /** Deterministic NESTED semi-structured document derived from the
+    * fixture's own columns (the fixture's props is flat `{"k": N}`,
+    * so depth is synthesized: in production the nested doc arrives as
+    * data). The oracle never parses it — it recomputes the same
+    * values from the base columns, so the comparison checks the
+    * extraction semantics end to end. */
+  private val nestedDocExpr =
+    "to_json(named_struct('a', named_struct(" +
+      "'b', CAST(get_json_object(props, '$.k') AS INT), " +
+      "'c', event_type), 'v', user_id))"
 
   /** The SHREDDED-AT-REST face of q_fn_variant — the repair for its
     * honest anchor gap (parse_json's binary encode paid per row per
@@ -325,10 +383,71 @@ object ScalarFns {
       shreddedEventsTable(spark, dir))
       .select(col("event_type"), col("k_shred").as("k")))
 
+  /** The shared aggregate over the three NESTED extractions both
+    * multi-path regimes feed. */
+  private def variantMultiAgg(kd: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    kd.groupBy(col("ac"))
+      .agg(
+        count(col("ab")).as("n_ab"),
+        sum(col("ab")).as("sum_ab"),
+        max(col("ab")).as("max_ab"),
+        sum(col("v")).as("sum_v"))
+      .orderBy(col("ac"))
+
+  /** Per-row-parse regime of the multi-path query: ONE parse_json of
+    * the nested doc, three typed variant_get extractions. */
+  private[graft] val fnVariantMultiParse: Q = (spark, dir) =>
+    variantMultiAgg(Tables(spark, dir, "events")
+      .withColumn("doc", expr(nestedDocExpr))
+      .withColumn("vd", expr("parse_json(doc)"))
+      .select(
+        expr("variant_get(vd, '$.a.b', 'int')").as("ab"),
+        expr("variant_get(vd, '$.a.c', 'string')").as("ac"),
+        expr("variant_get(vd, '$.v', 'bigint')").as("v")))
+
+  /** Multi-path + NESTED shredding (round-11 directive #7): the
+    * dispatch serves only when EVERY declared extraction this query
+    * needs is materialized at the declared type on the committed
+    * snapshot — one partially-covering declaration keeps the parse
+    * regime, so a dispatched plan is parse-free for ALL its paths
+    * (PlansSpec guards the executed plan). Same fingerprint gate as
+    * [[fnVariant]]. */
+  val fnVariantMulti: Q = (spark, dir) => {
+    val dispatched = shredTableCache.peek(spark, dir)
+      .filter(_._2 == eventsFingerprint(spark, dir))
+      .flatMap { case (table, _) =>
+        scala.util.Try {
+          for {
+            ab <- graft.engine.VersionedTable
+              .shredOutputFor(spark, table, "doc", "$.a.b", "int")
+            ac <- graft.engine.VersionedTable
+              .shredOutputFor(spark, table, "doc", "$.a.c", "string")
+            v <- graft.engine.VersionedTable
+              .shredOutputFor(spark, table, "doc", "$.v", "bigint")
+          } yield variantMultiAgg(
+            graft.engine.VersionedTable.read(spark, table)
+              .select(col(ab).as("ab"), col(ac).as("ac"), col(v).as("v")))
+        }.toOption.flatten
+      }
+    dispatched.getOrElse(fnVariantMultiParse(spark, dir))
+  }
+
+  /** The shredded-at-rest face of [[fnVariantMulti]]: builds/serves
+    * the committed snapshot whose one commit materialized all four
+    * declared paths (flat + three nested) as typed columns. */
+  val fnVariantMultiShredded: Q = (spark, dir) =>
+    variantMultiAgg(graft.engine.VersionedTable.read(spark,
+      shreddedEventsTable(spark, dir))
+      .select(col("ab_shred").as("ab"), col("ac_shred").as("ac"),
+        col("v_shred").as("v")))
+
   val queries: Map[String, Q] = Map(
     "q_fn_fuzzy_match" -> fnFuzzyMatch,
     "q_fn_variant" -> fnVariant,
     "q_fn_variant_shredded" -> fnVariantShredded,
+    "q_fn_variant_multi" -> fnVariantMulti,
+    "q_fn_variant_multi_shredded" -> fnVariantMultiShredded,
     "q_fn_regex" -> fnRegex,
     "q_fn_string" -> fnString,
     "q_fn_ts_from_unix" -> fnTsFromUnix,
@@ -355,9 +474,23 @@ object ScalarFns {
               CAST(max(CAST(props->>'$.k' AS INT)) AS INT) AS max_k
        FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** One oracle for both multi-path faces — the oracle recomputes the
+    * nested doc's values from the BASE columns (the doc is derived
+    * from them deterministically), so extraction semantics are
+    * checked end to end without DuckDB ever seeing the doc. */
+  private val variantMultiOracle =
+    """SELECT event_type AS ac,
+              CAST(count(CAST(props->>'$.k' AS INT)) AS BIGINT) AS n_ab,
+              CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_ab,
+              CAST(max(CAST(props->>'$.k' AS INT)) AS INT) AS max_ab,
+              CAST(sum(user_id) AS BIGINT) AS sum_v
+       FROM events GROUP BY event_type ORDER BY ac"""
+
   val oracle: Map[String, String] = Map(
     "q_fn_variant" -> variantOracle,
     "q_fn_variant_shredded" -> variantOracle,
+    "q_fn_variant_multi" -> variantMultiOracle,
+    "q_fn_variant_multi_shredded" -> variantMultiOracle,
     "q_fn_fuzzy_match" ->
       """SELECT name, nearest, dist FROM (
            SELECT a.n_name AS name, b.n_name AS nearest,

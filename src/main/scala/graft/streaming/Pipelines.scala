@@ -1050,6 +1050,78 @@ object Pipelines {
     } finally batch.unpersist()
   }
 
+  /** Streaming ENTITY-RESOLUTION gate — the ingest-time face of the
+    * capped similarity join (`q_join_editdist2_topk` run
+    * continuously): each micro-batch's records are matched against a
+    * CANONICAL dimension by thresholded edit distance and annotated
+    * with their best canonical ids before landing — the
+    * standardize-at-ingest step every pipeline joining human-entered
+    * names needs (the batch face's scaladoc scenario, streamed).
+    * Candidates come from the same FastSS deletion-variant machinery
+    * as the capped join ([[graft.ops.Joins.topKMatchAgainst]]), so
+    * the gates agree with the batch operator by construction.
+    *
+    * Scale shape per trigger: the canon side's variant table is built
+    * ONCE at stream start (the dimension is small by definition — it
+    * broadcasts), each batch pays its own variant explode MAP-ONLY
+    * against the broadcast, and only verified matches reach the
+    * per-record ranking window. Unmatched records land with null
+    * canon_id — the gate annotates, it never drops.
+    *
+    * The sink is the writer-scoped idempotent epoch-partition layout
+    * of [[incrDedupBatch]]: a replayed epoch rewrites the same rows
+    * in the same place and skips via the marker. */
+  def runStreamingEntityRes(
+      newRecords: DataFrame,
+      canon: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      k: Int = 2,
+      topK: Int = 1,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = newRecords.sparkSession
+    val writerId = writerToken(spark, checkpointDir)
+    // stream-lifetime canon artifacts: strings + deletion-variant
+    // table, materialized once (two consumers per trigger each)
+    val canonNames = canon.select(col("id"), col("s")).localCheckpoint(true)
+    val canonVars = graft.ops.Joins.deletionVariants(canonNames, k)
+    newRecords.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        entityResGateBatch(batch.toDF(), epochId, canonNames, canonVars,
+          k, topK, outDir, writerId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** The per-batch gate behind [[runStreamingEntityRes]]. `canonNames`
+    * and `canonVars` are the stream-lifetime canon artifacts. */
+  def entityResGateBatch(batch0: DataFrame, epochId: Long,
+      canonNames: DataFrame,
+      canonVars: graft.ops.Joins.EdVariantTable,
+      k: Int, topK: Int,
+      outDir: String, writerId: String = "default"): Unit = {
+    val spark = batch0.sparkSession
+    if (lastEpoch(spark, outDir, s"_LAST_EPOCH_ENTRES_$writerId")
+        .exists(_ >= epochId)) return
+    // one source scan per trigger: the variant explode and the final
+    // annotate join otherwise each re-read the trigger's files (the
+    // incrDedupBatch finding)
+    val batch = batch0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val matched = graft.ops.Joins.topKMatchAgainst(
+        batch.select(col("id"), col("s")), canonNames, canonVars, k, topK)
+      val out = batch.join(matched.withColumnRenamed("qid", "id"),
+        Seq("id"), "left")
+      out.write.mode("overwrite")
+        .parquet(s"$outDir/writer=$writerId/epoch=$epochId")
+      writeEpochMarker(spark, outDir, epochId,
+        s"_LAST_EPOCH_ENTRES_$writerId")
+    } finally batch.unpersist()
+  }
+
   /** Gap-based session windows (streaming face of q_stream_session):
     * `session_window` closes a session after `gap` of event-time
     * silence; state is bounded by the watermark. */

@@ -379,6 +379,44 @@ object ScaleProbe {
       time("editdist2 topk x-names") {
         Joins.joinEditDistTopKOn(editdist2Names(), 2, 3)
       }
+      // the BANDED APPROXIMATE face forced on the same construction —
+      // the duplicate-dense regime's dispatch target. Its candidate
+      // volume is bounded per input row (6 bands x (heads + window +
+      // smallBucket/2) + the exact dist-0 source), so the trend must
+      // stay ~input-linear where the exact faces track the dist-1
+      // candidate space
+      time("editdist2 topk x-names (banded)") {
+        Joins.joinEditDistTopKOn(editdist2Names(), 2, 3, approx = Some(true))
+      }
+      // quality companion for the banded row (small factors only —
+      // needs the exact result): id-recall of the exact top-k and
+      // per-rank DIST parity on this dist-layered construction (the
+      // documented tie-break caveat: parity is the contract here, id
+      // recall is gated on the duplicate-dense plant in
+      // RelationalOpsSpec)
+      if (factor <= 10 && selected("editdist2 topk banded quality")) locally {
+        val exact = Joins.joinEditDistTopKOn(editdist2Names(), 2, 3,
+            approx = Some(false))
+          .select(col("qid"), col("cand"), col("dist"), col("rank"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+        val banded = Joins.joinEditDistTopKOn(editdist2Names(), 2, 3,
+            approx = Some(true))
+          .select(col("qid"), col("cand"), col("dist"), col("rank"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+        val exQ = exact.groupBy(_._1)
+        val gotQ = banded.groupBy(_._1)
+        val recalls = exQ.map { case (q, ex) =>
+          val got = gotQ.getOrElse(q, Array.empty).map(_._2).toSet
+          ex.count(e => got.contains(e._2)).toDouble / ex.length
+        }
+        val parity = exQ.count { case (q, ex) =>
+          gotQ.get(q).exists(g =>
+            g.sortBy(_._4).map(_._3).toSeq == ex.sortBy(_._4).map(_._3).toSeq)
+        }
+        println(f"   [stats] banded vs exact @x$factor: id-recall " +
+          f"${recalls.sum / recalls.size}%.4f, dist-parity " +
+          f"${parity.toDouble / exQ.size}%.4f over ${exQ.size} queries")
+      }
       time("bpe train batched") {
         Llm.bpeTrainMergesBatched(spark, dst, 256, strictPrefix = false)
       }

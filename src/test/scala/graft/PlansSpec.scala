@@ -98,6 +98,42 @@ class PlansSpec extends SparkTestBase {
     graft.ops.ScalarFns.invalidateShredTableCache()
   }
 
+  test("multi-path nested shred: every declared extraction in one query is parse-free") {
+    // regime 1 — no snapshot: the multi entry pays ONE parse of the
+    // nested doc and three typed variant_get extractions
+    graft.ops.ScalarFns.invalidateShredTableCache()
+    val pParse = planFull("q_fn_variant_multi").toLowerCase
+    assert(pParse.contains("parsejson") && pParse.contains("variant_get"),
+      "with no snapshot the multi entry must run the parse regime")
+    val parsed = SparkEntry.queries("q_fn_variant_multi")(spark, sfSmoke)
+      .collect().toSeq
+    // build the snapshot: ONE commit materializes all four declared
+    // paths (flat $.k plus nested $.a.b/$.a.c/$.v) as typed columns
+    SparkEntry.queries("q_fn_variant_multi_shredded")(spark, sfSmoke).collect()
+    // regime 2 — dispatch: ALL THREE extractions this query needs are
+    // column reads; no JSON machinery survives anywhere in the plan
+    val pServe = planFull("q_fn_variant_multi").toLowerCase
+    for (tok <- Seq("parsejson", "parse_json", "variant_get",
+        "get_json_object", "to_json"))
+      assert(!pServe.contains(tok),
+        s"dispatched multi-path serve must not contain $tok")
+    for (colTok <- Seq("ab_shred:int", "ac_shred:string", "v_shred:bigint"))
+      assert(pServe.contains(colTok),
+        s"scan must read the typed column $colTok")
+    assert(!pServe.contains("doc"), "the nested document column must prune out")
+    val served = SparkEntry.queries("q_fn_variant_multi")(spark, sfSmoke)
+      .collect().toSeq
+    assert(served == parsed, "multi-path dispatch must never change the answer")
+    // partial coverage keeps the parse regime: the single-path
+    // q_fn_variant dispatches off the SAME snapshot (its $.k is also
+    // declared), proving one snapshot serves several queries — while
+    // a query needing an undeclared path must keep parsing
+    val pSingle = planFull("q_fn_variant").toLowerCase
+    assert(!pSingle.contains("parsejson") && !pSingle.contains("variant_get"),
+      "the covering snapshot must serve the single-path query too")
+    graft.ops.ScalarFns.invalidateShredTableCache()
+  }
+
   test("freshness compares against a broadcast 1-row high-water mark") {
     val p = plan("q_fn_freshness")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
@@ -765,6 +801,14 @@ class PlansSpec extends SparkTestBase {
     // pair through the shuffle, exactly what the cap exists to bound
     assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
       "per-row cap must plan Partial+Final group-limits:\n" + p.take(600))
+    // the banded approximate face obeys the same two rules: candidates
+    // from band-bucket equi-joins (never all-pairs), ranked through
+    // the same map-side-thinned cap
+    val pb = plan("q_join_editdist2_topk_banded")
+    assert(!pb.contains("CartesianProduct"),
+      "banded candidates must come from bucket equi-joins:\n" + pb.take(600))
+    assert("WindowGroupLimit".r.findAllIn(pb).size >= 2,
+      "banded cap must plan Partial+Final group-limits:\n" + pb.take(600))
   }
 
   test("shard assignment plans bucketed windows, no single-ordering global sort") {

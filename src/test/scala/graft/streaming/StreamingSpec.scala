@@ -566,6 +566,67 @@ class StreamingSpec extends SparkTestBase {
       "batch 2: novel doc lands once, full-eval carrier drops")
   }
 
+  test("streaming entity-resolution gate: annotates records with canonical matches, batch-equivalent, replay-idempotent") {
+    val src = tmp("graft_ser_src")
+    val out = tmp("graft_ser_out")
+    val ckpt = tmp("graft_ser_ckpt")
+    val canon = Seq((1L, "new york"), (2L, "los angeles"),
+      (3L, "chicago"), (4L, "houston")).toDF("id", "s")
+    // misspellings within edit 2, one exact, one unmatched
+    val b1 = Seq((101L, "new yrok"), (102L, "chicago"),
+      (103L, "houstn"), (104L, "zzzzzz"))
+    b1.toDF("id", "s").write.parquet(s"$src/b1")
+    def recStream = spark.readStream
+      .schema("id LONG, s STRING")
+      .option("recursiveFileLookup", "true")
+      .parquet(src)
+    Pipelines.runStreamingEntityRes(recStream, canon, out, ckpt)
+      .awaitTermination()
+    val got1 = spark.read.parquet(out)
+      .select($"id", $"canon_id", $"dist")
+      .as[(Long, Option[Long], Option[Int])].collect().toSet
+    assert(got1 == Set(
+      (101L, Some(1L), Some(2)), (102L, Some(3L), Some(0)),
+      (103L, Some(4L), Some(1)), (104L, None, None)),
+      s"gate must annotate, never drop: $got1")
+
+    // batch 2 through the same lineage — then the union of per-epoch
+    // gate outputs must equal the BATCH face run over all records at
+    // once (the operators share topKMatchAgainst by construction;
+    // this pins it end to end)
+    val b2 = Seq((105L, "los angelos"), (106L, "huston"))
+    b2.toDF("id", "s").write.parquet(s"$src/b2")
+    Pipelines.runStreamingEntityRes(recStream, canon, out, ckpt)
+      .awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .select($"id", $"canon_id", $"dist")
+      .as[(Long, Option[Long], Option[Int])].collect().toSet
+    val allRecords = (b1 ++ b2).toDF("id", "s")
+    val batchFace = graft.ops.Joins.topKMatchAgainst(
+        allRecords, canon, graft.ops.Joins.deletionVariants(canon, 2), 2, 1)
+      .select($"qid", $"canon_id", $"dist")
+      .as[(Long, Long, Int)].collect()
+      .map { case (q, c, d) => (q, Some(c), Some(d)) }.toSet
+    val unmatchedIds = (b1 ++ b2).map(_._1).toSet -- batchFace.map(_._1)
+    assert(streamed == batchFace ++ unmatchedIds.map(id =>
+      (id, None: Option[Long], None: Option[Int])),
+      s"stream and batch faces must agree: $streamed")
+
+    // replay idempotence, sharply: re-offer epoch 0 with DIFFERENT
+    // rows — the marker must skip it and the landed data not change
+    val canonNames = canon.select($"id", $"s").localCheckpoint(true)
+    val canonVars = graft.ops.Joins.deletionVariants(canonNames, 2)
+    val writerId = spark.read.parquet(s"$out")
+      .inputFiles.head.split("/writer=")(1).split("/")(0)
+    Pipelines.entityResGateBatch(
+      Seq((999L, "replayed imposter")).toDF("id", "s"), 0L,
+      canonNames, canonVars, 2, 1, out, writerId)
+    val afterReplay = spark.read.parquet(out)
+      .select($"id").as[Long].collect().toSet
+    assert(afterReplay == streamed.map(_._1),
+      s"replayed epoch must be a marker-skipped no-op: $afterReplay")
+  }
+
   test("streaming incremental dedup: bootstraps an empty snapshot and gates short docs exactly") {
     val src = tmp("graft_sidb_src")
     val snap = tmp("graft_sidb_snap") // NO pre-committed version

@@ -75,14 +75,37 @@ def main(dst, oracle_path):
               f"spark {s:7.2f}s   ratio {ratio:6.2f}x{'  [io]' if io else ''}")
 
     comp = [r for r in rows if r[5] == "ok" and not r[4]]
-    total_s = sum(r[1] for r in comp)
-    total_d = sum(r[2] for r in comp)
     n_to = sum(1 for r in rows if r[5] == "timeout")
     n_io = sum(1 for r in rows if r[4])
+    # The exhaustive-oracle watchdog rows (DuckDB pays the quadratic
+    # scan the engine's operator exists to avoid) finish or time out
+    # run-to-run, historically swinging the single headline total
+    # 0.93x-1.70x. Report BOTH totals as fixed columns every run:
+    # the ex-swing total is deterministic; the inc-swing total prints
+    # a measured ratio when DuckDB finished and a bound (duck time
+    # >= watchdog) when it didn't — the regime is visible either way.
+    SWING = {"q_join_editdist"}
+    stable = [r for r in comp if r[0] not in SWING]
+    total_s = sum(r[1] for r in stable)
+    total_d = sum(r[2] for r in stable)
     print(f"\nCOMPARABLE ({len(comp)} queries; excluded {n_io} io-shaped, "
           f"{n_to} duckdb-timeouts)")
-    print(f"TOTAL  spark {total_s:.1f}s  duckdb {total_d:.1f}s  "
+    print(f"TOTAL-EX-SWING ({len(stable)} q, deterministic)  "
+          f"spark {total_s:.1f}s  duckdb {total_d:.1f}s  "
           f"ratio {total_s/total_d:.2f}x")
+    swing = [r for r in rows if r[0] in SWING and not r[4]]
+    sw_s = sum(r[1] for r in swing)
+    if swing and all(r[5] == "ok" for r in swing):
+        sw_d = sum(r[2] for r in swing)
+        print(f"TOTAL-INC-SWING ({len(stable) + len(swing)} q, measured)  "
+              f"spark {total_s + sw_s:.1f}s  duckdb {total_d + sw_d:.1f}s  "
+              f"ratio {(total_s + sw_s)/(total_d + sw_d):.2f}x")
+    elif swing:
+        sw_d_min = sum(TIMEOUT_S if r[5] == "timeout" else r[2] for r in swing)
+        print(f"TOTAL-INC-SWING ({len(stable) + len(swing)} q, BOUND — "
+              f"duckdb swing row hit the {TIMEOUT_S:.0f}s watchdog)  "
+              f"spark {total_s + sw_s:.1f}s  duckdb >{total_d + sw_d_min:.1f}s  "
+              f"ratio <={(total_s + sw_s)/(total_d + sw_d_min):.2f}x")
     print("\nworst 10 by ratio (comparable only):")
     for n, s, d, r, _, _ in sorted(comp, key=lambda r: -r[3])[:10]:
         print(f"| {n} | {s:.2f} | {d:.2f} | {r:.2f}x |")
