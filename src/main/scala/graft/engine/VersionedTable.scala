@@ -1042,10 +1042,20 @@ object VersionedTable {
     * frame lacked the column so the layout silently fell flat) the
     * read falls back to the FULL snapshot rather than conflating
     * "no matching partition" with "not a partitioned snapshot" and
-    * silently serving zero rows. */
+    * silently serving zero rows.
+    *
+    * Directory-name decoding (round-11 advice): partition writers
+    * Hive-ESCAPE special characters into %XX sequences — `keep`
+    * receives the UNESCAPED logical value, so string partition values
+    * with spaces/slashes/colons match their logical form instead of
+    * silently dropping. Null partition values land in Hive's
+    * `__HIVE_DEFAULT_PARTITION__` directory, which a String predicate
+    * cannot speak for — it is included iff `keepNull` (default false,
+    * matching a non-null predicate's semantics). */
   def readPartitionPruned(spark: SparkSession, dir: String,
       partCol: String, keep: String => Boolean,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None,
+      keepNull: Boolean = false): DataFrame = {
     val v = version.orElse(currentVersion(spark, dir)).getOrElse(
       throw new IllegalStateException(s"no committed version in $dir"))
     val snap = s"$dir/v$v"
@@ -1056,11 +1066,42 @@ object VersionedTable {
       .map(_.getPath)
       .filter(_.getName.startsWith(prefix))
     if (partDirs.isEmpty) return read(spark, dir, Some(v))
-    val selected = partDirs
-      .filter(p => keep(p.getName.substring(prefix.length)))
-    if (selected.isEmpty) read(spark, dir, Some(v)).filter(lit(false))
+    val hiveNull = "__HIVE_DEFAULT_PARTITION__"
+    val selected = partDirs.filter { p =>
+      val raw = p.getName.substring(prefix.length)
+      if (raw == hiveNull) keepNull else keep(unescapePathName(raw))
+    }
+    // empty selection: the empty frame with the snapshot's schema,
+    // derived from ONE partition directory's footers (+ the inferred
+    // partition column) — never the full-listing read this face
+    // exists to avoid
+    if (selected.isEmpty)
+      spark.read.option("basePath", snap)
+        .parquet(partDirs.head.toString).filter(lit(false))
     else spark.read.option("basePath", snap)
       .parquet(selected.map(_.toString): _*)
+  }
+
+  /** Inverse of Hive's partition-path escaping: %XX sequences decode
+    * to their character (the same decoding Spark's partition
+    * inference applies before typing the value). Malformed escapes
+    * pass through verbatim — a literal '%' in an unescaped legacy
+    * name must not throw the whole listing away. */
+  private def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val v =
+        if (c == '%' && i + 2 < s.length)
+          try Integer.parseInt(s.substring(i + 1, i + 3), 16)
+          catch { case _: NumberFormatException => -1 }
+        else -1
+      if (v >= 0) { sb.append(v.toChar); i += 3 }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** MERGE semantics: rows in `updates` win by `key`; unmatched base

@@ -34,16 +34,7 @@ object Inflate {
     inflate("region", Seq(), 0L)
     inflate("part", Seq(), 0L)
     inflate("events", Seq("event_id"), 10000000L)
-    locally {
-      val base = graft.engine.Tables(spark, src, "documents")
-      (0 until factor).map { i =>
-        val shifted = base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
-        if (i == 0) shifted
-        else shifted.withColumn("text", concat_ws(" ",
-          expr(s"transform(split(text, ' '), w -> concat('c${i}_', w))")))
-      }.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$dst/documents.parquet")
-    }
+    documentsOnly(spark, src, dst, factor)
     // embeddings: copies are PERTURBED, not identical — identical
     // copies would make every original a near-dup clique with its
     // factor-1 copies, growing the pair space quadratically with the
@@ -70,6 +61,23 @@ object Inflate {
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
     }
+  }
+
+  /** The documents table alone, same construction as [[apply]] (the
+    * per-copy vocabulary prefix keeps the duplicate RATE constant as
+    * the corpus grows) — the deep-factor probes (x300/x1000) inflate
+    * only the table their flagships read instead of paying a full
+    * x1000 fixture write. */
+  def documentsOnly(spark: SparkSession, src: String, dst: String,
+      factor: Int): Unit = {
+    val base = graft.engine.Tables(spark, src, "documents")
+    (0 until factor).map { i =>
+      val shifted = base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+      if (i == 0) shifted
+      else shifted.withColumn("text", concat_ws(" ",
+        expr(s"transform(split(text, ' '), w -> concat('c${i}_', w))")))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
   }
 
   /** Inflate `src` x `factor` into `dst` unless a completed inflation

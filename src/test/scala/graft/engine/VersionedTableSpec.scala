@@ -967,6 +967,34 @@ class VersionedTableSpec extends SparkTestBase {
     graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("readPartitionPruned: escaped string values unescape before keep, null partitions gated by keepNull") {
+    val dir = tmp("graft_vt_ppe")
+    VersionedTable.setPartitionColumns(spark, dir, Seq("region"))
+    // values the writer must Hive-escape in directory names (space,
+    // colon, slash) plus a NULL (the __HIVE_DEFAULT_PARTITION__ dir)
+    VersionedTable.commit(
+      Seq((1L, "north america"), (2L, "a:b"), (3L, "x/y"),
+        (4L, null.asInstanceOf[String]), (5L, "plain"))
+        .toDF("id", "region"), dir)
+    // the predicate speaks LOGICAL values — escaping is invisible
+    val got = VersionedTable.readPartitionPruned(spark, dir,
+      "region", v => v == "north america" || v == "a:b" || v == "x/y")
+      .select($"id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L),
+      s"escaped partition values must match their logical form: $got")
+    // null partition: excluded by default, included via keepNull
+    val noNull = VersionedTable.readPartitionPruned(spark, dir,
+      "region", _ => false)
+      .select($"id").as[Long].collect().toSet
+    assert(noNull == Set.empty[Long])
+    val withNull = VersionedTable.readPartitionPruned(spark, dir,
+      "region", _ => false, keepNull = true)
+      .select($"id").as[Long].collect().toSet
+    assert(withNull == Set(4L),
+      s"keepNull must select exactly the hive default partition: $withNull")
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("changesBetween emits insert/delete/update images and skips unchanged rows") {
     val dir = Files.createTempDirectory("vt_cdf").toString
     VersionedTable.commit(
