@@ -356,7 +356,10 @@ object Llm {
     * slower than the exhaustive join it was meant to beat. Shared by
     * dedupMinhashNative (self-join) and dedupIncremental (snapshot
     * build + new-batch probe), so both populations band identically. */
-  private[graft] def bandedSignatures(docs: DataFrame): DataFrame = {
+  private[graft] def bandedSignatures(docs: DataFrame): DataFrame =
+    bandedSignaturesGrouped(docs)
+
+  private[graft] def bandedSignaturesGrouped(docs: DataFrame): DataFrame = {
     val sh = docs.select(col("doc_id"), explode(col("shingles")).as("s"))
     val sigs = sh.groupBy(col("doc_id")).agg(
       min(xxhash64(lit(0), col("s"))).as("h0"),
@@ -375,6 +378,11 @@ object Llm {
     docs.withColumn("t", expr(toksE))
       .select(col("doc_id"), expr(shinglesE).as("shingles"))
       .filter(size(col("shingles")) > 0)
+
+  /** [[shingleDocs]] over the catalog's documents table — the probe
+    * harnesses' entry point. */
+  private[graft] def shingleDocsAt(spark: SparkSession, dir: String): DataFrame =
+    shingleDocs(Tables(spark, dir, "documents"))
 
   /** MAP-ONLY equivalent of [[bandedSignatures]]: each per-seed
     * minimum is `array_min(transform(...))` over the row's own
@@ -398,13 +406,31 @@ object Llm {
         .as(Seq("band_idx", "band_key")))
   }
 
-  val dedupMinhashNative: Q = (spark, dir) => {
+  val dedupMinhashNative: Q = (spark, dir) =>
+    minhashNativePairs(spark, dir, materialize = false)
+
+  /** [[dedupMinhashNative]]'s body with the shingle-frame
+    * materialization strategy exposed: `materialize = true`
+    * localCheckpoints the (doc_id, shingles) frame once for its three
+    * consumers; `false` (production) recomputes the map-only shingle
+    * derivation per consumer. Round-12 MinhashProbe measured the
+    * checkpoint variant LOSING at every deep factor — x300: 46.8 s
+    * with 4.4 GB spill vs 37.4 s spill-free; x1000 (5M docs, 8 GB
+    * heap): AGGREGATE_OUT_OF_MEMORY vs completing in 236.6 s — the
+    * corpus-sized MEMORY_AND_DISK blocks compete with the signature
+    * aggregate's execution memory in the unified pool, which is
+    * exactly the regime a 100 TB corpus forces. Recomputing a
+    * map-only derivation is the scale-correct trade; the banded
+    * self-join's two identical sides still share one exchange
+    * (ReusedExchange). */
+  private[graft] def minhashNativePairs(spark: SparkSession, dir: String,
+      materialize: Boolean): DataFrame = {
     // three consumers (signature explode, both verify joins) — derive
     // the shingle arrays once
-    val docs = shingleDocs(Tables(spark, dir, "documents"))
-      // three consumers (signature explode, both verify joins) —
+    val docsRaw = shingleDocs(Tables(spark, dir, "documents"))
+    val docs =
       // eager localCheckpoint, not persist (the mmPhash leak rule)
-      .localCheckpoint(true)
+      if (materialize) docsRaw.localCheckpoint(true) else docsRaw
     val banded = bandedSignatures(docs)
     val a = banded.as("a")
     val b = banded.as("b")
@@ -537,12 +563,14 @@ object Llm {
     * old_id, jaccard) for every new-batch doc near-duplicating a
     * snapshot doc. */
   val dedupIncremental: Q = (spark, dir) => {
-    // two consumers of the new batch's shingles (signing + verify)
+    // two consumers of the new batch's shingles (signing + verify):
+    // NOT materialized — the derivation is map-only, and checkpointed
+    // shingle arrays' storage blocks compete with the signature
+    // aggregate's execution memory (the round-12 MinhashProbe x1000
+    // wall on the self-join path; the batch here is corpus/5, which
+    // only defers the same wall one factor of 5)
     val newDocs = shingleDocs(
       Tables(spark, dir, "documents").filter(incrBatchPred))
-      // two consumers (signing + verify) — eager localCheckpoint,
-      // not persist (the mmPhash leak rule)
-      .localCheckpoint(true)
     val newBands = bandedSignatures(newDocs)
     val oldBands = snapshotSigTable(spark, dir) // read, never rebuilt
     val cands = newBands.as("n")

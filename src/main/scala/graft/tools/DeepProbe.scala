@@ -50,6 +50,15 @@ object DeepProbe {
     val results =
       scala.collection.mutable.LinkedHashMap.empty[(String, Int), Double]
 
+    // untimed warmup at base scale: codegen + reader init otherwise
+    // charge the FIRST factor only (the first x300/x1000 run read
+    // shard x300 at 25.4 s vs x1000 at 4.3 s — pure warmup skew)
+    for ((_, name) <- plans) {
+      graft.ops.Llm.invalidateShardTableCache()
+      try graft.util.Exec.drain(graft.SparkEntry.queries(name)(spark, src))
+      catch { case _: Throwable => () }
+    }
+
     for (factor <- factors) {
       val dst = Files.createTempDirectory(s"graft_deep_x$factor").toString
       println(s"== inflating documents x$factor -> $dst")

@@ -71,13 +71,20 @@ object Inflate {
   def documentsOnly(spark: SparkSession, src: String, dst: String,
       factor: Int): Unit = {
     val base = graft.engine.Tables(spark, src, "documents")
-    (0 until factor).map { i =>
+    val copies = (0 until factor).map { i =>
       val shifted = base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
       if (i == 0) shifted
       else shifted.withColumn("text", concat_ws(" ",
         expr(s"transform(split(text, ' '), w -> concat('c${i}_', w))")))
-    }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    }
+    // Balanced union tree: a left-deep reduce of a 1000-way union makes
+    // Catalyst analysis quadratic in the factor; pairwise halving keeps
+    // the plan depth log(factor) for the deep-factor (x300/x1000) probes.
+    def tree(dfs: Seq[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame =
+      if (dfs.size == 1) dfs.head
+      else tree(dfs.grouped(2).map(g =>
+        if (g.size == 2) g(0).unionByName(g(1)) else g(0)).toSeq)
+    tree(copies).write.mode("overwrite").parquet(s"$dst/documents.parquet")
   }
 
   /** Inflate `src` x `factor` into `dst` unless a completed inflation
