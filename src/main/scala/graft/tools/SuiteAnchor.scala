@@ -47,7 +47,10 @@ object SuiteAnchor {
     // the warm run too — shard_resume the partitionBy(shard) corpus
     // write, variant_shredded the shred commit, bpe_apply the
     // train+commit of the tokenizer artifact
-    "q_llm_shard_resume", "q_fn_variant_shredded", "q_llm_bpe_apply")
+    "q_llm_shard_resume", "q_fn_variant_shredded", "q_llm_bpe_apply",
+    // round-12: the multi-path shred entry commits its snapshot the
+    // same way the single-path one does
+    "q_fn_variant_multi_shredded")
 
   private def invalidateMemos(): Unit = {
     graft.ops.Ml.invalidateFitCache()
