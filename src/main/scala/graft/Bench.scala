@@ -95,6 +95,12 @@ object Bench {
       // two rows could read as duplicates of each other
       if (name == "q_fn_variant" || name == "q_fn_variant_multi")
         graft.ops.ScalarFns.invalidateShredTableCache()
+      // both SHREDDED entries share one memo: whichever ran second in
+      // map order would price a serve-only read under a row documented
+      // as build+commit+serve — pin each to the COLD regime outright
+      // (same rationale as the committed-index entries below)
+      if (name == "q_fn_variant_shredded" || name == "q_fn_variant_multi_shredded")
+        graft.ops.ScalarFns.invalidateShredTableCache()
       // same pin for the two committed-AnnIndex dispatch entries: map
       // order happens to run them before q_llm_ann_index commits one
       // today, but that is CHAMP-hash luck any added key reshuffles —
@@ -112,19 +118,27 @@ object Bench {
       val (dt, err) = timeOne(name, fn)
       (name, dt, err)
     }
-    sentinel("end")
     // explicit WARM rows for the committed-index entries: guarantee a
     // committed index exists (untimed ensure — a build if the first
     // pass's artifact was invalidated since), then time the pure
     // dispatch-served read — the number that recurs in production,
-    // now a deterministic row instead of a rerun adjudication
+    // now a deterministic row instead of a rerun adjudication. Two
+    // readings, min reported: these rows are exempt from the 5x-median
+    // rerun machinery (a cache-dropped rerun would change their
+    // regime), so a second same-regime reading is their only defense
+    // against a host window — and they run BEFORE sentinel("end") so
+    // the sentinel brackets them like every other entry.
     val warmRows = Seq("q_llm_ann_index", "q_llm_ann_pq_index").map { name =>
       val fn = SparkEntry.queries(name)
       try graft.util.Exec.drain(fn(spark, sfDir))
       catch { case _: Throwable => () } // the timed run reports the error
-      val (dt, err) = timeOne(name + "_warm", fn)
-      (name + "_warm", dt, err)
+      val (dt1, err1) = timeOne(name + "_warm", fn)
+      val (dt2, err2) = timeOne(name + "_warm", fn)
+      if (err1.isEmpty && err2.isEmpty) (name + "_warm", math.min(dt1, dt2), err1)
+      else if (err1.isEmpty) (name + "_warm", dt1, err1)
+      else (name + "_warm", dt2, err2)
     }
+    sentinel("end")
     // Self-defense against degraded host windows: this host's
     // run-to-run band reaches ~60x on single-shot readings (round 3
     // recorded a 251 s entry that re-measures at 4 s). Any query whose

@@ -1074,10 +1074,17 @@ object VersionedTable {
     // empty selection: the empty frame with the snapshot's schema,
     // derived from ONE partition directory's footers (+ the inferred
     // partition column) — never the full-listing read this face
-    // exists to avoid
-    if (selected.isEmpty)
+    // exists to avoid. The directory is chosen DETERMINISTICALLY
+    // (lexicographic min, hive-null dirs last — an all-null dir
+    // would infer yet another partition-column type): FileSystem
+    // listing order must not decide the empty frame's inferred
+    // partition type across calls.
+    if (selected.isEmpty) {
+      val schemaDir = partDirs.minBy(p =>
+        (p.getName.substring(prefix.length) == hiveNull, p.getName))
       spark.read.option("basePath", snap)
-        .parquet(partDirs.head.toString).filter(lit(false))
+        .parquet(schemaDir.toString).filter(lit(false))
+    }
     else spark.read.option("basePath", snap)
       .parquet(selected.map(_.toString): _*)
   }
@@ -1093,10 +1100,15 @@ object VersionedTable {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
+      // both chars must BE hex digits — Integer.parseInt also
+      // accepts a leading sign, so "%+B" would decode to U+000B
+      // instead of passing through verbatim (the silent-drop the
+      // contract above forbids)
+      def hex(ch: Char) = Character.digit(ch, 16) >= 0
       val v =
-        if (c == '%' && i + 2 < s.length)
-          try Integer.parseInt(s.substring(i + 1, i + 3), 16)
-          catch { case _: NumberFormatException => -1 }
+        if (c == '%' && i + 2 < s.length &&
+            hex(s.charAt(i + 1)) && hex(s.charAt(i + 2)))
+          Integer.parseInt(s.substring(i + 1, i + 3), 16)
         else -1
       if (v >= 0) { sb.append(v.toChar); i += 3 }
       else { sb.append(c); i += 1 }

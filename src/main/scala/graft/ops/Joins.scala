@@ -909,7 +909,7 @@ object Joins {
       df: org.apache.spark.sql.DataFrame, k: Int)
 
   private[graft] def deletionVariants(names: org.apache.spark.sql.DataFrame,
-      k: Int): EdVariantTable = {
+      k: Int, materialize: Boolean = true): EdVariantTable = {
     require(k >= 1, s"edit-distance threshold must be >= 1, got $k")
     def delOne(arr: String): String =
       s"""array_distinct(flatten(transform($arr,
@@ -917,9 +917,12 @@ object Joins {
               i -> concat(substring(t, 1, i - 1),
                           substring(t, i + 1, length(t)))))))"""
     val levels = Iterator.iterate("array(s)")(delOne).take(k + 1).toSeq
-    EdVariantTable(names.select(col("id"), explode(expr(
+    val df = names.select(col("id"), explode(expr(
       s"array_distinct(concat(${levels.mkString(", ")}))")).as("v"))
-      .localCheckpoint(true), k)
+    // single-consumer callers (the streaming gate's per-trigger batch
+    // side) pass materialize = false: a per-trigger localCheckpoint
+    // would accumulate storage blocks until driver GC
+    EdVariantTable(if (materialize) df.localCheckpoint(true) else df, k)
   }
 
   /** [[joinEditDistOn]] without the final presentation sort — the form
@@ -1301,11 +1304,13 @@ object Joins {
       denseCandPerRow: Double = 256.0): org.apache.spark.sql.DataFrame = {
     if (k <= 1) return joinEditDistTopKSingleStage(names, k, topK)
     if (approx.contains(true)) return joinEditDistTopKBanded(names, k, topK)
-    val nTotal = math.max(names.count(), 1L)
+    // one probe action for both regime signals (count + max length):
+    // two separate driver actions would scan the input twice
+    val probeRow = names.agg(count(lit(1)), max(length(col("s")))).head()
+    val nTotal = math.max(probeRow.getLong(0), 1L)
     // same regime rule as joinEditDistAuto: the deletion neighborhood
     // is the short-string generator (C(len, 1) variants per string)
-    val maxLenRow = names.agg(max(length(col("s")))).head()
-    val maxLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
+    val maxLen = if (probeRow.isNullAt(1)) 0 else probeRow.getInt(1)
     def bucketCandVolume(buckets: org.apache.spark.sql.DataFrame): Long = {
       val r = buckets.agg(sum(col("c") * (col("c") - 1))).head()
       if (r.isNullAt(0)) 0L else r.getLong(0)
@@ -1464,7 +1469,9 @@ object Joins {
       : org.apache.spark.sql.DataFrame = {
     require(canonVars.k >= k,
       s"canon variant table built at k=${canonVars.k} cannot serve k=$k")
-    val qv = deletionVariants(queries, k).df
+    // one consumer (the candidate join): no materialization — the
+    // batch side stays genuinely map-only per trigger
+    val qv = deletionVariants(queries, k, materialize = false).df
     val cand = qv.select(col("v"), col("id").as("qid"))
       .join(broadcast(canonVars.df.select(col("v"), col("id").as("canon_id"))),
         Seq("v"))

@@ -203,9 +203,7 @@ object ScalarFns {
     // listing identity at build time — a source recommitted/changed
     // since then must MISS the dispatch (stale snapshot), not serve
     // yesterday's rows under today's dir
-    val dispatched = shredTableCache.peek(spark, dir)
-      .filter(_._2 == eventsFingerprint(spark, dir))
-      .flatMap { case (table, _) =>
+    val dispatched = freshShredTable(spark, dir).flatMap { table =>
       scala.util.Try {
         graft.engine.VersionedTable
           .shredOutputFor(spark, table, "props", "$.k", "int")
@@ -216,6 +214,19 @@ object ScalarFns {
     }
     dispatched.getOrElse(fnVariantParse(spark, dir))
   }
+
+  /** The dispatch-side fingerprint gate shared by [[fnVariant]] and
+    * [[fnVariantMulti]]: the memoized snapshot, only if its build-time
+    * source fingerprint still matches the live source. A STALE entry
+    * is dropped here, not just skipped — otherwise a parse-face-only
+    * session re-lists and re-misses on every call while the dead
+    * snapshot's temp table sits on disk until session end. */
+  private def freshShredTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[String] =
+    shredTableCache.peek(spark, dir).flatMap { case (table, fp) =>
+      if (fp == eventsFingerprint(spark, dir)) Some(table)
+      else { invalidateShredTableCache(); None }
+    }
 
   /** The per-row-parse regime of [[fnVariant]] — the fallback when no
     * shredded snapshot exists, kept addressable so Bench and the
@@ -310,6 +321,13 @@ object ScalarFns {
       (_, v) => graft.util.Fs.deleteRecursively(v._1))
 
   def invalidateShredTableCache(): Unit = shredTableCache.invalidate()
+
+  /** Test seam: the memoized shred table's on-disk location (None
+    * when no live entry) — specs use it to prove a stale entry was
+    * DROPPED, not merely skipped. */
+  private[graft] def shredTablePath(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Option[String] =
+    shredTableCache.peek(spark, dir).map(_._1)
 
   /** Identity of the events source under `dir`: every data file's
     * (name, length, mtime), order-independent. One listing RPC — the
@@ -414,9 +432,8 @@ object ScalarFns {
     * (PlansSpec guards the executed plan). Same fingerprint gate as
     * [[fnVariant]]. */
   val fnVariantMulti: Q = (spark, dir) => {
-    val dispatched = shredTableCache.peek(spark, dir)
-      .filter(_._2 == eventsFingerprint(spark, dir))
-      .flatMap { case (table, _) =>
+    val dispatched = freshShredTable(spark, dir)
+      .flatMap { table =>
         scala.util.Try {
           for {
             ab <- graft.engine.VersionedTable

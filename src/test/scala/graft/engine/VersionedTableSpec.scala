@@ -995,6 +995,35 @@ class VersionedTableSpec extends SparkTestBase {
     graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("readPartitionPruned: a legacy dir value with '%' + sign-prefixed hex passes through verbatim") {
+    // Integer.parseInt accepts a leading sign, so "%+B" naively
+    // decodes to U+000B and the partition silently vanishes from
+    // every pruned read — the contract says malformed escapes pass
+    // through verbatim. Legacy (unescaped-writer) layouts are the
+    // only way such a name arises: Spark's own writer escapes '%'.
+    val dir = tmp("graft_vt_ppl")
+    VersionedTable.setPartitionColumns(spark, dir, Seq("tag"))
+    VersionedTable.commit(Seq((1L, "base")).toDF("id", "tag"), dir)
+    // graft a legacy-style partition dir beside the written one
+    val snap = new java.io.File(s"$dir/v0")
+    val legacy = new java.io.File(snap, "tag=A%+Bfoo")
+    val src = snap.listFiles().find(_.getName.startsWith("tag=")).get
+    assert(legacy.mkdir())
+    src.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(legacy, f.getName).toPath)
+    }
+    val pruned = VersionedTable.readPartitionPruned(spark, dir,
+      "tag", v => v == "A%+Bfoo")
+    // the keep predicate saw the verbatim name (else zero dirs match);
+    // containment proves only the legacy dir was opened
+    val files = pruned.select(input_file_name().as("f"))
+      .distinct().as[String].collect()
+    assert(files.nonEmpty && files.forall(_.contains("Bfoo")),
+      s"sign-prefixed pseudo-escape must select the legacy dir: ${files.toSeq}")
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("changesBetween emits insert/delete/update images and skips unchanged rows") {
     val dir = Files.createTempDirectory("vt_cdf").toString
     VersionedTable.commit(

@@ -535,11 +535,19 @@ class RelationalOpsSpec extends SparkTestBase {
             .cast("string"), lit("}")))
         .localCheckpoint(true)
       doubled.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val stalePath = ScalarFns.shredTablePath(spark, dir)
       val after = ScalarFns.queries("q_fn_variant")(spark, dir)
         .collect().toSeq
       val freshTruth = ScalarFns.fnVariantParse(spark, dir).collect().toSeq
       assert(after == freshTruth,
         "changed source must miss the fingerprint and read fresh data")
+      // the miss DROPS the stale entry (disk reclaimed), it doesn't
+      // just skip it — a parse-face-only session must not re-list and
+      // re-miss forever over a dead snapshot
+      assert(ScalarFns.shredTablePath(spark, dir).isEmpty,
+        "a fingerprint-missed memo entry must be dropped")
+      assert(stalePath.exists(p => !new java.io.File(p).exists()),
+        "the dropped entry's temp table must be deleted from disk")
       assert(after != served,
         "fixture must actually change the answer (k doubled)")
       // the BUILD path rebuilds too: the shredded entry re-commits

@@ -100,12 +100,20 @@ def main(dst, oracle_path):
         print(f"TOTAL-INC-SWING ({len(stable) + len(swing)} q, measured)  "
               f"spark {total_s + sw_s:.1f}s  duckdb {total_d + sw_d:.1f}s  "
               f"ratio {(total_s + sw_s)/(total_d + sw_d):.2f}x")
-    elif swing:
+    elif swing and all(r[5] in ("ok", "timeout") for r in swing):
         sw_d_min = sum(TIMEOUT_S if r[5] == "timeout" else r[2] for r in swing)
         print(f"TOTAL-INC-SWING ({len(stable) + len(swing)} q, BOUND — "
               f"duckdb swing row hit the {TIMEOUT_S:.0f}s watchdog)  "
               f"spark {total_s + sw_s:.1f}s  duckdb >{total_d + sw_d_min:.1f}s  "
               f"ratio <={(total_s + sw_s)/(total_d + sw_d_min):.2f}x")
+    elif swing:
+        # a crashed oracle (OOM, malformed-at-scale) produced NO result:
+        # its time-until-crash is not a lower bound on completion, so
+        # the inc-swing column reports the row incomparable instead of
+        # dressing the crash up as a watchdog bound
+        bad = ", ".join(f"{r[0]} ({r[5]})" for r in swing if r[5].startswith("error"))
+        print(f"TOTAL-INC-SWING: INCOMPARABLE — duckdb swing row(s) "
+              f"errored, no bound derivable: {bad}")
     print("\nworst 10 by ratio (comparable only):")
     for n, s, d, r, _, _ in sorted(comp, key=lambda r: -r[3])[:10]:
         print(f"| {n} | {s:.2f} | {d:.2f} | {r:.2f}x |")
