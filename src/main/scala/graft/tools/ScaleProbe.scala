@@ -64,6 +64,12 @@ object ScaleProbe {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         graft.ops.Ml.invalidateFitCache() // the fit must be paid per factor
         graft.ops.Llm.invalidateCellCache()
+        // take the collection BETWEEN probes, not inside one (the
+        // Bench idiom): without it a heavy row's garbage taxes every
+        // row after it — the round-12 full run read tpch q3 at 4.12 s
+        // in-sequence vs 1.61 s in a clean JVM, pure heap pollution
+        // from a 126 s row minutes earlier
+        System.gc()
       }
 
       // a PROBE_ONLY filter can select a dependency-carrying probe
