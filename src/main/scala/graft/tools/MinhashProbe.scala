@@ -19,14 +19,21 @@ import org.apache.spark.sql.SparkSession
   *    zero storage-pool pressure)
   *
   * Usage: runMain graft.tools.MinhashProbe [factor...] (default: 300 1000)
+  *   SPARK_GRAFT_MH_PARTS    shuffle partitions (default 64) — the
+  *                           spill-vs-partitioning experiment knob
+  *   SPARK_GRAFT_MH_VARIANTS comma list of checkpoint,recompute
+  *                           (default both)
   */
 object MinhashProbe {
   def main(args: Array[String]): Unit = {
     val factors = if (args.isEmpty) Seq(300, 1000) else args.toSeq.map(_.toInt)
+    val parts = sys.env.getOrElse("SPARK_GRAFT_MH_PARTS", "64")
+    val variants = sys.env.getOrElse("SPARK_GRAFT_MH_VARIANTS",
+      "checkpoint,recompute").split(",").map(_.trim).toSet
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-minhash-probe")
-      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
@@ -56,10 +63,12 @@ object MinhashProbe {
     for (factor <- factors) {
       val dst = Files.createTempDirectory(s"graft_mh_x$factor").toString
       Inflate.documentsOnly(spark, src, dst, factor)
-      timeIt(s"x$factor checkpoint", () => graft.util.Exec.drain(
-        graft.ops.Llm.minhashNativePairs(spark, dst, materialize = true)))
-      timeIt(s"x$factor recompute", () => graft.util.Exec.drain(
-        graft.ops.Llm.minhashNativePairs(spark, dst, materialize = false)))
+      if (variants("checkpoint"))
+        timeIt(s"x$factor checkpoint (p=$parts)", () => graft.util.Exec.drain(
+          graft.ops.Llm.minhashNativePairs(spark, dst, materialize = true)))
+      if (variants("recompute"))
+        timeIt(s"x$factor recompute (p=$parts)", () => graft.util.Exec.drain(
+          graft.ops.Llm.minhashNativePairs(spark, dst, materialize = false)))
       graft.util.Fs.deleteRecursively(dst)
     }
     spark.stop()
