@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures the stdout TAIL of `sbt runMain graft.Bench` and
+// parses the LAST line as JSON. Two sbt behaviors have broken that parse
+// for 12 rounds (BENCH_r*.json "parsed": null): the forked run's output
+// is re-logged with an "[info] " prefix, and sbt appends a
+// "[success] Total time..." epilogue after the JSON line. Route the
+// forked process's stdout straight through (no logger prefix) and drop
+// the success epilogue so the bare compact-JSON summary is genuinely the
+// last stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by the command loop, not a task — exclude it
+// from the unused-key lint so `sbt -batch` output stays clean.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -115,6 +115,18 @@ object Bench {
       // adjudication on either, so min() never mixes the regimes
       if (name == "q_llm_ann_index" || name == "q_llm_ann_pq_index")
         graft.ops.Llm.invalidateAnnIndexCache()
+      // the substring pair shares one islands memo; map order decided
+      // which row paid the build and which served it (round-12 found
+      // the detection row under-pricing a warm serve by luck). Pin:
+      // _rm = COLD build+commit+removal (drop any memo an earlier
+      // entry built), detection = declared WARM serve (untimed ensure
+      // first) — the recurring production regime for a second consumer
+      if (name == "q_llm_dedup_substr_rm")
+        graft.ops.Llm.invalidateIslandsCache()
+      if (name == "q_llm_dedup_substr") {
+        try graft.util.Exec.drain(fn(spark, sfDir))
+        catch { case _: Throwable => () } // the timed run reports it
+      }
       val (dt, err) = timeOne(name, fn)
       (name, dt, err)
     }
@@ -132,11 +144,23 @@ object Bench {
       val fn = SparkEntry.queries(name)
       try graft.util.Exec.drain(fn(spark, sfDir))
       catch { case _: Throwable => () } // the timed run reports the error
-      val (dt1, err1) = timeOne(name + "_warm", fn)
-      val (dt2, err2) = timeOne(name + "_warm", fn)
-      if (err1.isEmpty && err2.isEmpty) (name + "_warm", math.min(dt1, dt2), err1)
-      else if (err1.isEmpty) (name + "_warm", dt1, err1)
-      else (name + "_warm", dt2, err2)
+      // distinct phys keys per reading: timing the same key twice
+      // would leave the LinkedHashMap holding only the second run's
+      // physical counters while the reported duration is min(dt1,dt2)
+      // — the artifact's counters row could then describe the
+      // discarded reading (round-12 ADVICE)
+      val (dt1, err1) = timeOne(name + "_warm_1", fn)
+      val (dt2, err2) = timeOne(name + "_warm_2", fn)
+      // the _warm phys row must describe the READING that is reported,
+      // not whichever run happened to execute last
+      val (row, physOf) =
+        if (err1.isEmpty && err2.isEmpty) {
+          if (dt1 <= dt2) ((name + "_warm", dt1, err1), name + "_warm_1")
+          else ((name + "_warm", dt2, err2), name + "_warm_2")
+        } else if (err1.isEmpty) ((name + "_warm", dt1, err1), name + "_warm_1")
+        else ((name + "_warm", dt2, err2), name + "_warm_2")
+      phys(name + "_warm") = phys(physOf)
+      row
     }
     sentinel("end")
     // Self-defense against degraded host windows: this host's
@@ -159,7 +183,12 @@ object Bench {
     // first reading is already a deterministic cold build (or warm
     // serve), and a cache-dropped rerun would re-price the SAME
     // regime at best or mix regimes at worst
-    val noRerun = Set("q_llm_ann_index", "q_llm_ann_pq_index")
+    // q_llm_dedup_substr is pinned WARM (serve of the islands memo) —
+    // the rerun machinery's cache invalidation would re-price it COLD
+    // and min() would mix regimes; q_llm_dedup_substr_rm stays
+    // rerun-eligible (its rerun re-prices the same cold regime)
+    val noRerun = Set("q_llm_ann_index", "q_llm_ann_pq_index",
+      "q_llm_dedup_substr")
     val results = firstPass.map { case (name, dt, err) =>
       if (err.isEmpty && dt > threshold && !noRerun(name)) {
         graft.ops.Ml.invalidateFitCache()
@@ -231,6 +260,19 @@ object Bench {
     val rr = reruns.map { case (k, obj) => s"\"" + k + "\":" + obj }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    // sentinel-normalized auxiliary total (round-12 verdict #8): the
+    // same-HEAD afternoon band spread 276-283 s while the fixed-CPU
+    // sentinel drifted in proportion — scale the total by a committed
+    // reference sentinel (0.60 s: the quiet-morning band this host
+    // reads when idle, BASELINE.md "Reading the bench contention
+    // sentinel") over the run's MEAN sentinel so round-over-round
+    // comparisons divide out sustained host drift. Auxiliary only —
+    // the gate number stays the raw total.
+    val sentinelRef = 0.60
+    val sentMean =
+      if (sentinels.isEmpty) sentinelRef
+      else sentinels.values.sum / sentinels.size
+    val totalNorm = total * (sentinelRef / math.max(sentMean, 1e-9))
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"reruns":$rr,"sf":"$sfDir","total_s":$total,"n_entries":${ok.size}}"""
     println(json)
@@ -244,7 +286,8 @@ object Bench {
     val sentJson = sentinels.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val artifact =
-      json.dropRight(1) + s""","phys":$physJson,"sentinel":$sentJson}"""
+      json.dropRight(1) + s""","phys":$physJson,"sentinel":$sentJson,""" +
+        s""""sentinel_ref":$sentinelRef,"total_norm_s":$totalNorm}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       s"${sys.props("user.dir")}/BENCH_FULL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
@@ -258,7 +301,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
         s""""total_s":$total,"n_entries":${ok.size},""" +
         s""""errors":${all.count(_._3.isDefined)},"reruns":${reruns.size},""" +
-        s""""sentinel":$sentJson,"full_record":"$out"}"""
+        s""""sentinel":$sentJson,"total_norm_s":$totalNorm,""" +
+        s""""full_record":"$out"}"""
     println(compact)
     spark.stop()
   }

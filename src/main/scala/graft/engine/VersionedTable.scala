@@ -1100,11 +1100,14 @@ object VersionedTable {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      // both chars must BE hex digits — Integer.parseInt also
-      // accepts a leading sign, so "%+B" would decode to U+000B
-      // instead of passing through verbatim (the silent-drop the
-      // contract above forbids)
-      def hex(ch: Char) = Character.digit(ch, 16) >= 0
+      // both chars must BE ASCII hex digits — Integer.parseInt also
+      // accepts a leading sign (so "%+B" would decode to U+000B) and
+      // Character.digit accepts non-ASCII Unicode digits (so "%٣A"
+      // would decode instead of passing through verbatim); either
+      // divergence breaks the pass-through contract above
+      def hex(ch: Char) =
+        (ch >= '0' && ch <= '9') || (ch >= 'a' && ch <= 'f') ||
+          (ch >= 'A' && ch <= 'F')
       val v =
         if (c == '%' && i + 2 < s.length &&
             hex(s.charAt(i + 1)) && hex(s.charAt(i + 2)))

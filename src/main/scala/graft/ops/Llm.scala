@@ -170,31 +170,61 @@ object Llm {
   private val substrN = 6
   private val substrMinRun = 10
 
+  /** Materialization strategy for the substring ops' gram frame — the
+    * round-13 head-to-head knob (the MinhashProbe pattern applied to
+    * the family's own deep-scale wall: islands build x30→x100 step of
+    * 5.6 for 3.3x data = spill onset, BASELINE.md round-12 cells).
+    * Values (tools/IslandsProbe measures all of them):
+    *  - "checkpoint"    — round-12 status quo: hex md5 digests, full
+    *    positional gram frame eagerly localCheckpointed;
+    *  - "checkpoint-bin" — same shape, 16-byte binary digests
+    *    (unhex(md5)) so the materialized frame and every gram shuffle
+    *    carry half the key bytes;
+    *  - "thinrare-bin"  — binary digests; only the df-capped RARE
+    *    digest set (one 16-byte row per distinct gram, no doc/pos) is
+    *    materialized, the positional frame recomputes per self-join
+    *    side with the join pinned sort-merge so the shared shuffle
+    *    reuses;
+    *  - "recompute-bin" — binary digests, nothing materialized
+    *    (zero storage-pool pressure, the minhash x1000 fix's shape).
+    * Digest form is oracle-safe: g never leaves the query — equality
+    * of md5 hex strings and of their unhex bytes is the same
+    * predicate. */
+  @volatile private[graft] var substrGramStrategy: String = "thinrare-bin"
+
   /** Shared core of the substring ops: positional n-gram digests,
     * df-capped gram-digest equi-join (never doc x doc),
     * constant-alignment islands — see substrDedup's scaladoc. */
   private def matchedIslands(spark: SparkSession, dir: String, n: Int)
       : DataFrame = {
+    val strategy = substrGramStrategy
     val slices = (0 until n)
       .map(i => s"slice(t, ${i + 1}, greatest(size(t) - ${n - 1}, 0))")
       .mkString(",\n             ")
     val fields = (0 until n).map(i => s"p['$i']").mkString(", ")
-    val allGrams = tokenized(spark, dir)
+    val digest =
+      if (strategy == "checkpoint") s"md5(concat_ws(' ', $fields))"
+      else s"unhex(md5(concat_ws(' ', $fields)))"
+    val allGramsLazy = tokenized(spark, dir)
       .filter(size(col("t")) >= n)
       .select(col("doc_id"), posexplode(expr(
         s"""transform(
            arrays_zip($slices),
-           p -> md5(concat_ws(' ', $fields)))""")).as(Seq("pos", "g")))
-      // FOUR consumers (df aggregate + semi-join left, each on both
-      // self-join sides): without materialization the planner rebuilds
-      // the explode+md5 subtree per consumer — measured 4 full
-      // evaluations and two independent broadcast builds of the gram
-      // set at sf0.1 (no ReusedExchange once AQE picks BHJ). Eager
-      // localCheckpoint pays the gram derivation once; blocks are
-      // freed by the ContextCleaner with the build's result frame (at
-      // cluster scale, substitute reliable checkpoint() — this is the
-      // one-off memo BUILD, not a per-query cost)
-      .localCheckpoint(true)
+           p -> $digest)""")).as(Seq("pos", "g")))
+    // FOUR consumers (df aggregate + semi-join left, each on both
+    // self-join sides): the checkpoint strategies pay the gram
+    // derivation once into MEMORY_AND_DISK blocks (without
+    // materialization the planner rebuilt the explode+md5 subtree per
+    // consumer at sf0.1 once AQE picked BHJ — no ReusedExchange);
+    // the recompute strategies trade re-derivation (map-only CPU)
+    // for ZERO storage-pool pressure — the corpus-sized-block lesson
+    // the minhash x1000 OOM taught (commit 636ac6a). Blocks are freed
+    // by the ContextCleaner with the build's result frame (at cluster
+    // scale, substitute reliable checkpoint() — this is the one-off
+    // memo BUILD, not a per-query cost).
+    val allGrams =
+      if (strategy.startsWith("checkpoint")) allGramsLazy.localCheckpoint(true)
+      else allGramsLazy
     // df cap: one gram-keyed aggregate + semi join — rides the same
     // gram-hash shuffle the self-join needs anyway. The rare set is
     // GRAM-CARDINALITY-sized (most grams are rare — that's the point
@@ -204,14 +234,28 @@ object Llm {
     // probe (SpillProbe, 2 GB) died building exactly that hashed
     // relation. The merge hint pins a sort-merge semi join: fully
     // spillable, and the gram shuffle exists anyway.
-    val rare = allGrams.groupBy(col("g"))
+    val rareLazy = allGrams.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") <= gramDfCap)
       .select(col("g"))
+    // thinrare: the one materialization that is NOT corpus-positional
+    // — one 16-byte digest per distinct rare gram, no (doc, pos)
+    val rare =
+      if (strategy.startsWith("thinrare")) rareLazy.localCheckpoint(true)
+      else rareLazy
     val grams = allGrams.join(rare.hint("merge"), Seq("g"), "left_semi")
     val a = grams.as("a")
     val b = grams.as("b")
-    val matched = a.join(b,
+    // non-checkpoint strategies pin the self-join sort-merge: with a
+    // lazy gram frame, an AQE broadcast pick would BUILD a
+    // corpus-scale hashed relation (the round-6 death) and break the
+    // both-sides-identical exchange reuse the recompute price depends
+    // on; the checkpoint strategies keep AQE's runtime choice (the
+    // round-12 plan, BHJ at small SF where it is genuinely faster)
+    val bSide =
+      if (strategy.startsWith("checkpoint")) b
+      else b.hint("merge")
+    val matched = a.join(bSide,
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),

@@ -225,7 +225,10 @@ object ScalarFns {
       dir: String): Option[String] =
     shredTableCache.peek(spark, dir).flatMap { case (table, fp) =>
       if (fp == eventsFingerprint(spark, dir)) Some(table)
-      else { invalidateShredTableCache(); None }
+      // per-dir eviction, not a full invalidate: only THIS dir's
+      // snapshot went stale — a multi-dir session keeps its other
+      // still-fresh snapshots (round-12 ADVICE)
+      else { shredTableCache.evict(spark, dir); None }
     }
 
   /** The per-row-parse regime of [[fnVariant]] — the fallback when no
@@ -355,7 +358,7 @@ object ScalarFns {
     // a memoized snapshot of a source that has since changed is stale
     // for the BUILD path too, not just the dispatch: drop and rebuild
     if (shredTableCache.peek(spark, dir).exists(_._2 != fp))
-      invalidateShredTableCache()
+      shredTableCache.evict(spark, dir)
     shredTableCache.getOrBuild(spark, dir) {
       val table = graft.util.Fs.tempDir("graft_shred")
       graft.engine.VersionedTable.setShreddedPaths(spark, table, shredDecls)

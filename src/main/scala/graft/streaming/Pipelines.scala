@@ -1101,7 +1101,8 @@ object Pipelines {
       canonNames: DataFrame,
       canonVars: graft.ops.Joins.EdVariantTable,
       k: Int, topK: Int,
-      outDir: String, writerId: String = "default"): Unit = {
+      outDir: String, writerId: String = "default",
+      canonVersion: Option[Long] = None): Unit = {
     val spark = batch0.sparkSession
     if (lastEpoch(spark, outDir, s"_LAST_EPOCH_ENTRES_$writerId")
         .exists(_ >= epochId)) return
@@ -1113,13 +1114,95 @@ object Pipelines {
     try {
       val matched = graft.ops.Joins.topKMatchAgainst(
         batch.select(col("id"), col("s")), canonNames, canonVars, k, topK)
-      val out = batch.join(matched.withColumnRenamed("qid", "id"),
+      val annotated = batch.join(matched.withColumnRenamed("qid", "id"),
         Seq("id"), "left")
+      // versioned-canon callers stamp every annotation with the
+      // dictionary version that produced it — the lineage column that
+      // lets a downstream audit tie a canon_id to the exact committed
+      // dictionary snapshot it came from
+      val out = canonVersion.fold(annotated)(v =>
+        annotated.withColumn("canon_version", lit(v)))
       out.write.mode("overwrite")
         .parquet(s"$outDir/writer=$writerId/epoch=$epochId")
       writeEpochMarker(spark, outDir, epochId,
         s"_LAST_EPOCH_ENTRES_$writerId")
     } finally batch.unpersist()
+  }
+
+  /** Commits a (re)trained canonical dictionary as a new version of
+    * the entity-resolution canon ARTIFACT — the tokenizer/AnnIndex
+    * lifecycle applied to the canon dimension. A retrain publishes
+    * atomically (VersionedTable's staged-rename + pointer swap):
+    * readers never observe a half-written dictionary, concurrent
+    * retrains serialize on the version claim, and old versions stay
+    * addressable for audit/rollback until expired. Returns the
+    * committed version. */
+  def commitCanon(canon: DataFrame, artifactDir: String): Long =
+    graft.engine.VersionedTable.commit(
+      canon.select(col("id"), col("s")), artifactDir)
+
+  /** [[runStreamingEntityRes]] over a committed canon artifact: the
+    * stream resolves the artifact's CURRENT version ONCE at
+    * construction and PINS it for its lifetime — every trigger of one
+    * stream run annotates against the same dictionary snapshot, so a
+    * mid-stream retrain commit cannot split a run's semantics across
+    * two dictionaries (restart the stream to adopt the new version;
+    * the batch face [[entityResolveCurrent]] serves current
+    * immediately). Output rows carry `canon_version`. The pin is
+    * physical, not just a version number: the dictionary is
+    * materialized at construction, so even an expire of the pinned
+    * version mid-run cannot fail a trigger. */
+  def runStreamingEntityResVersioned(
+      newRecords: DataFrame,
+      canonDir: String,
+      outDir: String,
+      checkpointDir: String,
+      k: Int = 2,
+      topK: Int = 1,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = newRecords.sparkSession
+    val v = graft.engine.VersionedTable.currentVersion(spark, canonDir)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed canon dictionary in $canonDir"))
+    val writerId = writerToken(spark, checkpointDir)
+    val canonNames = graft.engine.VersionedTable
+      .read(spark, canonDir, Some(v))
+      .select(col("id"), col("s")).localCheckpoint(true)
+    val canonVars = graft.ops.Joins.deletionVariants(canonNames, k)
+    newRecords.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        entityResGateBatch(batch.toDF(), epochId, canonNames, canonVars,
+          k, topK, outDir, writerId, canonVersion = Some(v))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** The BATCH face over the committed canon artifact: one-shot
+    * annotation of `records` against the artifact's CURRENT version —
+    * a retrain is visible here on the very next call, while running
+    * streams keep their construction-time pin. Same candidate
+    * machinery as the gate (topKMatchAgainst), so the faces agree on
+    * any shared dictionary version by construction. */
+  def entityResolveCurrent(records: DataFrame, canonDir: String,
+      k: Int = 2, topK: Int = 1): DataFrame = {
+    val spark = records.sparkSession
+    val v = graft.engine.VersionedTable.currentVersion(spark, canonDir)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed canon dictionary in $canonDir"))
+    val canonNames = graft.engine.VersionedTable
+      .read(spark, canonDir, Some(v)).select(col("id"), col("s"))
+    // one-shot call: the variant table feeds a single candidate join,
+    // so no stream-lifetime materialization (the per-trigger
+    // accumulation rule doesn't apply, and a localCheckpoint here
+    // would leave storage blocks behind in bench/anchor harnesses)
+    val canonVars = graft.ops.Joins
+      .deletionVariants(canonNames, k, materialize = false)
+    val matched = graft.ops.Joins.topKMatchAgainst(
+      records.select(col("id"), col("s")), canonNames, canonVars, k, topK)
+    records.join(matched.withColumnRenamed("qid", "id"), Seq("id"), "left")
+      .withColumn("canon_version", lit(v))
   }
 
   /** Gap-based session windows (streaming face of q_stream_session):

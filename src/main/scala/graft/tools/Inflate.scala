@@ -45,23 +45,38 @@ object Inflate {
     // cosine to ~0.25 (copy-copy ~0.1), safely below the 0.4 near-dup
     // threshold, and the renormalized copies keep the unit-norm
     // distribution the base fixture has.
-    locally {
-      val base = graft.engine.Tables(spark, src, "embeddings")
-      (0 until factor).map { i =>
-        val shifted = base.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
-        if (i == 0) shifted
-        else shifted
-          .withColumn("embedding", expr(
-            s"""transform(embedding, (x, j) -> CAST(x
-                 + 0.84D * (hash(vec_id, j, $i) / 2147483648.0D) AS FLOAT))"""))
-          .withColumn("embedding", expr(
-            """CAST(transform(embedding, x -> x / sqrt(aggregate(
-                 transform(embedding, y -> CAST(y AS DOUBLE) * y),
-                 0D, (a, v) -> a + v))) AS ARRAY<FLOAT>)"""))
-      }.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
-    }
+    embeddingsOnly(spark, src, dst, factor)
   }
+
+  /** The embeddings table alone, same perturbed construction as
+    * [[apply]] — the deep-factor index/serving probes (x300) inflate
+    * only what the ANN family reads. */
+  def embeddingsOnly(spark: SparkSession, src: String, dst: String,
+      factor: Int): Unit = {
+    val base = graft.engine.Tables(spark, src, "embeddings")
+    val copies = (0 until factor).map { i =>
+      val shifted = base.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+      if (i == 0) shifted
+      else shifted
+        .withColumn("embedding", expr(
+          s"""transform(embedding, (x, j) -> CAST(x
+               + 0.84D * (hash(vec_id, j, $i) / 2147483648.0D) AS FLOAT))"""))
+        .withColumn("embedding", expr(
+          """CAST(transform(embedding, x -> x / sqrt(aggregate(
+               transform(embedding, y -> CAST(y AS DOUBLE) * y),
+               0D, (a, v) -> a + v))) AS ARRAY<FLOAT>)"""))
+    }
+    // balanced union tree, same rationale as documentsOnly (left-deep
+    // reduce makes Catalyst analysis quadratic in the factor)
+    unionTree(copies).write.mode("overwrite")
+      .parquet(s"$dst/embeddings.parquet")
+  }
+
+  private def unionTree(dfs: Seq[org.apache.spark.sql.DataFrame])
+      : org.apache.spark.sql.DataFrame =
+    if (dfs.size == 1) dfs.head
+    else unionTree(dfs.grouped(2).map(g =>
+      if (g.size == 2) g(0).unionByName(g(1)) else g(0)).toSeq)
 
   /** The documents table alone, same construction as [[apply]] (the
     * per-copy vocabulary prefix keeps the duplicate RATE constant as
@@ -80,11 +95,8 @@ object Inflate {
     // Balanced union tree: a left-deep reduce of a 1000-way union makes
     // Catalyst analysis quadratic in the factor; pairwise halving keeps
     // the plan depth log(factor) for the deep-factor (x300/x1000) probes.
-    def tree(dfs: Seq[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame =
-      if (dfs.size == 1) dfs.head
-      else tree(dfs.grouped(2).map(g =>
-        if (g.size == 2) g(0).unionByName(g(1)) else g(0)).toSeq)
-    tree(copies).write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    unionTree(copies).write.mode("overwrite")
+      .parquet(s"$dst/documents.parquet")
   }
 
   /** Inflate `src` x `factor` into `dst` unless a completed inflation

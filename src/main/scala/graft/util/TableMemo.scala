@@ -78,6 +78,17 @@ final class TableMemo[V](
       : Option[V] =
     Option(cache.synchronized(cache.get(spark))).flatMap(_.get(dir))
 
+  /** Evicts ONE (session, dir) entry — the stale-snapshot drop a
+    * fingerprint-gated dispatch needs (round-12 ADVICE): a full
+    * invalidate() there would delete every other dir's still-fresh
+    * snapshot in a multi-dir session and force their rebuilds. No-op
+    * when the entry is absent (a racing invalidate already took it —
+    * eviction is idempotent either way). */
+  def evict(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    Option(cache.synchronized(cache.get(spark)))
+      .flatMap(m => m.synchronized(m.remove(dir)))
+      .foreach(onEvict(spark, _))
+
   /** Clears the memo and evicts every value it tracked. */
   def invalidate(): Unit = {
     val entries = cache.synchronized {

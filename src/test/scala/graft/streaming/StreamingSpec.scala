@@ -627,6 +627,62 @@ class StreamingSpec extends SparkTestBase {
       s"replayed epoch must be a marker-skipped no-op: $afterReplay")
   }
 
+  test("versioned entity-res canon: a live stream keeps its construction-time dictionary across a mid-run retrain; batch face serves current") {
+    val src = tmp("graft_serv_src")
+    val out = tmp("graft_serv_out")
+    val ckpt = tmp("graft_serv_ckpt")
+    val canonDir = tmp("graft_serv_canon")
+    // v1 dictionary has no "houston" entry
+    val v1 = Pipelines.commitCanon(
+      Seq((1L, "new york"), (2L, "chicago")).toDF("id", "s"), canonDir)
+    Seq((101L, "new yrok"), (102L, "houstn")).toDF("id", "s")
+      .write.parquet(s"$src/b1")
+    def recStream = spark.readStream
+      .schema("id LONG, s STRING")
+      .option("recursiveFileLookup", "true")
+      .parquet(src)
+    // LIVE stream (processing-time trigger): the pin claim is about a
+    // retrain committing while the stream keeps running
+    val q = Pipelines.runStreamingEntityResVersioned(
+      recStream, canonDir, out, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      q.processAllAvailable()
+      // RETRAIN lands mid-run: v2 adds houston — the running stream
+      // must NOT see it
+      val v2 = Pipelines.commitCanon(
+        Seq((1L, "new york"), (2L, "chicago"), (3L, "houston"))
+          .toDF("id", "s"), canonDir)
+      assert(v2 > v1)
+      Seq((103L, "chicagoo"), (104L, "houstn")).toDF("id", "s")
+        .write.parquet(s"$src/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(out)
+      .select($"id", $"canon_id", $"canon_version")
+      .as[(Long, Option[Long], Long)].collect()
+    // every annotation carries the PINNED version...
+    assert(streamed.forall(_._3 == v1),
+      s"live stream must stamp its construction-time version: ${streamed.toSeq}")
+    val byId = streamed.map(r => r._1 -> r._2).toMap
+    // ...and matches against the PINNED dictionary: "houstn" stays
+    // unmatched in BOTH epochs — including the one processed after v2
+    // (which contains houston) committed
+    assert(byId == Map(
+      101L -> Some(1L), 102L -> None, 103L -> Some(2L), 104L -> None),
+      s"pinned-dictionary annotations: $byId")
+
+    // the BATCH face serves CURRENT: the same "houstn" record now
+    // resolves, stamped with the retrained version
+    val batchGot = Pipelines.entityResolveCurrent(
+        Seq((104L, "houstn")).toDF("id", "s"), canonDir)
+      .select($"id", $"canon_id", $"canon_version")
+      .as[(Long, Option[Long], Long)].collect().toSeq
+    assert(batchGot == Seq((104L, Some(3L), v1 + 1)),
+      s"batch face must serve the retrained dictionary: $batchGot")
+  }
+
   test("streaming incremental dedup: bootstraps an empty snapshot and gates short docs exactly") {
     val src = tmp("graft_sidb_src")
     val snap = tmp("graft_sidb_snap") // NO pre-committed version
