@@ -23,9 +23,23 @@ object Bench {
     // heaviest shuffle was q_X at N MB" carries the scale claim; the
     // stdout contract line stays unchanged for the driver
     val phys = scala.collection.mutable.LinkedHashMap[String, String]()
+    // per-query GC wall: a reading whose tasks are uniformly slow with
+    // clean shuffle/spill counters and a quiet CPU sentinel (round-12's
+    // 28.7 s q_llm_dedup_substr_rm) is otherwise unattributable — the
+    // one mechanism that fits that signature is allocation/GC pressure
+    // (the build allocates GB/s of short-lived strings; the sentinel's
+    // tight hash loop barely allocates, so it cannot see it). Recording
+    // collector time inside the window makes the next such row
+    // self-attributing: wall >> task work + gc_ms ~ wall = GC thrash.
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+    }
     def timeOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {
+      val gc0 = gcMillis()
       val (err, m) = graft.engine.Metrics.measure(spark) {
         // full evaluation into the no-op sink — count() lets Catalyst
         // prune ungrouped aggregate expressions and final sorts, so a
@@ -40,6 +54,7 @@ object Bench {
       }
       phys(name) = s"""{"shuffle_mb":${m.shuffleWriteBytes / 1048576},""" +
         s""""spill_mb":${(m.memorySpilledBytes + m.diskSpilledBytes) / 1048576},""" +
+        s""""gc_ms":${gcMillis() - gc0},""" +
         s""""tasks":${m.tasks},"spread":${
           // JSON requires a dot decimal separator regardless of the
           // JVM default locale (the f-interpolator would emit "1,5"

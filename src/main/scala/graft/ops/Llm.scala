@@ -189,8 +189,17 @@ object Llm {
     *    (zero storage-pool pressure, the minhash x1000 fix's shape).
     * Digest form is oracle-safe: g never leaves the query — equality
     * of md5 hex strings and of their unhex bytes is the same
-    * predicate. */
-  @volatile private[graft] var substrGramStrategy: String = "thinrare-bin"
+    * predicate.
+    *
+    * Round-13 IslandsProbe verdict (x100 = 500k docs, 32 cores, 8 GB):
+    * checkpoint 112.3 s / 27.3 GB spill; checkpoint-bin 35.5 s /
+    * 22.7 GB; thinrare-bin 26.9 s / 7.6 GB; recompute-bin 20.9 s /
+    * 8.1 GB — the corpus-positional materialization WAS the spill
+    * onset, exactly the minhash x1000 mechanism. Default is the
+    * at-depth winner; at x30 all arms are spill-free and within
+    * 6.2-11.8 s of each other, so the deep-scale shape costs little
+    * at bench scale. */
+  @volatile private[graft] var substrGramStrategy: String = "recompute-bin"
 
   /** Shared core of the substring ops: positional n-gram digests,
     * df-capped gram-digest equi-join (never doc x doc),

@@ -41,10 +41,37 @@ object StreamingOps {
     Pipelines.clickAttribution(Tables(spark, dir, "events"))
       .orderBy(col("purchase_id"), col("click_id"))
 
+  /** Batch face of the VERSIONED entity-resolution gate
+    * ([[Pipelines.entityResolveCurrent]]): commit a canonical name
+    * dictionary (every 40th customer) as a fresh canon artifact, then
+    * annotate a query population (every 4th customer) against its
+    * CURRENT version — best canonical id within edit distance 2,
+    * unmatched rows kept with nulls, every row stamped with the
+    * dictionary version (a fresh artifact's first commit is version 0,
+    * so the stamp is deterministic and the DuckDB oracle mirrors the
+    * whole face including it). Candidates come from the FastSS
+    * deletion-variant machinery — the oracle pays the quadratic
+    * levenshtein cross join this operator exists to avoid. */
+  val entityResolve: Q = (spark, dir) => {
+    val canonDf = Tables(spark, dir, "customer")
+      .filter(col("c_custkey") % 40 === 0)
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+    val canonDir = graft.util.Fs.tempDir("graft_canon_batch")
+    Pipelines.commitCanon(canonDf, canonDir)
+    val recs = Tables(spark, dir, "customer")
+      .filter(col("c_custkey") % 4 === 0)
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+    Pipelines.entityResolveCurrent(recs, canonDir, k = 2, topK = 1)
+      .select(col("id"), col("canon_id"), col("dist").cast("int").as("dist"),
+        col("rank").cast("int").as("rank"), col("canon_version"))
+      .orderBy(col("id"), col("canon_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_stream_tumbling" -> streamTumbling,
     "q_stream_sliding" -> streamSliding,
-    "q_stream_join" -> streamJoin)
+    "q_stream_join" -> streamJoin,
+    "q_entity_resolve" -> entityResolve)
 
   val oracle: Map[String, String] = Map(
     "q_stream_tumbling" ->
@@ -73,5 +100,26 @@ object StreamingOps {
           AND p.event_type = 'purchase' AND c.event_type = 'click'
           AND c.ts <= p.ts
           AND c.ts >= p.ts - INTERVAL 10 MINUTE
-         ORDER BY purchase_id, click_id""")
+         ORDER BY purchase_id, click_id""",
+    "q_entity_resolve" ->
+      """WITH canon AS (
+           SELECT c_custkey AS cid, c_name AS cs FROM customer
+           WHERE c_custkey % 40 = 0),
+         recs AS (
+           SELECT c_custkey AS id, c_name AS s FROM customer
+           WHERE c_custkey % 4 = 0),
+         cand AS (
+           SELECT r.id, c.cid AS canon_id,
+                  CAST(levenshtein(r.s, c.cs) AS INT) AS dist
+           FROM recs r, canon c
+           WHERE levenshtein(r.s, c.cs) <= 2),
+         ranked AS (
+           SELECT id, canon_id, dist,
+                  CAST(row_number() OVER (
+                    PARTITION BY id ORDER BY dist, canon_id) AS INT) AS rank
+           FROM cand)
+         SELECT r.id, k.canon_id, k.dist, k.rank,
+                CAST(0 AS BIGINT) AS canon_version
+         FROM recs r LEFT JOIN ranked k ON r.id = k.id AND k.rank <= 1
+         ORDER BY r.id, k.canon_id""")
 }
