@@ -14,6 +14,8 @@ import org.apache.spark.sql.functions._
   *
   *   dir/centroids   cell INT, ce ARRAY<DOUBLE>      (k ~ sqrt(n) rows)
   *   dir/cells       vec_id LONG, e ARRAY<DOUBLE>, cell INT
+  *   dir/cells_delta vec_id LONG, e ARRAY<DOUBLE>, cell INT, seq LONG
+  *                   (unfolded streaming-ingest tail — see refreshDelta)
   *
   * The assignments snapshot is committed clustered+sorted by `cell`,
   * so a probe's `cell IN (...)` predicate prunes row groups via
@@ -37,6 +39,18 @@ object AnnIndex {
 
   def centroidsDir(dir: String) = s"$dir/centroids"
   def cellsDir(dir: String) = s"$dir/cells"
+
+  /** The unfolded-ingest DELTA table beside the cells table — the
+    * LSM shape that makes streaming refresh BATCH-bound instead of
+    * corpus-bound (round-13 IndexDeepProbe: [[refresh]]'s full-table
+    * COW merge read 7.8 s at x30 → 18.8 s at x100 for a CONSTANT
+    * 2k-vector batch; at 100 TB that is a full index rewrite per
+    * micro-batch). [[refreshDelta]] appends here in O(batch + delta),
+    * current-version reads overlay it latest-wins, and
+    * [[foldDelta]] — the nightly maintenance motion beside
+    * compactPartitioned — folds it into the cells table with ONE
+    * full merge per maintenance window instead of one per trigger. */
+  def deltaDir(dir: String) = s"$dir/cells_delta"
 
   /** Every cells commit records WHICH centroids version assigned its
     * cell ids (sidecar `_CENTROIDS_V<cellsVersion>` in the cells
@@ -92,6 +106,11 @@ object AnnIndex {
     * per-cell directories would mean tiny files. */
   def build(spark: SparkSession, embRaw: DataFrame, dir: String,
       partitionedLayout: Boolean = false): Long = {
+    // a rebuild requantizes: any unfolded delta's cell ids are stale
+    // under the new centroids, and the rebuild SOURCE supersedes the
+    // index contents — clear it (fold first if the delta holds
+    // vectors the rebuild source lacks)
+    graft.util.Fs.deleteRecursively(deltaDir(dir))
     val (model, cells) = graft.ops.Llm.fitIvfCellsOn(spark, embRaw)
     import spark.implicits._
     val centDf = model.clusterCenters.zipWithIndex
@@ -163,6 +182,102 @@ object AnnIndex {
     v
   }
 
+  /** BATCH-BOUND incremental admission — the streaming-regime face of
+    * [[refresh]]: assign against the current centroids exactly as
+    * refresh does, but land the assigned rows in the DELTA table
+    * ([[deltaDir]]) instead of merging the corpus-sized cells table.
+    * Cost per call is O(batch + unfolded delta) — bounded by the
+    * [[foldDelta]] cadence, never by the index size. Admitted vectors
+    * are immediately servable: current-version [[query]]/[[queryPq]]
+    * reads overlay the delta latest-wins (a re-ingested vec_id's
+    * delta row supersedes its cells row). Each append stamps a
+    * monotone `seq` so the fold can truncate EXACTLY what it folded —
+    * a refresh racing the fold keeps its rows. Returns the new delta
+    * version. */
+  def refreshDelta(spark: SparkSession, newVectors: DataFrame,
+      dir: String): Long = {
+    val centV = VersionedTable.currentVersion(spark, centroidsDir(dir))
+      .getOrElse(throw new IllegalStateException(
+        s"no committed centroids in $dir — build the index first"))
+    val centroids = VersionedTable.read(spark, centroidsDir(dir), Some(centV))
+    val assigned = assign(newVectors, centroids)
+      .select(col("vec_id"), col("e"), col("cell"))
+    val v = VersionedTable.commitMerge(spark, deltaDir(dir),
+        maxAttempts = 30) { baseOpt =>
+      baseOpt match {
+        case None => assigned.withColumn("seq", lit(0L))
+        case Some(base) =>
+          // delta is bounded by the fold cadence — the max-seq action
+          // and the anti-join build are delta-sized, never corpus-sized
+          val next = base.agg(coalesce(max(col("seq")) + 1, lit(0L)))
+            .head().getLong(0)
+          base.join(assigned.select(col("vec_id")), Seq("vec_id"), "left_anti")
+            .unionByName(assigned.withColumn("seq", lit(next)))
+      }
+    }
+    VersionedTable.atomicWrite(spark, deltaDir(dir),
+      s"_CENTROIDS_V$v", centV.toString)
+    v
+  }
+
+  /** Fold the unfolded delta (up to delta version `upTo`, default
+    * current) into the cells table with ONE [[refresh]]-shaped merge,
+    * then truncate exactly the folded rows — the (vec_id, seq) pairs
+    * of the folded snapshot — so a [[refreshDelta]] that landed after
+    * the snapshot was taken survives the truncation. No-op (None) on
+    * an absent/never-written delta. Returns the new cells version. */
+  def foldDelta(spark: SparkSession, dir: String,
+      upTo: Option[Long] = None): Option[Long] =
+    VersionedTable.currentVersion(spark, deltaDir(dir)).map { cur =>
+      val d = upTo.getOrElse(cur)
+      val snap = VersionedTable.read(spark, deltaDir(dir), Some(d))
+      val cellsV = Merge.mergeVersioned(spark, cellsDir(dir),
+        snap.select(col("vec_id"), col("e"), col("cell")), Seq("vec_id"),
+        Seq(
+          Merge.MatchedUpdate(None,
+            Map("e" -> col("s.e"), "cell" -> col("s.cell"))),
+          Merge.NotMatchedInsert(None, Map(
+            "vec_id" -> col("s.vec_id"), "e" -> col("s.e"),
+            "cell" -> col("s.cell")))),
+        maxAttempts = 30)
+      // lineage: delta rows were assigned under the centroid version
+      // the delta sidecar recorded (build() clears the delta, so one
+      // delta lifetime never spans two quantizers)
+      val centV = sidecarLong(spark, deltaDir(dir), s"_CENTROIDS_V$d")
+        .orElse(VersionedTable.currentVersion(spark, centroidsDir(dir)))
+        .getOrElse(throw new IllegalStateException(
+          s"no centroid lineage for delta v$d in $dir"))
+      recordCentroidVersion(spark, dir, cellsV, centV)
+      // a PQ layer syncs BEFORE the delta truncates: folded vectors
+      // must be reachable (coded or overlaid) at every instant — sync
+      // first means a probe between the two steps sees them in BOTH
+      // (the overlay anti-join dedups); truncate-first would open a
+      // window where they are in NEITHER
+      if (VersionedTable.currentVersion(spark, pqCodesDir(dir)).isDefined)
+        syncCodes(spark, dir)
+      VersionedTable.commitMerge(spark, deltaDir(dir), maxAttempts = 30) {
+        baseOpt =>
+          val base = baseOpt.getOrElse(snap.limit(0))
+          base.join(snap.select(col("vec_id"), col("seq")),
+            Seq("vec_id", "seq"), "left_anti")
+      }
+      // every refreshDelta commits an O(delta) snapshot version; the
+      // fold is the natural place to drop that history (delta versions
+      // are ingest plumbing, not a time-travel surface — currentDelta
+      // always reads the head)
+      VersionedTable.expireVersions(spark, deltaDir(dir), keepLast = 2)
+      cellsV
+    }
+
+  /** The current unfolded delta, if the table exists — the overlay
+    * CURRENT-version reads apply. Pinned (time-traveled) reads never
+    * overlay: a pinned version addresses a committed historical
+    * snapshot, the delta is the not-yet-folded present. */
+  private def currentDelta(spark: SparkSession, dir: String)
+      : Option[DataFrame] =
+    VersionedTable.currentVersion(spark, deltaDir(dir))
+      .map(v => VersionedTable.read(spark, deltaDir(dir), Some(v)))
+
   /** Retire vectors from the index — the GDPR/retention motion: one
     * MatchedDelete merge keyed on vec_id, committed as a new cells
     * version (older versions still carry the vector for time travel
@@ -182,6 +297,12 @@ object AnnIndex {
       .getOrElse(throw new IllegalStateException(
         s"no committed index in $dir — build it first"))
     val src = vecIds.distinct.toDF("vec_id")
+    // the unfolded delta first: an overlay row left behind would
+    // resurrect the vector the cells-side delete just retired
+    if (VersionedTable.currentVersion(spark, deltaDir(dir)).isDefined)
+      VersionedTable.commitMerge(spark, deltaDir(dir), maxAttempts = 30) {
+        baseOpt => baseOpt.get.join(src, Seq("vec_id"), "left_anti")
+      }
     val v = Merge.mergeVersioned(spark, cellsDir(dir), src, Seq("vec_id"),
       Seq(Merge.MatchedDelete(None)))
     recordCentroidVersion(spark, dir, v, centV)
@@ -487,7 +608,18 @@ object AnnIndex {
     val (probes, qu) = selectProbes(spark, dir, qe, centVersion)
     val lut = graft.ops.Llm.pqLut(
       scala.collection.immutable.ArraySeq.unsafeWrapArray(qu), cb, m, ks, sub)
-    val codes = probedCells(spark, pqCodesDir(dir), probes, Some(codesV))
+    // CURRENT reads overlay the unfolded ingest delta: delta vectors
+    // have no synced codes yet, so they are EXACT-scored (the delta is
+    // fold-cadence bounded — a full-precision pass over it costs less
+    // than one cell's ADC) and merged into the final top-k, while
+    // superseded ids drop from the coded front. Pinned reads stay
+    // pure snapshot.
+    val deltaOpt =
+      if (version.isDefined) None else currentDelta(spark, dir)
+    val codes0 = probedCells(spark, pqCodesDir(dir), probes, Some(codesV))
+    val codes = deltaOpt.fold(codes0)(dl =>
+      codes0.join(broadcast(dl.select(col("vec_id"))),
+        Seq("vec_id"), "left_anti"))
     val front = excludeVecId.fold(codes)(id =>
         codes.filter(col("vec_id") =!= id))
       .withColumn("lut", typedlit(lut.toSeq))
@@ -503,10 +635,20 @@ object AnnIndex {
     val query = Seq(Tuple1(qe)).toDF("qe")
     val cellsTbl = probedCells(spark, cellsDir(dir), probes, cellsV)
       .select(col("vec_id"), col("e"))
-    front.join(cellsTbl, Seq("vec_id"))
+    val reranked = front.join(cellsTbl, Seq("vec_id"))
       .crossJoin(broadcast(query))
       .withColumn("cosine", round(expr("cosine_sim(e, qe)"), 6))
       .select(col("vec_id"), col("cell"), col("cosine"))
+    val withDelta = deltaOpt.fold(reranked) { dl =>
+      val dRows0 = dl.filter(col("cell").isin(probes: _*))
+      val dRows = excludeVecId.fold(dRows0)(id =>
+        dRows0.filter(col("vec_id") =!= id))
+      reranked.unionByName(dRows
+        .crossJoin(broadcast(query))
+        .withColumn("cosine", round(expr("cosine_sim(e, qe)"), 6))
+        .select(col("vec_id"), col("cell"), col("cosine")))
+    }
+    withDelta
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
@@ -549,7 +691,21 @@ object AnnIndex {
     val (probes, _) = selectProbes(spark, dir, qe, centVersion)
     import spark.implicits._
     val query = Seq(Tuple1(qe)).toDF("qe")
-    val cells = probedCells(spark, cellsDir(dir), probes, version)
+    val cells0 = probedCells(spark, cellsDir(dir), probes, version)
+    // CURRENT reads overlay the unfolded ingest delta latest-wins:
+    // superseded cells rows drop (anti on ALL delta ids — a vector
+    // re-assigned out of a probed cell must vanish from it), delta
+    // rows in probed cells join the scan. The delta is fold-cadence
+    // bounded, so the anti side broadcasts. Pinned reads stay pure
+    // snapshot (see currentDelta).
+    val cells = (if (version.isDefined) None else currentDelta(spark, dir))
+      .fold(cells0) { dl =>
+        cells0.join(broadcast(dl.select(col("vec_id"))),
+            Seq("vec_id"), "left_anti")
+          .unionByName(dl
+            .filter(col("cell").isin(probes: _*))
+            .select(col("vec_id"), col("e"), col("cell")))
+      }
     excludeVecId.fold(cells)(id => cells.filter(col("vec_id") =!= id))
       .crossJoin(broadcast(query))
       .withColumn("cosine", round(expr("cosine_sim(e, qe)"), 6))

@@ -480,11 +480,12 @@ object Pipelines {
       newVectors: DataFrame,
       indexDir: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      delta: Boolean = false): StreamingQuery = {
     val writerId = writerToken(newVectors.sparkSession, checkpointDir)
     newVectors.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
-        annRefreshBatch(batch.toDF(), epochId, indexDir, writerId)
+        annRefreshBatch(batch.toDF(), epochId, indexDir, writerId, delta)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -492,9 +493,14 @@ object Pipelines {
   }
 
   /** The per-batch gate behind [[runStreamingAnnRefresh]] — exposed
-    * for direct batch-mode use and the spec. */
+    * for direct batch-mode use and the spec. `delta = true` admits
+    * through [[graft.engine.AnnIndex.refreshDelta]] (O(batch+delta)
+    * per trigger — the at-scale shape; schedule
+    * [[graft.engine.AnnIndex.foldDelta]] in the maintenance window
+    * beside compaction); the default full-merge face keeps the
+    * per-trigger corpus merge the original specs pin. */
   def annRefreshBatch(batch0: DataFrame, epochId: Long, indexDir: String,
-      writerId: String = "default"): Unit = {
+      writerId: String = "default", delta: Boolean = false): Unit = {
     val spark = batch0.sparkSession
     val marker = s"_LAST_EPOCH_$writerId"
     if (lastEpoch(spark, indexDir, marker).exists(_ >= epochId)) return
@@ -505,9 +511,11 @@ object Pipelines {
     val batch = batch0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (!batch.isEmpty)
-        graft.engine.AnnIndex.refresh(spark,
-          batch.select(col("vec_id"), col("e")), indexDir)
+      if (!batch.isEmpty) {
+        val vecs = batch.select(col("vec_id"), col("e"))
+        if (delta) graft.engine.AnnIndex.refreshDelta(spark, vecs, indexDir)
+        else graft.engine.AnnIndex.refresh(spark, vecs, indexDir)
+      }
       writeEpochMarker(spark, indexDir, epochId, marker)
     } finally batch.unpersist()
   }

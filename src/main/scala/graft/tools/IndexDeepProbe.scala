@@ -104,10 +104,29 @@ object IndexDeepProbe {
       timed("ann index refresh", factor) {
         graft.engine.AnnIndex.refresh(spark, batch, idxDir)
       }
+      // the DELTA admission path with the same constant-size batch
+      // (re-keyed again): must read flat across factors — its cost is
+      // O(batch + unfolded delta), never O(corpus)
+      val batch2 = spark.read.parquet(s"$src/embeddings.parquet")
+        .select((col("vec_id") + lit((factor + 1).toLong * 10000000L))
+          .as("vec_id"), col("embedding").cast("array<double>").as("e"))
+      timed("ann refresh delta", factor) {
+        graft.engine.AnnIndex.refreshDelta(spark, batch2, idxDir)
+      }
       val qe = spark.read.parquet(s"$dst/embeddings.parquet")
         .filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>"))
         .head().getAs[scala.collection.Seq[Double]](0).toSeq
+      timed("ann serve (delta overlay)", factor) {
+        graft.util.Exec.drain(
+          graft.engine.AnnIndex.query(spark, idxDir, qe, k = 10,
+            excludeVecId = Some(0L)))
+      }
+      // the maintenance fold: one corpus-keyed merge per WINDOW
+      // (amortizing the per-trigger merges the full-merge row prices)
+      timed("ann fold delta", factor) {
+        graft.engine.AnnIndex.foldDelta(spark, idxDir)
+      }
       timed("ann probed serve", factor) {
         graft.util.Exec.drain(
           graft.engine.AnnIndex.query(spark, idxDir, qe, k = 10,

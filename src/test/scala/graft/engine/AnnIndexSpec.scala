@@ -127,6 +127,135 @@ class AnnIndexSpec extends SparkTestBase {
     graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("delta refresh: batch-bound admission is immediately probeable, folds exactly, and respects remove/rebuild") {
+    val dim = 8
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian())
+    }
+    val anchor = vec(1)
+    def nearAnchor(seed: Int, eps: Double): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      anchor.map(x => x + eps * r.nextGaussian())
+    }
+    val base = (0 until 40).map(i => (i.toLong, vec(100 + i))) :+
+      (900L, nearAnchor(2, 0.01))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_dlt").toString
+    AnnIndex.build(spark, base.toDF("vec_id", "e"), dir)
+
+    // delta batch 1: a new top neighbor AND a latest-wins re-ingest of
+    // 900 (whose CELLS row must stop serving without any cells commit)
+    val d0 = AnnIndex.refreshDelta(spark,
+      Seq((901L, nearAnchor(3, 0.001)), (900L, vec(999)))
+        .toDF("vec_id", "e"), dir)
+    assert(d0 == 0L)
+    val after = AnnIndex.query(spark, dir, anchor, k = 3)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(after.head._1 == 901L && after.head._3 > 0.999,
+      s"delta-admitted vector must serve immediately: $after")
+    assert(!after.exists(r => r._1 == 900L && r._3 > 0.999),
+      s"re-ingested 900's superseded cells row must stop serving: $after")
+
+    // delta batch 2, then fold ONLY batch 1: served results must not
+    // change, and the delta must retain EXACTLY the unfolded batch
+    val d1 = AnnIndex.refreshDelta(spark,
+      Seq((902L, nearAnchor(4, 5e-4))).toDF("vec_id", "e"), dir)
+    assert(d1 == 1L)
+    val full = AnnIndex.query(spark, dir, anchor, k = 3)
+      .as[(Long, Int, Double)].collect().toSeq
+    // 901 and 902 both round to cosine 1.0 at 6 decimals — order
+    // within the pair is the deterministic vec_id tiebreak, so assert
+    // membership, not order
+    assert(full.map(_._1).take(2).toSet == Set(901L, 902L),
+      s"both batches serve: $full")
+    AnnIndex.foldDelta(spark, dir, upTo = Some(d0))
+    assert(AnnIndex.query(spark, dir, anchor, k = 3)
+      .as[(Long, Int, Double)].collect().toSeq == full,
+      "partial fold must not change served results")
+    val left = VersionedTable.read(spark, AnnIndex.deltaDir(dir))
+      .select(col("vec_id"), col("seq")).as[(Long, Long)].collect().toSet
+    assert(left == Set((902L, 1L)),
+      s"fold must truncate exactly the folded (vec_id, seq) rows: $left")
+    // 900's fold went through the MATCHED-UPDATE path: its cells row
+    // now carries the re-ingested position
+    val cells = VersionedTable.read(spark, AnnIndex.cellsDir(dir))
+      .filter(col("vec_id") === 900L).select(col("e"))
+      .as[Seq[Double]].head()
+    assert(cells == vec(999), "folded re-ingest must update the cells row")
+    // fold the rest: delta drains, results hold
+    AnnIndex.foldDelta(spark, dir)
+    assert(VersionedTable.read(spark, AnnIndex.deltaDir(dir)).count() == 0)
+    assert(AnnIndex.query(spark, dir, anchor, k = 3)
+      .as[(Long, Int, Double)].collect().toSeq == full,
+      "full fold must not change served results")
+
+    // remove() reaches unfolded delta rows
+    AnnIndex.refreshDelta(spark,
+      Seq((903L, nearAnchor(5, 8e-4))).toDF("vec_id", "e"), dir)
+    assert(AnnIndex.query(spark, dir, anchor, k = 3)
+      .as[(Long, Int, Double)].collect()
+      .exists(r => r._1 == 903L && r._3 > 0.999),
+      "delta-admitted 903 must serve before removal")
+    AnnIndex.remove(spark, Seq(903L), dir)
+    assert(!AnnIndex.query(spark, dir, anchor, k = 3)
+      .as[(Long, Int, Double)].collect().exists(_._1 == 903L),
+      "remove must retire the unfolded delta row too")
+
+    // a REBUILD requantizes: the stale delta is cleared, not overlaid
+    AnnIndex.refreshDelta(spark,
+      Seq((904L, nearAnchor(6, 2e-3))).toDF("vec_id", "e"), dir)
+    AnnIndex.build(spark, base.toDF("vec_id", "e"), dir)
+    assert(VersionedTable.currentVersion(spark, AnnIndex.deltaDir(dir)).isEmpty,
+      "rebuild must clear the unfolded delta")
+    assert(!AnnIndex.query(spark, dir, anchor, k = 3)
+      .as[(Long, Int, Double)].collect().exists(_._1 == 904L),
+      "a cleared delta must not overlay the rebuilt index")
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("queryPq overlays the unfolded delta with exact scoring; fold syncs codes before truncating") {
+    val dim = 8
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian())
+    }
+    val anchor = vec(1)
+    def nearAnchor(seed: Int, eps: Double): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      anchor.map(x => x + eps * r.nextGaussian())
+    }
+    val base = (0 until 40).map(i => (i.toLong, vec(300 + i))) :+
+      (900L, nearAnchor(2, 0.01))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_pqd").toString
+    AnnIndex.build(spark, base.toDF("vec_id", "e"), dir)
+    AnnIndex.buildPq(spark, dir)
+    val pq0 = AnnIndex.queryPq(spark, dir, anchor, k = 3)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(pq0.head._1 == 900L, s"baseline PQ probe: $pq0")
+
+    // delta: a closer vector (no codes exist for it — exact overlay)
+    // and a re-ingest of 900 far away (its CODED row must drop)
+    AnnIndex.refreshDelta(spark,
+      Seq((905L, nearAnchor(7, 1e-3)), (900L, vec(998)))
+        .toDF("vec_id", "e"), dir)
+    val pqAfter = AnnIndex.queryPq(spark, dir, anchor, k = 3)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(pqAfter.head._1 == 905L && pqAfter.head._3 > 0.999,
+      s"uncoded delta vector must serve via exact overlay: $pqAfter")
+    assert(!pqAfter.exists(r => r._1 == 900L && r._3 > 0.999),
+      s"superseded coded row must stop serving: $pqAfter")
+
+    // fold: codes sync INSIDE the fold, so the folded vector stays
+    // servable through PQ with an EMPTY delta
+    AnnIndex.foldDelta(spark, dir)
+    assert(VersionedTable.read(spark, AnnIndex.deltaDir(dir)).count() == 0)
+    val pqFolded = AnnIndex.queryPq(spark, dir, anchor, k = 3)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(pqFolded == pqAfter,
+      s"fold+sync must preserve PQ results:\npre  $pqAfter\npost $pqFolded")
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("streaming refresh trails the vector stream; replay bumps nothing") {
     val dim = 8
     def vec(seed: Int): Seq[Double] = {
