@@ -86,17 +86,6 @@ object Tables {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    // Size post-shuffle partitions by bytes, not by the pre-shuffle
-    // parallelism: parallelismFirst keeps ~one tiny partition per core
-    // on small shuffles, paying task-scheduling floor for no work —
-    // Spark's own docs recommend false in production. Measured on the
-    // suite's modal broadcast-join+agg shape (tools/FloorProbe,
-    // round 13): 659 ms -> 473 ms median (-28%); at cluster scale the
-    // same setting yields fewer, rightly-sized reducers.
-    spark.conf.set(
-      "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-    spark.conf.set(
-      "spark.sql.adaptive.coalescePartitions.minPartitionSize", "8m")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // naive parquet timestamps read as LTZ (UTC), not NTZ — see
     // ltzNormalized; the conf covers reads that bypass this catalog
