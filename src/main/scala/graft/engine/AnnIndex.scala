@@ -179,6 +179,18 @@ object AnnIndex {
           "cell" -> col("s.cell")))),
       maxAttempts = 30)
     recordCentroidVersion(spark, dir, v, centV)
+    // reconcile the ingest delta: a vec_id previously admitted through
+    // refreshDelta and now re-ingested here must not keep serving its
+    // STALE delta row (the overlay is latest-wins and the delta would
+    // win) — and foldDelta would later overwrite this merge's value
+    // with the older one. Merge-then-evict order: the vector is
+    // reachable at every instant (briefly via the superseded delta
+    // row), never invisible.
+    if (VersionedTable.currentVersion(spark, deltaDir(dir)).isDefined)
+      VersionedTable.commitMerge(spark, deltaDir(dir), maxAttempts = 30) {
+        baseOpt => baseOpt.get.join(
+          newVectors.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      }
     v
   }
 
@@ -202,19 +214,29 @@ object AnnIndex {
     val centroids = VersionedTable.read(spark, centroidsDir(dir), Some(centV))
     val assigned = assign(newVectors, centroids)
       .select(col("vec_id"), col("e"), col("cell"))
+    // seq must be monotone across DELTA GENERATIONS, not just within
+    // one: max(seq)+1 over the live rows resets to 0 after a fold
+    // drains the table, and a repeated (vec_id, seq) pair would let a
+    // later foldDelta(upTo = <old version>) truncate a never-folded
+    // row (silent loss). The high-water sidecar is the floor the
+    // live-row maximum cannot provide.
+    val hwm = sidecarLong(spark, deltaDir(dir), "_SEQ_HWM")
+    var used = -1L
     val v = VersionedTable.commitMerge(spark, deltaDir(dir),
         maxAttempts = 30) { baseOpt =>
-      baseOpt match {
-        case None => assigned.withColumn("seq", lit(0L))
-        case Some(base) =>
-          // delta is bounded by the fold cadence — the max-seq action
-          // and the anti-join build are delta-sized, never corpus-sized
-          val next = base.agg(coalesce(max(col("seq")) + 1, lit(0L)))
-            .head().getLong(0)
-          base.join(assigned.select(col("vec_id")), Seq("vec_id"), "left_anti")
-            .unionByName(assigned.withColumn("seq", lit(next)))
+      val liveNext = baseOpt.fold(0L)(base =>
+        base.agg(coalesce(max(col("seq")) + 1, lit(0L))).head().getLong(0))
+      used = math.max(liveNext, hwm.fold(0L)(_ + 1))
+      baseOpt.fold(assigned.withColumn("seq", lit(used))) { base =>
+        base.join(assigned.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .unionByName(assigned.withColumn("seq", lit(used)))
       }
     }
+    // monotone even across a racing writer: never move the mark back
+    val prior = sidecarLong(spark, deltaDir(dir), "_SEQ_HWM")
+    if (prior.forall(_ < used))
+      VersionedTable.atomicWrite(spark, deltaDir(dir),
+        "_SEQ_HWM", used.toString)
     VersionedTable.atomicWrite(spark, deltaDir(dir),
       s"_CENTROIDS_V$v", centV.toString)
     v
@@ -228,45 +250,51 @@ object AnnIndex {
     * an absent/never-written delta. Returns the new cells version. */
   def foldDelta(spark: SparkSession, dir: String,
       upTo: Option[Long] = None): Option[Long] =
-    VersionedTable.currentVersion(spark, deltaDir(dir)).map { cur =>
+    VersionedTable.currentVersion(spark, deltaDir(dir)).flatMap { cur =>
       val d = upTo.getOrElse(cur)
       val snap = VersionedTable.read(spark, deltaDir(dir), Some(d))
-      val cellsV = Merge.mergeVersioned(spark, cellsDir(dir),
-        snap.select(col("vec_id"), col("e"), col("cell")), Seq("vec_id"),
-        Seq(
-          Merge.MatchedUpdate(None,
-            Map("e" -> col("s.e"), "cell" -> col("s.cell"))),
-          Merge.NotMatchedInsert(None, Map(
-            "vec_id" -> col("s.vec_id"), "e" -> col("s.e"),
-            "cell" -> col("s.cell")))),
-        maxAttempts = 30)
-      // lineage: delta rows were assigned under the centroid version
-      // the delta sidecar recorded (build() clears the delta, so one
-      // delta lifetime never spans two quantizers)
-      val centV = sidecarLong(spark, deltaDir(dir), s"_CENTROIDS_V$d")
-        .orElse(VersionedTable.currentVersion(spark, centroidsDir(dir)))
-        .getOrElse(throw new IllegalStateException(
-          s"no centroid lineage for delta v$d in $dir"))
-      recordCentroidVersion(spark, dir, cellsV, centV)
-      // a PQ layer syncs BEFORE the delta truncates: folded vectors
-      // must be reachable (coded or overlaid) at every instant — sync
-      // first means a probe between the two steps sees them in BOTH
-      // (the overlay anti-join dedups); truncate-first would open a
-      // window where they are in NEITHER
-      if (VersionedTable.currentVersion(spark, pqCodesDir(dir)).isDefined)
-        syncCodes(spark, dir)
-      VersionedTable.commitMerge(spark, deltaDir(dir), maxAttempts = 30) {
-        baseOpt =>
-          val base = baseOpt.getOrElse(snap.limit(0))
-          base.join(snap.select(col("vec_id"), col("seq")),
-            Seq("vec_id", "seq"), "left_anti")
+      // empty-fold short-circuit: a maintenance window with zero
+      // ingest since the last fold must not churn a cells version, a
+      // centroid sidecar, a codes sync, and a no-op truncation commit
+      if (snap.isEmpty) None
+      else Some {
+        val cellsV = Merge.mergeVersioned(spark, cellsDir(dir),
+          snap.select(col("vec_id"), col("e"), col("cell")), Seq("vec_id"),
+          Seq(
+            Merge.MatchedUpdate(None,
+              Map("e" -> col("s.e"), "cell" -> col("s.cell"))),
+            Merge.NotMatchedInsert(None, Map(
+              "vec_id" -> col("s.vec_id"), "e" -> col("s.e"),
+              "cell" -> col("s.cell")))),
+          maxAttempts = 30)
+        // lineage: delta rows were assigned under the centroid version
+        // the delta sidecar recorded (build() clears the delta, so one
+        // delta lifetime never spans two quantizers)
+        val centV = sidecarLong(spark, deltaDir(dir), s"_CENTROIDS_V$d")
+          .orElse(VersionedTable.currentVersion(spark, centroidsDir(dir)))
+          .getOrElse(throw new IllegalStateException(
+            s"no centroid lineage for delta v$d in $dir"))
+        recordCentroidVersion(spark, dir, cellsV, centV)
+        // a PQ layer syncs BEFORE the delta truncates: folded vectors
+        // must be reachable (coded or overlaid) at every instant — sync
+        // first means a probe between the two steps sees them in BOTH
+        // (the overlay anti-join dedups); truncate-first would open a
+        // window where they are in NEITHER
+        if (VersionedTable.currentVersion(spark, pqCodesDir(dir)).isDefined)
+          syncCodes(spark, dir)
+        VersionedTable.commitMerge(spark, deltaDir(dir), maxAttempts = 30) {
+          baseOpt =>
+            val base = baseOpt.getOrElse(snap.limit(0))
+            base.join(snap.select(col("vec_id"), col("seq")),
+              Seq("vec_id", "seq"), "left_anti")
+        }
+        // every refreshDelta commits an O(delta) snapshot version; the
+        // fold is the natural place to drop that history (delta
+        // versions are ingest plumbing, not a time-travel surface —
+        // currentDelta always reads the head)
+        VersionedTable.expireVersions(spark, deltaDir(dir), keepLast = 2)
+        cellsV
       }
-      // every refreshDelta commits an O(delta) snapshot version; the
-      // fold is the natural place to drop that history (delta versions
-      // are ingest plumbing, not a time-travel surface — currentDelta
-      // always reads the head)
-      VersionedTable.expireVersions(spark, deltaDir(dir), keepLast = 2)
-      cellsV
     }
 
   /** The current unfolded delta, if the table exists — the overlay

@@ -91,7 +91,9 @@ object IslandsProbe {
       }
       graft.util.Fs.deleteRecursively(dst)
     }
-    graft.ops.Llm.substrGramStrategy = "thinrare-bin"
+    // restore the SHIPPED default (the recompute arm won the
+    // head-to-head this tool exists to adjudicate)
+    graft.ops.Llm.substrGramStrategy = "recompute-bin"
     spark.stop()
   }
 }

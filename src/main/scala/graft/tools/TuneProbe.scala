@@ -67,23 +67,32 @@ object TuneProbe {
           // Tables.tune must not undo the experiment between reps
           confs.foreach { case (k, v) => spark.conf.set(k, v) }
           val t0 = System.nanoTime()
-          try graft.util.Exec.drain(graft.SparkEntry.queries(q)(spark, dir))
-          catch { case t: Throwable =>
-            System.err.println(s"$label $q FAILED: $t") }
+          val ok =
+            try { graft.util.Exec.drain(
+              graft.SparkEntry.queries(q)(spark, dir)); true }
+            catch { case t: Throwable =>
+              System.err.println(s"$label $q FAILED: $t"); false }
           spark.sharedState.cacheManager.clearCache()
-          (System.nanoTime() - t0) / 1e9
+          // a failed run must poison the cell, not land its (fast,
+          // meaningless) wall time in the comparison this tool exists
+          // to adjudicate
+          if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
         }
-        results((q, label)) = ts.min
+        results((q, label)) = if (ts.exists(_.isNaN)) Double.NaN else ts.min
       }
     }
     println(f"\n== ${"query"}%-22s ${configs.map(_._1).mkString("  ")}")
     for (q <- queries) {
       val cells = configs.map { case (l, _) =>
-        f"${results((q, l))}%8.2f s".padTo(l.length, ' ') }
+        val v = results((q, l))
+        (if (v.isNaN) "  FAILED  " else f"$v%8.2f s").padTo(l.length, ' ') }
       println(f"== $q%-22s ${cells.mkString("  ")}")
     }
-    for ((l, _) <- configs)
-      println(f"== TOTAL $l%-20s ${queries.map(q => results((q, l))).sum}%8.2f s")
+    for ((l, _) <- configs) {
+      val vs = queries.map(q => results((q, l)))
+      val tag = if (vs.exists(_.isNaN)) " (INCOMPLETE: failures)" else ""
+      println(f"== TOTAL $l%-20s ${vs.filterNot(_.isNaN).sum}%8.2f s$tag")
+    }
     spark.stop()
   }
 }

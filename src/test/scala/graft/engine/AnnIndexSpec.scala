@@ -213,6 +213,61 @@ class AnnIndexSpec extends SparkTestBase {
     graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("mixed admission faces reconcile: refresh() evicts a vec_id's stale delta row; seq stays monotone across a drained fold") {
+    val dim = 8
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian())
+    }
+    val anchor = vec(1)
+    def nearAnchor(seed: Int, eps: Double): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      anchor.map(x => x + eps * r.nextGaussian())
+    }
+    val base = (0 until 40).map(i => (i.toLong, vec(400 + i)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_mix").toString
+    AnnIndex.build(spark, base.toDF("vec_id", "e"), dir)
+
+    // X admitted via the DELTA face near the anchor...
+    AnnIndex.refreshDelta(spark,
+      Seq((950L, nearAnchor(2, 1e-3))).toDF("vec_id", "e"), dir)
+    // ...then RE-INGESTED via the FULL-MERGE face far away: the stale
+    // delta row must be evicted, or the latest-wins overlay would keep
+    // serving the old position and a later fold would overwrite the
+    // newer cells value with it
+    AnnIndex.refresh(spark, Seq((950L, vec(777))).toDF("vec_id", "e"), dir)
+    assert(!AnnIndex.query(spark, dir, anchor, k = 3)
+      .as[(Long, Int, Double)].collect().exists(r => r._1 == 950L && r._3 > 0.999),
+      "refresh() must evict the superseded delta row")
+    AnnIndex.foldDelta(spark, dir)
+    val e950 = VersionedTable.read(spark, AnnIndex.cellsDir(dir))
+      .filter(col("vec_id") === 950L).select(col("e")).as[Seq[Double]].head()
+    assert(e950 == vec(777),
+      "fold must not resurrect the pre-refresh delta value")
+
+    // seq monotonicity across a DRAINED delta: fold empties the table,
+    // and the next admission must NOT reuse seq 0 — a repeated
+    // (vec_id, seq) pair would let foldDelta(upTo = <old version>)
+    // truncate a never-folded row
+    AnnIndex.refreshDelta(spark,
+      Seq((951L, nearAnchor(3, 1e-3))).toDF("vec_id", "e"), dir)
+    AnnIndex.foldDelta(spark, dir) // drains (951 folded)
+    AnnIndex.refreshDelta(spark,
+      Seq((951L, nearAnchor(4, 2e-3))).toDF("vec_id", "e"), dir)
+    val seqs = VersionedTable.read(spark, AnnIndex.deltaDir(dir))
+      .select(col("vec_id"), col("seq")).as[(Long, Long)].collect().toSet
+    assert(seqs.forall(_._2 >= 1L),
+      s"post-drain admissions must not reuse folded seq values: $seqs")
+    // an empty-delta fold is a no-op, not a version churn
+    AnnIndex.foldDelta(spark, dir)
+    val cellsBefore = VersionedTable.currentVersion(spark, AnnIndex.cellsDir(dir))
+    assert(AnnIndex.foldDelta(spark, dir).isEmpty,
+      "folding a drained delta must short-circuit")
+    assert(VersionedTable.currentVersion(spark, AnnIndex.cellsDir(dir)) == cellsBefore,
+      "an empty fold must not commit a cells version")
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("queryPq overlays the unfolded delta with exact scoring; fold syncs codes before truncating") {
     val dim = 8
     def vec(seed: Int): Seq[Double] = {
