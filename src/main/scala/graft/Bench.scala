@@ -126,8 +126,9 @@ object Bench {
       // the two committed-index entries are pinned COLD outright
       // (drop any index an earlier entry committed): each row prices
       // one deterministic build+commit+serve, and the recurring serve
-      // regime gets its own explicit _warm row below — no rerun
-      // adjudication on either, so min() never mixes the regimes
+      // regime gets its own explicit _warm row below; a 5x-median
+      // rerun re-prices the same cold regime (the rerun block drops
+      // the index first), so min() never mixes regimes
       if (name == "q_llm_ann_index" || name == "q_llm_ann_pq_index")
         graft.ops.Llm.invalidateAnnIndexCache()
       // the substring pair shares one islands memo; map order decided
@@ -194,16 +195,17 @@ object Bench {
     // rerun itself fails — a failed adjudication attempt must be
     // visible in the record, not silently dropped
     val reruns = scala.collection.mutable.LinkedHashMap[String, String]()
-    // regime-pinned rows are exempt from rerun adjudication: their
-    // first reading is already a deterministic cold build (or warm
-    // serve), and a cache-dropped rerun would re-price the SAME
-    // regime at best or mix regimes at worst
-    // q_llm_dedup_substr is pinned WARM (serve of the islands memo) —
-    // the rerun machinery's cache invalidation would re-price it COLD
-    // and min() would mix regimes; q_llm_dedup_substr_rm stays
-    // rerun-eligible (its rerun re-prices the same cold regime)
-    val noRerun = Set("q_llm_ann_index", "q_llm_ann_pq_index",
-      "q_llm_dedup_substr")
+    // only WARM-pinned rows are exempt from rerun adjudication: the
+    // rerun machinery's cache invalidation would re-price them COLD
+    // and min() would mix regimes (q_llm_dedup_substr serves the
+    // islands memo). COLD-pinned rows stay rerun-eligible — their
+    // cache-dropped rerun re-prices the SAME cold regime, which is
+    // their only defense against a host window landing on a pinned
+    // single-shot reading (round 13: a contended start sentinel put
+    // q_llm_ann_pq_index at 22.1 s while its own warm row read
+    // 0.53 s and its forced twin 5.4 s — with no rerun, that one
+    // reading stood as the row)
+    val noRerun = Set("q_llm_dedup_substr")
     val results = firstPass.map { case (name, dt, err) =>
       if (err.isEmpty && dt > threshold && !noRerun(name)) {
         graft.ops.Ml.invalidateFitCache()
@@ -231,13 +233,13 @@ object Bench {
           graft.ops.ScalarFns.invalidateShredTableCache()
         if (name == "q_llm_shard_resume")
           graft.ops.Llm.invalidateShardTableCache()
-        // these two dispatch to a committed AnnIndex when one exists
-        // (first pass pinned to the fit regime above), so the cold
-        // rerun must drop the index or it would price the serve
-        // regime against a fit-regime first reading and min() would
-        // mix regimes (the index-building entries themselves are in
-        // the noRerun set — their rows are regime-pinned outright)
-        if (name == "q_llm_ann_ivf" || name == "q_llm_knn_join_ivf")
+        // these four either dispatch to a committed AnnIndex (the
+        // fit-pinned pair) or ARE the committed-index cold rows: in
+        // every case the rerun must drop the index so the second
+        // reading re-prices the first pass's exact regime (fit or
+        // cold build+commit+serve), never a warm dispatch
+        if (name == "q_llm_ann_ivf" || name == "q_llm_knn_join_ivf" ||
+            name == "q_llm_ann_index" || name == "q_llm_ann_pq_index")
           graft.ops.Llm.invalidateAnnIndexCache()
         if (name == "q_llm_bpe_apply")
           graft.ops.Llm.invalidateBpeTableCache()

@@ -1666,8 +1666,18 @@ object Llm {
       (if (total > fitCap) emb.sample(withReplacement = false,
         fraction = fitCap.toDouble / total, seed = 42L)
       else emb).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // random init, not k-means||: the parallel init's ~5 extra passes
+    // buy nothing a coarse PROBE-COVERED quantizer can use — measured
+    // head-to-head at 600k vectors / k=775 (FitProf2, round 13):
+    // k-means|| 11.1-15.3 s / 27 jobs, random 8.1-8.4 s / 22 jobs,
+    // training cost within 0.05% (82612 vs 82573), random's largest
+    // cell BETTER balanced (884 vs 950), all k cells populated in
+    // both. Same shape at bench scale (n=2k: 1.10 s vs 1.65 s, cost
+    // 1743 vs 1761). nprobe covers boundary error by design, so the
+    // init refinement k-means|| pays for is already bought elsewhere.
     val model =
       try new KMeans().setK(k).setSeed(42).setMaxIter(8)
+        .setInitMode("random")
         .setFeaturesCol("features").setPredictionCol("cell")
         .fit(fitInput)
       finally fitInput.unpersist()
