@@ -615,16 +615,44 @@ object Llm {
     * exhaustive cross-population n-gram Jaccard. Emits (new_id,
     * old_id, jaccard) for every new-batch doc near-duplicating a
     * snapshot doc. */
-  val dedupIncremental: Q = (spark, dir) => {
+  val dedupIncremental: Q = (spark, dir) =>
+    dedupIncrementalBatch(spark, dir,
+      Tables(spark, dir, "documents").filter(incrBatchPred))
+
+  /** Batch docs below this count probe the snapshot with the batch
+    * bands BROADCAST (docs x 6 band rows, ~60 MB at the cap): the
+    * corpus-sized snapshot then streams map-side through a
+    * broadcast-hash join and is NEVER shuffled — the regime that
+    * matters at 100 TB, where a daily crawl batch is a fraction of a
+    * percent of the corpus and a sort-merge band join would reshuffle
+    * the entire snapshot per refresh (round-13 IndexDeepProbe: the
+    * corpus/5 fixture batch at x1000 shuffled 4.9 GB, and that
+    * shuffle was ALL snapshot-side). Above the cap the sort-merge
+    * join is correct anyway: a batch that is a sizable fraction of
+    * the corpus amortizes the snapshot shuffle over proportionally
+    * many probes. */
+  private val incrBroadcastDocCap = 250000L
+
+  /** [[dedupIncremental]] with the new batch supplied by the caller —
+    * the production signature (a crawl refresh brings its own docs;
+    * the fixture entry derives its batch from the corpus predicate).
+    * `batchDocs` is (doc_id, text)-shaped. */
+  private[graft] def dedupIncrementalBatch(spark: SparkSession,
+      dir: String, batchDocs: DataFrame): DataFrame = {
     // two consumers of the new batch's shingles (signing + verify):
     // NOT materialized — the derivation is map-only, and checkpointed
     // shingle arrays' storage blocks compete with the signature
     // aggregate's execution memory (the round-12 MinhashProbe x1000
     // wall on the self-join path; the batch here is corpus/5, which
     // only defers the same wall one factor of 5)
-    val newDocs = shingleDocs(
-      Tables(spark, dir, "documents").filter(incrBatchPred))
-    val newBands = bandedSignatures(newDocs)
+    val newDocs = shingleDocs(batchDocs)
+    val newBandsRaw = bandedSignatures(newDocs)
+    // count the batch DOCS (a pushed-filter parquet count for the
+    // fixture entry), not the band rows — 6x cheaper and the same
+    // dispatch signal
+    val newBands =
+      if (batchDocs.count() <= incrBroadcastDocCap) broadcast(newBandsRaw)
+      else newBandsRaw
     val oldBands = snapshotSigTable(spark, dir) // read, never rebuilt
     val cands = newBands.as("n")
       .join(oldBands.as("o"),
@@ -638,8 +666,21 @@ object Llm {
           col("n.doc_id") =!= col("o.doc_id"))
       .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
       .distinct()
+      // the candidate PAIR LIST is batch-bounded (banding admits few
+      // old docs per batch doc) and consumed three times (the verify
+      // semi join + both final joins): pin it once. This is the
+      // materialization the corpus-sized-block rule PERMITS — a tiny
+      // frame — and it keeps the band probe (a full snapshot scan
+      // under the broadcast dispatch) from re-executing per consumer.
+      .localCheckpoint(true)
     val oldSh = tokenized(spark, dir)
-      .join(cands.select(col("old_id").as("doc_id")).distinct(),
+      .join(
+        // broadcast the matched-id set explicitly: the corpus-sized
+        // tokenized scan must stay MAP-SIDE filtered — a sort-merge
+        // here reshuffles the corpus per refresh (the round-13
+        // const-batch probe read 656 MB of shuffle at x300, all of it
+        // this join's corpus side; the id set is candidate-bounded)
+        broadcast(cands.select(col("old_id").as("doc_id")).distinct()),
         Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("old_id"), expr(shinglesE).as("so"))
     val newSh = newDocs

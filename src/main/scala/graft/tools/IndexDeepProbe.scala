@@ -150,6 +150,20 @@ object IndexDeepProbe {
         graft.util.Exec.drain(
           graft.SparkEntry.queries("q_llm_dedup_incremental")(spark, dst))
       }
+      // CONSTANT-size batch (the x1 documents re-keyed) against the
+      // x-scaled snapshot: the fixture entry's batch is corpus/5 BY
+      // CONSTRUCTION, so its row cannot separate batch growth from
+      // corpus coupling — this row can. Under the broadcast cap the
+      // corpus-sized snapshot streams map-side through a
+      // broadcast-hash band join (shuffleW must read ~0) and the row
+      // must stay flat across factors.
+      val constBatch = spark.read.parquet(s"$src/documents.parquet")
+        .select((col("doc_id") + lit((factor + 7).toLong * 1000000000L))
+          .as("doc_id"), col("text"))
+      timed("dedup incr (const batch)", factor) {
+        graft.util.Exec.drain(
+          graft.ops.Llm.dedupIncrementalBatch(spark, dst, constBatch))
+      }
       graft.ops.Llm.invalidateSnapshotSigCache()
       graft.util.Fs.deleteRecursively(idxDir)
       graft.util.Fs.deleteRecursively(dst)
