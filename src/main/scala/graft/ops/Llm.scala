@@ -1709,7 +1709,7 @@ object Llm {
       else emb).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // random init, not k-means||: the parallel init's ~5 extra passes
     // buy nothing a coarse PROBE-COVERED quantizer can use — measured
-    // head-to-head at 600k vectors / k=775 (FitProf2, round 13):
+    // head-to-head at 600k vectors / k=775 (tools/QuantizerProbe fit, round 13):
     // k-means|| 11.1-15.3 s / 27 jobs, random 8.1-8.4 s / 22 jobs,
     // training cost within 0.05% (82612 vs 82573), random's largest
     // cell BETTER balanced (884 vs 950), all k cells populated in

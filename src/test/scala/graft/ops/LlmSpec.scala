@@ -469,7 +469,7 @@ class LlmSpec extends SparkTestBase {
     // approximate methods trade recall for sublinear scan cost; the
     // floor pins that the trade stays reasonable instead of silently
     // degrading to noise. The floor is for ONE fixed natural query, so
-    // it carries per-query variance: the round-13 RecallProf measured
+    // it carries per-query variance: the round-13 QuantizerProbe-recall run measured
     // mean top-10 recall over 50 random queries at 62-63% (sf0.001)
     // and 66-68% (sf0.1) for both init modes of the quantizer, with
     // single queries ranging 4-9. Noise would read ~nprobe/k ≈ 26%
