@@ -140,7 +140,21 @@ object AnnIndex {
     * index wins ties. One broadcast join + a max_by aggregation —
     * map-side, no corpus shuffle beyond the per-vector k-row fanout. */
   private def assign(newVectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = newVectors
+    // the scoring work is batch x k HOF evaluations, but the INPUT
+    // partition count is whatever the batch source happened to have —
+    // a small refresh batch lands as 1-2 parquet files and the whole
+    // O(batch * sqrt(n)) scoring runs in one task (round-13
+    // IndexDeepProbe: the delta-refresh row read task-spread ~2000 at
+    // x1000 with 35 tasks — a single-core hotspot on a 32-core host).
+    // Spread under-parallel batches across the cores; the repartition
+    // shuffles only the BATCH (tiny by contract) and the k-fold
+    // scoring then runs wide. Wide batches keep their layout.
+    val spark = newVectors.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val np = newVectors.rdd.getNumPartitions
+    val spreadIn =
+      if (np * 2 < par) newVectors.repartition(par) else newVectors
+    val scored = spreadIn
       .withColumn("unit", expr(graft.ops.Llm.unitNormE))
       .crossJoin(broadcast(centroids))
       .withColumn("d2",
