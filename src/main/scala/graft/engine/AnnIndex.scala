@@ -201,10 +201,18 @@ object AnnIndex {
     // reachable at every instant (briefly via the superseded delta
     // row), never invisible.
     if (VersionedTable.currentVersion(spark, deltaDir(dir)).isDefined)
-      VersionedTable.commitMerge(spark, deltaDir(dir), maxAttempts = 30) {
+      // the table can vanish between the isDefined check and the
+      // derive (a racing rebuild deletes deltaDir outright): a None
+      // base then means there is nothing left to evict — complete the
+      // refresh instead of dying on .get mid-eviction (round-13
+      // review). The catch is precise: NoSuchElementException in this
+      // closure can only be the vanished base.
+      try VersionedTable.commitMerge(spark, deltaDir(dir),
+          maxAttempts = 30) {
         baseOpt => baseOpt.get.join(
           newVectors.select(col("vec_id")), Seq("vec_id"), "left_anti")
       }
+      catch { case _: NoSuchElementException => () }
     v
   }
 
@@ -234,10 +242,18 @@ object AnnIndex {
     // later foldDelta(upTo = <old version>) truncate a never-folded
     // row (silent loss). The high-water sidecar is the floor the
     // live-row maximum cannot provide.
-    val hwm = sidecarLong(spark, deltaDir(dir), "_SEQ_HWM")
     var used = -1L
     val v = VersionedTable.commitMerge(spark, deltaDir(dir),
         maxAttempts = 30) { baseOpt =>
+      // the HWM read lives INSIDE the derive (re-read per attempt):
+      // read once outside, a fold draining the table between the read
+      // and this writer's winning commit would hand back a stale
+      // floor and liveNext=0 — reusing a folded seq (round-13
+      // review). Per-attempt, the commit-serialization re-derives
+      // against the post-fold state, and foldDelta itself bumps the
+      // mark to the folded maximum, so the drained-table floor is
+      // always current by the time an attempt wins.
+      val hwm = sidecarLong(spark, deltaDir(dir), "_SEQ_HWM")
       val liveNext = baseOpt.fold(0L)(base =>
         base.agg(coalesce(max(col("seq")) + 1, lit(0L))).head().getLong(0))
       used = math.max(liveNext, hwm.fold(0L)(_ + 1))
@@ -266,12 +282,22 @@ object AnnIndex {
       upTo: Option[Long] = None): Option[Long] =
     VersionedTable.currentVersion(spark, deltaDir(dir)).flatMap { cur =>
       val d = upTo.getOrElse(cur)
-      val snap = VersionedTable.read(spark, deltaDir(dir), Some(d))
+      // an explicit watermark older than the retained history means a
+      // PRIOR fold already folded (and expired) that version — the
+      // retried maintenance job's correct outcome is the idempotent
+      // no-op, not a read failure (round-13 review: the keepLast=2
+      // expiry below would otherwise fail any retry whose recorded
+      // watermark predates two newer folds)
+      val snapOpt =
+        if (upTo.isEmpty) Some(VersionedTable.read(spark, deltaDir(dir), Some(d)))
+        else try Some(VersionedTable.read(spark, deltaDir(dir), Some(d)))
+        catch { case _: Exception => None }
       // empty-fold short-circuit: a maintenance window with zero
       // ingest since the last fold must not churn a cells version, a
       // centroid sidecar, a codes sync, and a no-op truncation commit
-      if (snap.isEmpty) None
+      if (snapOpt.forall(_.isEmpty)) None
       else Some {
+        val snap = snapOpt.get
         val cellsV = Merge.mergeVersioned(spark, cellsDir(dir),
           snap.select(col("vec_id"), col("e"), col("cell")), Seq("vec_id"),
           Seq(
@@ -302,6 +328,20 @@ object AnnIndex {
             base.join(snap.select(col("vec_id"), col("seq")),
               Seq("vec_id", "seq"), "left_anti")
         }
+        // bump the seq floor to the folded maximum: a refreshDelta
+        // writer that died between its merge commit and its own
+        // _SEQ_HWM write left rows whose seq the sidecar never
+        // recorded — once this fold drains them, a stale floor plus
+        // liveNext=0 would let the next writer REUSE a folded seq,
+        // and a later watermarked truncation would silently eat its
+        // never-folded rows (round-13 review). The folded max covers
+        // every seq this fold retired; rows landing after the
+        // snapshot keep the live maximum above it.
+        val foldedMax = snap.agg(max(col("seq"))).head().getLong(0)
+        if (sidecarLong(spark, deltaDir(dir), "_SEQ_HWM")
+            .forall(_ < foldedMax))
+          VersionedTable.atomicWrite(spark, deltaDir(dir),
+            "_SEQ_HWM", foldedMax.toString)
         // every refreshDelta commits an O(delta) snapshot version; the
         // fold is the natural place to drop that history (delta
         // versions are ingest plumbing, not a time-travel surface —
@@ -340,11 +380,18 @@ object AnnIndex {
         s"no committed index in $dir — build it first"))
     val src = vecIds.distinct.toDF("vec_id")
     // the unfolded delta first: an overlay row left behind would
-    // resurrect the vector the cells-side delete just retired
+    // resurrect the vector the cells-side delete just retired. The
+    // refresh() rationale for the catch: a racing rebuild can delete
+    // deltaDir between the check and the derive, and a vanished base
+    // means nothing to evict — the cells-side delete below must still
+    // run (round-13 review: dying here left the retired vector
+    // serving).
     if (VersionedTable.currentVersion(spark, deltaDir(dir)).isDefined)
-      VersionedTable.commitMerge(spark, deltaDir(dir), maxAttempts = 30) {
+      try VersionedTable.commitMerge(spark, deltaDir(dir),
+          maxAttempts = 30) {
         baseOpt => baseOpt.get.join(src, Seq("vec_id"), "left_anti")
       }
+      catch { case _: NoSuchElementException => () }
     val v = Merge.mergeVersioned(spark, cellsDir(dir), src, Seq("vec_id"),
       Seq(Merge.MatchedDelete(None)))
     recordCentroidVersion(spark, dir, v, centV)

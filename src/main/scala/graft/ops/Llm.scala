@@ -647,11 +647,13 @@ object Llm {
     // only defers the same wall one factor of 5)
     val newDocs = shingleDocs(batchDocs)
     val newBandsRaw = bandedSignatures(newDocs)
-    // count the batch DOCS (a pushed-filter parquet count for the
-    // fixture entry), not the band rows — 6x cheaper and the same
-    // dispatch signal
+    // count the batch DOCS (column-pruned to doc_id, a metadata-cheap
+    // parquet count for the fixture entry), not the band rows — the
+    // same dispatch signal without paying a text-column pass on an
+    // arbitrary production batch source (round-13 review)
     val newBands =
-      if (batchDocs.count() <= incrBroadcastDocCap) broadcast(newBandsRaw)
+      if (batchDocs.select(col("doc_id")).count() <= incrBroadcastDocCap)
+        broadcast(newBandsRaw)
       else newBandsRaw
     val oldBands = snapshotSigTable(spark, dir) // read, never rebuilt
     val cands = newBands.as("n")

@@ -127,7 +127,12 @@ object IndexDeepProbe {
       timed("ann fold delta", factor) {
         graft.engine.AnnIndex.foldDelta(spark, idxDir)
       }
-      timed("ann probed serve", factor) {
+      // labeled post-fold deliberately: the delta table EXISTS here
+      // (drained by the fold above), so this row prices the
+      // steady-state production serve — overlay machinery present,
+      // delta near-empty — not the pristine pre-delta snapshot path
+      // (which the pre-refresh rows of earlier rounds measured)
+      timed("ann probed serve (post-fold)", factor) {
         graft.util.Exec.drain(
           graft.engine.AnnIndex.query(spark, idxDir, qe, k = 10,
             excludeVecId = Some(0L)))

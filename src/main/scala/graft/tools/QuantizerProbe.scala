@@ -49,8 +49,11 @@ object QuantizerProbe {
     import org.apache.spark.ml.functions.array_to_vector
     spark.read.parquet(path)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("unit", expr(
-        "transform(e, x -> x / sqrt(aggregate(e, 0D, (a, v) -> a + v * v)))"))
+      // the PRODUCTION normalization expression, not a copy: this
+      // harness exists to keep the init-decision numbers reproducible
+      // against the quantizer path, so a future guard landing in
+      // unitNormE must flow through here too
+      .withColumn("unit", expr(graft.ops.Llm.unitNormE))
       .withColumn("features", array_to_vector(col("unit")))
   }
 

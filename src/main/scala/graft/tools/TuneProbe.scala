@@ -72,11 +72,16 @@ object TuneProbe {
               graft.SparkEntry.queries(q)(spark, dir)); true }
             catch { case t: Throwable =>
               System.err.println(s"$label $q FAILED: $t"); false }
+          // clock BEFORE the cache clear: teardown cost varies with
+          // what each config materialized, and charging it to the
+          // timed cell skews exactly the A/B/C comparison this tool
+          // exists to adjudicate (round-13 review)
+          val dt = (System.nanoTime() - t0) / 1e9
           spark.sharedState.cacheManager.clearCache()
           // a failed run must poison the cell, not land its (fast,
           // meaningless) wall time in the comparison this tool exists
           // to adjudicate
-          if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
+          if (ok) dt else Double.NaN
         }
         results((q, label)) = if (ts.exists(_.isNaN)) Double.NaN else ts.min
       }

@@ -268,6 +268,56 @@ class AnnIndexSpec extends SparkTestBase {
     graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("fold bumps the seq floor past a dead writer's rows; an expired upTo watermark is an idempotent no-op") {
+    val dim = 8
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian())
+    }
+    val base = (0 until 20).map(i => (i.toLong, vec(600 + i)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_hwm").toString
+    AnnIndex.build(spark, base.toDF("vec_id", "e"), dir)
+    AnnIndex.refreshDelta(spark,
+      Seq((970L, vec(21))).toDF("vec_id", "e"), dir)
+    // simulate a writer dying between its merge commit and its own
+    // _SEQ_HWM write: the rows landed, the sidecar never did
+    val hwmFile = new java.io.File(
+      new java.io.File(AnnIndex.deltaDir(dir)), "_SEQ_HWM")
+    assert(hwmFile.exists(), "refreshDelta must have written the mark")
+    assert(hwmFile.delete())
+    val foldedSeq = VersionedTable.read(spark, AnnIndex.deltaDir(dir))
+      .agg(org.apache.spark.sql.functions.max(col("seq"))).head().getLong(0)
+    AnnIndex.foldDelta(spark, dir) // drains the dead writer's rows
+    // the fold must restore the floor the dead writer never recorded —
+    // without it the next admission reuses the folded seq and a later
+    // watermarked truncation can silently eat never-folded rows
+    val restored = new String(java.nio.file.Files.readAllBytes(
+      hwmFile.toPath), java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    assert(restored >= foldedSeq,
+      s"fold must bump _SEQ_HWM to the folded max: $restored < $foldedSeq")
+    AnnIndex.refreshDelta(spark,
+      Seq((971L, vec(22))).toDF("vec_id", "e"), dir)
+    val seqs = VersionedTable.read(spark, AnnIndex.deltaDir(dir))
+      .select(col("seq")).as[Long].collect()
+    assert(seqs.forall(_ > foldedSeq),
+      s"post-drain admission must not reuse a folded seq: $seqs")
+
+    // expired-watermark retry: fold repeatedly so keepLast=2 expires
+    // the old delta history, then retry a fold at the dead watermark —
+    // the correct outcome is the idempotent no-op, not a read failure
+    val staleWatermark =
+      VersionedTable.currentVersion(spark, AnnIndex.deltaDir(dir)).get
+    AnnIndex.foldDelta(spark, dir)
+    for (i <- 0 until 4) {
+      AnnIndex.refreshDelta(spark,
+        Seq((980L + i, vec(30 + i))).toDF("vec_id", "e"), dir)
+      AnnIndex.foldDelta(spark, dir)
+    }
+    assert(AnnIndex.foldDelta(spark, dir, upTo = Some(staleWatermark)).isEmpty,
+      "a watermark older than the retained delta history is already folded")
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("queryPq overlays the unfolded delta with exact scoring; fold syncs codes before truncating") {
     val dim = 8
     def vec(seed: Int): Seq[Double] = {
