@@ -37,6 +37,18 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
+  /** Thrown by a commitMerge derive closure when its base table
+    * vanished between the caller's isDefined check and the derive (a
+    * racing rebuild deletes deltaDir outright) — the precise signal
+    * "nothing left to evict". A dedicated sentinel instead of catching
+    * NoSuchElementException around the whole commit call: an NSEE
+    * escaping any OTHER part of the 30-attempt commit machinery must
+    * propagate, not be silently treated as a vanished base (round-13
+    * ADVICE — in remove() that silence would leave the retired vector
+    * serving from the overlay). */
+  private final class VanishedBase extends RuntimeException
+    with scala.util.control.NoStackTrace
+
   def centroidsDir(dir: String) = s"$dir/centroids"
   def cellsDir(dir: String) = s"$dir/cells"
 
@@ -148,12 +160,21 @@ object AnnIndex {
     // x1000 with 35 tasks — a single-core hotspot on a 32-core host).
     // Spread under-parallel batches across the cores; the repartition
     // shuffles only the BATCH (tiny by contract) and the k-fold
-    // scoring then runs wide. Wide batches keep their layout.
+    // scoring then runs wide. Wide batches keep their layout. The
+    // width probe reads the LOGICAL plan's file listing, never
+    // Dataset.rdd: under AQE, .rdd finalizes the adaptive plan and can
+    // eagerly execute upstream shuffle stages whose work the
+    // subsequent DataFrame operators do not reuse (round-13 ADVICE) —
+    // a caller-supplied batch with non-trivial lineage would compute
+    // twice. File-backed batches report their file count (a small
+    // refresh batch lands as 1-2 files); a non-file lineage reports
+    // zero files and is spread unconditionally — the shuffle still
+    // moves only the batch.
     val spark = newVectors.sparkSession
     val par = spark.sparkContext.defaultParallelism
-    val np = newVectors.rdd.getNumPartitions
+    val nf = newVectors.inputFiles.length
     val spreadIn =
-      if (np * 2 < par) newVectors.repartition(par) else newVectors
+      if (nf == 0 || nf * 2 < par) newVectors.repartition(par) else newVectors
     val scored = spreadIn
       .withColumn("unit", expr(graft.ops.Llm.unitNormE))
       .crossJoin(broadcast(centroids))
@@ -204,15 +225,14 @@ object AnnIndex {
       // the table can vanish between the isDefined check and the
       // derive (a racing rebuild deletes deltaDir outright): a None
       // base then means there is nothing left to evict — complete the
-      // refresh instead of dying on .get mid-eviction (round-13
-      // review). The catch is precise: NoSuchElementException in this
-      // closure can only be the vanished base.
+      // refresh instead of dying mid-eviction (round-13 review). The
+      // sentinel keeps the catch precise (see VanishedBase).
       try VersionedTable.commitMerge(spark, deltaDir(dir),
           maxAttempts = 30) {
-        baseOpt => baseOpt.get.join(
+        baseOpt => baseOpt.getOrElse(throw new VanishedBase).join(
           newVectors.select(col("vec_id")), Seq("vec_id"), "left_anti")
       }
-      catch { case _: NoSuchElementException => () }
+      catch { case _: VanishedBase => () }
     v
   }
 
@@ -287,11 +307,16 @@ object AnnIndex {
       // retried maintenance job's correct outcome is the idempotent
       // no-op, not a read failure (round-13 review: the keepLast=2
       // expiry below would otherwise fail any retry whose recorded
-      // watermark predates two newer folds)
+      // watermark predates two newer folds). Expiry is detected
+      // EXPLICITLY against the retained-version listing — the former
+      // catch-all around the read mapped a transient IO error or a
+      // corrupt snapshot on a perfectly retained version to the same
+      // silent no-op (round-13 ADVICE); genuine read failures now
+      // propagate to the caller like every other table read here.
       val snapOpt =
-        if (upTo.isEmpty) Some(VersionedTable.read(spark, deltaDir(dir), Some(d)))
-        else try Some(VersionedTable.read(spark, deltaDir(dir), Some(d)))
-        catch { case _: Exception => None }
+        if (upTo.isDefined &&
+            !VersionedTable.versions(spark, deltaDir(dir)).contains(d)) None
+        else Some(VersionedTable.read(spark, deltaDir(dir), Some(d)))
       // empty-fold short-circuit: a maintenance window with zero
       // ingest since the last fold must not churn a cells version, a
       // centroid sidecar, a codes sync, and a no-op truncation commit
@@ -322,12 +347,6 @@ object AnnIndex {
         // window where they are in NEITHER
         if (VersionedTable.currentVersion(spark, pqCodesDir(dir)).isDefined)
           syncCodes(spark, dir)
-        VersionedTable.commitMerge(spark, deltaDir(dir), maxAttempts = 30) {
-          baseOpt =>
-            val base = baseOpt.getOrElse(snap.limit(0))
-            base.join(snap.select(col("vec_id"), col("seq")),
-              Seq("vec_id", "seq"), "left_anti")
-        }
         // bump the seq floor to the folded maximum: a refreshDelta
         // writer that died between its merge commit and its own
         // _SEQ_HWM write left rows whose seq the sidecar never
@@ -336,12 +355,26 @@ object AnnIndex {
         // and a later watermarked truncation would silently eat its
         // never-folded rows (round-13 review). The folded max covers
         // every seq this fold retired; rows landing after the
-        // snapshot keep the live maximum above it.
+        // snapshot keep the live maximum above it. The bump lands
+        // BEFORE the truncation commit: a fold dying between a
+        // truncation-first commit and the sidecar write would drain
+        // the dead writer's rows yet leave the stale floor — the next
+        // refreshDelta would see liveNext=0 plus the old mark and
+        // reuse a folded seq (round-13 ADVICE). Raising the floor
+        // first is safe even if the fold then fails: the write is
+        // monotone, and the un-truncated live rows keep liveNext at
+        // or above foldedMax+1.
         val foldedMax = snap.agg(max(col("seq"))).head().getLong(0)
         if (sidecarLong(spark, deltaDir(dir), "_SEQ_HWM")
             .forall(_ < foldedMax))
           VersionedTable.atomicWrite(spark, deltaDir(dir),
             "_SEQ_HWM", foldedMax.toString)
+        VersionedTable.commitMerge(spark, deltaDir(dir), maxAttempts = 30) {
+          baseOpt =>
+            val base = baseOpt.getOrElse(snap.limit(0))
+            base.join(snap.select(col("vec_id"), col("seq")),
+              Seq("vec_id", "seq"), "left_anti")
+        }
         // every refreshDelta commits an O(delta) snapshot version; the
         // fold is the natural place to drop that history (delta
         // versions are ingest plumbing, not a time-travel surface —
@@ -389,9 +422,10 @@ object AnnIndex {
     if (VersionedTable.currentVersion(spark, deltaDir(dir)).isDefined)
       try VersionedTable.commitMerge(spark, deltaDir(dir),
           maxAttempts = 30) {
-        baseOpt => baseOpt.get.join(src, Seq("vec_id"), "left_anti")
+        baseOpt => baseOpt.getOrElse(throw new VanishedBase)
+          .join(src, Seq("vec_id"), "left_anti")
       }
-      catch { case _: NoSuchElementException => () }
+      catch { case _: VanishedBase => () }
     val v = Merge.mergeVersioned(spark, cellsDir(dir), src, Seq("vec_id"),
       Seq(Merge.MatchedDelete(None)))
     recordCentroidVersion(spark, dir, v, centV)

@@ -636,9 +636,15 @@ object Llm {
   /** [[dedupIncremental]] with the new batch supplied by the caller —
     * the production signature (a crawl refresh brings its own docs;
     * the fixture entry derives its batch from the corpus predicate).
-    * `batchDocs` is (doc_id, text)-shaped. */
+    * `batchDocs` is (doc_id, text)-shaped. `batchDocCount` lets a
+    * production caller whose batch has non-trivial lineage supply the
+    * size it already knows — the broadcast-dispatch count below is
+    * metadata-cheap only for column-pruned file sources (round-13
+    * ADVICE: an arbitrary batch would execute its full lineage once
+    * extra just to pick a join strategy). */
   private[graft] def dedupIncrementalBatch(spark: SparkSession,
-      dir: String, batchDocs: DataFrame): DataFrame = {
+      dir: String, batchDocs: DataFrame,
+      batchDocCount: Option[Long] = None): DataFrame = {
     // two consumers of the new batch's shingles (signing + verify):
     // NOT materialized — the derivation is map-only, and checkpointed
     // shingle arrays' storage blocks compete with the signature
@@ -650,10 +656,12 @@ object Llm {
     // count the batch DOCS (column-pruned to doc_id, a metadata-cheap
     // parquet count for the fixture entry), not the band rows — the
     // same dispatch signal without paying a text-column pass on an
-    // arbitrary production batch source (round-13 review)
+    // arbitrary production batch source (round-13 review). A caller
+    // that already knows its batch size short-circuits the count.
+    val batchN = batchDocCount
+      .getOrElse(batchDocs.select(col("doc_id")).count())
     val newBands =
-      if (batchDocs.select(col("doc_id")).count() <= incrBroadcastDocCap)
-        broadcast(newBandsRaw)
+      if (batchN <= incrBroadcastDocCap) broadcast(newBandsRaw)
       else newBandsRaw
     val oldBands = snapshotSigTable(spark, dir) // read, never rebuilt
     val cands = newBands.as("n")
