@@ -36,6 +36,13 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
     }
+    // which sentinel window each timed row ran in ("sw" in its phys
+    // row): round 13's r12→r13 diff had ~12 untouched rows +0.9-1.9 s
+    // that three sentinel points could not localize — with a sentinel
+    // every ~25 entries, a scattered regression decomposes row-by-row
+    // (its window's sentinel either shows the contention or rules it
+    // out)
+    var curWindow = "pre"
     def timeOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {
@@ -52,7 +59,8 @@ object Bench {
             Some(e.getClass.getSimpleName)
         }
       }
-      phys(name) = s"""{"shuffle_mb":${m.shuffleWriteBytes / 1048576},""" +
+      phys(name) = s"""{"sw":"$curWindow",""" +
+        s""""shuffle_mb":${m.shuffleWriteBytes / 1048576},""" +
         s""""spill_mb":${(m.memorySpilledBytes + m.diskSpilledBytes) / 1048576},""" +
         s""""gc_ms":${gcMillis() - gc0},""" +
         s""""tasks":${m.tasks},"spread":${
@@ -92,6 +100,7 @@ object Bench {
         spark.range(0, 200000L, 1, 8).groupBy(col("id") % 64)
           .agg(sum(col("id")).as("s")))
       sentinels(tag) = (System.nanoTime() - t0) / 1e9
+      curWindow = tag
       spark.sharedState.cacheManager.clearCache()
     }
     val entries = SparkEntry.queries.toSeq
@@ -102,7 +111,12 @@ object Bench {
     sentinel("warmup"); sentinels.remove("warmup")
     sentinel("start")
     val firstPass = entries.zipWithIndex.map { case ((name, fn), i) =>
-      if (i == entries.size / 2) sentinel("mid")
+      // interleave a sentinel every 25 entries (round-13 verdict #2):
+      // O(10) readings across ~200 entries, so a mid-run host window
+      // is localized to the ~25 rows it actually hit instead of a
+      // whole suite third, and the median normalizer below has enough
+      // points to shrug off one transient spike
+      if (i > 0 && i % 25 == 0) sentinel(s"s$i")
       // q_fn_variant dispatches to a committed shredded snapshot when
       // one exists; whether q_fn_variant_shredded's memoized build ran
       // first is map-order luck, so pin this row to the PARSE regime
@@ -282,14 +296,21 @@ object Bench {
     // sentinel drifted in proportion — scale the total by a committed
     // reference sentinel (0.60 s: the quiet-morning band this host
     // reads when idle, BASELINE.md "Reading the bench contention
-    // sentinel") over the run's MEAN sentinel so round-over-round
-    // comparisons divide out sustained host drift. Auxiliary only —
+    // sentinel") over the run's MEDIAN sentinel. Median, not mean
+    // (round-13 verdict #1): with sentinels 0.79/2.49/0.71 — one
+    // mid-run spike — the mean 1.33 "normalized" a raw 267.9 s to
+    // 120.6 s while the true sustained drift was ~+10%; the median of
+    // the ~10 interleaved readings ignores a transient excursion and
+    // only corrects for genuinely sustained load. Auxiliary only —
     // the gate number stays the raw total.
     val sentinelRef = 0.60
-    val sentMean =
+    val sentMedian =
       if (sentinels.isEmpty) sentinelRef
-      else sentinels.values.sum / sentinels.size
-    val totalNorm = total * (sentinelRef / math.max(sentMean, 1e-9))
+      else {
+        val sorted = sentinels.values.toSeq.sorted
+        sorted(sorted.size / 2)
+      }
+    val totalNorm = total * (sentinelRef / math.max(sentMedian, 1e-9))
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"reruns":$rr,"sf":"$sfDir","total_s":$total,"n_entries":${ok.size}}"""
     println(json)

@@ -175,6 +175,20 @@ object AnnIndex {
     val nf = newVectors.inputFiles.length
     val spreadIn =
       if (nf == 0 || nf * 2 < par) newVectors.repartition(par) else newVectors
+    // above CoarseAssign.minK centroids the two-level pruned rule
+    // takes over (O(batch·√k) scorings instead of O(batch·k)) — the
+    // count on the k-row centroid table resolves from parquet footer
+    // metadata. Below the threshold the exact rule runs UNCHANGED, so
+    // refresh keeps landing vectors in exactly the cell build's
+    // model.transform gave them at every bench/test scale.
+    if (centroids.count() >= CoarseAssign.minK) {
+      val cents = centroids.select(col("cell"), col("ce")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      return CoarseAssign.pruned(
+        spreadIn.withColumn("unit", expr(graft.ops.Llm.unitNormE))
+          .select(col("vec_id"), col("e"), col("unit")),
+        cents).select(col("vec_id"), col("e"), col("cell"))
+    }
     val scored = spreadIn
       .withColumn("unit", expr(graft.ops.Llm.unitNormE))
       .crossJoin(broadcast(centroids))

@@ -1,0 +1,226 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Two-level (coarse-of-coarse) IVF assignment — the cut that takes
+  * the index-build/fit assign term from O(n·k) to O(n·√k).
+  *
+  * With k ~ √n centroids, scoring every vector against every centroid
+  * is O(n^1.5) — round-13's deep record read the two heaviest x1000
+  * rows (index build 128.3 s, knn fit 131.3 s at 2M vectors, k=1415)
+  * as exactly this term. The standard cut (IMI/hierarchical coarse
+  * quantizer): cluster the k centroids themselves into √k SUPER
+  * centroids (driver-side Lloyd — k is at most a few thousand points,
+  * microseconds of arithmetic), register each centroid under its
+  * [[overlapR]] nearest supers (soft membership, so a vector near a
+  * super-cell boundary still sees its true nearest centroid), then
+  * assign in two broadcast passes:
+  *
+  *   pass 1  vector × √k supers        → argmin super
+  *   pass 2  vector × that super's registered centroids (~R·√k)
+  *                                     → argmin cell
+  *
+  * Per-vector work drops from k to (1+R)·√k scorings — ~9× at k=1415,
+  * growing as √k/(1+R) with scale. Pass 1 is a broadcast nested-loop
+  * fanout collapsed map-side by partial min_by aggregation; pass 2 is
+  * a broadcast HASH join on the super id (each candidate centroid
+  * scored once — membership rows are (sup, cell) pairs and the
+  * vector carries a single sup), and it reuses pass 1's vec_id hash
+  * partitioning so the final argmin aggregates without a reshuffle.
+  *
+  * Assignment is APPROXIMATE at the super-cell boundary (a vector's
+  * true argmin centroid can be pruned when it registers under none of
+  * the vector's chosen super's members) — the same boundary-error
+  * class nprobe already covers by design on the query side, and
+  * QuantizerProbe's `assign` mode prices it: agreement with the exact
+  * rule and natural top-10 recall under both rules, at probe scales.
+  * The pruned plan only runs above [[minK]] centroids; every
+  * bench/test-scale corpus (k ≤ 45 at sf0.1) keeps the EXACT rule
+  * bitwise-unchanged, so oracle rows and the forced hash-gated
+  * witnesses never route through the approximation.
+  *
+  * Ties and determinism: the coarse Lloyd is seeded and runs on the
+  * centroid array in cell-id order, so build (model.clusterCenters)
+  * and refresh (committed centroids table, sorted by cell) derive the
+  * SAME super structure; both argmins break ties by lowest id via a
+  * composite (distance, id) min_by — MLlib findClosest's first-wins
+  * rule.
+  */
+object CoarseAssign {
+
+  /** Pruning threshold on the centroid count. Below it the exact
+    * all-centroid rule runs: the two-pass plan only pays when √k is
+    * meaningfully smaller than k, and keeping small corpora exact
+    * keeps every sf0.001–sf0.1 oracle/witness row byte-identical.
+    * 192 ⇒ the pruned path first engages near ~37k vectors. */
+  val minK = 192
+
+  /** Soft-membership width: each centroid registers under its
+    * `overlapR` nearest super-centroids. Raising it trades pass-2
+    * candidate count (~overlapR·√k) for boundary recall. */
+  val overlapR = 4
+
+  /** Assignment-side super fan-out: each vector scans the candidate
+    * slices of its `superProbes` nearest supers. On the clustered
+    * inflated corpus one super lost ~10 recall points vs the exact
+    * rule (QuantizerProbe `assign`, x30); two restores it — see the
+    * probe table in BASELINE.md. Per-vector scorings stay
+    * (1 + superProbes·overlapR)·√k ≪ k. */
+  val superProbes = 2
+
+  /** Lloyd passes for the driver-side coarse fit — the quantizer's
+    * own fit uses 8 (fitIvfCellsOn); the coarse-of-coarse level is
+    * even less placement-sensitive (it only shapes pruning, never
+    * the served cell geometry). */
+  private val coarseIters = 8
+
+  /** The one squared-distance expression both passes (and the exact
+    * path) share — full Σ(u−c)², matching AnnIndex's documented rule
+    * term-for-term so exact/pruned disagreements are genuine argmin
+    * prunes, never formula drift. */
+  private def d2Expr(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (u, c) -> (u - c) * (u - c))," +
+      " 0D, (acc, v) -> acc + v)")
+
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Argmin center index, lowest index wins ties. */
+  private def nearest(centers: Array[Array[Double]],
+      p: Array[Double]): Int = {
+    var best = 0; var bd = sqDist(centers(0), p); var i = 1
+    while (i < centers.length) {
+      val d = sqDist(centers(i), p)
+      if (d < bd) { bd = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** The `r` nearest center indices of `p`, ordered by (d², index). */
+  private[graft] def nearestIdx(centers: Array[Array[Double]],
+      p: Array[Double], r: Int): Array[Int] =
+    centers.indices.map(i => (sqDist(centers(i), p), i))
+      .sortBy(identity).take(r).map(_._2).toArray
+
+  /** Seeded driver-side Lloyd over the k centroid points. An empty
+    * super keeps its previous center (harmless: if no centroid ever
+    * registers under it, [[pruned]] drops it from the probe table). */
+  private[graft] def lloyd(points: Array[Array[Double]], kSuper: Int,
+      seed: Long): Array[Array[Double]] = {
+    val dim = points.head.length
+    val rnd = new scala.util.Random(seed)
+    val centers =
+      rnd.shuffle(points.indices.toList).take(kSuper)
+        .map(i => points(i).clone).toArray
+    var it = 0
+    while (it < coarseIters) {
+      val sums = Array.fill(centers.length)(new Array[Double](dim))
+      val counts = new Array[Long](centers.length)
+      var p = 0
+      while (p < points.length) {
+        val b = nearest(centers, points(p))
+        val s = sums(b); val v = points(p)
+        var d = 0
+        while (d < dim) { s(d) += v(d); d += 1 }
+        counts(b) += 1
+        p += 1
+      }
+      var c = 0
+      while (c < centers.length) {
+        if (counts(c) > 0) {
+          val s = sums(c)
+          var d = 0
+          while (d < dim) { s(d) /= counts(c); d += 1 }
+          centers(c) = s
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
+  /** The coarse structure behind the pruned assign, flattened for the
+    * [[graft.functions.IvfCellAssign]] kernel. `cents` in any order —
+    * sorted by cell id here so both call sites (build's
+    * model.clusterCenters, refresh's committed centroid table) derive
+    * ONE deterministic structure. A super nobody registered under is
+    * dropped (it could still be a vector's argmin but would have no
+    * candidates); every surviving super carries ≥ 1 member, so the
+    * kernel can never return -1. */
+  private[graft] def structureOf(cents: Array[(Int, Array[Double])])
+      : graft.functions.IvfAssignStructure = {
+    val sorted = cents.sortBy(_._1)
+    val points = sorted.map(_._2)
+    val dim = points.head.length
+    val kSuper = math.max(2, math.ceil(math.sqrt(points.length.toDouble)).toInt)
+    val supers = lloyd(points, kSuper, seed = 42L)
+    val memb = points.map(ce => nearestIdx(supers, ce, overlapR))
+    val populated = memb.flatten.distinct.sorted
+    val remap = populated.zipWithIndex.toMap
+    val members = Array.fill(populated.length)(
+      scala.collection.mutable.ArrayBuffer.empty[Int])
+    // `sorted` ascends by cell id, so each slice appends in ascending
+    // cell order — the kernel's strict-< argmin then breaks ties to
+    // the lowest cell id (MLlib findClosest first-wins)
+    for (i <- points.indices; s <- memb(i)) members(remap(s)) += i
+    val supFlat = new Array[Double](populated.length * dim)
+    for ((orig, dense) <- populated.zipWithIndex)
+      System.arraycopy(supers(orig), 0, supFlat, dense * dim, dim)
+    val memberOff = new Array[Int](populated.length + 1)
+    for (s <- members.indices) memberOff(s + 1) = memberOff(s) + members(s).size
+    val total = memberOff.last
+    val memberCell = new Array[Int](total)
+    val memberFlat = new Array[Double](total * dim)
+    var m = 0
+    for (s <- members.indices; i <- members(s)) {
+      memberCell(m) = sorted(i)._1
+      System.arraycopy(points(i), 0, memberFlat, m * dim, dim)
+      m += 1
+    }
+    graft.functions.IvfAssignStructure(
+      dim, supFlat, memberOff, memberCell, memberFlat, superProbes)
+  }
+
+  /** Two-level pruned assign. `vectors` must carry (vec_id, e, unit);
+    * `cents` is the full (cell id, centroid) set, any order. Returns
+    * (vec_id, e, unit, cell), one row per input vector — a MAP-ONLY
+    * plan: the broadcast structure rides to executors once and the
+    * kernel runs inside the scan's codegen span, no fanout, no
+    * shuffle. (A first cut expressed the two passes as
+    * crossJoin+min_by DataFrame stages; QuantizerProbe `assign`
+    * measured the HOF scoring ~40× slower per comparison than
+    * primitive-array arithmetic — see IvfCellAssign's scaladoc.) */
+  def pruned(vectors: DataFrame,
+      cents: Array[(Int, Array[Double])]): DataFrame = {
+    val spark = vectors.sparkSession
+    vectors
+      .withColumn("cell",
+        graft.functions.IvfCellAssign(spark, col("unit"), structureOf(cents)))
+      .select(col("vec_id"), col("e"), col("unit"), col("cell"))
+  }
+
+  /** The exact all-centroid rule over the same driver-side centroid
+    * array — the reference arm for specs/probes comparing the pruned
+    * plan against ground truth on a shared fixture. Production exact
+    * paths (AnnIndex.assign below minK, fitIvfCellsOn's
+    * model.transform) keep their own unchanged code. */
+  private[graft] def exactOn(vectors: DataFrame,
+      cents: Array[(Int, Array[Double])]): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val centsDf = cents.sortBy(_._1)
+      .map { case (cell, ce) => (cell, ce.toSeq) }.toSeq.toDF("cell", "ce")
+    vectors.crossJoin(broadcast(centsDf))
+      .withColumn("d2", d2Expr("unit", "ce"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("e")).as("e"), first(col("unit")).as("unit"),
+        min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
+      .select(col("vec_id"), col("e"), col("unit"), col("cell"))
+  }
+}

@@ -1745,7 +1745,22 @@ object Llm {
     // for the recall specs (they release caches per fixture); the
     // repeatedly-served forced-witness entries instead memoize their
     // planted fits via ivfCellsMemo under dir+"#<witness>" keys.
-    val cells = model.transform(emb)
+    // corpus assignment: above CoarseAssign.minK centroids the
+    // two-level pruned rule replaces transform-all — the O(n·k)
+    // assign term was the body of the x1000 build/fit rows (round-13
+    // IndexDeepProbe: 128/131 s at 2M vectors, k=1415). Below the
+    // threshold MLlib's own transform runs unchanged (bitwise-stable
+    // cells for every bench/test-scale corpus and witness fixture).
+    // Both sides of a build/refresh pair route through the SAME rule:
+    // AnnIndex.assign applies the identical dispatch.
+    val assigned =
+      if (k >= graft.engine.CoarseAssign.minK)
+        graft.engine.CoarseAssign.pruned(
+          emb.select(col("vec_id"), col("e"), col("unit")),
+          model.clusterCenters.zipWithIndex
+            .map { case (c, i) => (i, c.toArray) })
+      else model.transform(emb)
+    val cells = assigned
       .select(col("vec_id"), col("e"), col("unit"), col("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (model, cells)

@@ -59,9 +59,122 @@ object QuantizerProbe {
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("recall") => recallMain()
+    case Some("assign") => assignMain(args.drop(1).map(_.toInt).toSeq match {
+      case Nil => Seq(30, 100); case fs => fs
+    })
+    case Some("build") => buildMain(args.drop(1).map(_.toInt).toSeq match {
+      case Nil => Seq(300, 1000); case fs => fs
+    })
     case _ => fitMain(args.drop(1).map(_.toInt).toSeq match {
       case Nil => Seq(300); case fs => fs
     })
+  }
+
+  /** The round-14 two-level-assign decision table: at inflated probe
+    * scales (the pruned plan only engages above CoarseAssign.minK
+    * centroids), price exact transform-all against CoarseAssign.pruned
+    * on the SAME fitted quantizer — wall, cell agreement, and natural
+    * top-10 recall of the production probe rule under BOTH assignment
+    * sets (50 seeded queries, driver-side exact ground truth). */
+  private def assignMain(factors: Seq[Int]): Unit = {
+    val spark = session()
+    import org.apache.spark.ml.clustering.KMeans
+    val src = "/root/testdata/sf0.1"
+    for (factor <- factors) {
+      val dir =
+        if (factor <= 1) src
+        else {
+          val d = java.nio.file.Files
+            .createTempDirectory(s"qprobe_asg_x$factor").toString
+          Inflate.embeddingsOnly(spark, src, d, factor)
+          d
+        }
+      val emb = unitized(spark, s"$dir/embeddings.parquet")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val total = emb.count()
+      val k = math.max(8, math.ceil(math.sqrt(total.toDouble)).toInt)
+      val nprobe = math.max(2, math.ceil(k / 4.0).toInt)
+      val fitCap = 100000L
+      val fitInput = (if (total > fitCap)
+          emb.sample(withReplacement = false,
+            fraction = fitCap.toDouble / total, seed = 42L)
+        else emb)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val model = new KMeans().setK(k).setSeed(42).setMaxIter(8)
+        .setInitMode("random")
+        .setFeaturesCol("features").setPredictionCol("cell")
+        .fit(fitInput)
+      fitInput.unpersist()
+      val cents = model.clusterCenters.map(_.toArray)
+      // warm rep absorbs codegen/reader init; read rep 2. Exec.drain,
+      // NOT count(): a count action lets Catalyst prune the predicted
+      // `cell` column away entirely — the first round-14 cut timed
+      // 0.12-0.25 s "transforms" that computed no assignment at all
+      for (rep <- 1 to 2) {
+        val t0 = System.nanoTime()
+        graft.util.Exec.drain(
+          model.transform(emb).select(col("vec_id"), col("cell")))
+        val tEx = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        graft.util.Exec.drain(graft.engine.CoarseAssign.pruned(
+            emb.select(col("vec_id"), col("e"), col("unit")),
+            cents.zipWithIndex.map { case (c, i) => (i, c) })
+          .select(col("vec_id"), col("cell")))
+        val tPr = (System.nanoTime() - t1) / 1e9
+        println(f"QPROBE assign x$factor rep$rep n=$total k=$k " +
+          f"exact ${tEx}%7.2f s  pruned ${tPr}%7.2f s " +
+          f"  speedup ${tEx / tPr}%.2fx")
+      }
+      val exMap = model.transform(emb).select(col("vec_id"), col("cell"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val prMap = graft.engine.CoarseAssign.pruned(
+          emb.select(col("vec_id"), col("e"), col("unit")),
+          cents.zipWithIndex.map { case (c, i) => (i, c) })
+        .select(col("vec_id"), col("cell"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val agree = exMap.count { case (id, c) => prMap.get(id).contains(c) }
+      println(f"QPROBE assign x$factor agreement ${agree * 100.0 / exMap.size}%5.2f%% " +
+        f"(${exMap.size - agree} of ${exMap.size} differ)")
+      // natural recall under both assignment sets — ground truth
+      // brute-forced driver-side (x100 = 200k vectors = ~100 MB of
+      // doubles; within the probe heap)
+      val all = emb.select(col("vec_id"), col("unit")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+      }
+      val rnd = new scala.util.Random(7)
+      val qids = rnd.shuffle(all.map(_._1).toList).take(50)
+      val byId = all.toMap
+      for ((label, asg) <- Seq(("exact", exMap), ("pruned", prMap))) {
+        var tot = 0; var hit = 0
+        for (qid <- qids) {
+          val qu = byId(qid)
+          val scoredAll = all.filter(_._1 != qid)
+            .map { case (id, v) => (id, cos(qu, v)) }
+          val exact10 = scoredAll.sortBy { case (id, s) => (-s, id) }
+            .take(10).map(_._1).toSet
+          val qcell = asg(qid)
+          val ranked = cents.zipWithIndex.filter(_._2 != qcell)
+            .sortBy { case (c, i) =>
+              val cn = math.sqrt(c.map(x => x * x).sum)
+              (-cos(qu, c) / math.max(cn, 1e-12), i) }
+            .map(_._2).take(nprobe - 1)
+          val probed = Set(qcell) ++ ranked
+          val approx = scoredAll
+            .filter { case (id, _) => probed.contains(asg(id)) }
+            .sortBy { case (id, s) => (-s, id) }
+            .take(10).map(_._1).toSet
+          tot += 10; hit += (exact10 & approx).size
+        }
+        println(f"QPROBE assign x$factor recall($label%-6s) " +
+          f"${hit * 100.0 / tot}%5.1f%% (k=$k nprobe=$nprobe)")
+      }
+      emb.unpersist()
+      if (factor > 1) graft.util.Fs.deleteRecursively(dir)
+    }
+    spark.stop()
   }
 
   private def fitMain(factors: Seq[Int]): Unit = {
@@ -109,6 +222,77 @@ object QuantizerProbe {
       }
       fitInput.unpersist()
       if (factor > 1) graft.util.Fs.deleteRecursively(dir)
+    }
+    spark.stop()
+  }
+
+  /** Phase split of the committed-index BUILD at deep scale — the
+    * round-13 verdict attributed the x1000 build/fit rows (128/131 s)
+    * to the assign-all term; this mode measures the attribution
+    * instead of trusting it: fit (KMeans on the capped sample), the
+    * corpus assign under BOTH rules (exact transform-all vs the
+    * two-level pruned kernel), and the cell-clustered commit, each
+    * timed apart with the Metrics counters. */
+  private def buildMain(factors: Seq[Int]): Unit = {
+    val spark = session()
+    import org.apache.spark.ml.clustering.KMeans
+    val src = "/root/testdata/sf0.1"
+    def timed(label: String)(thunk: => Unit): Unit = {
+      val (err, m) = graft.engine.Metrics.measure(spark)(
+        try { thunk; None } catch { case t: Throwable =>
+          System.err.println(s"QPROBE build $label FAILED: ${t.toString.take(300)}")
+          Some(t) })
+      if (err.isEmpty)
+        println(f"QPROBE build $label%-22s ${m.wallMs / 1e3}%8.2f s  " +
+          f"[shuffleW ${m.shuffleWriteBytes / 1048576}%d MB, " +
+          f"spill ${(m.memorySpilledBytes + m.diskSpilledBytes) / 1048576}%d MB, " +
+          f"tasks ${m.tasks}%d]")
+    }
+    for (factor <- factors) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"qprobe_bld_x$factor").toString
+      Inflate.embeddingsOnly(spark, src, dir, factor)
+      val emb = unitized(spark, s"$dir/embeddings.parquet")
+      val total = emb.count()
+      val k = math.max(8, math.ceil(math.sqrt(total.toDouble)).toInt)
+      val fitCap = 100000L
+      println(s"QPROBE build x$factor n=$total k=$k")
+      val fitInput = (if (total > fitCap)
+          emb.sample(withReplacement = false,
+            fraction = fitCap.toDouble / total, seed = 42L)
+        else emb)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var model: org.apache.spark.ml.clustering.KMeansModel = null
+      timed(s"x$factor fit") {
+        model = new KMeans().setK(k).setSeed(42).setMaxIter(8)
+          .setInitMode("random")
+          .setFeaturesCol("features").setPredictionCol("cell")
+          .fit(fitInput)
+      }
+      fitInput.unpersist()
+      timed(s"x$factor assign exact") {
+        graft.util.Exec.drain(
+          model.transform(emb).select(col("vec_id"), col("cell")))
+      }
+      val cents = model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray) }
+      timed(s"x$factor assign pruned") {
+        graft.util.Exec.drain(graft.engine.CoarseAssign.pruned(
+            emb.select(col("vec_id"), col("e"), col("unit")), cents)
+          .select(col("vec_id"), col("cell")))
+      }
+      val cells = graft.engine.CoarseAssign.pruned(
+          emb.select(col("vec_id"), col("e"), col("unit")), cents)
+        .select(col("vec_id"), col("e"), col("cell"))
+      val tbl = java.nio.file.Files
+        .createTempDirectory(s"qprobe_bldtbl_x$factor").toString
+      timed(s"x$factor commit") {
+        graft.engine.VersionedTable.commit(
+          cells.repartition(col("cell")).sortWithinPartitions(col("cell")),
+          tbl)
+      }
+      graft.util.Fs.deleteRecursively(tbl)
+      graft.util.Fs.deleteRecursively(dir)
     }
     spark.stop()
   }

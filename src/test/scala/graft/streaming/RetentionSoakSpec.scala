@@ -214,6 +214,102 @@ class RetentionSoakSpec extends SparkTestBase {
     Seq(dir, src, ckpt).foreach(graft.util.Fs.deleteRecursively)
   }
 
+  test("streaming DELTA refresh races fold+compact+expire: every vector " +
+      "servable at every instant, seq floor never reused") {
+    // the round-13 verdict's missing soak: refreshDelta/foldDelta/
+    // overlay-serve have race SPECS (seq-floor, vanished-delta) but the
+    // full-merge face got an N-trigger soak and the delta face did not
+    // — and the seq-HWM machinery is exactly the kind of code soaks
+    // convict. Two racing maintenance threads: the standard
+    // compact+expire loop on the cells table, plus a FOLD loop draining
+    // the delta mid-stream. Per-trigger asserts: the anchor probe stays
+    // answer-stable AND the vector streamed THIS trigger is already
+    // servable (overlay or folded — reachability at every instant is
+    // the machinery's core claim).
+    val dim = 8
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian())
+    }
+    val anchor = vec(1)
+    val base = (0 until 40).map(i => (i.toLong, vec(100 + i))) :+
+      (900L, anchor.map(_ + 0.001))
+    val dir = java.nio.file.Files.createTempDirectory("graft_soakd_idx").toString
+    val src = java.nio.file.Files.createTempDirectory("graft_soakd_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_soakd_ck").toString
+    AnnIndex.build(spark, base.toDF("vec_id", "e"), dir)
+    val cells = AnnIndex.cellsDir(dir)
+    val (stop, thread, failures) = maintenanceLoop(cells, keepLast = 4)
+    val foldStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val foldFailures = new ConcurrentLinkedQueue[Throwable]()
+    val folder = new Thread(() => {
+      while (!foldStop.get()) {
+        try AnnIndex.foldDelta(spark, dir)
+        catch {
+          case _: ConcurrentCommitException => () // lost the claim
+          case e: Throwable => foldFailures.add(e)
+        }
+        Thread.sleep(80L)
+      }
+    }, "retention-soak-delta-fold")
+    folder.start()
+    val triggers = 6
+    val trigMetrics = scala.collection.mutable.ArrayBuffer.empty[TriggerMetrics]
+    try {
+      (1 to triggers).foreach { i =>
+        val nv = vec(5000 + i)
+        Seq((1000L + i, nv)).toDF("vec_id", "e")
+          .write.parquet(s"$src/b$i")
+        val q = Pipelines.runStreamingAnnRefresh(
+          spark.readStream.schema("vec_id LONG, e ARRAY<DOUBLE>")
+            .option("recursiveFileLookup", "true").parquet(src),
+          dir, ckpt, delta = true)
+        q.awaitTermination()
+        trigMetrics ++= StreamMetrics.perTrigger(q)
+        // the anchor's answer is stable through every trigger + fold +
+        // retention cycle...
+        val top = AnnIndex.query(spark, dir, anchor, k = 1)
+          .as[(Long, Int, Double)].collect().head
+        assert(top._1 == 900L && top._3 > 0.999,
+          s"trigger $i: probe must stay answer-stable, got $top")
+        // ...and the vector admitted THIS trigger is immediately
+        // servable, whether it is still in the delta overlay, mid-fold,
+        // or already folded — no unreachable instant
+        val self = AnnIndex.query(spark, dir, nv, k = 1)
+          .as[(Long, Int, Double)].collect().head
+        assert(self._1 == 1000L + i && self._3 > 0.999,
+          s"trigger $i: freshly admitted vector must serve, got $self")
+      }
+    } finally {
+      stop.set(true); foldStop.set(true)
+      thread.join(30000); folder.join(30000)
+    }
+    assert(failures.isEmpty, "maintenance loop surfaced failures: " +
+      failures.asScala.take(3).map(_.toString).mkString("; "))
+    assert(foldFailures.isEmpty, "fold loop surfaced failures: " +
+      foldFailures.asScala.take(3).map(_.toString).mkString("; "))
+    assert(trigMetrics.size == triggers &&
+      trigMetrics.forall(m => m.inputRows == 1 && m.durationMs > 0),
+      s"delta soak metrics: ${StreamMetrics.pretty(trigMetrics.toSeq)}")
+    checkHistoryConsistent(cells)
+    // a final deterministic fold drains whatever the racing folds left;
+    // afterwards every streamed vector must be IN THE CELLS TABLE with
+    // no surviving delta row (nothing lost to a seq-floor reuse, no
+    // zombie overlay row serving a stale value)
+    AnnIndex.foldDelta(spark, dir)
+    val folded = VersionedTable.read(spark, cells)
+      .select($"vec_id").as[Long].collect().toSet
+    (1 to triggers).foreach(i => assert(folded.contains(1000L + i),
+      s"streamed vector ${1000 + i} lost across the fold races"))
+    val deltaLeft = VersionedTable.currentVersion(spark,
+        AnnIndex.deltaDir(dir))
+      .map(v => VersionedTable.read(spark, AnnIndex.deltaDir(dir), Some(v))
+        .count()).getOrElse(0L)
+    assert(deltaLeft == 0L,
+      s"final fold must drain the delta, $deltaLeft rows left")
+    Seq(dir, src, ckpt).foreach(graft.util.Fs.deleteRecursively)
+  }
+
   test("streaming incr dedup races compact+expire: gate stays exact across triggers") {
     val snap = java.nio.file.Files.createTempDirectory("graft_soak_snap").toString
     val out = java.nio.file.Files.createTempDirectory("graft_soak_out").toString
