@@ -29,11 +29,13 @@ import org.apache.spark.sql.functions._
   * the query or ingest path).
   *
   * Assignment uses MLlib KMeans' own rule — argmin squared euclidean
-  * distance, first index wins ties — expressed as codegen'd column
-  * arithmetic over the broadcast centroid table, so a vector
-  * re-ingested by refresh lands in exactly the cell `build`'s
-  * `model.transform` gave it. Probing mirrors `annIvf`: the query's
-  * own cell plus the nprobe-1 next centroids by centroid cosine.
+  * distance, first index wins ties. Below CoarseAssign.minK centroids
+  * it is expressed as codegen'd column arithmetic over the broadcast
+  * centroid table; above, refresh routes through the SAME two-level
+  * pruned kernel the build used (CoarseAssign.pruned) — either way a
+  * vector re-ingested by refresh lands in exactly the cell `build`
+  * gave it. Probing mirrors `annIvf`: the query's own cell plus the
+  * nprobe-1 next centroids by centroid cosine.
   */
 object AnnIndex {
 
@@ -125,8 +127,8 @@ object AnnIndex {
     graft.util.Fs.deleteRecursively(deltaDir(dir))
     val (model, cells) = graft.ops.Llm.fitIvfCellsOn(spark, embRaw)
     import spark.implicits._
-    val centDf = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+    val centDf = model.centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "ce")
     val centV = VersionedTable.commit(centDf, centroidsDir(dir))
     if (partitionedLayout)
@@ -185,9 +187,7 @@ object AnnIndex {
       val cents = centroids.select(col("cell"), col("ce")).collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       return CoarseAssign.pruned(
-        spreadIn.withColumn("unit", expr(graft.ops.Llm.unitNormE))
-          .select(col("vec_id"), col("e"), col("unit")),
-        cents).select(col("vec_id"), col("e"), col("cell"))
+        spreadIn.select(col("vec_id"), col("e")), cents)
     }
     val scored = spreadIn
       .withColumn("unit", expr(graft.ops.Llm.unitNormE))

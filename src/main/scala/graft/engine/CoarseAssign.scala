@@ -47,6 +47,16 @@ import org.apache.spark.sql.functions._
   * composite (distance, id) min_by — MLlib findClosest's first-wins
   * rule.
   */
+/** The engine's quantizer handle: k centroids as plain double arrays.
+  * Replaced MLlib's KMeansModel as fitIvfCellsOn's return type in
+  * round 14 — every consumer only ever read `clusterCenters`/`getK`,
+  * and the pinned model type forced the fit through MLlib's
+  * assign-all Lloyd even at corpus scales where the two-level kernel
+  * fits the same quantizer ~10× cheaper ([[CoarseAssign.fitCentroids]]). */
+final case class Quantizer(centers: Array[Array[Double]]) {
+  def k: Int = centers.length
+}
+
 object CoarseAssign {
 
   /** Pruning threshold on the centroid count. Below it the exact
@@ -187,22 +197,88 @@ object CoarseAssign {
       dim, supFlat, memberOff, memberCell, memberFlat, superProbes)
   }
 
-  /** Two-level pruned assign. `vectors` must carry (vec_id, e, unit);
-    * `cents` is the full (cell id, centroid) set, any order. Returns
-    * (vec_id, e, unit, cell), one row per input vector — a MAP-ONLY
-    * plan: the broadcast structure rides to executors once and the
-    * kernel runs inside the scan's codegen span, no fanout, no
-    * shuffle. (A first cut expressed the two passes as
-    * crossJoin+min_by DataFrame stages; QuantizerProbe `assign`
-    * measured the HOF scoring ~40× slower per comparison than
-    * primitive-array arithmetic — see IvfCellAssign's scaladoc.) */
+  /** Two-level pruned assign. `vectors` must carry (vec_id, e) — the
+    * kernel unit-normalizes the raw embedding itself (bitwise the
+    * unitNormE result, minus the HOF's per-row allocations); `cents`
+    * is the full (cell id, centroid) set, any order. Returns
+    * (vec_id, e, cell), one row per input vector — a MAP-ONLY plan:
+    * the broadcast structure rides to executors once and the kernel
+    * runs inside the scan's codegen span, no fanout, no shuffle. (A
+    * first cut expressed the two passes as crossJoin+min_by DataFrame
+    * stages; QuantizerProbe `assign` measured the HOF scoring ~40×
+    * slower per comparison than primitive-array arithmetic — see
+    * IvfCellAssign's scaladoc.) */
   def pruned(vectors: DataFrame,
       cents: Array[(Int, Array[Double])]): DataFrame = {
     val spark = vectors.sparkSession
     vectors
       .withColumn("cell",
-        graft.functions.IvfCellAssign(spark, col("unit"), structureOf(cents)))
-      .select(col("vec_id"), col("e"), col("unit"), col("cell"))
+        graft.functions.IvfCellAssign(spark, col("e"), structureOf(cents)))
+      .select(col("vec_id"), col("e"), col("cell"))
+  }
+
+  /** Two-level Lloyd: the quantizer FIT with the pruned kernel on
+    * every assignment step — the term left standing after the pruned
+    * corpus assign landed (round-14 build split at x1000: MLlib fit
+    * 52.4 s vs pruned corpus assign 3.0 s; the fit's 8 Lloyd passes
+    * each score the 100k-capped sample against all k centroids). Each
+    * pass: rebuild the coarse structure over the CURRENT centers
+    * (driver-side, microseconds), kernel-assign the cached sample,
+    * and take per-cell means in one pass with the VectorAvg
+    * aggregator (no posexplode fan-out). An empty cell keeps its
+    * previous center. Init is k sample rows in seeded-hash order —
+    * the random init the round-13 QuantizerProbe decision already
+    * retired k-means|| for.
+    *
+    * `sample` must carry (vec_id, e). Runs only in the ≥ [[minK]]
+    * regime (fitIvfCellsOn keeps MLlib's fit below it), so every
+    * small-scale oracle/witness row still rides MLlib bitwise. */
+  private[graft] def fitCentroids(sample: DataFrame, k: Int,
+      iters: Int = 8, seed: Long = 42L): Array[Array[Double]] = {
+    val spark = sample.sparkSession
+    import spark.implicits._
+    // unit-normalize once and cache: every Lloyd pass re-reads this
+    // (column stays named `e` — the kernel's internal renormalization
+    // of an already-unit vector is numerically a no-op)
+    val su = sample
+      .select(col("vec_id"), expr(graft.ops.Llm.unitNormE).as("e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-iteration registrations pin their broadcast structures via
+    // the function registry; snapshot so they can be dropped after the
+    // loop (each is consumed by its own collect) without touching a
+    // registration an outer plan still needs
+    val before = spark.sessionState.functionRegistry.listFunction()
+      .map(_.funcName).filter(_.startsWith("graft_ivf_assign_")).toSet
+    try {
+      var centers = su
+        .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id")).limit(k)
+        .select(col("e")).collect().map(_.getSeq[Double](0).toArray)
+      val dim = centers.head.length
+      val avg = graft.functions.VectorAvg(dim)
+      var it = 0
+      while (it < iters) {
+        val st = structureOf(
+          centers.zipWithIndex.map { case (c, i) => (i, c) })
+        val means = su
+          .withColumn("cell",
+            graft.functions.IvfCellAssign(spark, col("e"), st))
+          .select(col("cell"), col("e")).as[(Int, Seq[Double])]
+          .groupByKey(_._1).mapValues(_._2).agg(avg.toColumn)
+          .collect()
+        val next = centers.clone()
+        for ((cell, m) <- means if m.nonEmpty) next(cell) = m.toArray
+        centers = next
+        it += 1
+      }
+      centers
+    } finally {
+      su.unpersist()
+      val reg = spark.sessionState.functionRegistry
+      reg.listFunction().filter(f =>
+        f.funcName.startsWith("graft_ivf_assign_") &&
+          !before.contains(f.funcName))
+        .foreach(reg.dropFunction)
+    }
   }
 
   /** The exact all-centroid rule over the same driver-side centroid

@@ -58,11 +58,27 @@ case class IvfCellAssign(child: Expression,
   override def prettyName: String = "ivf_cell_assign"
 
   /** The per-row kernel (also the codegen target — referenced via
-    * addReferenceObj, one virtual call per row). */
+    * addReferenceObj, one virtual call per row). Takes the RAW
+    * embedding and unit-normalizes in primitive code — same
+    * index-order sum/sqrt/divide as Llm.unitNormE, so the result is
+    * bitwise what the HOF produces, without the HOF's per-row
+    * intermediate-array allocations (the x300 build split read the
+    * normalization as a multi-second term common to both assign
+    * arms). A zero/non-finite norm skips the divide (the HOF would
+    * produce NaNs and poison every distance; scoring the raw vector
+    * keeps the argmin well-defined). */
   def assignCell(v: ArrayData): Int = {
     val st = bc.value
     val dim = st.dim
     val q = v.toDoubleArray()
+    var nrm = 0.0
+    var ni = 0
+    while (ni < dim) { nrm += q(ni) * q(ni); ni += 1 }
+    nrm = math.sqrt(nrm)
+    if (nrm > 0.0 && java.lang.Double.isFinite(nrm)) {
+      ni = 0
+      while (ni < dim) { q(ni) /= nrm; ni += 1 }
+    }
     // pass 1: the top-`superProbes` supers by distance (the
     // assignment-side twin of query-side nprobe: on clustered corpora
     // near-coincident centroids make a single-super prune lossy —

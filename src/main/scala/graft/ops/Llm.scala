@@ -1028,14 +1028,14 @@ object Llm {
     * forced-path oracle entry routes through (the
     * embedNeardupForcedScale pattern: same machinery, planted input). */
   private def knnJoinIvfWith(spark: SparkSession,
-      mc: (org.apache.spark.ml.clustering.KMeansModel, DataFrame),
+      mc: (graft.engine.Quantizer, DataFrame),
       k: Int): DataFrame = {
-    val (model, cells) = mc
+    val (quant, cells) = mc
     import spark.implicits._
-    val cent = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+    val cent = quant.centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "ce")
-    knnJoinIvfCore(spark, cent, model.clusterCenters.length, cells, k)
+    knnJoinIvfCore(spark, cent, quant.k, cells, k)
   }
 
   /** The quantizer-agnostic core of [[knnJoinIvfWith]]: centroids as
@@ -1190,13 +1190,13 @@ object Llm {
     })
 
   private def embedNeardupBucketedWith(spark: SparkSession,
-      mc: (org.apache.spark.ml.clustering.KMeansModel, DataFrame))
+      mc: (graft.engine.Quantizer, DataFrame))
       : DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
-    val (model, cells) = mc
+    val (quant, cells) = mc
     import spark.implicits._
-    val centDf = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq.toDF("pcell", "ce")
+    val centDf = quant.centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("pcell", "ce")
     // own cell + 2 nearest OTHER centroids per vector — a CONSTANT
     // probe count (a k-proportional count makes the probed FRACTION
     // constant and pushes a self-join's candidate envelope past
@@ -1636,7 +1636,7 @@ object Llm {
   private val cellCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[
       String, java.lang.ref.SoftReference[
-        (org.apache.spark.ml.clustering.KMeansModel, DataFrame)]]])
+        (graft.engine.Quantizer, DataFrame)]]])
 
   def invalidateCellCache(): Unit = cellCache.clear()
 
@@ -1647,8 +1647,8 @@ object Llm {
     * fitIvfCellsOn comment warns against). Forced entries key as
     * `dir + "#<witness>"` so invalidateCellCache clears them too. */
   private def ivfCellsMemo(spark: SparkSession, key: String)(
-      build: => (org.apache.spark.ml.clustering.KMeansModel, DataFrame))
-      : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
+      build: => (graft.engine.Quantizer, DataFrame))
+      : (graft.engine.Quantizer, DataFrame) = {
     val perSession = cellCache
       .computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
     // serialize first-caller builds (the islandSummaryTable rule): an
@@ -1667,17 +1667,17 @@ object Llm {
   }
 
   private def ivfCells(spark: SparkSession, dir: String)
-      : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) =
+      : (graft.engine.Quantizer, DataFrame) =
     ivfCellsMemo(spark, dir)(fitIvfCells(spark, dir))
 
   /** (k, largest-cell size) of the memoized cell index — the bound on
     * semDedup's within-cell quadratic term; ScaleProbe prints it so the
     * "cells stay ~sqrt(n)" claim is a measured number, not prose. */
   def ivfCellStats(spark: SparkSession, dir: String): (Int, Long) = {
-    val (model, cells) = ivfCells(spark, dir)
+    val (quant, cells) = ivfCells(spark, dir)
     val largest = cells.groupBy(col("cell")).count()
       .agg(max(col("count"))).head().getLong(0)
-    (model.getK, largest)
+    (quant.k, largest)
   }
 
   /** One quantizer fit: coarse cells barely improve past a few Lloyd
@@ -1691,47 +1691,74 @@ object Llm {
     * O(n^1.5) total instead of O(n^2/8) with a fixed k — the fixed
     * k=8 of round 2 was a latent quadratic at corpus scale. */
   private def fitIvfCells(spark: SparkSession, dir: String)
-      : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) =
+      : (graft.engine.Quantizer, DataFrame) =
     fitIvfCellsOn(spark, Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
 
   private[graft] def fitIvfCellsOn(spark: SparkSession, embRaw: DataFrame)
-      : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val emb = embRaw
-      .withColumn("unit", expr(unitNormE))
-      .withColumn("features", array_to_vector(col("unit")))
+      : (graft.engine.Quantizer, DataFrame) = {
     val fitCap = 100000L
     // for the parquet-backed catalog frame this count resolves from
     // footer metadata, not a data scan
     val total = embRaw.count()
     val k = math.max(8, math.ceil(math.sqrt(total.toDouble)).toInt)
-    // persist the fit input: KMeans re-evaluates it once per Lloyd
-    // pass (plus kmeans|| init rounds), and the lineage here carries
-    // the per-row HOF unit normalization — the same trap
-    // Ml.fitClusteredRows documents. Matters more now that k (and so
-    // the number of evaluations MLlib's internal handling triggers)
-    // scales with the corpus. Released as soon as the fit returns.
-    val fitInput =
-      (if (total > fitCap) emb.sample(withReplacement = false,
-        fraction = fitCap.toDouble / total, seed = 42L)
-      else emb).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // random init, not k-means||: the parallel init's ~5 extra passes
-    // buy nothing a coarse PROBE-COVERED quantizer can use — measured
-    // head-to-head at 600k vectors / k=775 (tools/QuantizerProbe fit, round 13):
-    // k-means|| 11.1-15.3 s / 27 jobs, random 8.1-8.4 s / 22 jobs,
-    // training cost within 0.05% (82612 vs 82573), random's largest
-    // cell BETTER balanced (884 vs 950), all k cells populated in
-    // both. Same shape at bench scale (n=2k: 1.10 s vs 1.65 s, cost
-    // 1743 vs 1761). nprobe covers boundary error by design, so the
-    // init refinement k-means|| pays for is already bought elsewhere.
-    val model =
-      try new KMeans().setK(k).setSeed(42).setMaxIter(8)
-        .setInitMode("random")
-        .setFeaturesCol("features").setPredictionCol("cell")
-        .fit(fitInput)
-      finally fitInput.unpersist()
+    // regime dispatch (round 14): above CoarseAssign.minK centroids
+    // BOTH fit and corpus assignment run on the two-level pruned
+    // kernel — the round-13 verdict's O(n^1.5) assign-all term, plus
+    // the fit's own sample·k·iters twin the build split then exposed
+    // (x1000: MLlib fit 52.4 s, transform-all 55.6 s; pruned kernel
+    // assign 3.0 s). Below the threshold MLlib fit + transform run
+    // UNCHANGED — bitwise-stable cells for every bench/test-scale
+    // corpus and witness fixture. Both sides of a build/refresh pair
+    // route through the same rule (AnnIndex.assign applies the
+    // identical dispatch).
+    val (quant, assigned) =
+      if (k >= graft.engine.CoarseAssign.minK) {
+        val sample =
+          if (total > fitCap) embRaw.sample(withReplacement = false,
+            fraction = fitCap.toDouble / total, seed = 42L)
+          else embRaw
+        val centers = graft.engine.CoarseAssign.fitCentroids(
+          sample.select(col("vec_id"), col("e")), k)
+        val cells = graft.engine.CoarseAssign.pruned(
+            embRaw.select(col("vec_id"), col("e")),
+            centers.zipWithIndex.map { case (c, i) => (i, c) })
+          // the cells frame's consumers (PQ codes, semdedup) read
+          // `unit`; re-derive it lazily — the kernel normalized
+          // in-primitive and did not materialize it
+          .withColumn("unit", expr(unitNormE))
+        (graft.engine.Quantizer(centers), cells)
+      } else {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val emb = embRaw
+          .withColumn("unit", expr(unitNormE))
+          .withColumn("features", array_to_vector(col("unit")))
+        // persist the fit input: KMeans re-evaluates it once per Lloyd
+        // pass, and the lineage here carries the per-row HOF unit
+        // normalization — the same trap Ml.fitClusteredRows documents.
+        // Released as soon as the fit returns.
+        val fitInput = emb
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // random init, not k-means||: the parallel init's ~5 extra
+        // passes buy nothing a coarse PROBE-COVERED quantizer can use —
+        // measured head-to-head at 600k vectors / k=775
+        // (tools/QuantizerProbe fit, round 13): k-means|| 11.1-15.3 s /
+        // 27 jobs, random 8.1-8.4 s / 22 jobs, training cost within
+        // 0.05%, random's largest cell BETTER balanced, all k cells
+        // populated in both. nprobe covers boundary error by design,
+        // so the init refinement k-means|| pays for is already bought
+        // elsewhere. (The ≥minK regime inherits the same decision:
+        // fitCentroids seeds from hash-ordered sample rows.)
+        val model =
+          try new KMeans().setK(k).setSeed(42).setMaxIter(8)
+            .setInitMode("random")
+            .setFeaturesCol("features").setPredictionCol("cell")
+            .fit(fitInput)
+          finally fitInput.unpersist()
+        (graft.engine.Quantizer(model.clusterCenters.map(_.toArray)),
+          model.transform(emb))
+      }
     // persist, NOT localCheckpoint — and that distinction is
     // load-bearing: the dir-keyed memo (cellCache) holds this frame
     // across queries, and the bench/anchor harnesses unpersist every
@@ -1745,25 +1772,10 @@ object Llm {
     // for the recall specs (they release caches per fixture); the
     // repeatedly-served forced-witness entries instead memoize their
     // planted fits via ivfCellsMemo under dir+"#<witness>" keys.
-    // corpus assignment: above CoarseAssign.minK centroids the
-    // two-level pruned rule replaces transform-all — the O(n·k)
-    // assign term was the body of the x1000 build/fit rows (round-13
-    // IndexDeepProbe: 128/131 s at 2M vectors, k=1415). Below the
-    // threshold MLlib's own transform runs unchanged (bitwise-stable
-    // cells for every bench/test-scale corpus and witness fixture).
-    // Both sides of a build/refresh pair route through the SAME rule:
-    // AnnIndex.assign applies the identical dispatch.
-    val assigned =
-      if (k >= graft.engine.CoarseAssign.minK)
-        graft.engine.CoarseAssign.pruned(
-          emb.select(col("vec_id"), col("e"), col("unit")),
-          model.clusterCenters.zipWithIndex
-            .map { case (c, i) => (i, c.toArray) })
-      else model.transform(emb)
     val cells = assigned
       .select(col("vec_id"), col("e"), col("unit"), col("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (model, cells)
+    (quant, cells)
   }
 
   /** Driver-side probe-cell selection over an in-memory quantizer —
@@ -1776,13 +1788,12 @@ object Llm {
     * as k grows with sqrt(n). The persisted-index twin is
     * AnnIndex.selectProbes (snapshot centroids instead of a live
     * model); AnnIndexSpec pins the two paths cell-identical. */
-  private def rankProbes(model: org.apache.spark.ml.clustering.KMeansModel,
+  private def rankProbes(quant: graft.engine.Quantizer,
       qe: scala.collection.Seq[Double], qcell: Int): Seq[Int] = {
-    val nprobe = math.max(2, math.ceil(model.getK / 4.0).toInt)
-    val ranked = model.clusterCenters.zipWithIndex
+    val nprobe = math.max(2, math.ceil(quant.k / 4.0).toInt)
+    val ranked = quant.centers.zipWithIndex
       .filter(_._2 != qcell)
-      .map { case (c, i) =>
-        val ca = c.toArray
+      .map { case (ca, i) =>
         var dot = 0.0; var n = 0.0
         var k = 0
         while (k < ca.length) { dot += ca(k) * qe(k); n += ca(k) * ca(k); k += 1 }
@@ -1826,7 +1837,7 @@ object Llm {
     * its own trend row instead of mislabeling it "ann ivf". */
   private[graft] val annIvfFit: Q = (spark, dir) => {
     graft.functions.CosineSimilarity.register(spark)
-    val (model, cells) = ivfCells(spark, dir)
+    val (quant, cells) = ivfCells(spark, dir)
     val query = cells.filter(col("vec_id") === 0)
       .select(col("e").as("qe"), col("cell").as("qcell"))
     // probe the query's cell plus the nearest (nprobe-1) other
@@ -1837,7 +1848,7 @@ object Llm {
     val qRow = query.head()
     val qe = qRow.getAs[scala.collection.Seq[Double]](0)
     val qcell = qRow.getInt(1)
-    val probes = rankProbes(model, qe, qcell)
+    val probes = rankProbes(quant, qe, qcell)
     cells
       .filter(col("vec_id") =!= 0 && col("cell").isin(probes: _*))
       .crossJoin(broadcast(query.select(col("qe"))))
@@ -2054,7 +2065,7 @@ object Llm {
     * (the un-memoized core of [[annIvfPq]]) — the seam the
     * forced-path oracle entry routes through. */
   private def ivfPqTopkWith(spark: SparkSession,
-      model: org.apache.spark.ml.clustering.KMeansModel,
+      quant: graft.engine.Quantizer,
       pq: (Array[Double], Int, Int, Int, DataFrame)): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
     val (cb, m, ks, sub, codes) = pq
@@ -2063,7 +2074,7 @@ object Llm {
     val qRow = query.head()
     val qe = qRow.getAs[scala.collection.Seq[Double]](0)
     val qcell = qRow.getInt(1)
-    val probes = rankProbes(model, qe, qcell)
+    val probes = rankProbes(quant, qe, qcell)
     val lut = pqLut(qe, cb, m, ks, sub)
     val shortlist = codes
       .filter(col("vec_id") =!= 0 && col("cell").isin(probes: _*))
@@ -3495,16 +3506,16 @@ object Llm {
     })
 
   private def decontamSemanticIvfWith(spark: SparkSession,
-      mc: (org.apache.spark.ml.clustering.KMeansModel, DataFrame))
+      mc: (graft.engine.Quantizer, DataFrame))
       : DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
-    val (model, cells) = mc
+    val (quant, cells) = mc
     val isEval = col("vec_id") % 10 === 0
     val evalByCell = cells.filter(isEval)
       .groupBy(col("cell")).agg(collect_list(col("e")).as("evs"))
     import spark.implicits._
-    val centDf = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq.toDF("pcell", "ce")
+    val centDf = quant.centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("pcell", "ce")
     // CONSTANT probe count (round 10, trend-probe find): the old
     // nprobe = k/4 made the probed FRACTION constant (1/4), so past
     // the exact-path dispatch bound — the only regime this path runs

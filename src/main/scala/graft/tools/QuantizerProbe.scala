@@ -117,7 +117,7 @@ object QuantizerProbe {
         val tEx = (System.nanoTime() - t0) / 1e9
         val t1 = System.nanoTime()
         graft.util.Exec.drain(graft.engine.CoarseAssign.pruned(
-            emb.select(col("vec_id"), col("e"), col("unit")),
+            emb.select(col("vec_id"), col("e")),
             cents.zipWithIndex.map { case (c, i) => (i, c) })
           .select(col("vec_id"), col("cell")))
         val tPr = (System.nanoTime() - t1) / 1e9
@@ -128,7 +128,7 @@ object QuantizerProbe {
       val exMap = model.transform(emb).select(col("vec_id"), col("cell"))
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
       val prMap = graft.engine.CoarseAssign.pruned(
-          emb.select(col("vec_id"), col("e"), col("unit")),
+          emb.select(col("vec_id"), col("e")),
           cents.zipWithIndex.map { case (c, i) => (i, c) })
         .select(col("vec_id"), col("cell"))
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
@@ -263,26 +263,85 @@ object QuantizerProbe {
         else emb)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var model: org.apache.spark.ml.clustering.KMeansModel = null
-      timed(s"x$factor fit") {
+      timed(s"x$factor fit mllib") {
         model = new KMeans().setK(k).setSeed(42).setMaxIter(8)
           .setInitMode("random")
           .setFeaturesCol("features").setPredictionCol("cell")
           .fit(fitInput)
       }
       fitInput.unpersist()
+      // the PRODUCTION ≥minK fit: two-level Lloyd on the same capped
+      // sample (CoarseAssign.fitCentroids mirrors fitIvfCellsOn's
+      // sampling exactly)
+      var twoLevel: Array[Array[Double]] = null
+      timed(s"x$factor fit twolevel") {
+        twoLevel = graft.engine.CoarseAssign.fitCentroids(
+          (if (total > fitCap)
+            emb.sample(withReplacement = false,
+              fraction = fitCap.toDouble / total, seed = 42L)
+          else emb).select(col("vec_id"), col("e")), k)
+      }
       timed(s"x$factor assign exact") {
         graft.util.Exec.drain(
           model.transform(emb).select(col("vec_id"), col("cell")))
       }
-      val cents = model.clusterCenters.zipWithIndex
-        .map { case (c, i) => (i, c.toArray) }
+      val cents = twoLevel.zipWithIndex.map { case (c, i) => (i, c) }
       timed(s"x$factor assign pruned") {
         graft.util.Exec.drain(graft.engine.CoarseAssign.pruned(
-            emb.select(col("vec_id"), col("e"), col("unit")), cents)
+            emb.select(col("vec_id"), col("e")), cents)
           .select(col("vec_id"), col("cell")))
       }
+      // natural recall of the production pairing (two-level fit +
+      // pruned assign + probe rule over its own centers) against the
+      // MLlib-fit exact-assign baseline — ground truth driver-side,
+      // feasible to ~700k vectors
+      if (total <= 700000L) {
+        val exMap = model.transform(emb).select(col("vec_id"), col("cell"))
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        val prMap = graft.engine.CoarseAssign.pruned(
+            emb.select(col("vec_id"), col("e")), cents)
+          .select(col("vec_id"), col("cell"))
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        val all = emb.select(col("vec_id"), col("unit")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        def cos(a: Array[Double], b: Array[Double]): Double = {
+          var s = 0.0; var i = 0
+          while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+        }
+        val nprobe = math.max(2, math.ceil(k / 4.0).toInt)
+        val rnd = new scala.util.Random(7)
+        val qids = rnd.shuffle(all.map(_._1).toList).take(50)
+        val byId = all.toMap
+        val mlCents = model.clusterCenters.map(_.toArray)
+        for ((label, asg, cc) <- Seq(
+            ("mllib+exact", exMap, mlCents),
+            ("twolevel+pruned", prMap, twoLevel))) {
+          var tot = 0; var hit = 0
+          for (qid <- qids) {
+            val qu = byId(qid)
+            val scoredAll = all.filter(_._1 != qid)
+              .map { case (id, v) => (id, cos(qu, v)) }
+            val exact10 = scoredAll.sortBy { case (id, s) => (-s, id) }
+              .take(10).map(_._1).toSet
+            val qcell = asg(qid)
+            val ranked = cc.zipWithIndex.filter(_._2 != qcell)
+              .sortBy { case (c, i) =>
+                val cn = math.sqrt(c.map(x => x * x).sum)
+                (-cos(qu, c) / math.max(cn, 1e-12), i) }
+              .map(_._2).take(nprobe - 1)
+            val probed = Set(qcell) ++ ranked
+            val approx = scoredAll
+              .filter { case (id, _) => probed.contains(asg(id)) }
+              .sortBy { case (id, s) => (-s, id) }
+              .take(10).map(_._1).toSet
+            tot += 10; hit += (exact10 & approx).size
+          }
+          println(f"QPROBE build x$factor recall($label%-15s) " +
+            f"${hit * 100.0 / tot}%5.1f%% (k=$k nprobe=$nprobe)")
+        }
+      }
       val cells = graft.engine.CoarseAssign.pruned(
-          emb.select(col("vec_id"), col("e"), col("unit")), cents)
+          emb.select(col("vec_id"), col("e")), cents)
         .select(col("vec_id"), col("e"), col("cell"))
       val tbl = java.nio.file.Files
         .createTempDirectory(s"qprobe_bldtbl_x$factor").toString
