@@ -1090,7 +1090,10 @@ object Llm {
       val kCells = cent.count().toInt
       val cells = graft.engine.VersionedTable.read(spark,
           graft.engine.AnnIndex.cellsDir(idx), None)
-        .withColumn("unit", expr(unitNormE))
+        // native normalizer: bitwise the HOF's doubles (same
+        // index-order arithmetic), without the per-row allocations —
+        // this is a full-corpus scan on the committed-index serve path
+        .withColumn("unit", graft.functions.UnitNorm(spark, col("e")))
         .select(col("vec_id"), col("unit"), col("cell"))
       knnJoinIvfCore(spark, cent, kCells, cells, 10)
     case None => knnJoinIvf(spark, dir, 10)
@@ -1724,9 +1727,12 @@ object Llm {
             embRaw.select(col("vec_id"), col("e")),
             centers.zipWithIndex.map { case (c, i) => (i, c) })
           // the cells frame's consumers (PQ codes, semdedup) read
-          // `unit`; re-derive it lazily — the kernel normalized
-          // in-primitive and did not materialize it
-          .withColumn("unit", expr(unitNormE))
+          // `unit` from the persisted frame; materialize it with the
+          // NATIVE normalizer — the HOF form is CodegenFallback and
+          // allocates per row, which the round-14 build split priced
+          // at ~30 s of the x1000 cells materialization (the kernel
+          // assign beside it costs 2.6 s). Bitwise the same doubles.
+          .withColumn("unit", graft.functions.UnitNorm(spark, col("e")))
         (graft.engine.Quantizer(centers), cells)
       } else {
         import org.apache.spark.ml.clustering.KMeans

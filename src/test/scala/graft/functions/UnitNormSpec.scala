@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** UnitNorm (native) against Llm.unitNormE (the HOF form) — the claim
+  * both call sites rely on is BITWISE equality, so the comparison is
+  * on raw double bits, which also pins the degenerate zero-norm case
+  * (both produce NaNs, which value equality cannot compare). */
+class UnitNormSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("native unit_norm is bitwise the HOF unitNormE on every " +
+      "non-degenerate vector") {
+    val rnd = new scala.util.Random(99)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian() * (1 + i % 5)))
+    }
+    val df = rows.toDF("vec_id", "e")
+    val both = df
+      .withColumn("hof", expr(graft.ops.Llm.unitNormE))
+      .withColumn("native", UnitNorm(spark, col("e")))
+      .select("vec_id", "hof", "native")
+      .collect()
+    for (r <- both) {
+      val h = r.getSeq[Double](1)
+      val n = r.getSeq[Double](2)
+      assert(h.length == n.length, s"vec ${r.getLong(0)} length")
+      for (i <- h.indices)
+        assert(java.lang.Double.doubleToRawLongBits(h(i)) ==
+          java.lang.Double.doubleToRawLongBits(n(i)),
+          s"vec ${r.getLong(0)} elem $i: ${h(i)} vs ${n(i)}")
+    }
+  }
+
+  test("zero-norm: HOF form THROWS under ANSI, native form degrades " +
+      "to NaNs — the one deliberate divergence") {
+    val df = Seq((0L, Seq.fill(16)(0.0))).toDF("vec_id", "e")
+    intercept[org.apache.spark.SparkArithmeticException] {
+      df.withColumn("hof", expr(graft.ops.Llm.unitNormE)).collect()
+    }
+    val n = df.withColumn("native", UnitNorm(spark, col("e")))
+      .select("native").head().getSeq[Double](0)
+    assert(n.forall(_.isNaN),
+      s"native zero-norm must yield NaNs (a query-killing throw on one " +
+        s"degenerate corpus row is the worse failure mode), got $n")
+  }
+}
