@@ -3843,26 +3843,72 @@ object Llm {
       // scale, substitute reliable checkpoint() to survive executor
       // loss).
       .localCheckpoint(true)
-    val bands = sigs.select(col("doc_id"), explode(array(
-      struct(lit(0).as("b"), col("r0").as("u"), col("r1").as("v")),
-      struct(lit(1).as("b"), col("r2").as("u"), col("r3").as("v")),
-      struct(lit(2).as("b"), col("r4").as("u"), col("r5").as("v")),
-      struct(lit(3).as("b"), col("r6").as("u"), col("r7").as("v"))))
-        .as("band"))
-      .select(col("doc_id"), col("band.b"), col("band.u"), col("band.v"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.b") === col("b.b") && col("a.u") === col("b.u") &&
-          col("a.v") === col("b.v") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val sa = sigs.toDF("doc_a" +: (0 to 7).map(i => s"a$i"): _*)
-    val sb = sigs.toDF("doc_b" +: (0 to 7).map(i => s"b$i"): _*)
-    cand.join(sa, "doc_a").join(sb, "doc_b")
+    // identical-signature CLASS collapse before the banded join
+    // (round-14 MmProbe conviction: the doc-level band join read
+    // 26.2 s / 7.3 GB spill at x30 and DIED at x100 — identical
+    // synthetic images putting whole dup groups into every band
+    // bucket made the candidate join quadratic in group size).
+    // Hamming-0 groups are exact signature duplicates, so the banded
+    // candidates over one representative per class + a final
+    // expansion is RESULT-IDENTICAL (the DuckDB oracle still runs the
+    // doc-level join and hash-matches): a doc pair shares a band iff
+    // its class reps do, and cross-class hamming is class-level. The
+    // output contract (every qualifying pair listed) is itself
+    // quadratic in dup-class size — a production corpus with a
+    // boilerplate mega-class would emit the class table instead.
+    val classes = sigs
+      .groupBy((0 to 7).map(i => col(s"r$i")): _*)
+      .agg(min(col("doc_id")).as("rep"),
+        collect_list(col("doc_id")).as("members"))
+      .localCheckpoint(true)
+    val reps = classes.select(col("rep") +: (0 to 7).map(i => col(s"r$i")): _*)
+    // verify-IN-join (second round-14 MmProbe conviction): the
+    // class-level candidates still exploded at x100 (319 s / 20.6 GB
+    // spill) because the band buckets saturate on this fixture and
+    // every C(bucket,2) pair was MATERIALIZED through a distinct plus
+    // two sig lookup joins before the hamming filter ran. Carrying
+    // the 8 signature rows ON the band rows lets the hamming
+    // predicate run inside the join's output pipeline (codegen, no
+    // shuffle), so the 99%+ of candidates that fail ≤6 die without
+    // ever being shuffled; the distinct dedups only the tiny
+    // qualified set. Results identical — same candidates, same
+    // verify, same output.
+    val bandsW = reps.select(
+      (col("rep") +: (0 to 7).map(i => col(s"r$i")) :+ explode(array(
+        struct(lit(0).as("b"), col("r0").as("u"), col("r1").as("v")),
+        struct(lit(1).as("b"), col("r2").as("u"), col("r3").as("v")),
+        struct(lit(2).as("b"), col("r4").as("u"), col("r5").as("v")),
+        struct(lit(3).as("b"), col("r6").as("u"), col("r7").as("v"))))
+        .as("band")): _*)
+      .select((Seq(col("rep"), col("band.b").as("b"), col("band.u").as("u"),
+        col("band.v").as("v")) ++ (0 to 7).map(i => col(s"r$i"))): _*)
+    val la = bandsW.toDF(
+      (Seq("rep_a", "b", "u", "v") ++ (0 to 7).map(i => s"a$i")): _*)
+    val lb = bandsW.toDF(
+      (Seq("rep_b", "b", "u", "v") ++ (0 to 7).map(i => s"b$i")): _*)
+    val crossQ = la.join(lb, Seq("b", "u", "v"))
+      .filter(col("rep_a") < col("rep_b"))
       .withColumn("hamming",
         (0 to 7).map(i => expr(s"bit_count(a$i ^ b$i)"))
           .reduce(_ + _).cast("int"))
       .filter(col("hamming") <= 6)
+      .select(col("rep_a"), col("rep_b"), col("hamming"))
+      .distinct()
+    val membersOf = classes.select(col("rep"), col("members"))
+    val cross = crossQ
+      .join(membersOf.toDF("rep_a", "ma"), "rep_a")
+      .join(membersOf.toDF("rep_b", "mb"), "rep_b")
+      .select(explode(col("ma")).as("da"), col("mb"), col("hamming"))
+      .select(col("da"), explode(col("mb")).as("db"), col("hamming"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    val within = classes
+      .filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("doc_a"), col("members"))
+      .select(col("doc_a"), explode(col("members")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", lit(0))
+    cross.unionByName(within)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
