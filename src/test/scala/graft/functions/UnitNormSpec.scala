@@ -37,9 +37,18 @@ class UnitNormSpec extends SparkTestBase {
   test("zero-norm: HOF form THROWS under ANSI, native form degrades " +
       "to NaNs — the one deliberate divergence") {
     val df = Seq((0L, Seq.fill(16)(0.0))).toDF("vec_id", "e")
-    intercept[org.apache.spark.SparkArithmeticException] {
+    // SparkArithmeticException is private[spark] in its Scala
+    // signature; assert through the public face instead — the throw
+    // (or its cause chain, if the scheduler wraps it) must be the
+    // ANSI divide-by-zero ArithmeticException.
+    val ex = intercept[Exception] {
       df.withColumn("hof", expr(graft.ops.Llm.unitNormE)).collect()
     }
+    val chain = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).take(8).toSeq
+    assert(chain.exists(_.isInstanceOf[ArithmeticException]),
+      s"expected an ArithmeticException in the cause chain, got: " +
+        chain.map(_.getClass.getName).mkString(" <- "))
     val n = df.withColumn("native", UnitNorm(spark, col("e")))
       .select("native").head().getSeq[Double](0)
     assert(n.forall(_.isNaN),
