@@ -327,14 +327,32 @@ object AnnIndex {
       // corrupt snapshot on a perfectly retained version to the same
       // silent no-op (round-13 ADVICE); genuine read failures now
       // propagate to the caller like every other table read here.
+      // the listing check races a concurrent fold's expiry: version d
+      // can vanish between the listing and the eager read (or the
+      // isEmpty action). The catch below is gated on RE-CHECKING the
+      // listing — only a CONFIRMED expiry maps to the idempotent
+      // no-op; a transient IO error or corrupt snapshot on a version
+      // that is still retained propagates like every other read here
+      // (the round-13 ADVICE discrimination, kept closed).
       val snapOpt =
         if (upTo.isDefined &&
             !VersionedTable.versions(spark, deltaDir(dir)).contains(d)) None
-        else Some(VersionedTable.read(spark, deltaDir(dir), Some(d)))
-      // empty-fold short-circuit: a maintenance window with zero
-      // ingest since the last fold must not churn a cells version, a
-      // centroid sidecar, a codes sync, and a no-op truncation commit
-      if (snapOpt.forall(_.isEmpty)) None
+        else
+          try {
+            val df = VersionedTable.read(spark, deltaDir(dir), Some(d))
+            // empty-fold short-circuit: a maintenance window with zero
+            // ingest since the last fold must not churn a cells
+            // version, a centroid sidecar, a codes sync, and a no-op
+            // truncation commit
+            if (df.isEmpty) None else Some(df)
+          } catch {
+            case _: Exception
+                if upTo.isDefined &&
+                  !VersionedTable.versions(spark, deltaDir(dir))
+                    .contains(d) =>
+              None
+          }
+      if (snapOpt.isEmpty) None
       else Some {
         val snap = snapOpt.get
         val cellsV = Merge.mergeVersioned(spark, cellsDir(dir),

@@ -239,9 +239,23 @@ object CoarseAssign {
     import spark.implicits._
     // unit-normalize once and cache: every Lloyd pass re-reads this
     // (column stays named `e` — the kernel's internal renormalization
-    // of an already-unit vector is numerically a no-op)
+    // of an already-unit vector is numerically a no-op). NATIVE
+    // normalizer, same as the corpus-side call sites: the HOF form
+    // THROWS under ANSI on a zero-norm sample vector (one degenerate
+    // corpus row must not kill the whole ≥minK fit — the exact
+    // failure mode UnitNorm exists for; its NaNs route through the
+    // kernel's degenerate-row fallback instead), and this frame is
+    // re-scanned once per Lloyd pass.
+    // a degenerate row (zero/non-finite norm → NaN unit vector) is
+    // DROPPED from the fit sample rather than fed to Lloyd: picked as
+    // an init center or averaged into a cell mean it would poison a
+    // whole super's geometry, and the quantizer it helps shape never
+    // serves it anyway (corpus assign routes it via the kernel
+    // fallback). Evaluated once into the persisted blocks.
     val su = sample
-      .select(col("vec_id"), expr(graft.ops.Llm.unitNormE).as("e"))
+      .select(col("vec_id"),
+        graft.functions.UnitNorm(spark, col("e")).as("e"))
+      .where(not(expr("exists(e, x -> isnan(x))")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-iteration registrations pin their broadcast structures via
     // the function registry; snapshot so they can be dropped after the

@@ -70,6 +70,17 @@ case class IvfCellAssign(child: Expression,
   def assignCell(v: ArrayData): Int = {
     val st = bc.value
     val dim = st.dim
+    // malformed rows DEGRADE, never crash and never emit -1: a null
+    // element reads as an arbitrary value through toDoubleArray, and a
+    // NaN/Inf component poisons every distance (NaN compares false on
+    // both argmin branches), which would leave bestCell at its -1
+    // sentinel — the fit would then throw on the negative array index
+    // and the corpus assign would commit a cell no probe ever scans.
+    // Such rows route to the structure's first registered cell:
+    // deterministic, and one degenerate row in a slightly-wrong cell
+    // is recall noise where a query-killing throw is not.
+    var ck = 0
+    while (ck < dim) { if (v.isNullAt(ck)) return st.memberCell(0); ck += 1 }
     val q = v.toDoubleArray()
     var nrm = 0.0
     var ni = 0
@@ -116,6 +127,8 @@ case class IvfCellAssign(child: Expression,
     var bestD = Double.MaxValue
     var p = 0
     while (p < w) {
+      // (bestCell can only remain -1 when every candidate distance is
+      // NaN — the non-finite-component case handled after the loop)
       var m = st.memberOff(topS(p))
       val end = st.memberOff(topS(p) + 1)
       while (m < end) {
@@ -133,7 +146,7 @@ case class IvfCellAssign(child: Expression,
       }
       p += 1
     }
-    bestCell
+    if (bestCell < 0) st.memberCell(0) else bestCell
   }
 
   override def nullSafeEval(v: Any): Any = assignCell(v.asInstanceOf[ArrayData])
@@ -149,17 +162,36 @@ case class IvfCellAssign(child: Expression,
 }
 
 object IvfCellAssign {
-  /** Column-API face, the BloomMightContain seam: the expression
-    * carries non-SQL state (the broadcast structure), so the bridge
-    * is a temp-function registration whose builder closes over the
-    * broadcast, invoked through `call_function`. Name keys on a
-    * 128-bit SHA-256 prefix of the structure's numeric content, so
-    * re-registering the same quantizer is idempotent at the registry
-    * (each call still creates its own broadcast; builds are rare and
-    * the ContextCleaner reaps unreferenced ones). */
-  def apply(spark: SparkSession, unitVec: Column,
-      st: IvfAssignStructure): Column = {
-    val bc = spark.sparkContext.broadcast(st)
+
+  /** One live broadcast per distinct structure CONTENT per
+    * application, small LRU. refreshDelta re-derives a bit-identical
+    * structure every trigger (same committed quantizer), and without
+    * this each trigger shipped a fresh multi-MB broadcast; with it the
+    * re-register is name-idempotent AND broadcast-idempotent. Evicted
+    * entries unpersist their executor copies only (a plan that
+    * resolved earlier keeps the broadcast handle and refetches from
+    * the driver on demand — unpersist(false) never invalidates). Keyed
+    * by applicationId so a stopped context's entries can never serve a
+    * new one; stale-app entries age out through the same LRU. */
+  private val maxCached = 16
+  private val cache =
+    new java.util.LinkedHashMap[String, Broadcast[IvfAssignStructure]](
+        32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Broadcast[IvfAssignStructure]])
+          : Boolean =
+        if (size() > maxCached) {
+          try e.getValue.unpersist(blocking = false)
+          catch { case _: Exception => () } // stopped context
+          true
+        } else false
+    }
+
+  /** Registry/cache name: a 128-bit SHA-256 prefix of the structure's
+    * FULL content — dim, probe width, and all four arrays — so two
+    * structures differing in any field (including `superProbes`, which
+    * changes the assignment) can never collide on one name. */
+  private def contentName(st: IvfAssignStructure): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val bb = java.nio.ByteBuffer.allocate(8)
     def putD(d: Double): Unit = {
@@ -168,11 +200,32 @@ object IvfCellAssign {
     def putI(i: Int): Unit = {
       bb.clear(); bb.putInt(i); bb.putInt(0); md.update(bb.array())
     }
-    putI(st.dim)
+    putI(st.dim); putI(st.superProbes)
     st.supFlat.foreach(putD); st.memberOff.foreach(putI)
     st.memberCell.foreach(putI); st.memberFlat.foreach(putD)
-    val name = "graft_ivf_assign_" +
+    "graft_ivf_assign_" +
       md.digest().take(16).map(b => f"$b%02x").mkString
+  }
+
+  /** Column-API face, the BloomMightContain seam: the expression
+    * carries non-SQL state (the broadcast structure), so the bridge
+    * is a temp-function registration whose builder closes over the
+    * broadcast, invoked through `call_function`. Name keys on the
+    * content hash, so re-registering the same quantizer is idempotent
+    * at the registry AND reuses the cached broadcast. */
+  def apply(spark: SparkSession, unitVec: Column,
+      st: IvfAssignStructure): Column = {
+    val name = contentName(st)
+    val key = spark.sparkContext.applicationId + "/" + name
+    val bc = cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else {
+        val b = spark.sparkContext.broadcast(st)
+        cache.put(key, b)
+        b
+      }
+    }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name,
       { exprs: Seq[Expression] =>
@@ -185,12 +238,25 @@ object IvfCellAssign {
 
   /** Drop every assigner registration this object made in `spark` —
     * the BloomMightContain.unregisterAll contract: entries are only
-    * needed until the consuming plan is analyzed. */
+    * needed until the consuming plan is analyzed. Also unpersists and
+    * forgets this application's cached broadcasts. */
   def unregisterAll(spark: SparkSession): Int = {
     val reg = spark.sessionState.functionRegistry
     val stale = reg.listFunction()
       .filter(_.funcName.startsWith("graft_ivf_assign_"))
     stale.foreach(reg.dropFunction)
+    cache.synchronized {
+      val pre = spark.sparkContext.applicationId + "/"
+      val it = cache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.startsWith(pre)) {
+          try e.getValue.unpersist(blocking = false)
+          catch { case _: Exception => () }
+          it.remove()
+        }
+      }
+    }
     stale.size
   }
 }

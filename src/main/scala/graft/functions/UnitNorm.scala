@@ -40,11 +40,29 @@ case class UnitNorm(child: Expression) extends UnaryExpression {
       s"$prettyName expects array<double>, got ${other.simpleString}")
   }
 
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  // mirrors the child's element nullability: on a null-free array the
+  // result is null-free; a null ELEMENT yields the all-null array the
+  // HOF produces (see compute), so claiming containsNull=false there
+  // would lie to downstream null-elimination rules
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, cn) => ArrayType(DoubleType, containsNull = cn)
+    case _ => ArrayType(DoubleType, containsNull = true)
+  }
 
   override def prettyName: String = "unit_norm"
 
   def compute(v: ArrayData): ArrayData = {
+    val n0 = v.numElements()
+    // null-element parity with the HOF twin: a null slot nulls the
+    // aggregate sum, so sqrt(null) nulls the divisor and EVERY output
+    // element — toDoubleArray would instead read the slot as an
+    // arbitrary value and emit a finite, differently-normalized
+    // vector, silently diverging from the documented bitwise contract
+    var ci = 0
+    while (ci < n0) {
+      if (v.isNullAt(ci)) return new GenericArrayData(new Array[Any](n0))
+      ci += 1
+    }
     val a = v.toDoubleArray()
     var s = 0.0
     var i = 0

@@ -90,6 +90,32 @@ class CoarseAssignSpec extends SparkTestBase {
     }
   }
 
+  test("degenerate rows (zero norm, NaN/Inf component, null element) " +
+      "degrade to a served cell — never -1, never a throw") {
+    val (cents, _) = fixture(0)
+    val served = cents.map(_._1).toSet
+    val good = Seq(
+      (0L, Array.fill(dim)(0.5).toSeq),
+      (1L, Seq.fill(dim)(0.0)), // zero norm: kernel scores the raw zeros
+      (4L, Double.PositiveInfinity +: Seq.fill(dim - 1)(1.0)))
+    val boxed: Seq[(Long, Seq[java.lang.Double])] = Seq(
+      (2L, java.lang.Double.valueOf(Double.NaN) +:
+        Seq.fill(dim - 1)(java.lang.Double.valueOf(1.0))),
+      (3L, (null: java.lang.Double) +:
+        Seq.fill(dim - 1)(java.lang.Double.valueOf(1.0))))
+    val df = good.toDF("vec_id", "e")
+      .unionByName(boxed.toDF("vec_id", "e"))
+    val run = () => CoarseAssign.pruned(df, cents)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = run()
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L),
+      "every row, degenerate or not, must come back assigned")
+    for ((id, c) <- out)
+      assert(served(c), s"vec $id got unserved cell $c")
+    assert(run() == out, "degenerate routing must be deterministic")
+  }
+
   test("exact rule matches a driver-side argmin oracle (tie rule " +
       "lowest cell id)") {
     val (cents, vectors) = fixture(200)

@@ -34,6 +34,22 @@ class UnitNormSpec extends SparkTestBase {
     }
   }
 
+  test("null element: native matches the HOF — the sum goes null, so " +
+      "EVERY output element is null") {
+    val df = Seq((0L, Seq[java.lang.Double](1.0, null, 3.0)))
+      .toDF("vec_id", "e")
+    val r = df
+      .withColumn("hof", expr(graft.ops.Llm.unitNormE))
+      .withColumn("native", UnitNorm(spark, col("e")))
+      .select("hof", "native").head()
+    val h = r.getSeq[java.lang.Double](0)
+    val n = r.getSeq[java.lang.Double](1)
+    assert(h.length == 3 && n.length == 3, "length must be preserved")
+    assert(h.forall(_ == null), s"HOF premise changed: $h")
+    assert(n.forall(_ == null),
+      s"native must null-out like the HOF, got $n")
+  }
+
   test("zero-norm: HOF form THROWS under ANSI, native form degrades " +
       "to NaNs — the one deliberate divergence") {
     val df = Seq((0L, Seq.fill(16)(0.0))).toDF("vec_id", "e")
