@@ -3814,7 +3814,16 @@ object Llm {
     * and the pair OUTPUT quadratically, measuring the fixture rather
     * than the banding (ScaleProbe caught exactly that: ratio 28 at
     * x10 with m=40, linear after deriving m). */
-  val mmPhash: Q = (spark, dir) => {
+  /** Shared front of the perceptual-hash near-dup family: decode →
+    * dHash signatures → identical-signature classes → banded
+    * class-level candidates verified at hamming ≤ 6. Returns
+    * (classes, crossQ): `classes` one row per distinct signature
+    * (rep = min doc_id, members, r0..r7), `crossQ` one row per
+    * QUALIFIED cross-class rep pair (rep_a < rep_b, hamming). Both
+    * faces ([[mmPhash]] doc-pair expansion, [[mmPhashClasses]]
+    * class-pair table) consume these frames. */
+  private def mmPhashClassFrames(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     import spark.implicits._
     val m = math.max(40L, Tables(spark, dir, "documents").count() / 12)
     val sigs = Tables(spark, dir, "documents")
@@ -3894,6 +3903,11 @@ object Llm {
       .filter(col("hamming") <= 6)
       .select(col("rep_a"), col("rep_b"), col("hamming"))
       .distinct()
+    (classes, crossQ)
+  }
+
+  val mmPhash: Q = (spark, dir) => {
+    val (classes, crossQ) = mmPhashClassFrames(spark, dir)
     val membersOf = classes.select(col("rep"), col("members"))
     val cross = crossQ
       .join(membersOf.toDF("rep_a", "ma"), "rep_a")
@@ -3911,6 +3925,39 @@ object Llm {
     cross.unionByName(within)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The CLASS-pair production face of the perceptual-hash family —
+    * the output-capped discipline the round-14 MmProbe verdict called
+    * for: on a corpus whose signature space collapses (boilerplate
+    * mega-classes — the inflated fixture reads ~45M doc pairs at x30,
+    * ~700M at x100, QUADRATIC in dup-class size by contract), the
+    * doc-pair expansion is output-bound while THIS face stays linear
+    * in the class count. One row per qualified cross-class rep pair
+    * (hamming 1..6) plus one per dup class (rep_a = rep_b, hamming 0),
+    * each carrying `pairs` — the doc-pair multiplicity the expansion
+    * face would emit — so downstream dedup accounting loses nothing.
+    * Consumers needing the actual pairs for a SPECIFIC class join the
+    * members list back on demand. */
+  val mmPhashClasses: Q = (spark, dir) => {
+    val (classes, crossQ) = mmPhashClassFrames(spark, dir)
+    val sizes = classes.select(col("rep"),
+      size(col("members")).cast("long").as("sz"))
+    val cross = crossQ
+      .join(sizes.toDF("rep_a", "sza"), "rep_a")
+      .join(sizes.toDF("rep_b", "szb"), "rep_b")
+      .select(col("rep_a"), col("rep_b"), col("hamming"),
+        (col("sza") * col("szb")).as("pairs"))
+    val within = sizes.filter(col("sz") > 1)
+      .select(col("rep").as("rep_a"), col("rep").as("rep_b"),
+        lit(0).as("hamming"),
+        // sz·(sz−1) is even, so the double division is exact well past
+        // any feasible class size; cast back to the BIGINT contract
+        ((col("sz") * (col("sz") - lit(1))) / lit(2)).cast("long")
+          .as("pairs"))
+    cross.unionByName(within)
+      .select(col("rep_a"), col("rep_b"), col("hamming"), col("pairs"))
+      .orderBy(col("rep_a"), col("rep_b"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -3979,7 +4026,8 @@ object Llm {
     "q_mm_binary_meta" -> mmBinaryMeta,
     "q_mm_resize" -> mmResize,
     "q_mm_framesample" -> mmFrameSample,
-    "q_mm_phash" -> mmPhash)
+    "q_mm_phash" -> mmPhash,
+    "q_mm_phash_classes" -> mmPhashClasses)
 
   private val decontamOracleSql =
     """WITH toks AS (
@@ -4887,5 +4935,71 @@ object Llm {
              + bit_count(xor(sa.r2, sb.r2)) + bit_count(xor(sa.r3, sb.r3))
              + bit_count(xor(sa.r4, sb.r4)) + bit_count(xor(sa.r5, sb.r5))
              + bit_count(xor(sa.r6, sb.r6)) + bit_count(xor(sa.r7, sb.r7)) <= 6
-         ORDER BY doc_a, doc_b""")
+         ORDER BY doc_a, doc_b""",
+    // same dHash arithmetic, grouped to identical-signature classes;
+    // qualified cross-class rep pairs at hamming<=6 plus one
+    // hamming-0 row per dup class, each with its doc-pair multiplicity
+    "q_mm_phash_classes" ->
+      """WITH mm AS (
+           SELECT greatest(40, count(*) // 12) AS m FROM documents),
+         px AS (
+           SELECT d.doc_id, x.g AS x, y.g AS y,
+                  ((d.doc_id % mm.m + 1) * (3*(2*x.g)*(2*x.g) + 5*(2*y.g)
+                    + (2*x.g)*(2*y.g)) + d.doc_id % 3) % 251 AS p0,
+                  ((d.doc_id % mm.m + 1) * (3*(2*x.g+2)*(2*x.g+2) + 5*(2*y.g)
+                    + (2*x.g+2)*(2*y.g)) + d.doc_id % 3) % 251 AS p1
+           FROM documents d,
+                (SELECT unnest(generate_series(0, 7)) AS g) x,
+                (SELECT unnest(generate_series(0, 7)) AS g) y,
+                mm),
+         rows_ AS (
+           SELECT doc_id, y,
+                  SUM(CASE WHEN p1 > p0 THEN (1 << x) ELSE 0 END) AS r
+           FROM px GROUP BY doc_id, y),
+         sigs AS (
+           SELECT doc_id,
+                  MAX(CASE WHEN y=0 THEN r END) AS r0,
+                  MAX(CASE WHEN y=1 THEN r END) AS r1,
+                  MAX(CASE WHEN y=2 THEN r END) AS r2,
+                  MAX(CASE WHEN y=3 THEN r END) AS r3,
+                  MAX(CASE WHEN y=4 THEN r END) AS r4,
+                  MAX(CASE WHEN y=5 THEN r END) AS r5,
+                  MAX(CASE WHEN y=6 THEN r END) AS r6,
+                  MAX(CASE WHEN y=7 THEN r END) AS r7
+           FROM rows_ GROUP BY doc_id),
+         classes AS (
+           SELECT MIN(doc_id) AS rep, COUNT(*) AS sz,
+                  r0, r1, r2, r3, r4, r5, r6, r7
+           FROM sigs GROUP BY r0, r1, r2, r3, r4, r5, r6, r7),
+         bands AS (
+           SELECT rep, 0 AS b, r0 AS u, r1 AS v FROM classes
+           UNION ALL SELECT rep, 1, r2, r3 FROM classes
+           UNION ALL SELECT rep, 2, r4, r5 FROM classes
+           UNION ALL SELECT rep, 3, r6, r7 FROM classes),
+         cand AS (
+           SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b
+           FROM bands a JOIN bands b
+             ON a.b = b.b AND a.u = b.u AND a.v = b.v
+            AND a.rep < b.rep),
+         cross_ AS (
+           SELECT c.rep_a, c.rep_b,
+                  CAST(bit_count(xor(ca.r0, cb.r0)) + bit_count(xor(ca.r1, cb.r1))
+                     + bit_count(xor(ca.r2, cb.r2)) + bit_count(xor(ca.r3, cb.r3))
+                     + bit_count(xor(ca.r4, cb.r4)) + bit_count(xor(ca.r5, cb.r5))
+                     + bit_count(xor(ca.r6, cb.r6)) + bit_count(xor(ca.r7, cb.r7))
+                    AS INT) AS hamming,
+                  CAST(ca.sz * cb.sz AS BIGINT) AS pairs
+           FROM cand c
+           JOIN classes ca ON c.rep_a = ca.rep
+           JOIN classes cb ON c.rep_b = cb.rep
+           WHERE bit_count(xor(ca.r0, cb.r0)) + bit_count(xor(ca.r1, cb.r1))
+               + bit_count(xor(ca.r2, cb.r2)) + bit_count(xor(ca.r3, cb.r3))
+               + bit_count(xor(ca.r4, cb.r4)) + bit_count(xor(ca.r5, cb.r5))
+               + bit_count(xor(ca.r6, cb.r6)) + bit_count(xor(ca.r7, cb.r7)) <= 6)
+         SELECT rep_a, rep_b, hamming, pairs FROM cross_
+         UNION ALL
+         SELECT rep AS rep_a, rep AS rep_b, CAST(0 AS INT) AS hamming,
+                CAST(sz * (sz - 1) // 2 AS BIGINT) AS pairs
+         FROM classes WHERE sz > 1
+         ORDER BY rep_a, rep_b""")
 }

@@ -14,6 +14,10 @@ import org.apache.spark.sql.SparkSession
   * constant as the corpus grows — this probe measures the claim.
   *
   * Usage: runMain graft.tools.MmProbe [factor...] (default: 30 100)
+  *   SPARK_GRAFT_MM_NAMES comma list to restrict the probed entries
+  *   (default: all five — the x300 cell of the doc-pair expansion
+  *   face is output-bound at ~6e9 rows by contract, so deep factors
+  *   pair with SPARK_GRAFT_MM_NAMES=q_mm_phash_classes)
   */
 object MmProbe {
   def main(args: Array[String]): Unit = {
@@ -28,8 +32,11 @@ object MmProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val src = "/root/testdata/sf0.1"
-    val names = Seq("q_mm_binary_meta", "q_mm_resize", "q_mm_framesample",
-      "q_mm_phash")
+    val allNames = Seq("q_mm_binary_meta", "q_mm_resize",
+      "q_mm_framesample", "q_mm_phash", "q_mm_phash_classes")
+    val names = sys.env.get("SPARK_GRAFT_MM_NAMES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(allNames)
     // untimed base-scale warmup (codegen + reader init)
     for (n <- names)
       try graft.util.Exec.drain(graft.SparkEntry.queries(n)(spark, src))

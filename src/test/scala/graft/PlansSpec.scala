@@ -535,6 +535,9 @@ class PlansSpec extends SparkTestBase {
     val p = plan("q_mm_phash")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(400))
+    val c = plan("q_mm_phash_classes")
+    assert(!c.contains("CartesianProduct") && !c.contains("BroadcastNestedLoopJoin"),
+      c.take(400))
   }
 
   test("bigram LM scoring joins stay gram-keyed; only the vocab constant broadcasts") {

@@ -1114,4 +1114,26 @@ class LlmSpec extends SparkTestBase {
       "a version-pinned resume must read its epoch's snapshot unchanged")
     Llm.invalidateShardTableCache()
   }
+
+  test("phash class face carries EXACTLY the expansion face's pairs: " +
+      "multiplicities sum to its row count, and every expanded pair " +
+      "maps into a qualified class row") {
+    val expanded = Llm.mmPhash(spark, sfSmoke)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .as[(Long, Long, Int)].collect()
+    val classRows = Llm.mmPhashClasses(spark, sfSmoke)
+      .select(col("rep_a"), col("rep_b"), col("hamming"), col("pairs"))
+      .as[(Long, Long, Int, Long)].collect()
+    assert(classRows.map(_._4).sum == expanded.length.toLong,
+      s"class multiplicities ${classRows.map(_._4).sum} != " +
+        s"${expanded.length} expanded pairs")
+    // hamming-0 budget: within-class C(sz,2) rows of the expansion
+    // face equal the rep_a=rep_b class rows' multiplicities
+    val zExp = expanded.count(_._3 == 0).toLong
+    val zCls = classRows.filter(r => r._1 == r._2).map(_._4).sum
+    assert(zCls == zExp, s"within-class pairs $zCls != $zExp")
+    // the class table must be the SMALL face on a collapsing corpus
+    assert(classRows.length < expanded.length,
+      s"${classRows.length} class rows vs ${expanded.length} pairs")
+  }
 }
