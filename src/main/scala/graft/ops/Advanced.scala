@@ -433,16 +433,14 @@ object Advanced {
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice").as("p"), col("l_quantity").as("q"))
+    // in-plan split probe (Windows.approxSplitsAgg): probe + both plan
+    // consumers ride one action, the (p -> qmax) reduction's exchange
+    // is shared via ReusedExchange — no checkpoint, no driver sketch
     val pa = li.groupBy(col("p")).agg(max(col("q")).as("qmax"))
-      .localCheckpoint(true) // split probe + two plan consumers
-    val splits = pa.stat.approxQuantile(
-      "p", (1 until 32).map(_ / 32.0).toArray, 0.01).distinct.sorted
-    val bucketOf =
-      if (splits.isEmpty) lit(0)
-      else when(isnan(col("p")), lit(splits.size))
-        .otherwise(size(org.apache.spark.sql.functions.filter(
-          array(splits.map(lit(_)): _*), s => s <= col("p"))))
-    val bucketed = pa.withColumn("__b", bucketOf)
+    val probe = pa.agg(Windows.approxSplitsAgg(col("p"), 32).as("__splits"))
+    val bucketed = pa.crossJoin(broadcast(probe))
+      .withColumn("__b", Windows.rangeBucketOfArr(col("p"), col("__splits")))
+      .drop("__splits")
     val wIn = Window.partitionBy(col("__b")).orderBy(col("p"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = bucketed.groupBy(col("__b")).agg(max(col("qmax")).as("__m"))

@@ -124,9 +124,11 @@ object Aggs {
     *      to the DuckDB quantile_cont oracle).
     *
     * Returns one row with columns `p0..p{k-1}` in `ps` order (null on
-    * an empty input, like the built-in). `counts` is localCheckpointed
-    * once: the split-point probe and the main plan share the
-    * materialization instead of re-scanning the base twice. */
+    * an empty input, like the built-in). The split probe is IN-PLAN
+    * (Windows.approxSplitsAgg): all consumers of `counts` ride one
+    * action and share its exchange via ReusedExchange — the former
+    * eager localCheckpoint + driver approxQuantile cost two extra
+    * sequential jobs per call and an executor-storage block. */
   def exactPercentiles(df: DataFrame, valueCol: String,
       ps: Seq[Double], buckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -134,18 +136,18 @@ object Aggs {
       .select(col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull)
       .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
-    val splits = counts.stat.approxQuantile(
-      "v", (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
-      .distinct.sorted
-    // NaN pins to the top bucket — the shared rangeBucketOf guard
+    val probe = counts.agg(
+      Windows.approxSplitsAgg(col("v"), buckets).as("__splits"))
+    // NaN pins to the top bucket — the shared rangeBucketOfArr guard
     // (see its scaladoc for the NaN/NULL ordering rationale)
-    val bucketOf = Windows.rangeBucketOf(col("v"), splits.toIndexedSeq)
+    val bucketed = counts.crossJoin(broadcast(probe))
+      .withColumn("b", Windows.rangeBucketOfArr(col("v"), col("__splits")))
+      .drop("__splits")
     val wIn = Window.partitionBy(col("b")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = counts.withColumn("b", bucketOf)
+    val cum = bucketed
       .withColumn("cumIn", sum(col("cnt")).over(wIn))
-    val btot = counts.withColumn("b", bucketOf)
+    val btot = bucketed
       .groupBy(col("b")).agg(sum(col("cnt")).as("btot"))
     // <= buckets+1 rows: the unpartitioned window is metadata-sized
     val offs = btot.withColumn("off",

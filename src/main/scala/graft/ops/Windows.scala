@@ -88,6 +88,13 @@ object Windows {
   private[graft] def withGlobalIndex(df: org.apache.spark.sql.DataFrame,
       leading: String, tieBreak: Seq[String], out: String,
       buckets: Int = 32): org.apache.spark.sql.DataFrame = {
+    // deliberately KEEPS the driver-side probe (round-14 optimization
+    // measured the in-plan approxSplitsAgg form LOSING here, 1.25 s ->
+    // 1.85 s on q_window_ntile): this helper buckets a RAW frame, so
+    // the in-plan probe's broadcast gate adds a full extra scan of the
+    // raw input per consumer branch, while the reduced-frame callers
+    // (exactPercentiles / windowCume / skyline) amortize it over a
+    // distinct-sized reduction that ReusedExchange shares at runtime
     val splits = df.stat.approxQuantile(
       leading, (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
       .distinct.sorted
@@ -111,6 +118,42 @@ object Windows {
     else when(isnan(c), lit(splits.size))
       .otherwise(size(org.apache.spark.sql.functions.filter(
         array(splits.map(lit(_)): _*), s => s <= c)))
+
+  /** IN-PLAN split-point probe (round-14 optimization, guide §1.2/§2.4):
+    * the sorted approx-quantile split array of `values` as an AGGREGATE
+    * COLUMN, so the probe rides the same plan as its consumer instead
+    * of a separate `df.stat.approxQuantile` driver action. The driver
+    * probe forced every caller into THREE sequential jobs — an eager
+    * localCheckpoint of the reduction (so probe + main plan would not
+    * recompute it), the sketch collect, then the main plan — and at
+    * scale parks a corpus-distinct-sized block in executor storage
+    * memory. In-plan, the one-row probe broadcasts inside the main
+    * plan, the reduction's exchange is shared via ReusedExchange, and
+    * nothing is checkpointed. Split VALUES may differ from the driver
+    * probe's (same 1%-error sketch family, different accuracy knob) —
+    * immaterial by construction: every consumer's arithmetic is exact
+    * for ANY monotone split array; splits only steer bucket balance.
+    * NaN maps out before the sketch (the agg ignores nulls), matching
+    * rangeBucketOf's NaN-pins-to-top-bucket contract. */
+  private[graft] def approxSplitsAgg(values: org.apache.spark.sql.Column,
+      buckets: Int): org.apache.spark.sql.Column = {
+    val v = values.cast("double")
+    array_sort(array_distinct(percentile_approx(
+      when(!isnan(v), v),
+      array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*),
+      lit(100))))
+  }
+
+  /** [[rangeBucketOf]] over an ARRAY COLUMN of split points (the
+    * [[approxSplitsAgg]] probe, crossJoined by broadcast). A null
+    * array (empty input: percentile_approx of zero rows) buckets
+    * everything to 0, like the driver probe's empty-splits branch. */
+  private[graft] def rangeBucketOfArr(c: org.apache.spark.sql.Column,
+      splitsArr: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val arr = coalesce(splitsArr, expr("CAST(array() AS array<double>)"))
+    when(isnan(c), size(arr))
+      .otherwise(size(org.apache.spark.sql.functions.filter(arr, s => s <= c)))
+  }
 
   /** The bucket-generic core of [[withGlobalIndex]]: callers supply
     * any `bucketOf` whose numeric order is a PREFIX of the total
@@ -182,17 +225,19 @@ object Windows {
   val windowCume: Q = (spark, dir) => {
     val ev = Tables(spark, dir, "events")
       .select(col("event_type"), col("value"))
-    // FOUR consumers (split probe, cumsum, offsets, per-type totals):
-    // materialize the reduction once — without this the corpus
-    // aggregation re-runs per consumer (Spark shares no subtrees)
+    // the reduction has FOUR consumers (split probe, cumsum, offsets,
+    // per-type totals). With the probe IN-PLAN (approxSplitsAgg) they
+    // are all one action, and the reduction's exchange is computed
+    // once and re-read via ReusedExchange — the former eager
+    // localCheckpoint (needed when the probe was a separate
+    // df.stat.approxQuantile action) parked a corpus-distinct-sized
+    // block in executor storage instead
     val counts = ev.groupBy(col("event_type"), col("value"))
       .agg(count(lit(1)).as("__cnt"))
-      .localCheckpoint(true)
-    val splits = counts.stat.approxQuantile(
-      "value", (1 until 32).map(_ / 32.0).toArray, 0.01)
-      .distinct.sorted
-    val bucketed = counts.withColumn("__b",
-      rangeBucketOf(col("value"), splits.toIndexedSeq))
+    val probe = counts.agg(approxSplitsAgg(col("value"), 32).as("__splits"))
+    val bucketed = counts.crossJoin(broadcast(probe))
+      .withColumn("__b", rangeBucketOfArr(col("value"), col("__splits")))
+      .drop("__splits")
     val wIn = Window.partitionBy(col("event_type"), col("__b"))
       .orderBy(col("value"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
