@@ -1147,7 +1147,17 @@ object Llm {
   private[graft] def embedNeardupExactOn(spark: SparkSession, emb: DataFrame)
       : DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
+    // spread the STREAM side to the session's full parallelism before
+    // the quadratic pair scan (round-14 optimization, guide §2.5/§2.6):
+    // the embeddings scan yields file-split-many partitions (8 at
+    // sf0.1), so the O(n^2) nested-loop stage ran 8 tasks on 32 cores
+    // — one straggler-shaped stage (bench phys row: 8 tasks, task
+    // spread 286). The shuffle this adds is metadata-cheap (24-byte
+    // ids + one vector per row, n rows) next to the n^2/2 cosine
+    // scores it parallelizes; defaultParallelism scales with the
+    // cluster, never a local constant.
     val a = emb.select(col("vec_id").as("d1"), col("e").as("ea"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val b = emb.select(col("vec_id").as("d2"), col("e").as("eb"))
     a.join(broadcast(b), col("d1") < col("d2"))
       .withColumn("cos_raw", expr("cosine_sim(ea, eb)"))
