@@ -770,8 +770,23 @@ object Llm {
     paths.foreach(graft.util.Fs.deleteRecursively)
   }
 
+  /** Pair-count bound for the LOCAL connected-components path: at or
+    * below it the near-dup pair list collects to the driver (16 bytes
+    * a pair — 2M pairs = 32 MB, comfortably under maxResultSize) and a
+    * union-find labels the graph in one pass; above it the distributed
+    * min-label loop runs. The round-14 probe that motivated the
+    * dispatch: sf0.1 yields 256 pairs converging in 2 rounds, yet the
+    * distributed loop's per-round shuffles+actions cost ~4 s of pure
+    * job latency — the same dispatch idiom as embedNeardupExactBound
+    * (exact under the bound, scale machinery above it). */
+  private[graft] val clusterLocalPairBound = 2000000L
+
   private def convergedLabels(spark: SparkSession, dir: String)
-      : (String, Int, Long) = {
+      : (String, Int, Long) =
+    convergedLabelsBounded(spark, dir, clusterLocalPairBound)
+
+  private[graft] def convergedLabelsBounded(spark: SparkSession, dir: String,
+      localBound: Long): (String, Int, Long) = {
     val perSession = labelCache
       .computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
     // serialize first-caller builds (see islandSummaryTable): a racing
@@ -783,6 +798,48 @@ object Llm {
     // both union branches read the (expensive) LSH pair list — cache it
     val pairs = dedupMinhashNative(spark, dir).select(col("d1"), col("d2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one count over the persisted pairs picks the regime; round 1 of
+    // the distributed loop re-reads the cached blocks, so the action
+    // is not an extra pass
+    val nPairs = pairs.count()
+    if (nPairs <= localBound) {
+      // LOCAL path: union-find with min-label semantics — identical
+      // output to the converged min-label propagation by construction
+      // (every node's final label is its component's minimum doc_id).
+      // Union always hangs the LARGER root under the SMALLER, so every
+      // tree root is its component's min id and find() returns the
+      // final label directly.
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      // every node that appears in any pair gets a labels row (the
+      // distributed loop's population: edges.select(d1).distinct()
+      // over both directions) — track them explicitly, since isolated
+      // members of already-min components never enter `parent`
+      val seen = scala.collection.mutable.LongMap.empty[Boolean]
+      pairs.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        seen(a) = true; seen(b) = true
+        val (ra, rb) = (find(a), find(b))
+        if (ra < rb) parent(rb) = ra
+        else if (rb < ra) parent(ra) = rb
+      }
+      val out = seen.keys.toArray.sorted.map(id => (id, find(id))).toSeq
+      val path = graft.util.Fs.tempDir("graft_labels")
+      import spark.implicits._
+      out.toDF("doc_id", "cluster")
+        .repartition(1) // metadata-sized table, one clean file
+        .write.mode("overwrite").parquet(path)
+      pairs.unpersist()
+      (path, 0, 2 * nPairs)
+    } else {
     val edges = pairs
       .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -859,6 +916,7 @@ object Llm {
     pairs.unpersist()
     if (prevRound != null) prevRound.unpersist()
     (path, rounds, edgeCount)
+    }
   }) } }
 
   /** Near-dup cluster REPRESENTATIVE selection — the decision step

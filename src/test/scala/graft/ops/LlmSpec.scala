@@ -91,6 +91,30 @@ class LlmSpec extends SparkTestBase {
     }
   }
 
+  test("cluster labels: forced distributed min-label loop equals the local union-find") {
+    // round-14 dispatch: pairs <= clusterLocalPairBound label via a
+    // driver union-find; above it the distributed loop runs. Force
+    // each regime on the same fixture and pin byte equality.
+    Llm.invalidateClusterLabelCache()
+    val (localPath, localRounds, localEdges) =
+      Llm.convergedLabelsBounded(spark, sfSmoke, Long.MaxValue)
+    val local = spark.read.parquet(localPath)
+      .as[(Long, Long)].collect().toSet
+    Llm.invalidateClusterLabelCache()
+    val (distPath, distRounds, distEdges) =
+      Llm.convergedLabelsBounded(spark, sfSmoke, -1L)
+    val dist = spark.read.parquet(distPath)
+      .as[(Long, Long)].collect().toSet
+    assert(localRounds == 0 && distRounds > 0,
+      s"regimes not forced: local=$localRounds dist=$distRounds")
+    assert(localEdges == distEdges, s"edge counts $localEdges != $distEdges")
+    assert(local == dist,
+      s"label sets diverge — local-only: ${(local -- dist).take(5)}, " +
+        s"dist-only: ${(dist -- local).take(5)}")
+    assert(local.nonEmpty)
+    Llm.invalidateClusterLabelCache() // leave no cross-regime memo behind
+  }
+
   test("simhash: identical docs get identical signatures, distinct docs differ") {
     val sigs = Llm.dedupSimhash(spark, sfSmoke)
       .select($"doc_id", $"simhash").as[(Long, Long)].collect().toMap
