@@ -1043,7 +1043,6 @@ object Joins {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k * q + 1)
       .select(col("g"), col("p"), col("id"), col("s"), col("rk"))
-      .localCheckpoint(true)
   }
 
   private[graft] def joinEditDistPrefixPairs(names: org.apache.spark.sql.DataFrame,
@@ -1086,11 +1085,12 @@ object Joins {
     // strings shorter than q yield no grams at all (and sequence(1,
     // len-q+1) would run DESCENDING, emitting junk positions); they
     // are inside the fringe, so the gram side simply skips them
-    // eager localCheckpoint (inside editDistPrefixTable): the prefix
-    // table feeds BOTH self-join sides — without materialization the
-    // planner rebuilds the explode + df join + ranking window per
-    // consumer (the matchedIslands lesson); blocks are freed with the
-    // result frame
+    // the prefix table feeds BOTH self-join sides UN-materialized
+    // (round-14): its ranking window's exchange is identical on both
+    // sides, so AQE stage reuse computes the explode + df join +
+    // window chain once at runtime — the former eager localCheckpoint
+    // parked a corpus-sized block in executor storage (the MinhashProbe
+    // x1000 OOM shape) for no measured win (x1 and x10 walls flat)
     val prefix = prebuilt.map(_.df)
       .getOrElse(editDistPrefixTableDf(names, k, q))
       .filter(col("rk") <= pref)
@@ -1111,8 +1111,14 @@ object Joins {
     // is wildly skewed (dense-gram rows emit thousands of pairs,
     // rare-gram rows a handful). Round-robin the probe side wide so
     // the stream-through verify actually parallelizes; the
-    // repartition shuffles only prefix-table rows, not candidates
-    val fanoutParts = 8 * prefix.sparkSession.sessionState.conf.numShufflePartitions
+    // repartition shuffles only prefix-table rows, not candidates.
+    // 2x shuffle.partitions (round-14): the former 8x priced ~2 s of
+    // pure task scheduling at sf0.1 (256 near-empty tasks; 5.1 -> 3.1 s
+    // at 2x) and bought nothing at depth (x10 inflated names: 40.2 s
+    // at 2x vs 45.1 s at 8x, same window) — 2 slices per core keeps
+    // straggler insurance while the count still scales with the
+    // cluster's shuffle parallelism, never a local constant
+    val fanoutParts = 2 * prefix.sparkSession.sessionState.conf.numShufflePartitions
     val aAll = queryIds.fold(prefix)(ids => prefix.join(
       ids.select(col("id")), Seq("id"), "left_semi"))
     val a = aAll.repartition(fanoutParts)
