@@ -282,6 +282,13 @@ object Bench {
           System.err.println(s"BENCH FAILURE q_data_skipping_read: $e")
           Some(("q_data_skipping_read", 0.0, Some(e.getClass.getSimpleName)))
       }
+    // bracket the rerun-adjudication tail too (round-14): reruns run
+    // AFTER sentinel("end"), so a contention window landing on them —
+    // observed: a rerun block reading 18-35 s on rows whose first
+    // readings were 4-10 s — was invisible to the sentinel record and
+    // the min() adjudication silently kept the first reading with no
+    // explanation in the artifact. "post" closes the bracket.
+    sentinel("post")
     val all = results ++ warmRows ++ skipRead
     val ok = all.collect { case (k, v, None) => k -> v }
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -138,6 +138,13 @@ object ScalarFns {
 
   val fnGeoPredict: Q = (spark, dir) =>
     Tables(spark, dir, "lineitem")
+      // single-row-group input: the scan is ONE task, so the ~20 trig
+      // calls/row below ran single-threaded (guide §2.5 "unsplittable
+      // input — repartition immediately after the read"). The spread
+      // shuffles 6 narrow columns once and scales with the session's
+      // parallelism; on a many-row-group corpus the scan already
+      // exceeds it and the exchange is a no-op-sized rebalance
+      .repartition(spark.sparkContext.defaultParallelism)
       .selectExpr(Seq("l_orderkey", "l_linenumber") ++ geoExprs: _*)
       .selectExpr(
         Seq("l_orderkey", "l_linenumber") ++ geoPredict: _*)
@@ -235,6 +242,9 @@ object ScalarFns {
     * shredded snapshot exists, kept addressable so Bench and the
     * regime-equality spec can price/pin it explicitly. */
   private[graft] val fnVariantParse: Q = (spark, dir) =>
+    // measured WITHOUT the fnVariantMultiParse spread: the one-path
+    // $.k parse is cheap enough that the spread's exchange buys
+    // nothing (0.65 s either way at sf0.1) — single-task parse stays
     variantAgg(Tables(spark, dir, "events")
       .select(col("event_type"),
         expr("variant_get(parse_json(props), '$.k', 'int')").as("k")))
@@ -420,6 +430,8 @@ object ScalarFns {
     * the nested doc, three typed variant_get extractions. */
   private[graft] val fnVariantMultiParse: Q = (spark, dir) =>
     variantMultiAgg(Tables(spark, dir, "events")
+      // spread before the parse (fnVariantParse rationale)
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("doc", expr(nestedDocExpr))
       .withColumn("vd", expr("parse_json(doc)"))
       .select(
