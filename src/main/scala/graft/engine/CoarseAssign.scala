@@ -163,6 +163,27 @@ object CoarseAssign {
     * dropped (it could still be a vector's argmin but would have no
     * candidates); every surviving super carries ≥ 1 member, so the
     * kernel can never return -1. */
+  /** EXACT-argmin structure: one synthetic super holding every cell,
+    * superProbes = 1 — the kernel then scores a vector against ALL k
+    * centroids with its strict-< lowest-cell-id tie-break (MLlib
+    * findClosest first-wins) and its degenerate-row fallback. The
+    * sub-minK fit path (round-14) rides this: at small k the exact
+    * scan is batch·k and pruning buys nothing, but the kernel's
+    * codegen'd scoring + broadcast reuse replace a per-row HOF. */
+  private[graft] def exactStructureOf(cents: Array[(Int, Array[Double])])
+      : graft.functions.IvfAssignStructure = {
+    val sorted = cents.sortBy(_._1)
+    val dim = sorted.head._2.length
+    val memberOff = Array(0, sorted.length)
+    val memberCell = sorted.map(_._1)
+    val memberFlat = new Array[Double](sorted.length * dim)
+    for ((p, i) <- sorted.map(_._2).zipWithIndex)
+      System.arraycopy(p, 0, memberFlat, i * dim, dim)
+    graft.functions.IvfAssignStructure(
+      dim, new Array[Double](dim) /* one zero super */, memberOff,
+      memberCell, memberFlat, superProbes = 1)
+  }
+
   private[graft] def structureOf(cents: Array[(Int, Array[Double])])
       : graft.functions.IvfAssignStructure = {
     val sorted = cents.sortBy(_._1)

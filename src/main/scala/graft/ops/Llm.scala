@@ -1803,35 +1803,71 @@ object Llm {
           .withColumn("unit", graft.functions.UnitNorm(spark, col("e")))
         (graft.engine.Quantizer(centers), cells)
       } else {
-        import org.apache.spark.ml.clustering.KMeans
-        import org.apache.spark.ml.functions.array_to_vector
-        val emb = embRaw
-          .withColumn("unit", expr(unitNormE))
-          .withColumn("features", array_to_vector(col("unit")))
-        // persist the fit input: KMeans re-evaluates it once per Lloyd
-        // pass, and the lineage here carries the per-row HOF unit
-        // normalization — the same trap Ml.fitClusteredRows documents.
-        // Released as soon as the fit returns.
-        val fitInput = emb
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // random init, not k-means||: the parallel init's ~5 extra
-        // passes buy nothing a coarse PROBE-COVERED quantizer can use —
-        // measured head-to-head at 600k vectors / k=775
-        // (tools/QuantizerProbe fit, round 13): k-means|| 11.1-15.3 s /
-        // 27 jobs, random 8.1-8.4 s / 22 jobs, training cost within
-        // 0.05%, random's largest cell BETTER balanced, all k cells
-        // populated in both. nprobe covers boundary error by design,
-        // so the init refinement k-means|| pays for is already bought
-        // elsewhere. (The ≥minK regime inherits the same decision:
-        // fitCentroids seeds from hash-ordered sample rows.)
-        val model =
-          try new KMeans().setK(k).setSeed(42).setMaxIter(8)
-            .setInitMode("random")
-            .setFeaturesCol("features").setPredictionCol("cell")
-            .fit(fitInput)
-          finally fitInput.unpersist()
-        (graft.engine.Quantizer(model.clusterCenters.map(_.toArray)),
-          model.transform(emb))
+        // DRIVER-SIDE Lloyd for the sub-minK regime (round-14
+        // optimization, guide §1.2): k < minK bounds the input at
+        // minK² < 37k vectors, so the whole unit-normalized fit set is
+        // a ≤20 MB collect — and the former MLlib fit (random init,
+        // 8 Lloyd passes, its own persist) cost ~10 sequential jobs of
+        // pure latency for it. AnnFitProbe priced the same fit
+        // driver-side at 0.4 s (collect + 8 exact-argmin passes)
+        // against 2-6 s through MLlib on this corpus, and EVERY cold
+        // fit row (ann_index, ann_pq_index + forced twins, ivf/knn fit
+        // regimes, semdedup, decontam) pays it. Same ingredients as
+        // the ≥minK fitCentroids: hash-ordered seeding
+        // (xxhash64(vec_id, 42)), 8 passes, degenerate rows dropped
+        // from the fit; empty cells keep their previous centroid.
+        // The centroids CHANGE vs the MLlib model (different init
+        // draw) — a rows-only-face change gated exactly like the
+        // round-13 k-means||→random swap: ApproxRecallSpec planted
+        // recall, AnnIndexSpec parity, forced-witness oracles.
+        // Iteration order is pinned by a local vec_id sort, so the
+        // float sums are partitioning-independent.
+        val collected = embRaw
+          .select(col("vec_id"),
+            graft.functions.UnitNorm(spark, col("e")).as("u"),
+            xxhash64(col("vec_id"), lit(42L)).as("h"))
+          .where(not(expr("exists(u, x -> isnan(x))")))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+            r.getLong(2)))
+          .sortBy(r => r._1)
+        require(collected.nonEmpty,
+          "fitIvfCellsOn: no finite-norm vectors to fit a quantizer on")
+        val dim = collected.head._2.length
+        val seeds = collected.sortBy(r => (r._3, r._1))
+          .take(k).map(_._2.clone)
+        var centers = seeds
+        var it = 0
+        while (it < 8) {
+          val kk = centers.length
+          val sums = Array.fill(kk)(new Array[Double](dim))
+          val cnts = new Array[Long](kk)
+          collected.foreach { case (_, u, _) =>
+            var best = 0; var bd = Double.MaxValue
+            var c = 0
+            while (c < kk) {
+              var d2 = 0.0; var t = 0
+              val ce = centers(c)
+              while (t < dim) { val x = u(t) - ce(t); d2 += x * x; t += 1 }
+              if (d2 < bd) { bd = d2; best = c }
+              c += 1
+            }
+            val s = sums(best); var t = 0
+            while (t < dim) { s(t) += u(t); t += 1 }
+            cnts(best) += 1
+          }
+          centers = centers.indices.map(c =>
+            if (cnts(c) == 0) centers(c)
+            else sums(c).map(_ / cnts(c))).toArray
+          it += 1
+        }
+        val st = graft.engine.CoarseAssign.exactStructureOf(
+          centers.zipWithIndex.map { case (c, i) => (i, c) })
+        val cells = embRaw
+          .withColumn("unit", graft.functions.UnitNorm(spark, col("e")))
+          .withColumn("cell",
+            graft.functions.IvfCellAssign(spark, col("e"), st))
+        (graft.engine.Quantizer(centers), cells)
       }
     // persist, NOT localCheckpoint — and that distinction is
     // load-bearing: the dir-keyed memo (cellCache) holds this frame
