@@ -183,24 +183,23 @@ object AnnIndex {
     // metadata. Below the threshold the exact rule runs UNCHANGED, so
     // refresh keeps landing vectors in exactly the cell build's
     // model.transform gave them at every bench/test scale.
-    if (centroids.count() >= CoarseAssign.minK) {
-      val cents = centroids.select(col("cell"), col("ce")).collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val cents = centroids.select(col("cell"), col("ce")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    if (cents.length >= CoarseAssign.minK)
       return CoarseAssign.pruned(
         spreadIn.select(col("vec_id"), col("e")), cents)
-    }
-    val scored = spreadIn
-      .withColumn("unit", expr(graft.ops.Llm.unitNormE))
-      .crossJoin(broadcast(centroids))
-      .withColumn("d2",
-        expr("aggregate(zip_with(unit, ce, (u, c) -> (u - c) * (u - c))," +
-          " 0D, (acc, v) -> acc + v)"))
-    // min_by with a composite (d2, cell) struct: smallest distance,
-    // then smallest cell id — MLlib findClosest's first-wins tie rule
-    scored.groupBy(col("vec_id"))
-      .agg(
-        first(col("e")).as("e"),
-        min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
+    // EXACT kernel below the threshold (round-14): the former plan was
+    // a per-row unitNormE HOF + crossJoin(centroids) fanout + a min_by
+    // groupBy SHUFFLE — batch·k interpreted HOF evaluations and an
+    // exchange, for the same argmin the native kernel computes map-only
+    // (same Σ(u−c)² index order, same strict-< lowest-cell-id tie rule
+    // as min_by over (d2, cell) — bitwise the same cells; AnnIndexSpec
+    // pins refresh-vs-build identity). The centroid collect also
+    // subsumes the former count() regime probe (k rows by contract).
+    val st = CoarseAssign.exactStructureOf(cents)
+    spreadIn.select(col("vec_id"), col("e"))
+      .withColumn("cell",
+        graft.functions.IvfCellAssign(spark, col("e"), st))
   }
 
   /** Incrementally admit `newVectors` (vec_id, e): assign against the
@@ -607,7 +606,13 @@ object AnnIndex {
   private def encode(cells: DataFrame, cb: Array[Double],
       m: Int, ks: Int, sub: Int): DataFrame =
     cells
-      .withColumn("unit", expr(graft.ops.Llm.unitNormE))
+      // NATIVE normalizer (round-14): bitwise the HOF's doubles
+      // (UnitNormSpec pins it) without the per-row CodegenFallback
+      // allocations — this is the whole-corpus encode pass, the same
+      // term the round-14 build split priced at ~30 s/x1000 on the
+      // cells materialization
+      .withColumn("unit",
+        graft.functions.UnitNorm(cells.sparkSession, col("e")))
       .withColumn("ehash", xxhash64(col("e")))
       .select(col("vec_id"), col("cell"), col("unit"), col("ehash"))
       .repartition(col("cell")).sortWithinPartitions(col("cell"))
@@ -628,9 +633,11 @@ object AnnIndex {
       .getOrElse(throw new IllegalStateException(
         s"no committed cells in $dir — build the index first"))
     val cells = VersionedTable.read(spark, cellsDir(dir), Some(cellsV))
-    val unit = cells.withColumn("unit", expr(graft.ops.Llm.unitNormE))
-    val dim = unit.select(size(col("unit"))).head().getInt(0)
-    val (m, sub) = graft.ops.Llm.pqGeometry(dim)
+    // native normalizer + dim read from the collected sample itself:
+    // the former separate `select(size(unit)).head()` probe was a
+    // whole extra job ahead of the sample collect (round-14)
+    val unit = cells.withColumn("unit",
+      graft.functions.UnitNorm(spark, col("e")))
     val total = cells.count()
     val sample = (if (total > fitCap)
         unit.sample(withReplacement = false,
@@ -638,6 +645,9 @@ object AnnIndex {
       else unit)
       .select(col("unit")).limit(fitCap).collect()
       .map(_.getAs[scala.collection.Seq[Double]](0).toArray)
+    require(sample.nonEmpty, s"buildPq: no vectors in committed cells at $dir")
+    val dim = sample.head.length
+    val (m, sub) = graft.ops.Llm.pqGeometry(dim)
     val ks = math.min(ks0, sample.length)
     val cb = graft.ops.Llm.fitPqCodebooks(sample, m, ks, 12, seed = 42L)
     import spark.implicits._
