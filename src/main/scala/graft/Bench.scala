@@ -247,6 +247,11 @@ object Bench {
           graft.ops.ScalarFns.invalidateShredTableCache()
         if (name == "q_llm_shard_resume")
           graft.ops.Llm.invalidateShardTableCache()
+        // scoped like the bucketed/dml entries: the canon artifact is
+        // memoized per session (round-14), so a cold rerun must drop
+        // it to re-price the same commit+resolve regime
+        if (name == "q_entity_resolve")
+          graft.ops.StreamingOps.invalidateCanonCache()
         // these four either dispatch to a committed AnnIndex (the
         // fit-pinned pair) or ARE the committed-index cold rows: in
         // every case the rerun must drop the index so the second

@@ -16,6 +16,15 @@ import graft.streaming.Pipelines
   */
 object StreamingOps {
 
+  /** Memoized canon artifact for the batch entity-resolution face —
+    * written-table path per (session, dir); see entityResolve. */
+  private val canonMemo = graft.util.TableMemo.paths()
+
+  /** Drops the memo and deletes the written canon tables — the
+    * bench's cold-regime re-pricing hook (the
+    * invalidateBucketTableCache contract). */
+  def invalidateCanonCache(): Unit = canonMemo.invalidate()
+
   /** X5: tumbling 1h window counts — batch form, same code path as the
     * streaming query. */
   val streamTumbling: Q = (spark, dir) =>
@@ -53,11 +62,21 @@ object StreamingOps {
     * deletion-variant machinery — the oracle pays the quadratic
     * levenshtein cross join this operator exists to avoid. */
   val entityResolve: Q = (spark, dir) => {
-    val canonDf = Tables(spark, dir, "customer")
-      .filter(col("c_custkey") % 40 === 0)
-      .select(col("c_custkey").as("id"), col("c_name").as("s"))
-    val canonDir = graft.util.Fs.tempDir("graft_canon_batch")
-    Pipelines.commitCanon(canonDf, canonDir)
+    // the canon dictionary is a per-(session, dir) memoized artifact
+    // (round-14 optimization — the TableMemo idiom every dir-keyed
+    // build shares): the face previously re-committed a fresh canon
+    // per invocation, paying the versioned write's jobs every call for
+    // a bit-identical artifact (fresh dir → first commit → version 0,
+    // so the declared `canon_version` stamp is unchanged). Bench
+    // reruns re-price the cold regime via invalidateCanonCache().
+    val canonDir = canonMemo.getOrBuild(spark, dir) {
+      val canonDf = Tables(spark, dir, "customer")
+        .filter(col("c_custkey") % 40 === 0)
+        .select(col("c_custkey").as("id"), col("c_name").as("s"))
+      val d = graft.util.Fs.tempDir("graft_canon_batch")
+      Pipelines.commitCanon(canonDf, d)
+      d
+    }
     val recs = Tables(spark, dir, "customer")
       .filter(col("c_custkey") % 4 === 0)
       .select(col("c_custkey").as("id"), col("c_name").as("s"))
