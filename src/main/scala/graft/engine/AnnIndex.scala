@@ -616,8 +616,12 @@ object AnnIndex {
       .withColumn("ehash", xxhash64(col("e")))
       .select(col("vec_id"), col("cell"), col("unit"), col("ehash"))
       .repartition(col("cell")).sortWithinPartitions(col("cell"))
-      .withColumn("cb", typedlit(cb.toSeq))
-      .withColumn("codes", expr(graft.ops.Llm.pqEncodeExpr(m, ks, sub)))
+      // NATIVE encoder (round-15): bitwise the HOF pqEncodeExpr's
+      // codes (PqEncodeSpec pins it) — the last CodegenFallback HOF
+      // in the PQ path; the codebook rides the expression reference,
+      // not a per-row literal column
+      .withColumn("codes", graft.functions.PqEncode(
+        cells.sparkSession, col("unit"), cb, m, ks, sub))
       .select(col("vec_id"), col("cell"), col("codes"), col("ehash"))
 
   /** Fit and commit the PQ layer over the CURRENT cells snapshot:

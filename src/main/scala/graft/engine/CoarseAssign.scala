@@ -172,6 +172,13 @@ object CoarseAssign {
     * codegen'd scoring + broadcast reuse replace a per-row HOF. */
   private[graft] def exactStructureOf(cents: Array[(Int, Array[Double])])
       : graft.functions.IvfAssignStructure = {
+    // loud, named failure (round-15 ADVICE): an empty committed
+    // centroid table used to surface as the old crossJoin plan's
+    // empty assignment; the kernel path would otherwise throw a bare
+    // NoSuchElementException off sorted.head
+    require(cents.nonEmpty,
+      "exactStructureOf: no centroids — the committed centroid table " +
+        "is empty; build/refresh the quantizer before assigning")
     val sorted = cents.sortBy(_._1)
     val dim = sorted.head._2.length
     val memberOff = Array(0, sorted.length)

@@ -430,6 +430,7 @@ object Advanced {
     * (price, quantity) rows never dominate each other, so ALL of
     * them survive together (the spec plants this). */
   val skyline: Q = (spark, dir) => {
+    Windows.requireSplitProbeConsistency(spark)
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice").as("p"), col("l_quantity").as("q"))

@@ -132,6 +132,7 @@ object Aggs {
   def exactPercentiles(df: DataFrame, valueCol: String,
       ps: Seq[Double], buckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    Windows.requireSplitProbeConsistency(df.sparkSession)
     val counts = df
       .select(col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull)

@@ -876,8 +876,17 @@ object Joins {
     * (bench 11.5 s -> ~2 s at sf0.1), which is exactly the published
     * tradeoff between the two families. */
   val joinEditDist: Q = (spark, dir) =>
+    // spread the names before the k=1 deletion-variant explode + its
+    // eager localCheckpoint: the customer fixture is a single row
+    // group, so the ~20-variants-per-name interpreted HOF otherwise
+    // runs at the scan's task count (guide §2.5 — the entityResolve/
+    // geo_predict fix). One 15k-row exchange, shared by the variant
+    // build and both name-verify joins; defaultParallelism, never a
+    // local constant. A/B: 3.50 s -> 2.48 s isolated min at sf0.1
+    // (OptProbe, 4 reps each arm).
     joinEditDistOn(Tables(spark, dir, "customer")
-      .select(col("c_custkey").as("id"), col("c_name").as("s")))
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+      .repartition(spark.sparkContext.defaultParallelism))
 
   /** Frame-input deletion-neighborhood form: `names` = (id, s),
     * generalized to small k: the variant set is every delete-up-to-k
@@ -1023,8 +1032,11 @@ object Joins {
     * global (df, g, p) order, kept to the k*q+1 smallest. The ranking
     * is the same for every k — only the cutoff differs — so a table
     * built at kMax serves any smaller k as its rk <= k*q+1 subset.
-    * Materialized (localCheckpoint) because every consumer joins it
-    * at least twice. */
+    * NOT materialized (round-14): consumers join it at least twice,
+    * but the two sides' identical subtrees share one runtime stage
+    * via AQE exchange reuse — the former eager localCheckpoint cost
+    * two extra sequential jobs and parked the frame in executor
+    * storage. */
   private[graft] def editDistPrefixTable(names: org.apache.spark.sql.DataFrame,
       k: Int, q: Int = 2): EdPrefixTable =
     EdPrefixTable(editDistPrefixTableDf(names, k, q), k, q)

@@ -186,7 +186,20 @@ object Llm {
     *    side with the join pinned sort-merge so the shared shuffle
     *    reuses;
     *  - "recompute-bin" — binary digests, nothing materialized
-    *    (zero storage-pool pressure, the minhash x1000 fix's shape).
+    *    (zero storage-pool pressure, the minhash x1000 fix's shape);
+    *  - "repart-bin"    — binary digests, the positional gram frame
+    *    hash-repartitioned by `g` ONCE: all three gram consumers (df
+    *    aggregate + both self-join sides) require exactly that
+    *    distribution, so they share the single exchange via
+    *    ReuseExchange and the explode+md5 derivation runs once per
+    *    build instead of once per consumer — shuffle files, not
+    *    storage blocks, so none of the checkpoint arms' spill-onset
+    *    pressure (guide §2.4 "two operations keyed the same way can
+    *    share one exchange");
+    *  - "spread-repart-bin" — repart-bin plus a round-robin spread of
+    *    the tokenized docs ahead of the explode, so the one remaining
+    *    derivation runs at cluster parallelism instead of the
+    *    fixture's single-row-group task count (guide §2.5 input skew).
     * Digest form is oracle-safe: g never leaves the query — equality
     * of md5 hex strings and of their unhex bytes is the same
     * predicate.
@@ -195,11 +208,22 @@ object Llm {
     * checkpoint 112.3 s / 27.3 GB spill; checkpoint-bin 35.5 s /
     * 22.7 GB; thinrare-bin 26.9 s / 7.6 GB; recompute-bin 20.9 s /
     * 8.1 GB — the corpus-positional materialization WAS the spill
-    * onset, exactly the minhash x1000 mechanism. Default is the
-    * at-depth winner; at x30 all arms are spill-free and within
-    * 6.2-11.8 s of each other, so the deep-scale shape costs little
-    * at bench scale. */
-  @volatile private[graft] var substrGramStrategy: String = "recompute-bin"
+    * onset, exactly the minhash x1000 mechanism.
+    *
+    * Round-15 IslandsProbe verdict (same harness, one session, arms
+    * interleaved per factor; recompute / repart / spread-repart):
+    * x1 raw fixture (3 rounds, min) 1.9 / 1.5 / 1.7 s; x30
+    * 40.6 / 16.2 / 17.1 s (shuffleW 512 / 361 / 494 MB); x100
+    * 46.3 / 34.2 / 31.0 s (shuffleW 1709 / 1205 / 1672 MB, spill
+    * 8.1 GB all arms) — sharing the one g-exchange wins at every
+    * depth AND shuffles fewer total bytes (one full-frame exchange
+    * replaces the agg's and the semi-join's separate ones). The
+    * pre-explode spread arm only edges ahead at x100 (31.0 vs 34.2)
+    * and pays a full round-robin shuffle of the tokenized corpus
+    * text for it — at real input-split counts the derive map is
+    * already parallel, so the spread is pure overhead there; not
+    * taken as default. */
+  @volatile private[graft] var substrGramStrategy: String = "repart-bin"
 
   /** Shared core of the substring ops: positional n-gram digests,
     * df-capped gram-digest equi-join (never doc x doc),
@@ -214,7 +238,16 @@ object Llm {
     val digest =
       if (strategy == "checkpoint") s"md5(concat_ws(' ', $fields))"
       else s"unhex(md5(concat_ws(' ', $fields)))"
-    val allGramsLazy = tokenized(spark, dir)
+    // spread arms: round-robin the tokenized docs ahead of the explode
+    // so the (single, see below) gram derivation runs at cluster
+    // parallelism, not the fixture's row-group task count (§2.5) —
+    // sized by defaultParallelism, never a local constant
+    val tokens0 = tokenized(spark, dir)
+    val tokens =
+      if (strategy.startsWith("spread"))
+        tokens0.repartition(spark.sparkContext.defaultParallelism)
+      else tokens0
+    val allGramsLazy = tokens
       .filter(size(col("t")) >= n)
       .select(col("doc_id"), posexplode(expr(
         s"""transform(
@@ -231,8 +264,13 @@ object Llm {
     // by the ContextCleaner with the build's result frame (at cluster
     // scale, substitute reliable checkpoint() — this is the one-off
     // memo BUILD, not a per-query cost).
+    // repart arms: hash-repartition the positional frame by g — the
+    // distribution every consumer requires — so ReuseExchange serves
+    // all three from ONE exchange and the derivation above runs once
+    // per build (shuffle files, zero storage-pool pressure)
     val allGrams =
       if (strategy.startsWith("checkpoint")) allGramsLazy.localCheckpoint(true)
+      else if (strategy.contains("repart")) allGramsLazy.repartition(col("g"))
       else allGramsLazy
     // df cap: one gram-keyed aggregate + semi join — rides the same
     // gram-hash shuffle the self-join needs anyway. The rare set is
@@ -462,6 +500,21 @@ object Llm {
   val dedupMinhashNative: Q = (spark, dir) =>
     minhashNativePairs(spark, dir, materialize = false)
 
+  /** A/B knob for the candidate-pruned verify (round-15 "not yet"
+    * #2, tried and CONVICTED): `true` semi-joins the raw documents
+    * against the candidate ids before the verify-side shingle
+    * derivation — which kills the third shingle derivation but LOSES
+    * the head-to-head at every depth (tools/MinhashVerifyProbe,
+    * interleaved arms, one session: x1 pruned 1.66-2.30 s vs full
+    * 1.10-1.26 s; x30 pruned 7.2-10.0 s vs full 6.3-6.9 s, shuffleW
+    * 106 vs 53 MB, tasks 189 vs 106): the semi join materializes as
+    * an extra doc_id shuffle + two more barrier stages, and the
+    * map-only shingle derivation it saves is cheaper than that at
+    * every measured factor (the same verdict MinhashProbe reached on
+    * materializing it). `false` = the round-14 three-derivation
+    * shape, kept as default on the measurement. */
+  @volatile private[graft] var minhashPrunedVerify: Boolean = false
+
   /** [[dedupMinhashNative]]'s body with the shingle-frame
     * materialization strategy exposed: `materialize = true`
     * localCheckpoints the (doc_id, shingles) frame once for its three
@@ -494,8 +547,20 @@ object Llm {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    val sa = docs.select(col("doc_id").as("d1"), col("shingles").as("sa"))
-    val sb = docs.select(col("doc_id").as("d2"), col("shingles").as("sb"))
+    // candidate-pruned verify arm (round-15, see minhashPrunedVerify:
+    // measured LOSING at every depth and therefore OFF by default —
+    // the semi join's extra doc_id shuffle costs more than the
+    // map-only derivation it saves). Exact either way: the semi join
+    // only drops rows the equi-join below would drop anyway.
+    def prunedShingles(ids: DataFrame): DataFrame =
+      if (!minhashPrunedVerify) docs
+      else if (materialize) docs.join(ids, Seq("doc_id"), "left_semi")
+      else shingleDocs(Tables(spark, dir, "documents")
+        .join(ids, Seq("doc_id"), "left_semi"))
+    val sa = prunedShingles(cands.select(col("d1").as("doc_id")))
+      .select(col("doc_id").as("d1"), col("shingles").as("sa"))
+    val sb = prunedShingles(cands.select(col("d2").as("doc_id")))
+      .select(col("doc_id").as("d2"), col("shingles").as("sb"))
     cands
       .join(sa, Seq("d1"))
       .join(sb, Seq("d2"))
@@ -824,8 +889,12 @@ object Llm {
       // over both directions) — track them explicitly, since isolated
       // members of already-min components never enter `parent`
       val seen = scala.collection.mutable.LongMap.empty[Boolean]
-      pairs.collect().foreach { row =>
-        val (a, b) = (row.getLong(0), row.getLong(1))
+      // primitive-encoder collect (round-15 ADVICE): Dataset[(Long,
+      // Long)] materializes ~16 B a pair on the driver heap where
+      // boxed Row objects cost several times that — the 2M-pair bound
+      // then means what the scaladoc says it means
+      import spark.implicits._
+      pairs.as[(Long, Long)].collect().foreach { case (a, b) =>
         seen(a) = true; seen(b) = true
         val (ra, rb) = (find(a), find(b))
         if (ra < rb) parent(rb) = ra
@@ -833,7 +902,6 @@ object Llm {
       }
       val out = seen.keys.toArray.sorted.map(id => (id, find(id))).toSeq
       val path = graft.util.Fs.tempDir("graft_labels")
-      import spark.implicits._
       out.toDF("doc_id", "cluster")
         .repartition(1) // metadata-sized table, one clean file
         .write.mode("overwrite").parquet(path)
@@ -1778,11 +1846,12 @@ object Llm {
     // kernel — the round-13 verdict's O(n^1.5) assign-all term, plus
     // the fit's own sample·k·iters twin the build split then exposed
     // (x1000: MLlib fit 52.4 s, transform-all 55.6 s; pruned kernel
-    // assign 3.0 s). Below the threshold MLlib fit + transform run
-    // UNCHANGED — bitwise-stable cells for every bench/test-scale
-    // corpus and witness fixture. Both sides of a build/refresh pair
-    // route through the same rule (AnnIndex.assign applies the
-    // identical dispatch).
+    // assign 3.0 s). Below the threshold the fit runs DRIVER-SIDE
+    // (the round-14 Lloyd swap documented on the else-branch below —
+    // its centroids differ from the former MLlib model's) and the
+    // corpus assignment rides the exact-argmin kernel. Both sides of
+    // a build/refresh pair route through the same rule
+    // (AnnIndex.assign applies the identical dispatch).
     val (quant, assigned) =
       if (k >= graft.engine.CoarseAssign.minK) {
         val sample =
@@ -1834,8 +1903,19 @@ object Llm {
         require(collected.nonEmpty,
           "fitIvfCellsOn: no finite-norm vectors to fit a quantizer on")
         val dim = collected.head._2.length
+        // seed-count contract (round-15 ADVICE, made explicit): with
+        // fewer than k finite-norm vectors the quantizer SHRINKS to
+        // n centers (take returns what exists; the Lloyd loop and
+        // every kernel consumer size off centers.length) — the only
+        // sound k for n points. Duplicate input vectors can seed
+        // duplicate centroids that never separate — same cells for
+        // every vector either way, so it is a cell-numbering quirk,
+        // not a correctness hole; deduping seeds here would SHIFT the
+        // declared rows-only outputs (the third output-shifting
+        // change the round-14 verdict forbids without a driver
+        // witness), so the draw is pinned as-is.
         val seeds = collected.sortBy(r => (r._3, r._1))
-          .take(k).map(_._2.clone)
+          .take(math.min(k, collected.length)).map(_._2.clone)
         var centers = seeds
         var it = 0
         while (it < 8) {
@@ -2148,8 +2228,11 @@ object Llm {
     val ks = math.min(pqKs, sample.length)
     val cb = fitPqCodebooks(sample, m, ks, pqIters, seed = 42L)
     val codes = cells
-      .withColumn("cb", typedLit(cb.toSeq))
-      .withColumn("codes", expr(pqEncodeExpr(m, ks, sub)))
+      // NATIVE encoder (round-15): bitwise the HOF pqEncodeExpr's
+      // codes (PqEncodeSpec pins it), one fused primitive loop per
+      // row instead of the interpreted ks-struct aggregate
+      .withColumn("codes",
+        graft.functions.PqEncode(spark, col("unit"), cb, m, ks, sub))
       .select(col("vec_id"), col("cell"), col("unit"), col("codes"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (cb, m, ks, sub, codes)

@@ -77,9 +77,19 @@ object StreamingOps {
       Pipelines.commitCanon(canonDf, d)
       d
     }
+    // spread the query side before the k=2 deletion-variant explode
+    // (~211 interpreted-HOF variants per name): the customer fixture
+    // is a single row group, so the explode otherwise runs at the
+    // scan's task count on a 32-core session (guide §2.5 input skew —
+    // the embed_neardup/geo_predict fix). The exchange carries 3.7k
+    // (id, name) rows and is shared by BOTH record consumers
+    // (variant explode + the verify join), so it also drops the
+    // second customer scan. defaultParallelism, never a local
+    // constant.
     val recs = Tables(spark, dir, "customer")
       .filter(col("c_custkey") % 4 === 0)
       .select(col("c_custkey").as("id"), col("c_name").as("s"))
+      .repartition(spark.sparkContext.defaultParallelism)
     Pipelines.entityResolveCurrent(recs, canonDir, k = 2, topK = 1)
       .select(col("id"), col("canon_id"), col("dist").cast("int").as("dist"),
         col("rank").cast("int").as("rank"), col("canon_version"))

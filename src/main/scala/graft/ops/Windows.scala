@@ -144,6 +144,28 @@ object Windows {
       lit(100))))
   }
 
+  /** The in-plan probe's correctness PRECONDITION (round-15 ADVICE):
+    * the probe subtree is physically cloned into every consumer
+    * branch (cumsum, offsets, totals), and `percentile_approx` merges
+    * its QuantileSummaries in shuffle-fetch order — so only exchange
+    * reuse (static ReuseExchange, or AQE's stage cache; both gate on
+    * `spark.sql.exchange.reuse`) guarantees every branch reads the
+    * SAME evaluated split array. Consumers are exact for any ONE
+    * monotone split array, but per-branch DIFFERENT splits would make
+    * bucket ids inconsistent between the cumulative sums and the
+    * offsets — silently wrong results. The conf defaults to true
+    * everywhere; this guard turns the silent config hazard into a
+    * loud failure at the call site. Every approxSplitsAgg consumer
+    * must call it. */
+  private[graft] def requireSplitProbeConsistency(
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    require(spark.conf.get("spark.sql.exchange.reuse", "true").toBoolean,
+      "the in-plan split probe (approxSplitsAgg) requires " +
+        "spark.sql.exchange.reuse=true: without exchange reuse each " +
+        "consumer branch evaluates its own percentile_approx sketch " +
+        "(merge order is fetch-order-dependent) and bucket ids can " +
+        "diverge between the cumsum and offset branches")
+
   /** [[rangeBucketOf]] over an ARRAY COLUMN of split points (the
     * [[approxSplitsAgg]] probe, crossJoined by broadcast). A null
     * array (empty input: percentile_approx of zero rows) buckets
@@ -223,6 +245,7 @@ object Windows {
     * bounded-task corpus shuffles in place of one unbounded-task
     * sort. */
   val windowCume: Q = (spark, dir) => {
+    requireSplitProbeConsistency(spark)
     val ev = Tables(spark, dir, "events")
       .select(col("event_type"), col("value"))
     // the reduction has FOUR consumers (split probe, cumsum, offsets,

@@ -82,18 +82,26 @@ object IslandsProbe {
     }
 
     for (factor <- factors) {
-      val dst = Files.createTempDirectory(s"graft_isl_x$factor").toString
-      println(s"== inflating documents x$factor -> $dst")
-      Inflate.documentsOnly(spark, src, dst, factor)
+      // factor 1 measures the RAW fixture in place — its single-row-
+      // group scan shape is exactly what the bench prices; an x1
+      // inflation would rewrite it multi-file and hide the spread
+      // arm's whole effect
+      val dst =
+        if (factor == 1) src
+        else {
+          val d = Files.createTempDirectory(s"graft_isl_x$factor").toString
+          println(s"== inflating documents x$factor -> $d")
+          Inflate.documentsOnly(spark, src, d, factor)
+          d
+        }
       for (v <- variants) {
         graft.ops.Llm.substrGramStrategy = v
         buildOnce(s"x$factor $v (p=$parts)", dst)
       }
-      graft.util.Fs.deleteRecursively(dst)
+      if (factor != 1) graft.util.Fs.deleteRecursively(dst)
     }
-    // restore the SHIPPED default (the recompute arm won the
-    // head-to-head this tool exists to adjudicate)
-    graft.ops.Llm.substrGramStrategy = "recompute-bin"
+    // restore the SHIPPED default (the round-15 head-to-head winner)
+    graft.ops.Llm.substrGramStrategy = "repart-bin"
     spark.stop()
   }
 }
